@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}. Each query is forced end-to-end with a
+noop sink (full execution, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from jasminegraph_spark.session import get_spark  # noqa: E402
+
+# representative per-family headliners: relational, graph ops, analytics,
+# stream-table, dedup/similarity/text pipeline
+HEADLINE = [
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q6_forecast_revenue",
+    "rel_events_hourly",
+    "rel_events_sessionize",
+    "cy_expand_two_hop",
+    "cy_order_by_limit",
+    "cy_aggregate",
+    "an_triangle_count",
+    "an_pagerank",
+    "an_degree_dist_in",
+    "pl_exact_dedup",
+    "pl_minhash_lsh",
+    "pl_simhash",
+    "pl_cosine_topk",
+    "pl_quality_scores",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("jasminegraph-bench")
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()  # include plan construction: some queries
+        df = queries[name](spark, sf_dir)  # (pagerank) run eager steps here
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

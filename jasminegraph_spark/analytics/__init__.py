@@ -1,0 +1,10 @@
+from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
+    canonical_undirected,
+    triangle_count,
+    triangle_count_df,
+    triangle_list,
+    pagerank,
+    top_k_pagerank,
+    degree_distribution,
+    egonet,
+)

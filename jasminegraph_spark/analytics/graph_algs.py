@@ -1,0 +1,176 @@
+"""Graph analytics commands as DataFrame jobs.
+
+Reference surface (frontend dispatch src/frontend/JasmineGraphFrontEnd.cpp:
+230-346): trian, pgrnk, idegree/odegree, egonet, vcnt/ecnt, top_k_page_rank.
+
+All functions take a bare edge DataFrame with ``src``/``dst`` columns (any
+orderable type). The reference's local/central/duplicate store dance —
+per-partition counts plus master-side aggregation over partition
+combinations (TriangleCountExecutor.cpp:1113-1260) — disappears: one
+shuffle co-locates everything.
+
+Scale notes:
+ * triangle_count orders endpoints by (degree, id) before the two-way join
+   — the standard compact-forward technique: every wedge is enumerated at
+   its lowest-degree vertex, which bounds join fan-out on skewed (power-law)
+   graphs. This matters far more at 100 TB than at test scale.
+ * pagerank keeps ranks and out-degrees co-partitioned on the join key
+   across iterations and truncates lineage with localCheckpoint to stop
+   plan growth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as ordered pairs (a < b); drops self-loops.
+    The canonical first step of triangle counting (reference merges local +
+    central + duplicate adjacency first, Triangles.cpp:33-118)."""
+    a = F.least("src", "dst").alias("a")
+    b = F.greatest("src", "dst").alias("b")
+    return edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
+
+
+def _degree_ordered(edges: DataFrame) -> DataFrame:
+    """Re-orient each undirected edge from lower to higher (degree, id) —
+    makes the subsequent wedge join enumerate each triangle exactly once
+    with fan-out bounded by the *smaller* endpoint degree (skew armor)."""
+    und = canonical_undirected(edges)
+    both = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = both.groupBy("v").agg(F.count("*").alias("deg"))
+    d1 = deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "deg_a")
+    d2 = deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "deg_b")
+    ranked = und.join(d1, "a").join(d2, "b")
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return ranked.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """All triangles as (a < b < c) rows. Mirrors the reference's exact
+    enumeration (Triangles.cpp:120-230: degree-ordered common-neighbor
+    check; master dedups 'v1,v2,v3' strings, TriangleCountExecutor.cpp:
+    1242-1252 — canonical ordering here makes dedup unnecessary)."""
+    und = canonical_undirected(edges)
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
+    # wedge x<y... note: x<y and y<z by construction, so x<y<z holds
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return wedges.join(closing, ["x", "z"]).select(
+        F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+    )
+
+
+def triangle_count_df(edges: DataFrame) -> DataFrame:
+    """`trian` as a one-row DataFrame (n_triangles). Degree-ordered wedge
+    join + closing-edge join; count."""
+    ordered = _degree_ordered(edges)
+    e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+    # closing edge between y<z is the canonical pair (y, z) in und; each
+    # triangle has exactly one DAG-source vertex, so no dedup needed
+    und = canonical_undirected(edges)
+    closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    return wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
+
+
+def triangle_count(edges: DataFrame) -> int:
+    """`trian` — exact global triangle count (scalar)."""
+    return triangle_count_df(edges).first()["n_triangles"]
+
+
+def pagerank(
+    edges: DataFrame,
+    alpha: float = 0.85,
+    iterations: int = 10,
+    undirected: bool = False,
+) -> DataFrame:
+    """`pgrnk` (JasmineGraphInstanceService.cpp:1650-1816; defaults α=0.85,
+    10 iterations — FrontEndProtocol.h:112-113).
+
+    Returns (node, rank). Vertex set = nodes incident to an edge (the
+    reference iterates its adjacency stores the same way). No dangling-mass
+    redistribution: on a symmetrized graph every vertex has out-degree ≥ 1,
+    matching the reference's exchange of world-to-local contributions.
+
+    r_{k+1}(v) = (1-α)/N + α · Σ_{u→v} r_k(u)/out(u)
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    n_total = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # contribution edges carry out_deg along; persisted once, reused each iter
+    contrib_base = e.join(out_deg, "src").persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    for i in range(iterations):
+        contribs = (
+            contrib_base.join(ranks, contrib_base["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("mass"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit((1.0 - alpha) / n_total) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if (i + 1) % 5 == 0:
+            # truncate lineage so the plan doesn't grow unboundedly
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def top_k_pagerank(edges: DataFrame, k: int = 10, **kw) -> DataFrame:
+    """`top_k_page_rank` (JasmineGraphInstanceService.cpp:2593-2653) —
+    TopK is a per-partition limit + single merge, not a full sort."""
+    return pagerank(edges, **kw).orderBy(F.desc("rank"), F.asc("node")).limit(k)
+
+
+def degree_distribution(edges: DataFrame, direction: str = "in") -> DataFrame:
+    """`idegree`/`odegree` — full degree distribution
+    (JasmineGraphInstanceService.cpp:2305-2404). Returns (degree, n_nodes):
+    two partial-aggregated shuffles, no driver materialization (the
+    reference writes per-partition TSVs and merges at master)."""
+    key = "dst" if direction == "in" else "src"
+    per_node = edges.groupBy(F.col(key).alias("node")).agg(F.count("*").alias("degree"))
+    return per_node.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def egonet(edges: DataFrame, vertex, undirected: bool = True) -> DataFrame:
+    """`egonet` (JasmineGraphInstanceService.cpp:1404-1500): the induced
+    subgraph on {v} ∪ N(v), returned as its edge list (a, b).
+
+    Neighbor set is a broadcast-able point-filtered frame, so the induced-
+    edge join is two broadcast semi-joins — no full shuffle of the edge
+    table at scale."""
+    e = canonical_undirected(edges) if undirected else edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    nbrs = (
+        e.filter((F.col("a") == vertex) | (F.col("b") == vertex))
+        .select(
+            F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
+        )
+        .distinct()
+    )
+    ego = nbrs  # includes vertex itself (it appears in its own edges)
+    return (
+        e.join(F.broadcast(ego.withColumnRenamed("node", "a")), "a", "left_semi")
+        .join(F.broadcast(ego.withColumnRenamed("node", "b")), "b", "left_semi")
+        .select("a", "b")
+    )

@@ -1,0 +1,141 @@
+"""Property-graph data model, Spark-first.
+
+The reference stores a partitioned property graph in fixed-size binary
+block files (nodes: src/nativestore/NodeBlock.h:33-48, edges:
+src/nativestore/RelationBlock.h:34-118, properties string→char[10000]:
+src/nativestore/PropertyLink.h:24-29), splitting every edge into *local*
+vs *central* (edge-cut) replicas. Here a graph is two DataFrames; Spark's
+shuffle co-locates join keys, so the local/central split and the
+``partitionID`` meta-property (src/nativestore/MetaPropertyLink.h) are
+replaced by an optional derived ``pid`` column used only when an explicit
+k-way partitioning is requested (mirrors the HASH partitioner,
+src/partitioner/stream/Partitioner.cpp:110-121).
+
+Canonical schemas (SURVEY §1.5):
+  nodes: id string, label string, properties map<string,string>
+  edges: src string, dst string, type string, properties map<string,string>
+
+Properties are map<string,string> because the reference's storage is
+schemaless all-string (SURVEY §1.3); typed values are coerced at predicate
+sites (operators.predicates).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("label", T.StringType(), True),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField("src", T.StringType(), False),
+        T.StructField("dst", T.StringType(), False),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+@dataclass
+class PropertyGraph:
+    """A property graph: nodes + edges DataFrames and a directedness flag
+    (metadb ``graph.is_directed``, reference ddl/metadb.sql:17)."""
+
+    nodes: DataFrame
+    edges: DataFrame
+    is_directed: bool = True
+    name: str = "graph"
+
+    def undirected_edges(self) -> DataFrame:
+        """Both orientations of every edge — the reference's undirected
+        traversal walks source- and destination-side adjacency lists
+        (OperatorExecutor.cpp:490-494,536-542). A symmetric union lets every
+        downstream join stay orientation-agnostic without special cases."""
+        e = self.edges
+        rev = e.select(
+            F.col("id"), F.col("dst").alias("src"), F.col("src").alias("dst"), "type", "properties"
+        )
+        return e.unionByName(rev)
+
+    def traversal_edges(self) -> DataFrame:
+        """Edges as traversed: directed graphs keep orientation, undirected
+        graphs expand to both orientations."""
+        return self.edges if self.is_directed else self.undirected_edges()
+
+    def with_pid(self, k: int) -> "PropertyGraph":
+        """Derive an explicit k-way hash partition id (reference HASH
+        partitioner semantics). Rarely needed — Spark co-partitions on join
+        keys — but exposed for parity with partition-aware surfaces."""
+        pid = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(k)).cast("int")  # noqa: E731
+        return PropertyGraph(
+            nodes=self.nodes.withColumn("pid", pid("id")),
+            edges=self.edges.withColumn("pid", pid("src")),
+            is_directed=self.is_directed,
+            name=self.name,
+        )
+
+    def vertex_count(self) -> int:
+        """`vcnt` (FrontEnd.cpp:315-318)."""
+        return self.nodes.count()
+
+    def edge_count(self) -> int:
+        """`ecnt` (FrontEnd.cpp:315-318)."""
+        return self.edges.count()
+
+
+@dataclass
+class GraphCatalog:
+    """Engine-level catalog replacing the reference's metadb SQLite
+    (ddl/metadb.sql: graph/partition/worker tables). Graphs register by
+    name; persistence is parquet directories, not block files."""
+
+    spark: SparkSession
+    _graphs: dict = field(default_factory=dict)
+
+    def register(self, graph: PropertyGraph) -> PropertyGraph:
+        self._graphs[graph.name] = graph
+        return graph
+
+    def get(self, name: str) -> PropertyGraph:
+        return self._graphs[name]
+
+    def list_graphs(self) -> list:
+        """`lst` command equivalent: name, vertexcount, edgecount, directed."""
+        return [
+            {
+                "name": g.name,
+                "vertexcount": g.vertex_count(),
+                "edgecount": g.edge_count(),
+                "is_directed": g.is_directed,
+            }
+            for g in self._graphs.values()
+        ]
+
+    def remove(self, name: str) -> None:
+        """`rmgr` equivalent."""
+        self._graphs.pop(name, None)
+
+    def save(self, graph: PropertyGraph, base_path: str) -> None:
+        """Persist as parquet (replaces FlatBuffers partition files)."""
+        graph.nodes.write.mode("overwrite").parquet(f"{base_path}/{graph.name}/nodes")
+        graph.edges.write.mode("overwrite").parquet(f"{base_path}/{graph.name}/edges")
+
+    def load(self, name: str, base_path: str, is_directed: bool = True) -> PropertyGraph:
+        g = PropertyGraph(
+            nodes=self.spark.read.parquet(f"{base_path}/{name}/nodes"),
+            edges=self.spark.read.parquet(f"{base_path}/{name}/edges"),
+            is_directed=is_directed,
+            name=name,
+        )
+        return self.register(g)

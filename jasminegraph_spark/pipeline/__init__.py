@@ -1,0 +1,19 @@
+from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    char_shingles,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    minhash_lsh_candidates,
+    simhash_signatures,
+)
+from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
+    cosine_topk,
+    sign_lsh_buckets,
+    sign_lsh_ann,
+)
+from jasminegraph_spark.pipeline.text import (  # noqa: F401
+    token_counts,
+    language_id,
+    quality_scores,
+    doc_fingerprint,
+)

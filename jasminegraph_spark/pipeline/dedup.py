@@ -1,0 +1,172 @@
+"""Document deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a documents
+DataFrame (doc_id, text). All hashing is built on ``md5`` so results are
+engine-portable (the DuckDB oracle computes byte-identical hex digests) and
+deterministic across runs/partitionings — no Python UDFs anywhere; every
+operator is pure Catalyst expressions + joins.
+
+Scale notes (100 TB):
+ * shingling explodes ~|text| rows per doc; the explode is map-side only
+   and feeds a partial-aggregated groupBy — no shuffle of raw shingles
+   beyond the hash-partitioned aggregation.
+ * the naive all-pairs Jaccard join is quadratic in shingle frequency;
+   minhash_lsh_candidates is the scale path: band buckets bound the
+   candidate set, and the verify step runs only on candidates.
+ * hot shingles (stopword-like n-grams) are skew: the LSH band join keys
+   are uniformly-distributed hashes, so the bucket join does not inherit
+   text skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash: one partial-aggregated groupBy.
+    Returns (content_hash, keep_id, n_dups) — keep_id is the minimum id in
+    the duplicate class (deterministic representative)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def char_shingles(
+    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct character k-gram shingles per document: (doc_id, shingle).
+    Pure expressions: sequence → transform → explode, then distinct."""
+    return (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(f"transform(sequence(1, length({text_col}) - {k - 1}), i -> substring({text_col}, i, {k}))")
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = 8, threshold: float = 0.8, id_col: str = "doc_id"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard similarity ≥ threshold.
+
+    Exact but quadratic in per-shingle frequency — the small-corpus /
+    verification path. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    jaccard rounded to 6 digits (portable float compare).
+    """
+    sh = char_shingles(docs, k, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per document: num_hashes columns mh0..mhN-1.
+
+    Hash family i = md5(i || ':' || shingle); the signature component is the
+    *minimum digest string* — min over an md5 image is as uniform as min
+    over an integer image, and stays portable (no engine-specific 64-bit
+    hash). One exploded pass, one partial-aggregated groupBy computing all
+    mins at once.
+    """
+    sh = char_shingles(docs, k, id_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; docs agreeing on any full band are
+    candidates. Returns distinct (id_a, id_b), id_a < id_b.
+
+    The band join key is (band_index, concatenated band signature) — a
+    uniform hash key, so the self-join is skew-free and linear in bucket
+    sizes rather than corpus-quadratic.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, k, id_col)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+                "sig"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    l = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
+    r = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
+    return (
+        l.join(r, ["band", "sig"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 16, k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash: per bit position j, sum ±1 votes of each shingle's hash bit
+    j; the signature bit is the vote sign. Bit j of a shingle is the parity
+    of hex digit j of md5(shingle) — portable across engines.
+
+    Returns (doc_id, simhash) with simhash a ``bits``-char '0'/'1' string.
+    Near-dup lookup = signature equality or banded Hamming distance.
+    """
+    sh = char_shingles(docs, k, id_col).withColumn("h", F.md5("shingle"))
+    votes = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, {bits}), j -> "
+                f"CASE WHEN (locate(substring(h, j, 1), '0123456789abcdef') - 1) % 2 = 1 "
+                f"THEN 1 ELSE -1 END)"
+            )
+        ).alias("bit_pos", "vote"),
+    )
+    bit_votes = votes.groupBy("doc_id", "bit_pos").agg(F.sum("vote").alias("v"))
+    return bit_votes.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.expr("transform(array_sort(collect_list(struct(bit_pos, v))), s -> CASE WHEN s.v >= 0 THEN '1' ELSE '0' END)"),
+        ).alias("simhash")
+    )

@@ -1,0 +1,111 @@
+"""Similarity search over an embedding column (array<float>).
+
+Mirrors the reference's vector surface — per-node embeddings in a FAISS
+IndexFlatL2 per partition (src/vectorstore/FaissIndex.h:20-53,
+TextEmbedder.h:29-42) — re-expressed as DataFrame ops:
+
+ * :func:`cosine_topk` — brute-force exact top-k (IndexFlat equivalent).
+ * :func:`sign_lsh_ann` — bucketed approximate path: sign-quantization
+   LSH buckets (the leading dimensions' sign pattern), search within the
+   query's bucket only. At 100 TB the bucket column becomes the storage
+   partition key so a query touches one partition.
+
+All math is built-in expressions (zip_with/aggregate fold — JVM-side, no
+Python); scores are rounded to 6 digits so rank boundaries are portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: str):
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def _dot(a: str, b: str):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, v) -> acc + v)")
+
+
+def _norm(col: str):
+    return F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), cast(0 as double), (acc, v) -> acc + v)"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors. Returns (query_id, neighbor_id, cosine, rank).
+
+    The query side is broadcast (queries ≪ corpus); the corpus side
+    streams — one pass, no shuffle of the corpus. rank ties break on
+    neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sign_lsh_buckets(
+    embeddings: DataFrame, planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Sign-quantization bucket id: the sign pattern of the first ``planes``
+    dimensions as a bit-string. Deterministic, engine-portable, and a valid
+    LSH family for cosine on roughly isotropic embeddings."""
+    bucket = F.concat_ws(
+        "",
+        F.expr(
+            f"transform(slice({vec_col}, 1, {planes}), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)"
+        ),
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def sign_lsh_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine rank within the bucket. The bucket equi-join replaces the
+    cross join — the scan cost drops from |corpus| to |bucket|."""
+    b = sign_lsh_buckets(embeddings, planes, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).join(b.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    qs = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).join(
+        b.withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,115 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword-marker heuristic), quality scoring, token counting,
+document fingerprinting (bottom-k sketch). All pure Catalyst expressions —
+regexp/split/aggregate — so they run JVM-side inside whole-stage codegen;
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# marker-word regexes per language: crude but deterministic; the oracle
+# mirrors them 1:1. \\b word boundaries keep counts substring-safe.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in)\b",
+    "es": r"\b(el|la|de|que|y)\b",
+    "de": r"\b(der|die|und|das|ist)\b",
+    "fr": r"\b(le|la|de|et|les)\b",
+}
+
+
+def token_counts(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + distinct-token count per doc."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """n-gram/stopword-marker language ID: count marker hits per language,
+    argmax with deterministic tie-break on language code. Returns
+    (doc_id, lang_pred, score)."""
+    scores = F.array(
+        *[
+            F.struct(
+                F.regexp_count(F.col(text_col), F.lit(rx)).alias("score"),
+                # negate lexicographic order so array_max prefers the
+                # alphabetically-first language on score ties... instead
+                # keep (score, reverse-rank) explicit below
+                F.lit(lang).alias("lang"),
+            )
+            for lang, rx in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_max on struct compares field-by-field: score, then lang string;
+    # to make ties pick the alphabetically FIRST lang deterministically we
+    # order by (score, -index) — encode index explicitly.
+    indexed = F.array(
+        *[
+            F.struct(
+                F.regexp_count(F.col(text_col), F.lit(rx)).alias("score"),
+                F.lit(-i).alias("neg_idx"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, rx) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )
+    best = F.array_max(indexed)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        best["lang"].alias("lang_pred"),
+        best["score"].alias("score"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    length, token stats, type-token ratio, mean token length.
+    score = ttr * 0.5 + min(n_tokens,100)/100 * 0.3 + min(mean_len,10)/10 * 0.2
+    (rounded to 6 — portable)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.length(F.trim(text_col)) - F.length(F.regexp_replace(F.trim(text_col), r"\s", ""))).alias(
+            "n_spaces"
+        ),
+    )
+    ttr = F.col("n_distinct") / F.col("n_tokens")
+    mean_len = (F.col("n_chars") - F.col("n_spaces")) / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(ttr, 6).alias("ttr"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(
+            ttr * 0.5
+            + F.least(F.col("n_tokens"), F.lit(100)) / 100.0 * 0.3
+            + F.least(mean_len, F.lit(10.0)) / 10.0 * 0.2,
+            6,
+        ).alias("quality"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, k: int = 4, shingle_k: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k smallest distinct shingle digests,
+    concatenated. Equal fingerprints ⇒ near-identical content; the sketch
+    is also a fixed-size doc signature for downstream joins.
+    Returns (doc_id, fingerprint)."""
+    from jasminegraph_spark.pipeline.dedup import char_shingles
+
+    sh = char_shingles(docs, shingle_k, id_col).withColumn("h", F.md5("shingle"))
+    return sh.groupBy("doc_id").agg(
+        F.concat_ws(",", F.slice(F.array_sort(F.collect_set("h")), 1, k)).alias("fingerprint")
+    )

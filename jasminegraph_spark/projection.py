@@ -1,0 +1,251 @@
+"""Project a property graph from the driver's TPC-H-ish tables.
+
+The reference ingests property graphs from edge lists / JSON / RDF
+(SURVEY §2.4); the driver's testdata is relational, so — per FIXTURES.md —
+we project a graph from it: customers, suppliers, parts, orders, nations,
+regions become labeled nodes; foreign keys become typed edges.
+
+Two mirrored definitions live here:
+  * :func:`tpch_graph` — the Spark DataFrame build (the engine's view).
+  * :data:`TPCH_GRAPH_CTE` — the identical projection as an ANSI-SQL WITH
+    clause, prepended to every DuckDB oracle query so the correctness gate
+    compares graph-operator semantics, not projection plumbing.
+
+Node ids are prefixed strings ('c:1', 'p:42', …) mirroring the reference's
+string node ids (src/nativestore/NodeBlock.h:37). Properties are
+map<string,string> (reference PropertyLink stores all values as strings,
+src/nativestore/PropertyLink.h:24-29); doubles round-trip exactly through
+Spark's shortest-repr cast, and oracle queries read the typed relational
+columns directly, so outputs compare typed-to-typed.
+
+Edge inventory (directed):
+  PLACED      customer -> order       (prop totalprice)
+  CONTAINS    order    -> part        (props quantity, extendedprice)
+  SUPPLIES    supplier -> part        (distinct pairs from lineitem)
+  LOCATED_IN  customer/supplier -> nation
+  PART_OF     nation   -> region
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.graph import PropertyGraph
+from jasminegraph_spark.session import load_tables
+
+
+def _pm(**kv) -> "F.Column":
+    """properties map from column expressions, all values cast to string."""
+    pairs = []
+    for k, c in kv.items():
+        pairs.append(F.lit(k))
+        pairs.append(c.cast("string"))
+    return F.map_from_arrays(F.array(*pairs[::2]), F.array(*pairs[1::2]))
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str, name: str = "tpch") -> PropertyGraph:
+    t = load_tables(
+        spark, sf_dir, ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+    )
+    s = lambda c: F.col(c).cast("string")  # noqa: E731
+    cid = F.concat(F.lit("c:"), s("c_custkey"))
+    sid = F.concat(F.lit("s:"), s("s_suppkey"))
+    pid = F.concat(F.lit("p:"), s("p_partkey"))
+    oid = F.concat(F.lit("o:"), s("o_orderkey"))
+    nid = F.concat(F.lit("n:"), s("n_nationkey"))
+    rid = F.concat(F.lit("r:"), s("r_regionkey"))
+
+    nodes = (
+        t["customer"]
+        .select(
+            cid.alias("id"),
+            F.lit("Customer").alias("label"),
+            _pm(
+                name=F.col("c_name"),
+                mktsegment=F.col("c_mktsegment"),
+                acctbal=F.col("c_acctbal"),
+                nationkey=F.col("c_nationkey"),
+            ).alias("properties"),
+        )
+        .unionByName(
+            t["supplier"].select(
+                sid.alias("id"),
+                F.lit("Supplier").alias("label"),
+                _pm(
+                    name=F.col("s_name"),
+                    acctbal=F.col("s_acctbal"),
+                    nationkey=F.col("s_nationkey"),
+                ).alias("properties"),
+            )
+        )
+        .unionByName(
+            t["part"].select(
+                pid.alias("id"),
+                F.lit("Part").alias("label"),
+                _pm(
+                    name=F.col("p_name"),
+                    brand=F.col("p_brand"),
+                    type=F.col("p_type"),
+                    size=F.col("p_size"),
+                    retailprice=F.col("p_retailprice"),
+                ).alias("properties"),
+            )
+        )
+        .unionByName(
+            t["orders"].select(
+                oid.alias("id"),
+                F.lit("Order").alias("label"),
+                _pm(
+                    status=F.col("o_orderstatus"),
+                    orderpriority=F.col("o_orderpriority"),
+                    totalprice=F.col("o_totalprice"),
+                ).alias("properties"),
+            )
+        )
+        .unionByName(
+            t["nation"].select(
+                nid.alias("id"),
+                F.lit("Nation").alias("label"),
+                _pm(name=F.col("n_name")).alias("properties"),
+            )
+        )
+        .unionByName(
+            t["region"].select(
+                rid.alias("id"),
+                F.lit("Region").alias("label"),
+                _pm(name=F.col("r_name")).alias("properties"),
+            )
+        )
+    )
+
+    li = t["lineitem"]
+    edges = (
+        t["orders"]
+        .select(
+            F.concat(F.lit("placed:"), s("o_orderkey")).alias("id"),
+            F.concat(F.lit("c:"), s("o_custkey")).alias("src"),
+            F.concat(F.lit("o:"), s("o_orderkey")).alias("dst"),
+            F.lit("PLACED").alias("type"),
+            _pm(totalprice=F.col("o_totalprice")).alias("properties"),
+        )
+        .unionByName(
+            li.select(
+                F.concat(F.lit("contains:"), s("l_orderkey"), F.lit(":"), s("l_linenumber")).alias(
+                    "id"
+                ),
+                F.concat(F.lit("o:"), s("l_orderkey")).alias("src"),
+                F.concat(F.lit("p:"), s("l_partkey")).alias("dst"),
+                F.lit("CONTAINS").alias("type"),
+                _pm(
+                    quantity=F.col("l_quantity"), extendedprice=F.col("l_extendedprice")
+                ).alias("properties"),
+            )
+        )
+        .unionByName(
+            li.select("l_suppkey", "l_partkey")
+            .distinct()
+            .select(
+                F.concat(F.lit("supplies:"), s("l_suppkey"), F.lit(":"), s("l_partkey")).alias(
+                    "id"
+                ),
+                F.concat(F.lit("s:"), s("l_suppkey")).alias("src"),
+                F.concat(F.lit("p:"), s("l_partkey")).alias("dst"),
+                F.lit("SUPPLIES").alias("type"),
+                F.create_map().cast("map<string,string>").alias("properties"),
+            )
+        )
+        .unionByName(
+            t["customer"].select(
+                F.concat(F.lit("locatedin:c:"), s("c_custkey")).alias("id"),
+                F.concat(F.lit("c:"), s("c_custkey")).alias("src"),
+                F.concat(F.lit("n:"), s("c_nationkey")).alias("dst"),
+                F.lit("LOCATED_IN").alias("type"),
+                F.create_map().cast("map<string,string>").alias("properties"),
+            )
+        )
+        .unionByName(
+            t["supplier"].select(
+                F.concat(F.lit("locatedin:s:"), s("s_suppkey")).alias("id"),
+                F.concat(F.lit("s:"), s("s_suppkey")).alias("src"),
+                F.concat(F.lit("n:"), s("s_nationkey")).alias("dst"),
+                F.lit("LOCATED_IN").alias("type"),
+                F.create_map().cast("map<string,string>").alias("properties"),
+            )
+        )
+        .unionByName(
+            t["nation"].select(
+                F.concat(F.lit("partof:"), s("n_nationkey")).alias("id"),
+                F.concat(F.lit("n:"), s("n_nationkey")).alias("src"),
+                F.concat(F.lit("r:"), s("n_regionkey")).alias("dst"),
+                F.lit("PART_OF").alias("type"),
+                F.create_map().cast("map<string,string>").alias("properties"),
+            )
+        )
+    )
+    return PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name=name)
+
+
+def co_order_edges(spark: SparkSession, sf_dir: str):
+    """Analytics graph: parts co-occurring in an order (undirected edge
+    list src/dst = partkeys, a<b distinct). This is the graph the analytics
+    goldens (triangles, PageRank, egonet, degree) run on — the relational
+    stand-in for the reference's powergrid edge list (FIXTURES.md F2).
+
+    The self-join is key-partitioned on l_orderkey (co-partitioned shuffle,
+    no broadcast needed at scale); distinct collapses multi-lineitem pairs.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "src")
+    b = li.withColumnRenamed("l_partkey", "dst")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+# co-order graph as a DuckDB CTE (mirrors co_order_edges)
+CO_ORDER_CTE = """
+WITH co_edges AS (
+    SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+"""
+
+
+# The same projection as a SQL WITH prefix for DuckDB oracles. Only the
+# columns oracles need (typed, no property maps): nodes(id,label) + typed
+# property lookups are done against the base tables inside each oracle.
+TPCH_GRAPH_CTE = """
+WITH g_nodes AS (
+    SELECT 'c:' || c_custkey AS id, 'Customer' AS label FROM customer
+    UNION ALL SELECT 's:' || s_suppkey, 'Supplier' FROM supplier
+    UNION ALL SELECT 'p:' || p_partkey, 'Part' FROM part
+    UNION ALL SELECT 'o:' || o_orderkey, 'Order' FROM orders
+    UNION ALL SELECT 'n:' || n_nationkey, 'Nation' FROM nation
+    UNION ALL SELECT 'r:' || r_regionkey, 'Region' FROM region
+),
+g_edges AS (
+    SELECT 'placed:' || o_orderkey AS id, 'c:' || o_custkey AS src,
+           'o:' || o_orderkey AS dst, 'PLACED' AS type FROM orders
+    UNION ALL
+    SELECT 'contains:' || l_orderkey || ':' || l_linenumber,
+           'o:' || l_orderkey, 'p:' || l_partkey, 'CONTAINS' FROM lineitem
+    UNION ALL
+    SELECT 'supplies:' || l_suppkey || ':' || l_partkey,
+           's:' || l_suppkey, 'p:' || l_partkey, 'SUPPLIES'
+    FROM (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    UNION ALL
+    SELECT 'locatedin:c:' || c_custkey, 'c:' || c_custkey,
+           'n:' || c_nationkey, 'LOCATED_IN' FROM customer
+    UNION ALL
+    SELECT 'locatedin:s:' || s_suppkey, 's:' || s_suppkey,
+           'n:' || s_nationkey, 'LOCATED_IN' FROM supplier
+    UNION ALL
+    SELECT 'partof:' || n_nationkey, 'n:' || n_nationkey,
+           'r:' || n_regionkey, 'PART_OF' FROM nation
+)
+"""

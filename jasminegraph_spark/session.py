@@ -1,0 +1,94 @@
+"""SparkSession factory tuned for both local test runs and cluster scale.
+
+Local mode is a single JVM; on a real cluster the same configs hold:
+AQE handles skew + partition coalescing at runtime, shuffle partitions are
+sized from the parallelism env var, and Arrow is on for any Pandas-UDF path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "jasminegraph_spark", extra_conf: dict | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Honors:
+      SPARK_GRAFT_CPUS   — local[<n>] parallelism (default: all cores)
+      SPARK_MASTER       — override master URL entirely (cluster deploys)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_parts = os.environ.get(
+        "SPARK_SHUFFLE_PARTITIONS", str(os.cpu_count() or 32) if cpus == "*" else cpus
+    )
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
+    """Load the driver-provided parquet tables as DataFrames.
+
+    Plain ``spark.read.parquet`` — column pruning + predicate pushdown reach
+    the scan for free; at cluster scale the same call reads a partitioned
+    directory without change.
+    """
+    return {
+        name: read_events(spark, sf_dir)
+        if name == "events"
+        else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in names
+    }
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read nanos as long and floor-convert to microsecond
+    timestamps — the same truncation DuckDB applies, so oracle comparisons
+    stay exact."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
