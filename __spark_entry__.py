@@ -918,6 +918,151 @@ def pl_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cypher frontend end-to-end: text → parse → compile → DataFrame
+# (the reference's full query lifecycle, SURVEY §3.1)
+# ---------------------------------------------------------------------------
+
+
+def _cy(spark, sf_dir, text):
+    from jasminegraph_spark.cypher import cypher_query
+
+    return cypher_query(_g(spark, sf_dir), text)
+
+
+@_q(
+    "cypher_label_scan_project",
+    TPCH_GRAPH_CTE + "SELECT 'c:' || c_custkey AS id, c_name AS name FROM customer",
+)
+def cypher_label_scan_project(spark, sf_dir):
+    return _cy(spark, sf_dir, "MATCH (n:Customer) RETURN id(n) AS id, n.name AS name")
+
+
+@_q(
+    "cypher_filter_expand",
+    TPCH_GRAPH_CTE
+    + """
+    SELECT 'c:' || c.c_custkey AS c_id, 'o:' || o.o_orderkey AS o_id,
+           'p:' || l.l_partkey AS p_id
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_nationkey = 1
+    """,
+)
+def cypher_filter_expand(spark, sf_dir):
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part) "
+        "WHERE c.nationkey = 1 "
+        "RETURN id(c) AS c_id, id(o) AS o_id, id(p) AS p_id",
+    )
+
+
+@_q(
+    "cypher_undirected_unique",
+    TPCH_GRAPH_CTE
+    + """
+    , sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT 'p:' || s1.l_partkey AS p_id, 's:' || s2.l_suppkey AS s2_id
+    FROM sp s1 JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+    WHERE s1.l_suppkey = 1 AND s2.l_suppkey <> 1
+    """,
+)
+def cypher_undirected_unique(spark, sf_dir):
+    """Edge-uniqueness filters are injected by the compiler, mirroring the
+    reference planner (QueryPlanner.cpp:571-582)."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (s1:Supplier)-[r1:SUPPLIES]->(p:Part)<-[r2:SUPPLIES]-(s2:Supplier) "
+        "WHERE id(s1) = 's:1' RETURN id(p) AS p_id, id(s2) AS s2_id",
+    )
+
+
+@_q(
+    "cypher_aggregate_group",
+    """
+    SELECT c_mktsegment AS seg, COUNT(*) AS n,
+           AVG(c_nationkey) AS avg_nation,
+           MIN(c_name) AS first_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def cypher_aggregate_group(spark, sf_dir):
+    """Grouped aggregates — avg over integer-valued properties is exact in
+    doubles, so no rounding is needed for oracle parity."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Customer) RETURN n.mktsegment AS seg, count(*) AS n, "
+        "avg(n.nationkey) AS avg_nation, min(n.name) AS first_name",
+    )
+
+
+@_q(
+    "cypher_string_preds",
+    """
+    SELECT 'p:' || p_partkey AS id, p_name AS name FROM part
+    WHERE starts_with(p_name, 'a') OR contains(p_brand, '1')
+    """,
+)
+def cypher_string_preds(spark, sf_dir):
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Part) WHERE n.name STARTS WITH 'a' OR n.brand CONTAINS '1' "
+        "RETURN id(n) AS id, n.name AS name",
+    )
+
+
+@_q(
+    "cypher_in_order_skip_limit",
+    """
+    SELECT 'c:' || c_custkey AS id, c_name AS name FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ORDER BY name ASC NULLS FIRST LIMIT 25 OFFSET 5
+    """,
+)
+def cypher_in_order_skip_limit(spark, sf_dir):
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Customer) WHERE n.mktsegment IN ['BUILDING', 'MACHINERY'] "
+        "RETURN id(n) AS id, n.name AS name ORDER BY name ASC SKIP 5 LIMIT 25",
+    )
+
+
+@_q(
+    "cypher_distinct_null_checks",
+    """
+    SELECT DISTINCT c_mktsegment AS seg FROM customer WHERE c_name IS NOT NULL
+    """,
+)
+def cypher_distinct_null_checks(spark, sf_dir):
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Customer) WHERE n.name IS NOT NULL RETURN DISTINCT n.mktsegment AS seg",
+    )
+
+
+@_q(
+    "cypher_cartesian_patterns",
+    TPCH_GRAPH_CTE
+    + """
+    SELECT r.id AS r_id, n.id AS n_id
+    FROM (SELECT id FROM g_nodes WHERE label = 'Region') r,
+         (SELECT id FROM g_nodes WHERE label = 'Nation') n
+    """,
+)
+def cypher_cartesian_patterns(spark, sf_dir):
+    return _cy(
+        spark, sf_dir, "MATCH (r:Region), (n:Nation) RETURN id(r) AS r_id, id(n) AS n_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,111 @@
+"""Cypher AST node types (dataclasses).
+
+Covers the executable surface of the reference's grammar — the reference
+parses full openCypher via ANTLR (astbuilder/ASTBuilder.cpp, 1430 LoC) but
+only *plans* the subset in queryplanner/QueryPlanner.cpp:21-466; we model
+that subset plus the easy extensions Spark gives nearly free (aggregates
+beyond avg, SKIP/LIMIT, string predicates, arithmetic comparisons).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class NodePattern:
+    var: str | None
+    labels: list[str] = field(default_factory=list)
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class RelPattern:
+    var: str | None
+    types: list[str] = field(default_factory=list)
+    direction: str = "both"  # 'out' | 'in' | 'both'
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class PathPattern:
+    """node (rel node)* chain."""
+
+    nodes: list[NodePattern] = field(default_factory=list)
+    rels: list[RelPattern] = field(default_factory=list)
+
+
+# --- expressions -----------------------------------------------------------
+
+
+@dataclass
+class PropRef:
+    var: str
+    key: str
+
+
+@dataclass
+class IdFunc:
+    var: str
+
+
+@dataclass
+class VarRef:
+    var: str
+
+
+@dataclass
+class Literal:
+    value: object
+
+
+@dataclass
+class Comparison:
+    left: object
+    op: str  # == <> < > <= >= STARTS_WITH ENDS_WITH CONTAINS IN
+    right: object
+
+
+@dataclass
+class NullCheck:
+    expr: object
+    is_null: bool
+
+
+@dataclass
+class BoolExpr:
+    op: str  # AND OR XOR NOT
+    operands: list = field(default_factory=list)
+
+
+@dataclass
+class Aggregate:
+    func: str  # avg count sum min max collect
+    expr: object  # None for count(*)
+    distinct: bool = False
+
+
+# --- clauses ---------------------------------------------------------------
+
+
+@dataclass
+class ReturnItem:
+    expr: object
+    alias: str | None = None
+
+
+@dataclass
+class OrderItem:
+    expr: object
+    ascending: bool = True
+
+
+@dataclass
+class Query:
+    patterns: list[PathPattern] = field(default_factory=list)
+    where: object | None = None
+    return_items: list[ReturnItem] = field(default_factory=list)
+    distinct: bool = False
+    order_by: list[OrderItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None

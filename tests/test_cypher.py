@@ -1,0 +1,182 @@
+"""Cypher frontend tests on an F1-style social property graph.
+
+Mirrors the reference's golden-Cypher integration strategy
+(tests/integration/integration_workflow_cypher.py semantics): 20 nodes
+(Person/Location), 60 edges, string-typed properties, undirected graph;
+assertions include the golden global avg over integer ids (= 4.5 for ids
+0-9), missing-property nulls, 2-hop expansion with edge uniqueness.
+The fixture is generated here, not copied from the reference.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.cypher import cypher_query, parse
+from jasminegraph_spark.graph import EDGE_SCHEMA, NODE_SCHEMA, PropertyGraph
+
+PEOPLE = ["Alice", "Bob", "Carol", "Dave", "Eva", "Frank", "Grace", "Hugo", "Ivy", "Jack"]
+PLACES = ["Park", "Bank", "Cafe", "Gym", "Library", "Museum", "School", "Shop", "Station", "Zoo"]
+
+
+@pytest.fixture(scope="module")
+def social(spark):
+    nodes = []
+    for i in range(10):
+        props = {"name": PEOPLE[i], "occupation": "Teacher" if i % 2 == 0 else "Artist"}
+        if i == 3:
+            props["age"] = "25"  # sparse property → missing elsewhere
+        nodes.append((str(i), "Person", props))
+    for i in range(10, 20):
+        nodes.append((str(i), "Location", {"name": PLACES[i - 10], "category": "Public"}))
+    edges = []
+    eid = 0
+    for i in range(10):  # Person i FRIENDS Person (i+1)%10
+        edges.append((str(eid), str(i), str((i + 1) % 10), "FRIENDS", {"weight": str(i)}))
+        eid += 1
+    for i in range(10):  # Person i VISITS Location 10+i
+        edges.append((str(eid), str(i), str(10 + i), "VISITS", {}))
+        eid += 1
+    for i in range(10):  # Person i WORKS_AT Location 10+(i+5)%10
+        edges.append((str(eid), str(i), str(10 + (i + 5) % 10), "WORKS_AT", {}))
+        eid += 1
+    g = PropertyGraph(
+        nodes=spark.createDataFrame(nodes, NODE_SCHEMA),
+        edges=spark.createDataFrame(edges, EDGE_SCHEMA),
+        is_directed=False,  # reference social graph traverses undirected
+        name="social",
+    )
+    g.nodes.cache().count()
+    g.edges.cache().count()
+    return g
+
+
+def rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_all_node_scan_count(social):
+    assert cypher_query(social, "MATCH (n) RETURN id(n) AS id").count() == 20
+
+
+def test_label_scan(social):
+    out = rows(cypher_query(social, "MATCH (n:Person) RETURN n.name AS name"))
+    assert sorted(r["name"] for r in out) == sorted(PEOPLE)
+
+
+def test_point_seek_and_projection(social):
+    out = rows(cypher_query(social, "MATCH (n) WHERE id(n) = '3' RETURN n.name AS name, n.age AS age"))
+    assert out == [{"name": "Dave", "age": "25"}]
+
+
+def test_missing_property_null(social):
+    out = rows(cypher_query(social, "MATCH (n) WHERE id(n) = '2' RETURN n.name AS name, n.age AS age"))
+    assert out == [{"name": "Carol", "age": None}]
+
+
+def test_property_map_inline_filter(social):
+    out = rows(cypher_query(social, "MATCH (n:Person {name: 'Eva'}) RETURN id(n) AS id"))
+    assert out == [{"id": "4"}]
+
+
+def test_integer_coerced_compare(social):
+    # weight stored as string; numeric literal drives the coercion. The
+    # graph is undirected, so `->` still traverses both orientations
+    # (reference is_directed semantics, OperatorExecutor.cpp:490-494):
+    # edges 8→9 (w=8) and 9→0 (w=9) each bind a to both endpoints.
+    out = cypher_query(social, "MATCH (a)-[r:FRIENDS]->(b) WHERE r.weight >= 8 RETURN id(a) AS id")
+    assert sorted(r["id"] for r in out.collect()) == ["0", "8", "9", "9"]
+
+
+def test_golden_avg_over_ids(social):
+    # reference golden: avg over integer node ids 0..9 = 4.5
+    out = rows(
+        cypher_query(social, "MATCH (n:Person) RETURN avg(id(n)) AS a")
+    )
+    assert out == [{"a": 4.5}]
+
+
+def test_two_hop_expand_edge_uniqueness(social):
+    # friend-of-friend on the undirected ring: 2 hops away, excludes
+    # walking the same edge back (edge uniqueness), so each person sees
+    # exactly the two nodes at distance 2 (i±2) — not themselves
+    out = cypher_query(
+        social,
+        "MATCH (a:Person {name:'Alice'})-[r1:FRIENDS]-(b)-[r2:FRIENDS]-(c) RETURN id(c) AS id",
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == ["2", "8"]
+
+
+def test_order_by_limit_skip(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Location) RETURN n.name AS name ORDER BY name ASC SKIP 2 LIMIT 3",
+        )
+    )
+    assert [r["name"] for r in out] == sorted(PLACES)[2:5]
+
+
+def test_distinct(social):
+    out = rows(cypher_query(social, "MATCH (n:Person) RETURN DISTINCT n.occupation AS occ"))
+    assert sorted(r["occ"] for r in out) == ["Artist", "Teacher"]
+
+
+def test_count_group_by(social):
+    out = rows(
+        cypher_query(social, "MATCH (n:Person) RETURN n.occupation AS occ, count(*) AS c")
+    )
+    assert sorted((r["occ"], r["c"]) for r in out) == [("Artist", 5), ("Teacher", 5)]
+
+
+def test_string_predicates(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n) WHERE n.name STARTS WITH 'S' AND n.name CONTAINS 'o' RETURN n.name AS name",
+        )
+    )
+    assert sorted(r["name"] for r in out) == ["School", "Shop", "Station"]
+
+
+def test_in_predicate(social):
+    out = cypher_query(
+        social, "MATCH (n) WHERE n.name IN ['Alice', 'Park', 'Nope'] RETURN id(n) AS id"
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["0", "10"]
+
+
+def test_directed_vs_undirected_rel_scan(social):
+    # undirected graph: -[]- yields both orientations of each edge
+    both = cypher_query(social, "MATCH (a)-[r:VISITS]-(b) RETURN id(a) AS a, id(b) AS b")
+    assert both.count() == 20  # 10 edges x 2 orientations
+
+
+def test_cartesian_two_patterns(social):
+    out = cypher_query(
+        social, "MATCH (a:Person {name:'Alice'}), (b:Location) RETURN id(a) AS a, id(b) AS b"
+    )
+    assert out.count() == 10
+
+
+def test_null_checks(social):
+    out = cypher_query(social, "MATCH (n:Person) WHERE n.age IS NOT NULL RETURN id(n) AS id")
+    assert [r["id"] for r in out.collect()] == ["3"]
+
+
+def test_xor_not(social):
+    out = cypher_query(
+        social,
+        "MATCH (n:Person) WHERE NOT (n.occupation = 'Artist' XOR n.name = 'Alice') RETURN id(n) AS id",
+    )
+    # XOR false when both or neither: Alice (Teacher+Alice→T^T... Alice is
+    # Teacher (id 0 even) so (Artist=false) XOR (Alice=true) = true → NOT → excluded.
+    # Kept: Teachers not named Alice (both false) — ids 2,4,6,8
+    assert sorted(r["id"] for r in out.collect()) == ["2", "4", "6", "8"]
+
+
+def test_parser_errors():
+    with pytest.raises(ValueError):
+        parse("MATCH (n RETURN n")
+    with pytest.raises(ValueError):
+        parse("FROB (n) RETURN n")
