@@ -1,0 +1,7 @@
+from jasminegraph_spark.sources.readers import (  # noqa: F401
+    read_edge_list,
+    read_property_graph_jsonl,
+    read_rdf_triples,
+    read_edge_list_with_attributes,
+    EDGE_WIRE_SCHEMA,
+)

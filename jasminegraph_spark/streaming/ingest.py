@@ -1,0 +1,176 @@
+"""Streaming ingest + incremental analytics (reference SURVEY §2.4, §2.6).
+
+The reference's `adstrmk` pipeline — Kafka poll → edge-JSON parse →
+streaming partitioner (hash/Fennel/LDG) → socket publish → per-worker
+block append (util/kafka/StreamHandler.cpp:65-144,
+incremental/JasmineGraphIncrementalLocalStore.cpp:90-145) — maps to
+Structured Streaming: readStream → from_json → foreachBatch append.
+Partition routing is the writer's hash partitioning; the "-1" EOF
+sentinel (StreamHandler.cpp:56-63) disappears (micro-batch semantics).
+
+`strian` — streaming triangle count with per-partition state persisted in
+streamingdb (StreamingTriangleCountExecutor.cpp:636-706) — becomes an
+incremental counter in foreachBatch: per batch, only triangles touching a
+*new* edge are enumerated (|new|·deg work, not a full recount), and the
+running total is the state.
+
+File-directory sources stand in for Kafka in tests (the container has no
+broker); the transformations are source-agnostic — swap
+``readStream.format('kafka') + from_json(value, EDGE_WIRE_SCHEMA)`` in.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+from jasminegraph_spark.sources.readers import EDGE_WIRE_SCHEMA
+
+
+@dataclass
+class StreamRegistry:
+    """Active stream bookkeeping — the reference's StreamRegistry
+    (util/kafka/StreamRegistry.cpp) + `stopstrm`/`KTOP` commands
+    (FrontEnd.cpp:263-301)."""
+
+    _streams: dict = field(default_factory=dict)
+
+    def register(self, topic: str, query) -> None:
+        self._streams[topic] = query
+
+    def list_topics(self) -> list:
+        return [t for t, q in self._streams.items() if q.isActive]
+
+    def stop(self, topic: str) -> bool:
+        q = self._streams.pop(topic, None)
+        if q is not None and q.isActive:
+            q.stop()
+            return True
+        return False
+
+
+class EdgeStreamIngest:
+    """Append-only property-graph ingest from a stream of edge-JSON lines.
+
+    Writes nodes/edges parquet under ``graph_path`` and maintains running
+    vertex/edge counts (the reference updates metadb counts at stream end,
+    Partitioner::updateMetaDB — here counts are derivable any time from the
+    store, and the last-batch totals are kept on the instance).
+    """
+
+    def __init__(self, spark: SparkSession, graph_path: str):
+        self.spark = spark
+        self.graph_path = graph_path
+        self.edge_count = 0
+        self.query = None
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        edges = batch_df.select(
+            F.concat_ws("->", F.col("source.id"), F.col("destination.id")).alias("id"),
+            F.col("source.id").alias("src"),
+            F.col("destination.id").alias("dst"),
+            F.col("properties")["type"].alias("type"),
+            F.col("properties").alias("properties"),
+        )
+        nodes = (
+            batch_df.select(F.col("source.id").alias("id"), F.col("source.properties").alias("p"))
+            .union(batch_df.select("destination.id", "destination.properties"))
+            .groupBy("id")
+            .agg(F.first("p", ignorenulls=True).alias("p"))
+            .select("id", F.col("p")["label"].alias("label"), F.col("p").alias("properties"))
+        )
+        edges.write.mode("append").parquet(f"{self.graph_path}/edges")
+        nodes.write.mode("append").parquet(f"{self.graph_path}/nodes")
+        self.edge_count += edges.count()
+
+    def start(self, source_dir: str, checkpoint_dir: str):
+        stream = (
+            self.spark.readStream.schema(EDGE_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .json(source_dir)
+        )
+        self.query = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        return self.query
+
+    def nodes(self) -> DataFrame:
+        """Deduped node view (append store may hold multiple versions)."""
+        raw = self.spark.read.parquet(f"{self.graph_path}/nodes")
+        return raw.groupBy("id").agg(
+            F.first("label", ignorenulls=True).alias("label"),
+            F.first("properties", ignorenulls=True).alias("properties"),
+        )
+
+    def edges(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.graph_path}/edges")
+
+
+def new_triangle_delta(old_edges: DataFrame, new_edges: DataFrame) -> int:
+    """Count triangles that include ≥1 edge from ``new_edges`` given the
+    accumulated ``old_edges`` (both arbitrary src/dst frames).
+
+    Incremental core of `strian`: work is |new| · avg-degree (each new
+    edge's common-neighborhood), never a recount of the old graph —
+    the same asymptotics the reference gets from per-partition cursors
+    (StreamingTriangles.cpp:26-104), minus the socket choreography.
+    Triangles are deduped on canonical (a<b<c) so multi-new-edge
+    triangles count once.
+    """
+    new_c = canonical_undirected(new_edges)
+    old_c = canonical_undirected(old_edges).exceptAll(new_c)
+    union_c = old_c.unionAll(new_c)
+    # adjacency of the union graph, both directions
+    adj = union_c.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        union_c.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # for each new edge (a,b): common neighbors z — two equi-joins keyed on
+    # (endpoint, z) so the second hash join uses both keys (no neighbor
+    # cross-product)
+    nbr_a = adj.select(F.col("u").alias("a"), F.col("v").alias("z"))
+    nbr_b = adj.select(F.col("u").alias("b"), F.col("v").alias("z"))
+    tri = (
+        new_c.join(nbr_a, "a")
+        .join(nbr_b, ["b", "z"])
+        .select(
+            F.least("a", "b", "z").alias("t1"),
+            F.expr("array_sort(array(a, b, z))[1]").alias("t2"),
+            F.greatest("a", "b", "z").alias("t3"),
+        )
+        .distinct()
+    )
+    return tri.count()
+
+
+class StreamingTriangleCounter:
+    """`strian` loop: consume edge batches, maintain accumulated edge set +
+    running triangle count (state the reference keeps in streamingdb's
+    streaming_partition/central_store tables)."""
+
+    def __init__(self, spark: SparkSession, state_path: str):
+        self.spark = spark
+        self.state_path = state_path
+        self.total = 0
+        self._has_state = False
+
+    def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> int:
+        batch_edges = batch_edges.select("src", "dst")
+        if self._has_state or os.path.exists(self.state_path):
+            old = self.spark.read.parquet(self.state_path)
+            delta = new_triangle_delta(old, batch_edges)
+        else:
+            old = None
+            delta = new_triangle_delta(
+                batch_edges.limit(0), batch_edges
+            )
+        self.total += delta
+        batch_edges.write.mode("append").parquet(self.state_path)
+        self._has_state = True
+        return self.total

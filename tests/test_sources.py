@@ -1,0 +1,95 @@
+"""Ingest source readers (reference adgr / adgr-cust / adrdf / wire-format
+JSON) on generated fixture files."""
+
+import json
+
+import pytest
+
+from jasminegraph_spark.analytics import triangle_count
+from jasminegraph_spark.graph import GraphCatalog
+from jasminegraph_spark.sources import (
+    read_edge_list,
+    read_edge_list_with_attributes,
+    read_property_graph_jsonl,
+    read_rdf_triples,
+)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sources")
+    # powergrid-style edge list: 5 disjoint triangles + a 10-cycle tail
+    lines = []
+    for t in range(5):
+        a, b, c = 100 * t, 100 * t + 1, 100 * t + 2
+        lines += [f"{a} {b}", f"{b} {c}", f"{a} {c}"]
+    for i in range(10):
+        lines.append(f"{1000 + i} {1000 + (i + 1) % 10}")
+    (d / "edges.dl").write_text("\n".join(lines) + "\n")
+    (d / "attrs.txt").write_text("0\t1 0 1\n1\t0 1 0\n")
+    (d / "triples.nt").write_text(
+        "alice knows bob\nbob knows carol\nalice livesIn town\n"
+    )
+    wire = [
+        {
+            "source": {"id": "a", "properties": {"label": "Person", "name": "A"}},
+            "destination": {"id": "b", "properties": {"label": "Person", "name": "B"}},
+            "properties": {"type": "FRIENDS", "since": "2020"},
+        },
+        {
+            "source": {"id": "b", "properties": {"label": "Person", "name": "B"}},
+            "destination": {"id": "c", "properties": {"label": "Place", "name": "C"}},
+            "properties": {"type": "VISITS"},
+        },
+    ]
+    (d / "wire.jsonl").write_text("\n".join(json.dumps(w) for w in wire) + "\n")
+    return d
+
+
+def test_edge_list_counts_and_triangles(spark, fixture_dir):
+    g = read_edge_list(spark, str(fixture_dir / "edges.dl"), "pg")
+    assert g.edge_count() == 25
+    assert g.vertex_count() == 25  # 15 triangle vertices + 10 cycle vertices
+    assert triangle_count(g.edges) == 5  # golden triple mirror (F2 shape)
+
+
+def test_edge_list_attributes(spark, fixture_dir):
+    g = read_edge_list_with_attributes(
+        spark, str(fixture_dir / "edges.dl"), str(fixture_dir / "attrs.txt")
+    )
+    feats = {r["id"]: r["properties"].get("features") for r in g.nodes.collect()}
+    assert feats["0"] == "1 0 1"
+    assert feats["2"] is None
+
+
+def test_rdf_triples(spark, fixture_dir):
+    g = read_rdf_triples(spark, str(fixture_dir / "triples.nt"))
+    assert g.vertex_count() == 4  # alice bob carol town
+    types = sorted(r["type"] for r in g.edges.collect())
+    assert types == ["knows", "knows", "livesIn"]
+
+
+def test_wire_format_jsonl(spark, fixture_dir):
+    g = read_property_graph_jsonl(spark, str(fixture_dir / "wire.jsonl"))
+    assert g.vertex_count() == 3
+    assert g.edge_count() == 2
+    nodes = {r["id"]: r for r in g.nodes.collect()}
+    assert nodes["a"]["label"] == "Person"
+    assert nodes["c"]["label"] == "Place"
+    edges = {r["id"]: r for r in g.edges.collect()}
+    assert edges["a->b"]["type"] == "FRIENDS"
+    assert edges["a->b"]["properties"]["since"] == "2020"
+
+
+def test_catalog_roundtrip(spark, fixture_dir, tmp_path):
+    cat = GraphCatalog(spark)
+    g = read_edge_list(spark, str(fixture_dir / "edges.dl"), "pg")
+    cat.register(g)
+    cat.save(g, str(tmp_path))
+    g2 = cat.load("pg", str(tmp_path), is_directed=False)
+    assert g2.vertex_count() == g.vertex_count()
+    assert g2.edge_count() == g.edge_count()
+    listing = cat.list_graphs()
+    assert any(e["name"] == "pg" and e["edgecount"] == 25 for e in listing)
+    cat.remove("pg")
+    assert all(e["name"] != "pg" for e in cat.list_graphs())

@@ -1,0 +1,86 @@
+"""Structured Streaming ingest + incremental triangle counting.
+
+Mirrors the reference's streaming workflow semantics
+(integration_workflow_streaming.py): ingest a stream of edges that closes
+triangles, assert running counts track the batch-recomputed truth. A file
+directory stands in for the Kafka topic (no broker in the container); the
+transformations are identical.
+"""
+
+import json
+
+import pytest
+
+from jasminegraph_spark.analytics import triangle_count
+from jasminegraph_spark.streaming import (
+    EdgeStreamIngest,
+    StreamingTriangleCounter,
+    StreamRegistry,
+    new_triangle_delta,
+)
+
+
+def _wire_edge(src, dst, etype="LINK"):
+    return json.dumps(
+        {
+            "source": {"id": str(src), "properties": {"label": "V"}},
+            "destination": {"id": str(dst), "properties": {"label": "V"}},
+            "properties": {"type": etype},
+        }
+    )
+
+
+def test_edge_stream_ingest(spark, tmp_path):
+    src_dir = tmp_path / "topic"
+    src_dir.mkdir()
+    # triangle-closing sequence (streaming floor property: after 3k+1
+    # edges, >= k-1 triangles — reference streaming workflow shape)
+    lines = []
+    for k in range(6):
+        a, b, c = 3 * k, 3 * k + 1, 3 * k + 2
+        lines += [_wire_edge(a, b), _wire_edge(b, c), _wire_edge(c, a)]
+    (src_dir / "part1.jsonl").write_text("\n".join(lines[:9]) + "\n")
+    (src_dir / "part2.jsonl").write_text("\n".join(lines[9:]) + "\n")
+
+    ingest = EdgeStreamIngest(spark, str(tmp_path / "graph"))
+    reg = StreamRegistry()
+    q = ingest.start(str(src_dir), str(tmp_path / "ckpt"))
+    reg.register("topic", q)
+    q.awaitTermination(120)
+
+    assert ingest.edges().count() == 18
+    assert ingest.nodes().count() == 18
+    assert triangle_count(ingest.edges()) == 6
+    # registry: availableNow stream has terminated by now
+    assert reg.list_topics() == []
+    assert reg.stop("topic") is False
+
+
+def test_incremental_triangle_delta(spark):
+    old = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    new = spark.createDataFrame([(3, 1)], ["src", "dst"])
+    assert new_triangle_delta(old, new) == 1
+    # closing edge arriving twice / already-present edges: no double count
+    assert new_triangle_delta(old.union(new), new) == 1
+    # batch containing a full triangle at once
+    tri = spark.createDataFrame([(7, 8), (8, 9), (9, 7)], ["src", "dst"])
+    assert new_triangle_delta(old.limit(0), tri) == 1
+
+
+@pytest.mark.parametrize("chunks", [1, 3])
+def test_streaming_triangle_counter_matches_batch(spark, tmp_path, chunks):
+    # ring of 9 vertices + all chords (i, i+2): every consecutive pair
+    # (i, i+1, i+2) forms a triangle → 9 triangles
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(i, (i + 2) % 9) for i in range(9)]
+    full = spark.createDataFrame(edges, ["src", "dst"])
+    golden = triangle_count(full)
+    assert golden == 9
+
+    counter = StreamingTriangleCounter(spark, str(tmp_path / f"state{chunks}"))
+    n = len(edges)
+    step = (n + chunks - 1) // chunks
+    total = 0
+    for i in range(0, n, step):
+        batch = spark.createDataFrame(edges[i : i + step], ["src", "dst"])
+        total = counter.process_batch(batch, i)
+    assert total == golden
