@@ -917,6 +917,22 @@ def pl_doc_fingerprint(spark, sf_dir):
     return pl.doc_fingerprint(_read(spark, sf_dir, "documents"), k=4, shingle_k=8)
 
 
+@_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
+def an_semantic_beam_search(spark, sf_dir):
+    """Reference GenAI surface: multi-hop beam search guided by embedding
+    similarity (SemanticBeamSearch.cpp). Graph = co-order parts; embeddings
+    joined by id; query = unit basis vector. Not SQL-expressible (iterative
+    beam), so the driver records the weaker rows-only check."""
+    from jasminegraph_spark.analytics import semantic_beam_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    q = [1.0] + [0.0] * (dim - 1)
+    return semantic_beam_search(
+        co_order_edges(spark, sf_dir), emb, q, beam_width=5, hops=3
+    ).select("node", "score", "hop", F.col("path").cast("array<string>").alias("path"))
+
+
 # ---------------------------------------------------------------------------
 # Cypher frontend end-to-end: text → parse → compile → DataFrame
 # (the reference's full query lifecycle, SURVEY §3.1)

@@ -8,3 +8,4 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     degree_distribution,
     egonet,
 )
+from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
