@@ -34,11 +34,12 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     return edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()
 
 
-def _degree_ordered(edges: DataFrame) -> DataFrame:
+def _degree_ordered(und: DataFrame) -> DataFrame:
     """Re-orient each undirected edge from lower to higher (degree, id) —
     makes the subsequent wedge join enumerate each triangle exactly once
-    with fan-out bounded by the *smaller* endpoint degree (skew armor)."""
-    und = canonical_undirected(edges)
+    with fan-out bounded by the *smaller* endpoint degree (skew armor).
+    Takes the canonical undirected edge set (compute + persist it once:
+    the caller reuses it for the closing-edge join)."""
     both = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
@@ -60,11 +61,10 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     enumeration (Triangles.cpp:120-230: degree-ordered common-neighbor
     check; master dedups 'v1,v2,v3' strings, TriangleCountExecutor.cpp:
     1242-1252 — canonical ordering here makes dedup unnecessary)."""
-    und = canonical_undirected(edges)
+    und = canonical_undirected(edges).persist()
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").filter(F.col("x") < F.col("z"))
-    # wedge x<y... note: x<y and y<z by construction, so x<y<z holds
+    wedges = e1.join(e2, "y")  # x<y and y<z by construction, so x<y<z
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
     return wedges.join(closing, ["x", "z"]).select(
         F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
@@ -73,14 +73,19 @@ def triangle_list(edges: DataFrame) -> DataFrame:
 
 def triangle_count_df(edges: DataFrame) -> DataFrame:
     """`trian` as a one-row DataFrame (n_triangles). Degree-ordered wedge
-    join + closing-edge join; count."""
-    ordered = _degree_ordered(edges)
+    join + closing-edge join; count.
+
+    The canonical edge set is persisted and reused across the degree calc,
+    wedge sides and closing join — without it the upstream lineage (e.g. a
+    co-occurrence self-join producing the edges) re-executes many times
+    (observed 22 parquet scans in the un-persisted plan)."""
+    und = canonical_undirected(edges).persist()
+    ordered = _degree_ordered(und)
     e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
     # closing edge between y<z is the canonical pair (y, z) in und; each
     # triangle has exactly one DAG-source vertex, so no dedup needed
-    und = canonical_undirected(edges)
     closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     return wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
 
@@ -109,8 +114,8 @@ def pagerank(
     e = edges.select("src", "dst")
     if undirected:
         e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.distinct()
-    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    e = e.distinct().persist()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # contribution edges carry out_deg along; persisted once, reused each iter

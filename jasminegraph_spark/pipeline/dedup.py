@@ -36,20 +36,27 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def char_shingles(
-    docs: DataFrame, k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document: (doc_id, shingle).
-    Pure expressions: sequence → transform → explode, then distinct."""
-    return (
-        docs.filter(F.length(text_col) >= k)
-        .select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(
-                F.expr(f"transform(sequence(1, length({text_col}) - {k - 1}), i -> substring({text_col}, i, {k}))")
-            ).alias("shingle"),
-        )
-        .distinct()
+    """Character k-gram shingles per document: (doc_id, shingle).
+    Pure expressions: sequence → transform → explode.
+
+    ``distinct=False`` skips the dedup shuffle — correct for consumers
+    whose aggregate is duplicate-insensitive (min for minhash, set-collect
+    for fingerprints); Jaccard set semantics need distinct=True."""
+    out = docs.filter(F.length(text_col) >= k).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k - 1}), i -> substring({text_col}, i, {k}))"
+            )
+        ).alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -98,7 +105,7 @@ def minhash_signatures(
     hash). One exploded pass, one partial-aggregated groupBy computing all
     mins at once.
     """
-    sh = char_shingles(docs, k, id_col)
+    sh = char_shingles(docs, k, id_col, distinct=False)  # min is dup-insensitive
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(num_hashes)
@@ -122,7 +129,9 @@ def minhash_lsh_candidates(
     sizes rather than corpus-quadratic.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, k, id_col)
+    # both sides of the bucket self-join read the signatures: persist so
+    # the shingle+md5 pipeline runs once, not twice
+    sig = minhash_signatures(docs, num_hashes, k, id_col).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -153,20 +162,20 @@ def simhash_signatures(
     Near-dup lookup = signature equality or banded Hamming distance.
     """
     sh = char_shingles(docs, k, id_col).withColumn("h", F.md5("shingle"))
-    votes = sh.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, {bits}), j -> "
-                f"CASE WHEN (locate(substring(h, j, 1), '0123456789abcdef') - 1) % 2 = 1 "
-                f"THEN 1 ELSE -1 END)"
-            )
-        ).alias("bit_pos", "vote"),
+    # one wide row per shingle (bits as columns) → single partial-agg
+    # groupBy; avoids a bits× row explosion + second shuffle
+    vote_cols = [
+        F.expr(
+            f"CASE WHEN (locate(substring(h, {j}, 1), '0123456789abcdef') - 1) % 2 = 1 "
+            f"THEN 1 ELSE -1 END"
+        ).alias(f"v{j}")
+        for j in range(1, bits + 1)
+    ]
+    votes = sh.select("doc_id", *vote_cols)
+    summed = votes.groupBy("doc_id").agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(1, bits + 1)]
     )
-    bit_votes = votes.groupBy("doc_id", "bit_pos").agg(F.sum("vote").alias("v"))
-    return bit_votes.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.expr("transform(array_sort(collect_list(struct(bit_pos, v))), s -> CASE WHEN s.v >= 0 THEN '1' ELSE '0' END)"),
-        ).alias("simhash")
+    bit_str = F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, bits + 1)]
     )
+    return summed.select("doc_id", bit_str.alias("simhash"))

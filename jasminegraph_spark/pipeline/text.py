@@ -109,7 +109,9 @@ def doc_fingerprint(
     Returns (doc_id, fingerprint)."""
     from jasminegraph_spark.pipeline.dedup import char_shingles
 
-    sh = char_shingles(docs, shingle_k, id_col).withColumn("h", F.md5("shingle"))
+    sh = char_shingles(docs, shingle_k, id_col, distinct=False).withColumn(
+        "h", F.md5("shingle")
+    )  # collect_set dedups, so the shingle-distinct shuffle is skipped
     return sh.groupBy("doc_id").agg(
         F.concat_ws(",", F.slice(F.array_sort(F.collect_set("h")), 1, k)).alias("fingerprint")
     )

@@ -194,6 +194,9 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
 
     The self-join is key-partitioned on l_orderkey (co-partitioned shuffle,
     no broadcast needed at scale); distinct collapses multi-lineitem pairs.
+    Persisted: every analytics consumer (degree/triangles/pagerank/egonet)
+    references the edge set more than once, and without the persist the
+    lineitem self-join re-executes per reference.
     """
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", "src")
@@ -203,6 +206,7 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        .persist()
     )
 
 
