@@ -917,6 +917,64 @@ def pl_doc_fingerprint(spark, sf_dir):
     return pl.doc_fingerprint(_read(spark, sf_dir, "documents"), k=4, shingle_k=8)
 
 
+@_q(
+    "pl_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    """,
+)
+def pl_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.5). Brute-force
+    all-pairs here (the exact/verification path); the LSH-bucketed variant
+    (pl_lsh_ann / sign_lsh_buckets) is the 100 TB candidate generator."""
+    from jasminegraph_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("cv"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+_BPE_RX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@_q(
+    "pl_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RX}')) AS INT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_RX}'))) AS INT)
+               AS n_distinct_bpe
+    FROM documents
+    """,
+)
+def pl_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenization count: alpha runs / digit runs / single
+    punctuation (the regex family GPT-2-style tokenizers split on first).
+    Pure regexp expressions, engine-portable."""
+    docs = _read(spark, sf_dir, "documents")
+    # F.lit avoids SQL-string backslash processing ('\s' would become 's')
+    toks = F.regexp_extract_all("text", F.lit(_BPE_RX), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_bpe"),
+    )
+
+
 @_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
 def an_semantic_beam_search(spark, sf_dir):
     """Reference GenAI surface: multi-hop beam search guided by embedding

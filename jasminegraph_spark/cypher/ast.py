@@ -103,6 +103,7 @@ class OrderItem:
 @dataclass
 class Query:
     patterns: list[PathPattern] = field(default_factory=list)
+    is_create: bool = False
     where: object | None = None
     return_items: list[ReturnItem] = field(default_factory=list)
     distinct: bool = False

@@ -247,6 +247,47 @@ class _Compiler:
         return fn(inner)
 
 
+def cypher_create(spark, text: str):
+    """Compile a CREATE clause to (nodes_df, edges_df) ready for
+    ops.create_elements (reference Create operator, Operators.h:286-295 +
+    Helpers.cpp:347-784 — partition routing via streaming partitioner there,
+    writer hash-partitioning here).
+
+    Node identity: the ``id`` property when given, else a deterministic
+    hash of (labels, properties) — CREATE without ids stays reproducible.
+    """
+    from jasminegraph_spark.graph import EDGE_SCHEMA, NODE_SCHEMA
+
+    q = parse(text)
+    if not q.is_create:
+        raise CypherCompileError("cypher_create expects a CREATE clause")
+    node_rows, edge_rows = [], []
+    ids: dict[str, str] = {}
+    for p in q.patterns:
+        for n in p.nodes:
+            props = {k: str(v) for k, v in n.props.items()}
+            nid = props.get("id")
+            if nid is None:
+                import hashlib
+
+                basis = f"{sorted(n.labels)}|{sorted(props.items())}"
+                nid = hashlib.md5(basis.encode()).hexdigest()[:16]
+            if n.var:
+                ids[n.var] = nid
+            node_rows.append((nid, n.labels[0] if n.labels else None, props))
+        for i, rel in enumerate(p.rels):
+            src = node_rows[len(node_rows) - len(p.nodes) + i][0] if not p.nodes[i].var else ids[p.nodes[i].var]
+            dst = node_rows[len(node_rows) - len(p.nodes) + i + 1][0] if not p.nodes[i + 1].var else ids[p.nodes[i + 1].var]
+            if rel.direction == "in":
+                src, dst = dst, src
+            props = {k: str(v) for k, v in rel.props.items()}
+            rid = props.get("id", f"{src}->{dst}:{rel.types[0] if rel.types else i}")
+            edge_rows.append((rid, src, dst, rel.types[0] if rel.types else None, props))
+    nodes_df = spark.createDataFrame(node_rows, NODE_SCHEMA)
+    edges_df = spark.createDataFrame(edge_rows or [], EDGE_SCHEMA)
+    return nodes_df, edges_df
+
+
 def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
     """Parse + compile + return the result DataFrame.
 

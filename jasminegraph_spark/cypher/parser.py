@@ -48,7 +48,7 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "MATCH", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
+    "MATCH", "CREATE", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
 }
@@ -121,6 +121,14 @@ class _Parser:
     # -- grammar ------------------------------------------------------------
     def parse_query(self) -> Query:
         q = Query()
+        if self.accept("KW", "CREATE"):
+            # CREATE clause: literal patterns only, no WHERE/RETURN needed
+            q.is_create = True
+            q.patterns.append(self.parse_path())
+            while self.accept("PUNCT", ","):
+                q.patterns.append(self.parse_path())
+            self.expect("EOF")
+            return q
         self.expect("KW", "MATCH")
         q.patterns.append(self.parse_path())
         while self.accept("PUNCT", ","):

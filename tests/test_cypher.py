@@ -180,3 +180,48 @@ def test_parser_errors():
         parse("MATCH (n RETURN n")
     with pytest.raises(ValueError):
         parse("FROB (n) RETURN n")
+
+
+def test_create_and_roundtrip(spark, tmp_path):
+    from jasminegraph_spark.cypher import cypher_create
+    from jasminegraph_spark.operators import create_elements
+    from jasminegraph_spark.graph import GraphCatalog, PropertyGraph
+
+    nodes, edges = cypher_create(
+        spark,
+        "CREATE (a:Person {id: 'p1', name: 'Ann'})-[:KNOWS {since: '2019'}]->"
+        "(b:Person {id: 'p2', name: 'Ben'}), (c:City {name: 'Oslo'})",
+    )
+    assert nodes.count() == 3 and edges.count() == 1
+    create_elements(str(tmp_path / "g"), nodes=nodes, edges=edges)
+    # append a second CREATE — Create is an append, like the reference's
+    # block-store append path
+    n2, e2 = cypher_create(spark, "CREATE (d:Person {id: 'p3', name: 'Cy'})")
+    create_elements(str(tmp_path / "g"), nodes=n2)
+    g = GraphCatalog(spark).load("g", str(tmp_path), is_directed=True)
+    assert g.vertex_count() == 4 and g.edge_count() == 1
+    out = cypher_query(g, "MATCH (a)-[r:KNOWS]->(b) RETURN a.name AS an, b.name AS bn")
+    assert [r.asDict() for r in out.collect()] == [{"an": "Ann", "bn": "Ben"}]
+    # anonymous node got a deterministic id
+    anon = cypher_query(g, "MATCH (c:City) RETURN id(c) AS id").collect()
+    n3, _ = cypher_create(spark, "CREATE (c:City {name: 'Oslo'})")
+    assert anon[0]["id"] == n3.collect()[0]["id"]
+
+
+def test_sinks_roundtrip(spark, tmp_path):
+    from jasminegraph_spark.cypher import cypher_create
+    from jasminegraph_spark.graph import PropertyGraph
+    from jasminegraph_spark.sources import read_property_graph_jsonl
+    from jasminegraph_spark.sources.sinks import export_wire_jsonl, to_json_rows
+
+    nodes, edges = cypher_create(
+        spark,
+        "CREATE (a:Person {id: 'x', name: 'X'})-[:LIKES]->(b:Person {id: 'y', name: 'Y'})",
+    )
+    g = PropertyGraph(nodes=nodes, edges=edges, name="rt")
+    export_wire_jsonl(g, str(tmp_path / "wire"))
+    g2 = read_property_graph_jsonl(spark, str(tmp_path / "wire"))
+    assert g2.vertex_count() == 2 and g2.edge_count() == 1
+    assert {r["type"] for r in g2.edges.collect()} == {"LIKES"}
+    rows = list(to_json_rows(g2.edges.select("src", "dst", "type")))
+    assert len(rows) == 1 and '"type":"LIKES"' in rows[0]
