@@ -1136,6 +1136,57 @@ def cypher_cartesian_patterns(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_with_agg_having",
+    """
+    SELECT c.c_mktsegment AS seg, COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment HAVING COUNT(*) > 100
+    """,
+)
+def cypher_with_agg_having(spark, sf_dir):
+    """WITH aggregation + post-aggregate WHERE = SQL HAVING (the
+    reference's Apply sequencing, real column semantics)."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.mktsegment AS seg, count(*) AS n_orders WHERE n_orders > 100 "
+        "RETURN seg, n_orders",
+    )
+
+
+@_q(
+    "cypher_optional_match",
+    """
+    SELECT n.n_name AS nation, 's:' || s.s_suppkey AS supp_id
+    FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def cypher_optional_match(spark, sf_dir):
+    """OPTIONAL MATCH = left outer expansion; nations without suppliers
+    survive null-extended."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Nation) OPTIONAL MATCH (n)<-[r:LOCATED_IN]-(s:Supplier) "
+        "RETURN n.name AS nation, id(s) AS supp_id",
+    )
+
+
+@_q(
+    "cypher_unwind",
+    """
+    SELECT CAST(t.x AS BIGINT) AS x, r.r_name AS rname
+    FROM (VALUES (1), (2), (3)) t(x), region r
+    """,
+)
+def cypher_unwind(spark, sf_dir):
+    return _cy(
+        spark, sf_dir, "UNWIND [1, 2, 3] AS x MATCH (r:Region) RETURN x, r.name AS rname"
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

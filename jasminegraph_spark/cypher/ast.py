@@ -101,12 +101,46 @@ class OrderItem:
 
 
 @dataclass
-class Query:
+class MatchClause:
     patterns: list[PathPattern] = field(default_factory=list)
-    is_create: bool = False
     where: object | None = None
+    optional: bool = False
+
+
+@dataclass
+class WithClause:
+    items: list[ReturnItem] = field(default_factory=list)
+    distinct: bool = False
+    where: object | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+
+
+@dataclass
+class UnwindClause:
+    expr: object = None  # Literal list (or list-valued expression)
+    var: str = "x"
+
+
+@dataclass
+class Query:
+    clauses: list = field(default_factory=list)  # Match/With/Unwind clauses
+    is_create: bool = False
     return_items: list[ReturnItem] = field(default_factory=list)
     distinct: bool = False
     order_by: list[OrderItem] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+
+    # -- compatibility accessors (pre-WITH single-MATCH shape) -------------
+    @property
+    def patterns(self) -> list[PathPattern]:
+        return [p for c in self.clauses if isinstance(c, MatchClause) for p in c.patterns]
+
+    @property
+    def where(self):
+        for c in self.clauses:
+            if isinstance(c, MatchClause) and c.where is not None:
+                return c.where
+        return None

@@ -83,6 +83,7 @@ class _Compiler:
                 rel_type=rel_type,
                 direction=rel.direction,
                 unique_vs=rels_in_path,
+                to_labels=node.labels or None,
             )
             if len(rel.types) > 1:
                 df = df.filter(F.col(f"{rvar}.type").isin(rel.types))
@@ -215,7 +216,7 @@ class _Compiler:
         cand = self._item_name(ast.ReturnItem(e))
         if cand in names:
             return cand
-        if isinstance(e, ast.VarRef):
+        if q is not None and isinstance(e, ast.VarRef):
             for it, n in zip(q.return_items, names):
                 if it.alias == e.var:
                     return e.var
@@ -227,6 +228,106 @@ class _Compiler:
         if isinstance(e, ast.Aggregate):
             raise CypherCompileError("aggregate outside aggregation context")
         return self.expr(e)
+
+    # ---------------- OPTIONAL MATCH ----------------
+    def compile_optional(self, df: DataFrame, clause: "ast.MatchClause") -> DataFrame:
+        """OPTIONAL MATCH: compile the pattern (+ its WHERE) as an *inner*
+        subquery anchored at the bound first variable, then LEFT JOIN the
+        result back on the anchor id. Rows whose pattern finds no match —
+        structurally or because of the WHERE — survive null-extended,
+        which a post-join filter cannot express.
+
+        At scale the anchor side of the subquery is the distinct frontier,
+        so the optional expansion only touches reachable adjacency."""
+        if len(clause.patterns) != 1:
+            raise CypherCompileError("OPTIONAL MATCH supports a single pattern")
+        pattern = clause.patterns[0]
+        anchor = pattern.nodes[0].var
+        if anchor is None or anchor not in self.node_vars:
+            raise CypherCompileError(
+                "OPTIONAL MATCH must start at an already-bound variable"
+            )
+        # distinct anchors — dedup on id (map-typed properties forbid
+        # struct set-operations)
+        start = (
+            df.select(F.col(anchor))
+            .withColumn("__aid", F.col(f"{anchor}.id"))
+            .dropDuplicates(["__aid"])
+            .drop("__aid")
+        )
+        sub = self.compile_pattern(pattern, start)
+        if clause.where is not None:
+            sub = ops.filter_rows(sub, self.predicate(clause.where))
+        sub = sub.withColumnRenamed(anchor, "__anchor")
+        return df.join(
+            sub, F.col(f"{anchor}.id") == F.col("__anchor.id"), "left"
+        ).drop("__anchor")
+
+    # ---------------- WITH / UNWIND ----------------
+    def apply_with(self, df: DataFrame, wc: "ast.WithClause") -> DataFrame:
+        """WITH clause: re-projection barrier (the reference's Apply
+        operator is the sequencing pass-through for multi-part queries —
+        Operators.h:261-272; real column semantics here).
+
+        Bare variables carry their struct binding forward (optionally
+        renamed); everything else becomes a scalar column. Variables not
+        listed go out of scope."""
+        if df is None:
+            raise CypherCompileError("WITH requires a preceding MATCH/UNWIND clause")
+        names = [self._item_name(it) for it in wc.items]
+        has_agg = any(isinstance(it.expr, ast.Aggregate) for it in wc.items)
+        if has_agg:
+            group_cols = [
+                self._with_col(it).alias(n)
+                for n, it in zip(names, wc.items)
+                if not isinstance(it.expr, ast.Aggregate)
+            ]
+            aggs = {
+                n: self._agg_col(it.expr)
+                for n, it in zip(names, wc.items)
+                if isinstance(it.expr, ast.Aggregate)
+            }
+            out = ops.aggregate(df, group_cols or None, aggs)
+            out = out.select(*[F.col(f"`{n}`") for n in names])
+        else:
+            out = df.select(*[self._with_col(it).alias(n) for n, it in zip(names, wc.items)])
+        # rebind variable scopes
+        new_nodes, new_rels = set(), set()
+        for n, it in zip(names, wc.items):
+            if isinstance(it.expr, ast.VarRef):
+                if it.expr.var in self.node_vars:
+                    new_nodes.add(n)
+                elif it.expr.var in self.rel_vars:
+                    new_rels.add(n)
+        self.node_vars, self.rel_vars = new_nodes, new_rels
+        if wc.distinct:
+            out = ops.distinct(out)
+        if wc.order_by:
+            keys = []
+            for oi in wc.order_by:
+                named = self._order_name(oi.expr, names, None)
+                c = F.col(f"`{named}`") if named else self.expr(oi.expr)
+                keys.append(c.asc_nulls_first() if oi.ascending else c.desc_nulls_last())
+            out = ops.order_by(out, *keys)
+        out = ops.limit_skip(out, wc.limit, wc.skip or 0)
+        if wc.where is not None:
+            out = ops.filter_rows(out, self.predicate(wc.where))
+        return out
+
+    def _with_col(self, it: "ast.ReturnItem") -> Column:
+        if isinstance(it.expr, ast.VarRef) and it.expr.var in self.node_vars | self.rel_vars:
+            return F.col(it.expr.var)
+        return self.expr(it.expr)
+
+    def apply_unwind(self, df: DataFrame | None, uc: "ast.UnwindClause") -> DataFrame:
+        """UNWIND list AS x — one row per element (explode)."""
+        if isinstance(uc.expr, ast.Literal) and isinstance(uc.expr.value, list):
+            col = F.explode(F.array(*[F.lit(v) for v in uc.expr.value]))
+        else:
+            col = F.explode(self.expr(uc.expr))
+        if df is None:
+            df = self.graph.nodes.sparkSession.range(1).drop("id")
+        return df.withColumn(uc.var, col)
 
     def _agg_col(self, a: ast.Aggregate) -> Column:
         if a.func == "count" and a.expr is None:
@@ -300,14 +401,28 @@ def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
     q = parse(text)
     comp = _Compiler(graph)
     df: DataFrame | None = None
-    for pattern in q.patterns:
-        df = comp.compile_pattern(pattern, df)
-    # cross-pattern relationship uniqueness (Cypher: all rels in a MATCH
-    # are pairwise distinct; reference injects the same filters)
-    rels = sorted(comp.rel_vars)
-    for i, r1 in enumerate(rels):
-        for r2 in rels[i + 1 :]:
-            df = df.filter(F.col(f"{r1}.id") != F.col(f"{r2}.id"))
-    if q.where is not None:
-        df = ops.filter_rows(df, comp.predicate(q.where))
+    for clause in q.clauses:
+        if isinstance(clause, ast.MatchClause):
+            if clause.optional:
+                df = comp.compile_optional(df, clause)
+                continue
+            rels_before = set(comp.rel_vars)
+            for pattern in clause.patterns:
+                df = comp.compile_pattern(pattern, df)
+            # relationship uniqueness within this MATCH clause (Cypher
+            # scopes uniqueness per clause; the reference injects the same
+            # filters, QueryPlanner.cpp:571-582). Same-path pairs are
+            # already handled inside compile_pattern/expand_all.
+            new_rels = sorted(comp.rel_vars - rels_before)
+            for i, r1 in enumerate(new_rels):
+                for r2 in new_rels[i + 1 :]:
+                    df = df.filter(F.col(f"{r1}.id") != F.col(f"{r2}.id"))
+            if clause.where is not None:
+                df = ops.filter_rows(df, comp.predicate(clause.where))
+        elif isinstance(clause, ast.WithClause):
+            df = comp.apply_with(df, clause)
+        elif isinstance(clause, ast.UnwindClause):
+            df = comp.apply_unwind(df, clause)
+        else:
+            raise CypherCompileError(f"unsupported clause {clause!r}")
     return comp.compile_return(df, q)

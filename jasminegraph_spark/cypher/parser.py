@@ -51,6 +51,7 @@ _KEYWORDS = {
     "MATCH", "CREATE", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
+    "OPTIONAL", "UNWIND",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -120,25 +121,53 @@ class _Parser:
 
     # -- grammar ------------------------------------------------------------
     def parse_query(self) -> Query:
+        from jasminegraph_spark.cypher.ast import MatchClause, UnwindClause, WithClause
+
         q = Query()
         if self.accept("KW", "CREATE"):
             # CREATE clause: literal patterns only, no WHERE/RETURN needed
             q.is_create = True
-            q.patterns.append(self.parse_path())
+            mc = MatchClause()
+            mc.patterns.append(self.parse_path())
             while self.accept("PUNCT", ","):
-                q.patterns.append(self.parse_path())
+                mc.patterns.append(self.parse_path())
+            q.clauses.append(mc)
             self.expect("EOF")
             return q
-        self.expect("KW", "MATCH")
-        q.patterns.append(self.parse_path())
-        while self.accept("PUNCT", ","):
-            q.patterns.append(self.parse_path())
-        while self.accept("KW", "MATCH"):  # consecutive MATCH clauses
-            q.patterns.append(self.parse_path())
-            while self.accept("PUNCT", ","):
-                q.patterns.append(self.parse_path())
-        if self.accept("KW", "WHERE"):
-            q.where = self.parse_or()
+        # reading clauses: (OPTIONAL MATCH | MATCH | WITH | UNWIND)*
+        while True:
+            if self.accept("KW", "OPTIONAL"):
+                self.expect("KW", "MATCH")
+                q.clauses.append(self._parse_match_clause(optional=True))
+            elif self.accept("KW", "MATCH"):
+                q.clauses.append(self._parse_match_clause(optional=False))
+            elif self.accept("KW", "UNWIND"):
+                expr = self._parse_list_or_value()
+                self.expect("KW", "AS")
+                q.clauses.append(UnwindClause(expr=expr, var=self.name()))
+            elif self.accept("KW", "WITH"):
+                wc = WithClause()
+                if self.accept("KW", "DISTINCT"):
+                    wc.distinct = True
+                wc.items.append(self.parse_return_item())
+                while self.accept("PUNCT", ","):
+                    wc.items.append(self.parse_return_item())
+                if self.accept("KW", "ORDER"):
+                    self.expect("KW", "BY")
+                    wc.order_by.append(self.parse_order_item())
+                    while self.accept("PUNCT", ","):
+                        wc.order_by.append(self.parse_order_item())
+                if self.accept("KW", "SKIP"):
+                    wc.skip = int(self.expect("NUMBER"))
+                if self.accept("KW", "LIMIT"):
+                    wc.limit = int(self.expect("NUMBER"))
+                if self.accept("KW", "WHERE"):
+                    wc.where = self.parse_or()
+                q.clauses.append(wc)
+            else:
+                break
+        if not q.clauses:
+            raise CypherSyntaxError("query must start with MATCH/UNWIND")
         self.expect("KW", "RETURN")
         if self.accept("KW", "DISTINCT"):
             q.distinct = True
@@ -156,6 +185,27 @@ class _Parser:
             q.limit = int(self.expect("NUMBER"))
         self.expect("EOF")
         return q
+
+    def _parse_match_clause(self, optional: bool):
+        from jasminegraph_spark.cypher.ast import MatchClause
+
+        mc = MatchClause(optional=optional)
+        mc.patterns.append(self.parse_path())
+        while self.accept("PUNCT", ","):
+            mc.patterns.append(self.parse_path())
+        if self.accept("KW", "WHERE"):
+            mc.where = self.parse_or()
+        return mc
+
+    def _parse_list_or_value(self):
+        if self.peek() == ("PUNCT", "["):
+            self.next()
+            vals = [self.parse_literal().value]
+            while self.accept("PUNCT", ","):
+                vals.append(self.parse_literal().value)
+            self.expect("PUNCT", "]")
+            return Literal(vals)
+        return self.parse_value()
 
     def parse_path(self) -> PathPattern:
         p = PathPattern()

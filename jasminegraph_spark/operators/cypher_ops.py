@@ -126,6 +126,8 @@ def expand_all(
     rel_type: str | None = None,
     direction: str = "out",
     unique_vs: Iterable[str] = (),
+    optional: bool = False,
+    to_labels: Sequence[str] | None = None,
 ) -> DataFrame:
     """ExpandAll (Operators.h:119-132; OperatorExecutor.cpp:997-1188).
 
@@ -142,6 +144,11 @@ def expand_all(
 
     direction: 'out' | 'in' | 'both' ('both' also used when the graph is
     undirected, OperatorExecutor.cpp:490-494).
+
+    ``optional=True`` → OPTIONAL MATCH semantics: a left outer join that
+    preserves unmatched rows with null rel/to bindings; relationship-
+    uniqueness predicates move into the join condition (a post-filter
+    would drop the null-extended rows).
     """
     e = graph.edges
     if rel_type is not None:
@@ -151,11 +158,25 @@ def expand_all(
     fwd = e.select(_rel_struct(rel_var), F.col("src").alias("__from"), F.col("dst").alias("__to"))
     rev = e.select(_rel_struct(rel_var), F.col("dst").alias("__from"), F.col("src").alias("__to"))
     oriented = {"out": fwd, "in": rev, "both": fwd.unionByName(rev)}[direction]
+    n_to_src = graph.nodes
+    if to_labels:
+        # label filter on the node side of the join — pushes to the scan
+        n_to_src = n_to_src.filter(F.col("label").isin(list(to_labels)))
+    n_to = n_to_src.select(_node_struct(to_var))
 
+    if optional:
+        # attach the endpoint first, then one left join against the input
+        sub = oriented.join(n_to, F.col(f"{to_var}.id") == F.col("__to"))
+        cond = F.col(f"{from_var}.id") == F.col("__from")
+        for prev in unique_vs:
+            cond = cond & (F.col(f"{rel_var}.id") != F.col(f"{prev}.id"))
+        return df.join(sub, cond, "left").drop("__from", "__to")
+
+    # inner path: join the (selective) bound side against edges first so
+    # the endpoint-node join only sees the surviving frontier
     out = df.join(oriented, F.col(f"{from_var}.id") == F.col("__from"))
     for prev in unique_vs:
         out = out.filter(F.col(f"{rel_var}.id") != F.col(f"{prev}.id"))
-    n_to = graph.nodes.select(_node_struct(to_var))
     out = out.join(n_to, F.col(f"{to_var}.id") == F.col("__to")).drop("__from", "__to")
     return out
 

@@ -225,3 +225,71 @@ def test_sinks_roundtrip(spark, tmp_path):
     assert {r["type"] for r in g2.edges.collect()} == {"LIKES"}
     rows = list(to_json_rows(g2.edges.select("src", "dst", "type")))
     assert len(rows) == 1 and '"type":"LIKES"' in rows[0]
+
+
+def test_with_chaining_aggregate(social):
+    # degree per person via WITH aggregation, then filter on the aggregate
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (a:Person)-[r:FRIENDS]-(b) "
+            "WITH a.name AS name, count(*) AS deg "
+            "WHERE deg >= 2 RETURN name, deg ORDER BY name ASC",
+        )
+    )
+    # undirected ring: every person has exactly 2 FRIENDS edges
+    assert len(out) == 10 and all(r["deg"] == 2 for r in out)
+    assert out[0]["name"] == "Alice"
+
+
+def test_with_carries_struct_vars(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (a:Person {name: 'Alice'}) WITH a "
+            "MATCH (a)-[r:VISITS]->(loc) RETURN loc.name AS place",
+        )
+    )
+    assert [r["place"] for r in out] == ["Park"]
+
+
+def test_with_order_limit(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WITH n.name AS name ORDER BY name DESC LIMIT 3 "
+            "RETURN name ORDER BY name ASC",
+        )
+    )
+    assert [r["name"] for r in out] == ["Hugo", "Ivy", "Jack"]
+
+
+def test_optional_match(social):
+    # only Dave has age; everyone must appear, others null-extended.
+    # anchor each person, optionally walk to a friend with an age property
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) OPTIONAL MATCH (n)-[r:FRIENDS]->(m) "
+            "WHERE m.age IS NOT NULL "
+            "RETURN n.name AS name, m.name AS aged_friend",
+        )
+    )
+    by_name = {}
+    for r in out:
+        by_name.setdefault(r["name"], set()).add(r["aged_friend"])
+    assert len(by_name) == 10  # every person preserved
+    # Dave (id 3) is reachable from Carol (2) and Eva (4) on the ring
+    assert by_name["Carol"] == {"Dave"} and by_name["Eva"] == {"Dave"}
+    assert by_name["Alice"] == {None}
+
+
+def test_unwind_literal(social):
+    out = rows(
+        cypher_query(
+            social,
+            "UNWIND [1, 2, 3] AS x MATCH (n:Person {name: 'Alice'}) "
+            "RETURN x, n.name AS name ORDER BY x ASC",
+        )
+    )
+    assert [(r["x"], r["name"]) for r in out] == [(1, "Alice"), (2, "Alice"), (3, "Alice")]
