@@ -1,0 +1,99 @@
+"""Physical-plan assertions: the scale properties the engine is designed
+around, checked on real executed plans (not guessed).
+
+At 100 TB these properties are the difference between a job that works
+and one that doesn't: predicate/column pushdown reaching the parquet scan,
+small dimensions broadcasting, expansions staying equi-joins (never
+cartesian), and whole-stage codegen covering the hot expressions.
+"""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return entry_mod.queries()[name](spark, sf_dir)
+
+    return run
+
+
+def test_label_scan_prunes_union_branches(q):
+    """Filtering the 6-label node union by one label must constant-fold
+    away the other 5 branches: exactly one parquet scan remains."""
+    plan = _plan(q("cy_node_scan_by_label"))
+    assert plan.count("Scan parquet") == 1
+    assert "customer.parquet" in plan
+
+
+def test_point_seek_filters_at_scan_with_pruned_columns(q):
+    """The projected-graph id is concat('c:', key) — not invertible by
+    Catalyst, so it can't reach PushedFilters; but the equality must sit
+    directly on the scan (DataFilters) with only the key column read.
+    (A materialized graph — GraphCatalog.save — gets true pushdown on id.)"""
+    plan = _plan(q("cy_node_by_id_seek"))
+    assert "DataFilters: [(concat(c:, cast(c_custkey" in plan
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan
+
+
+def test_q6_pushes_range_filters(q):
+    plan = _plan(q("rel_q6_forecast_revenue"))
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan
+    # column pruning: only the 4 needed columns are read
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_q5_broadcasts_small_dims(q):
+    plan = _plan(q("rel_q5_local_supplier_volume"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expand_is_equi_join_not_cartesian(q):
+    plan = _plan(q("cy_expand_two_hop"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cartesian_only_when_asked(q):
+    # the explicit cartesian operator is allowed to nested-loop (tiny dims)
+    plan = _plan(q("cy_cartesian_product"))
+    assert "Join" in plan or "CartesianProduct" in plan
+
+
+def test_whole_stage_codegen_covers_agg(q):
+    df = q("rel_q1_pricing_summary")
+    df.collect()  # AQE: codegen spans appear in the final executed plan
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan and "isFinalPlan=true" in plan
+    # hash aggregate with partial (map-side) combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_limit_pushdown(q):
+    plan = _plan(q("rel_events_topk_users"))
+    # TakeOrderedAndProject = per-partition top-k + merge, not a full sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_plan_reuses_persisted_edges(spark, sf_dir):
+    from jasminegraph_spark.analytics import triangle_count_df
+    from jasminegraph_spark.projection import co_order_edges
+
+    plan = _plan(triangle_count_df(co_order_edges(spark, sf_dir)))
+    # the co-occurrence self-join materializes once and every reference
+    # reads the cache (was: 22 re-executed lineitem self-joins). The cached
+    # relation's description still embeds the original scan text, so assert
+    # on InMemoryTableScan presence rather than substring counts.
+    assert "InMemoryTableScan" in plan
