@@ -479,7 +479,7 @@ def an_top_k_pagerank(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
            ROUND(AVG(l_quantity), 6) AS avg_qty,
            ROUND(AVG(l_discount), 6) AS avg_disc,
            COUNT(*) AS count_order
@@ -496,7 +496,7 @@ def rel_q1_pricing_summary(spark, sf_dir):
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -510,7 +510,7 @@ def rel_q1_pricing_summary(spark, sf_dir):
     "rel_q3_shipping_priority",
     """
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -535,7 +535,7 @@ def rel_q3_shipping_priority(spark, sf_dir):
         .join(l, l.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -549,7 +549,7 @@ def rel_q3_shipping_priority(spark, sf_dir):
     "rel_q5_local_supplier_volume",
     """
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -580,7 +580,7 @@ def rel_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
                 "revenue"
             )
         )
@@ -590,7 +590,7 @@ def rel_q5_local_supplier_volume(spark, sf_dir):
 @_q(
     "rel_q6_forecast_revenue",
     """
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -606,7 +606,7 @@ def rel_q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") >= 0.03)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
-    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
 
 
 @_q(
@@ -679,6 +679,122 @@ def rel_events_topk_users(spark, sf_dir):
         .agg(F.round(F.sum("value"), 2).alias("total_value"), F.count("*").alias("n"))
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(20)
+    )
+
+
+@_q(
+    "rel_q2_min_cost_supplier",
+    """
+    WITH costs AS (
+        SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal,
+               MIN(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE l.l_quantity > 0
+        GROUP BY p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+    )
+    SELECT p_partkey, p_name, s_suppkey, unit_cost
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY p_partkey
+            ORDER BY unit_cost ASC, s_suppkey ASC) AS rn
+        FROM costs
+    ) WHERE rn = 1
+    """,
+)
+def rel_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape: min-cost supplier per part — correlated-min rewritten as
+    a window rank (the decorrelation Catalyst would do for the subquery)."""
+    p = _read(spark, sf_dir, "part")
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    s = _read(spark, sf_dir, "supplier")
+    costs = (
+        p.join(l, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_acctbal")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    # raw-double ordering/output: the quotient is IEEE-deterministic in both
+    # engines, while ROUND itself differs on half-way decimals (Spark
+    # rounds the shortest decimal repr; DuckDB multiplies by 10^k)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_partkey", "p_name", "s_suppkey", "unit_cost")
+    )
+
+
+@_q(
+    "rel_q7_nation_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+    """,
+)
+def rel_q7_nation_volume(spark, sf_dir):
+    """Q7 shape: cross-nation trade volume — two broadcast dims aliased
+    twice against one fact join."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cnk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("snk"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(cn), F.col("cnk") == F.col("c_nationkey"))
+        .join(F.broadcast(sn), F.col("snk") == F.col("s_nationkey"))
+        .filter(F.col("cnk") != F.col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "volume"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "rel_running_balance",
+    """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+    FROM events WHERE user_id < 5
+    """,
+)
+def rel_running_balance(spark, sf_dir):
+    """Running aggregate window over the event stream (per-user cumulative
+    value) — rows-frame window function coverage."""
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 2).alias("running"),
     )
 
 

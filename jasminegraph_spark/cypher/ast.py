@@ -50,6 +50,15 @@ class IdFunc:
 
 
 @dataclass
+class LabelsFunc:
+    """labels(n) — single-label data model, so this yields the label
+    string (the reference likewise stores one label per node,
+    NodeBlock.h:33-48)."""
+
+    var: str
+
+
+@dataclass
 class VarRef:
     var: str
 

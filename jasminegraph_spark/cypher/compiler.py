@@ -120,6 +120,8 @@ class _Compiler:
             return F.col(f"{e.var}.properties")[e.key]
         if isinstance(e, ast.IdFunc):
             return F.col(f"{e.var}.id")
+        if isinstance(e, ast.LabelsFunc):
+            return F.col(f"{e.var}.label")
         if isinstance(e, ast.VarRef):
             return F.col(e.var)
         if isinstance(e, ast.Literal):
@@ -173,6 +175,8 @@ class _Compiler:
             return e.var
         if isinstance(e, ast.IdFunc):
             return f"id({e.var})"
+        if isinstance(e, ast.LabelsFunc):
+            return f"labels({e.var})"
         if isinstance(e, ast.Aggregate):
             inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
             return f"{e.func}({inner})"

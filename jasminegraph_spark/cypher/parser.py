@@ -21,6 +21,7 @@ from jasminegraph_spark.cypher.ast import (
     BoolExpr,
     Comparison,
     IdFunc,
+    LabelsFunc,
     Literal,
     NodePattern,
     NullCheck,
@@ -370,6 +371,11 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return IdFunc(var)
+            if word == "labels" and self.peek() == ("PUNCT", "("):
+                self.next()
+                var = self.expect("WORD")
+                self.expect("PUNCT", ")")
+                return LabelsFunc(var)
             if self.accept("PUNCT", "."):
                 return PropRef(word, self.name())
             return VarRef(word)

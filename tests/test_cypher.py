@@ -293,3 +293,14 @@ def test_unwind_literal(social):
         )
     )
     assert [(r["x"], r["name"]) for r in out] == [(1, "Alice"), (2, "Alice"), (3, "Alice")]
+
+
+def test_labels_function(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n) WHERE n.name = 'Alice' OR n.name = 'Park' "
+            "RETURN labels(n) AS lbl, n.name AS name ORDER BY name ASC",
+        )
+    )
+    assert out == [{"lbl": "Person", "name": "Alice"}, {"lbl": "Location", "name": "Park"}]

@@ -93,3 +93,20 @@ def test_catalog_roundtrip(spark, fixture_dir, tmp_path):
     assert any(e["name"] == "pg" and e["edgecount"] == 25 for e in listing)
     cat.remove("pg")
     assert all(e["name"] != "pg" for e in cat.list_graphs())
+
+
+def test_perf_catalog(spark, tmp_path):
+    from jasminegraph_spark.perf import PerfCatalog
+
+    pc = PerfCatalog(spark, str(tmp_path / "perfdb"))
+    assert pc.estimate("g1", "cypher") is None
+    assert pc.admits("g1", "cypher", 0.001)  # unknown → admit
+    for s in (0.2, 0.4, 0.6):
+        pc.record("g1", "cypher", 2, s)
+    with pc.timed("g1", "trian", 2):
+        pass
+    assert pc.history().count() == 4
+    est = pc.estimate("g1", "cypher")
+    assert 0.2 <= est <= 0.6
+    assert pc.admits("g1", "cypher", 1.0)
+    assert not pc.admits("g1", "cypher", 0.1)
