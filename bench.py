@@ -25,11 +25,15 @@ HEADLINE = [
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
     "rel_q6_forecast_revenue",
+    "rel_q2_min_cost_supplier",
+    "rel_q7_nation_volume",
     "rel_events_hourly",
     "rel_events_sessionize",
     "cy_expand_two_hop",
     "cy_order_by_limit",
     "cy_aggregate",
+    "cypher_filter_expand",
+    "cypher_with_agg_having",
     "an_triangle_count",
     "an_pagerank",
     "an_degree_dist_in",

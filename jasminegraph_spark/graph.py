@@ -22,6 +22,8 @@ sites (operators.predicates).
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,6 +137,50 @@ class GraphCatalog:
         g = PropertyGraph(
             nodes=self.spark.read.parquet(f"{base_path}/{name}/nodes"),
             edges=self.spark.read.parquet(f"{base_path}/{name}/edges"),
+            is_directed=is_directed,
+            name=name,
+        )
+        return self.register(g)
+
+    def save_bucketed(self, graph: PropertyGraph, buckets: int = 32) -> None:
+        """Materialize as bucketed+sorted tables: nodes bucketed by id,
+        edges bucketed by src (both sorted in-bucket).
+
+        This is the storage layout the reference approximates with its
+        k-way partitioner + per-partition adjacency files: expansion joins
+        (edges.src = nodes.id) become shuffle-free bucket-local joins, and
+        id point-seeks prune to one bucket. At 100 TB this turns every hop
+        of a traversal from a full shuffle into a co-located join — the
+        single biggest scan-cost lever the engine has.
+        """
+        for suffix in ("nodes", "edges"):
+            table = f"{graph.name}_{suffix}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {table}")
+            # a stale location survives a fresh session's empty in-memory
+            # catalog; clear it so saveAsTable doesn't collide
+            warehouse = self.spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+        (
+            graph.nodes.write.mode("overwrite")
+            .bucketBy(buckets, "id")
+            .sortBy("id")
+            .format("parquet")
+            .saveAsTable(f"{graph.name}_nodes")
+        )
+        (
+            graph.edges.write.mode("overwrite")
+            .bucketBy(buckets, "src")
+            .sortBy("src")
+            .format("parquet")
+            .saveAsTable(f"{graph.name}_edges")
+        )
+
+    def load_bucketed(self, name: str, is_directed: bool = True) -> PropertyGraph:
+        g = PropertyGraph(
+            nodes=self.spark.table(f"{name}_nodes"),
+            edges=self.spark.table(f"{name}_edges"),
             is_directed=is_directed,
             name=name,
         )

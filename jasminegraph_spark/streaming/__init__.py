@@ -4,3 +4,7 @@ from jasminegraph_spark.streaming.ingest import (  # noqa: F401
     new_triangle_delta,
     StreamingTriangleCounter,
 )
+from jasminegraph_spark.streaming.windows import (  # noqa: F401
+    run_stream_to_batch,
+    windowed_event_counts,
+)

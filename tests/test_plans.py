@@ -97,3 +97,44 @@ def test_triangle_plan_reuses_persisted_edges(spark, sf_dir):
     # relation's description still embeds the original scan text, so assert
     # on InMemoryTableScan presence rather than substring counts.
     assert "InMemoryTableScan" in plan
+
+
+def test_bucketed_graph_expand_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed nodes (by id) + edges (by src): the expansion join must
+    read both sides bucket-locally — no Exchange on the probe side."""
+    from jasminegraph_spark.graph import GraphCatalog
+    from jasminegraph_spark.projection import tpch_graph
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    cat = GraphCatalog(spark)
+    g = tpch_graph(spark, sf_dir)
+    cat.save_bucketed(g, buckets=8)
+    gb = cat.load_bucketed("tpch")
+
+    nodes = gb.nodes
+    edges = gb.edges
+    # at test scale Catalyst rightly prefers broadcast; disable it to
+    # exercise the at-scale path where bucketing replaces the shuffle
+    # (set BEFORE building the join — QueryExecution snapshots the conf)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = edges.join(nodes, edges.src == nodes.id)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # sort-merge join directly over bucketed scans: no hash exchange
+        # of either table (bucket co-location replaces the shuffle)
+        assert "Exchange hashpartitioning" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Bucketed: true" in plan
+        assert joined.count() == g.edges.count()
+        # point seek on the bucketed node table prunes to one bucket
+        # (autoBucketedScan off: planner otherwise skips bucketed reading
+        # for scan-only queries and with it the pruning)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        seek = nodes.filter(F.col("id") == "c:42")
+        splan = seek._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in splan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")

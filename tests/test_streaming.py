@@ -84,3 +84,43 @@ def test_streaming_triangle_counter_matches_batch(spark, tmp_path, chunks):
         batch = spark.createDataFrame(edges[i : i + step], ["src", "dst"])
         total = counter.process_batch(batch, i)
     assert total == golden
+
+
+def test_windowed_counts_with_watermark_matches_batch(spark, tmp_path):
+    """Stream the events table through a watermarked tumbling window and
+    compare finalized windows against the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.session import read_events
+    from jasminegraph_spark.streaming.windows import (
+        run_stream_to_batch,
+        windowed_event_counts,
+    )
+
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    src = tmp_path / "stream_src"
+    # two files so the stream sees multiple micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).write.parquet(str(src / "a"))
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(str(src / "b"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    q = run_stream_to_batch(agg, str(tmp_path / "ck"), str(tmp_path / "out"))
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    # append mode emits only watermark-finalized windows; every emitted
+    # window must match the batch result exactly
+    j = got.select("window_start", "event_type", "n_events").join(
+        batch.withColumnRenamed("n_events", "n_batch"), ["window_start", "event_type"]
+    )
+    assert j.count() == got.count() > 0
+    assert j.filter(F.col("n_events") != F.col("n_batch")).count() == 0
