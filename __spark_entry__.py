@@ -1091,6 +1091,25 @@ def pl_bpe_token_count(spark, sf_dir):
     )
 
 
+@_q("an_connected_components")  # iterative fixpoint → rows-only check
+def an_connected_components(spark, sf_dir):
+    """Weakly connected components (hash-min propagation) on the co-order
+    graph. Fixpoint iteration — not SQL-expressible in DuckDB (recursive
+    CTEs forbid the aggregate), so rows-only."""
+    from jasminegraph_spark.analytics import connected_components
+
+    return connected_components(co_order_edges(spark, sf_dir))
+
+
+@_q("an_k_core")  # iterative peel → rows-only check
+def an_k_core(spark, sf_dir):
+    """k-core decomposition (k=8) of the co-order graph — the reference
+    declares `kcore` in its protocol but never dispatches it; live here."""
+    from jasminegraph_spark.analytics import k_core
+
+    return k_core(co_order_edges(spark, sf_dir), k=8)
+
+
 @_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
 def an_semantic_beam_search(spark, sf_dir):
     """Reference GenAI surface: multi-hop beam search guided by embedding

@@ -1,0 +1,87 @@
+"""Connected components and k-core decomposition as DataFrame iterations.
+
+Neither is dispatched in the reference frontend (`kcore` exists only in
+the protocol header, FrontEnd has no branch — SURVEY §2.3 'vestigial'),
+but both are standard property-graph analytics a JasmineGraph user would
+expect next to triangles/PageRank, and both fit Spark's iterate-join model.
+
+Scale notes:
+ * connected_components is hash-min label propagation: each round is one
+   partial-aggregated groupBy over the edge list; rounds ≈ graph diameter
+   (small for real-world graphs). Lineage is truncated per round.
+ * k_core peels minimum-degree vertices iteratively; each round is a
+   degree groupBy + semi-join filter. Both avoid any driver-side
+   materialization beyond the convergence counters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Weakly connected components via hash-min propagation.
+    Returns (node, component) with component = min node id reachable.
+    """
+    und = canonical_undirected(edges).persist()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).persist()
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for i in range(max_iterations):
+        # candidate = min(own, min over neighbors' labels)
+        nbr_min = (
+            adj.join(labels, adj.v == labels.node)
+            .select(F.col("u").alias("node"), F.col("component").alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
+    """The k-core: the maximal subgraph where every vertex has degree ≥ k.
+    Returns the surviving edge list (a, b). Iterative peel: drop vertices
+    with degree < k until fixpoint."""
+    core = canonical_undirected(edges).localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        deg = (
+            core.select(F.col("a").alias("v")).unionAll(core.select(F.col("b")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        pruned = (
+            core.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        if pruned.count() == core.count():
+            return pruned
+        core = pruned
+    return core

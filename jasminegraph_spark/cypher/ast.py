@@ -133,9 +133,33 @@ class UnwindClause:
 
 
 @dataclass
+class SetItem:
+    var: str
+    key: str
+    value: object
+
+
+@dataclass
+class SetClause:
+    items: list = field(default_factory=list)
+
+
+@dataclass
+class DeleteClause:
+    vars: list = field(default_factory=list)
+    detach: bool = False
+
+
+@dataclass
+class MergeClause:
+    pattern: object = None  # single-node PathPattern
+
+
+@dataclass
 class Query:
     clauses: list = field(default_factory=list)  # Match/With/Unwind clauses
     is_create: bool = False
+    write_clause: object | None = None  # SetClause | DeleteClause | MergeClause
     return_items: list[ReturnItem] = field(default_factory=list)
     distinct: bool = False
     order_by: list[OrderItem] = field(default_factory=list)

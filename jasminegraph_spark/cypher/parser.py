@@ -52,7 +52,7 @@ _KEYWORDS = {
     "MATCH", "CREATE", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
-    "OPTIONAL", "UNWIND",
+    "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -167,6 +167,40 @@ class _Parser:
                 q.clauses.append(wc)
             else:
                 break
+        # write clauses (SET / [DETACH] DELETE after MATCH; MERGE standalone)
+        if self.accept("KW", "MERGE"):
+            from jasminegraph_spark.cypher.ast import MergeClause
+
+            q.write_clause = MergeClause(pattern=self.parse_path())
+            self.expect("EOF")
+            return q
+        if self.accept("KW", "SET"):
+            from jasminegraph_spark.cypher.ast import SetClause, SetItem
+
+            sc = SetClause()
+            while True:
+                var = self.expect("WORD")
+                self.expect("PUNCT", ".")
+                key = self.name()
+                self.expect("OP", "=")
+                sc.items.append(SetItem(var, key, self.parse_literal().value))
+                if not self.accept("PUNCT", ","):
+                    break
+            q.write_clause = sc
+            self.expect("EOF")
+            return q
+        detach = bool(self.accept("KW", "DETACH"))
+        if detach or self.peek()[:1] == ("KW",) and self.peek()[1].upper() == "DELETE":
+            from jasminegraph_spark.cypher.ast import DeleteClause
+
+            self.expect("KW", "DELETE")
+            dc = DeleteClause(detach=detach)
+            dc.vars.append(self.expect("WORD"))
+            while self.accept("PUNCT", ","):
+                dc.vars.append(self.expect("WORD"))
+            q.write_clause = dc
+            self.expect("EOF")
+            return q
         if not q.clauses:
             raise CypherSyntaxError("query must start with MATCH/UNWIND")
         self.expect("KW", "RETURN")

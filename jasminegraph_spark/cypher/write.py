@@ -1,0 +1,173 @@
+"""Cypher write clauses (SET / DELETE / DETACH DELETE / MERGE) against a
+parquet-backed graph.
+
+The reference's grammar recognizes these but its planner never implements
+them (QueryPlanner.cpp TODO branches — SURVEY §2.1 'unimplemented Cypher
+surface'); only CREATE is live. On the DataFrame substrate they are
+read-transform-replace snapshots of the nodes/edges tables:
+
+ * SET    — map_concat property update on the matched id set
+ * DELETE — anti-join removal (plain DELETE refuses when incident edges
+            remain, matching Cypher semantics; DETACH removes them)
+ * MERGE  — match-or-create on (labels, literal properties)
+
+Snapshot replace is write-to-temp + swap. On a real deployment this is a
+table-format transaction (Delta/Iceberg MERGE/DELETE); plain parquet
+directories keep the engine dependency-free here — the transform plans
+are identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.cypher import ast
+from jasminegraph_spark.cypher.compiler import CypherCompileError, _Compiler, cypher_create
+from jasminegraph_spark.cypher.parser import parse
+from jasminegraph_spark.graph import PropertyGraph
+
+
+def _replace(df: DataFrame, path: str) -> None:
+    """Materialize ``df`` as the new content of ``path`` (temp + swap —
+    Spark cannot overwrite an input path it is lazily reading)."""
+    tmp = path.rstrip("/") + "__tmp"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def _load(spark: SparkSession, graph_path: str, is_directed: bool) -> PropertyGraph:
+    return PropertyGraph(
+        nodes=spark.read.parquet(f"{graph_path}/nodes"),
+        edges=spark.read.parquet(f"{graph_path}/edges"),
+        is_directed=is_directed,
+    )
+
+
+def cypher_write(
+    spark: SparkSession, graph_path: str, text: str, is_directed: bool = True
+) -> dict:
+    """Execute a write query against the graph stored at ``graph_path``.
+    Returns mutation stats (nodes_set / nodes_deleted / edges_deleted /
+    nodes_created / edges_created)."""
+    q = parse(text)
+    if q.is_create:
+        nodes, edges = cypher_create(spark, text)
+        nodes.write.mode("append").parquet(f"{graph_path}/nodes")
+        if edges.take(1):
+            edges.write.mode("append").parquet(f"{graph_path}/edges")
+        return {"nodes_created": nodes.count(), "edges_created": edges.count()}
+    if q.write_clause is None:
+        raise CypherCompileError("not a write query (no SET/DELETE/MERGE/CREATE)")
+    g = _load(spark, graph_path, is_directed)
+
+    if isinstance(q.write_clause, ast.MergeClause):
+        return _merge(spark, graph_path, g, q.write_clause)
+
+    # compile the reading part to bind variables
+    comp = _Compiler(g)
+    df = None
+    for clause in q.clauses:
+        if isinstance(clause, ast.MatchClause) and not clause.optional:
+            for pattern in clause.patterns:
+                df = comp.compile_pattern(pattern, df)
+            if clause.where is not None:
+                df = df.filter(comp.predicate(clause.where))
+        else:
+            raise CypherCompileError("write queries support plain MATCH clauses only")
+    if df is None:
+        raise CypherCompileError("write clause requires a MATCH part")
+
+    wc = q.write_clause
+    if isinstance(wc, ast.SetClause):
+        stats = {"nodes_set": 0}
+        for item in wc.items:
+            if item.var not in comp.node_vars:
+                raise CypherCompileError(f"SET target {item.var} is not a node variable")
+            ids = df.select(F.col(f"{item.var}.id").alias("__id")).distinct()
+            stats["nodes_set"] = ids.count()
+            updated = g.nodes.join(ids, g.nodes.id == F.col("__id"), "left").select(
+                "id",
+                "label",
+                F.when(
+                    F.col("__id").isNotNull(),
+                    F.map_concat(
+                        F.map_filter("properties", lambda k, v: k != F.lit(item.key)),
+                        F.create_map(F.lit(item.key), F.lit(str(item.value))),
+                    ),
+                )
+                .otherwise(F.col("properties"))
+                .alias("properties"),
+            )
+            _replace(updated, f"{graph_path}/nodes")
+            g = _load(spark, graph_path, is_directed)
+        return stats
+
+    if isinstance(wc, ast.DeleteClause):
+        stats = {"nodes_deleted": 0, "edges_deleted": 0}
+        node_ids = None
+        for var in wc.vars:
+            if var in comp.rel_vars:
+                rel_ids = df.select(F.col(f"{var}.id").alias("__id")).distinct()
+                kept = g.edges.join(rel_ids, g.edges.id == F.col("__id"), "left_anti")
+                stats["edges_deleted"] += g.edges.count() - kept.count()
+                _replace(kept, f"{graph_path}/edges")
+                g = _load(spark, graph_path, is_directed)
+            elif var in comp.node_vars:
+                ids = df.select(F.col(f"{var}.id").alias("__id")).distinct()
+                node_ids = ids if node_ids is None else node_ids.union(ids).distinct()
+            else:
+                raise CypherCompileError(f"DELETE target {var} is unbound")
+        if node_ids is not None:
+            incident = g.edges.join(
+                node_ids,
+                (g.edges.src == F.col("__id")) | (g.edges.dst == F.col("__id")),
+                "left_semi",
+            )
+            n_incident = incident.count()
+            if n_incident and not wc.detach:
+                raise CypherCompileError(
+                    f"cannot DELETE nodes with {n_incident} incident relationships; "
+                    "use DETACH DELETE"
+                )
+            if wc.detach and n_incident:
+                kept_edges = g.edges.join(
+                    node_ids,
+                    (g.edges.src == F.col("__id")) | (g.edges.dst == F.col("__id")),
+                    "left_anti",
+                )
+                stats["edges_deleted"] += n_incident
+                _replace(kept_edges, f"{graph_path}/edges")
+            kept_nodes = g.nodes.join(node_ids, g.nodes.id == F.col("__id"), "left_anti")
+            stats["nodes_deleted"] = g.nodes.count() - kept_nodes.count()
+            _replace(kept_nodes, f"{graph_path}/nodes")
+        return stats
+
+    raise CypherCompileError(f"unsupported write clause {wc!r}")
+
+
+def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dict:
+    pattern = mc.pattern
+    if len(pattern.nodes) != 1:
+        raise CypherCompileError("MERGE supports single-node patterns")
+    node = pattern.nodes[0]
+    cond = F.lit(True)
+    if node.labels:
+        cond = cond & (F.col("label") == node.labels[0])
+    for k, v in node.props.items():
+        cond = cond & (F.col("properties")[k] == str(v))
+    if g.nodes.filter(cond).take(1):
+        return {"nodes_created": 0, "matched": True}
+    create_text = "CREATE (" + (node.var or "n")
+    if node.labels:
+        create_text += ":" + node.labels[0]
+    if node.props:
+        create_text += " {" + ", ".join(f"{k}: '{v}'" for k, v in node.props.items()) + "}"
+    create_text += ")"
+    nodes, _ = cypher_create(spark, create_text)
+    nodes.write.mode("append").parquet(f"{graph_path}/nodes")
+    return {"nodes_created": 1, "matched": False}

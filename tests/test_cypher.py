@@ -304,3 +304,45 @@ def test_labels_function(social):
         )
     )
     assert out == [{"lbl": "Person", "name": "Alice"}, {"lbl": "Location", "name": "Park"}]
+
+
+def test_write_clauses_set_delete_merge(spark, tmp_path):
+    from jasminegraph_spark.cypher.write import cypher_write
+    from jasminegraph_spark.graph import GraphCatalog
+
+    gp = str(tmp_path / "wg")
+    stats = cypher_write(
+        spark,
+        gp,
+        "CREATE (a:Person {id: 'p1', name: 'Ann'})-[:KNOWS]->(b:Person {id: 'p2', name: 'Ben'}),"
+        " (c:Person {id: 'p3', name: 'Cam'})",
+    )
+    assert stats == {"nodes_created": 3, "edges_created": 1}
+
+    # SET updates only matched nodes, overwriting existing keys
+    stats = cypher_write(spark, gp, "MATCH (n:Person) WHERE n.name = 'Ann' SET n.age = 31")
+    assert stats["nodes_set"] == 1
+    g = GraphCatalog(spark).load("wg", str(tmp_path), is_directed=True)
+    props = {r["id"]: r["properties"] for r in g.nodes.collect()}
+    assert props["p1"]["age"] == "31" and "age" not in props["p2"]
+    cypher_write(spark, gp, "MATCH (n:Person {id: 'p1'}) SET n.age = 32")
+    g = GraphCatalog(spark).load("wg", str(tmp_path), is_directed=True)
+    assert {r["id"]: r["properties"] for r in g.nodes.collect()}["p1"]["age"] == "32"
+
+    # MERGE: match → no-op; miss → create
+    assert cypher_write(spark, gp, "MERGE (n:Person {name: 'Ann'})")["nodes_created"] == 0
+    assert cypher_write(spark, gp, "MERGE (n:Person {name: 'Dee'})")["nodes_created"] == 1
+
+    # plain DELETE refuses on incident edges; DETACH removes them
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="DETACH"):
+        cypher_write(spark, gp, "MATCH (n:Person {id: 'p1'}) DELETE n")
+    stats = cypher_write(spark, gp, "MATCH (n:Person {id: 'p1'}) DETACH DELETE n")
+    assert stats == {"nodes_deleted": 1, "edges_deleted": 1}
+    # deleting an isolated node works without DETACH
+    stats = cypher_write(spark, gp, "MATCH (n:Person {id: 'p3'}) DELETE n")
+    assert stats["nodes_deleted"] == 1
+    g = GraphCatalog(spark).load("wg", str(tmp_path), is_directed=True)
+    assert sorted(r["id"] for r in g.nodes.collect()) != []
+    assert g.edge_count() == 0
