@@ -846,8 +846,9 @@ def pl_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_oracle(num_hashes: int = 16) -> str:
+    # mirror of minhash_signatures: one md5 per shingle, 8-hex-char windows
     mins = ",\n           ".join(
-        f"MIN(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_hashes)
+        f"MIN(substr(md5(shingle), {i + 1}, 8)) AS mh{i}" for i in range(num_hashes)
     )
     return _SHINGLE_CTE + f"SELECT doc_id,\n           {mins}\n    FROM sh GROUP BY doc_id"
 
@@ -1003,12 +1004,12 @@ def pl_language_id(spark, sf_dir):
         FROM documents
     )
     SELECT doc_id, n_chars, n_tokens,
-           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS ttr,
-           ROUND(CAST(n_chars - n_spaces AS DOUBLE) / n_tokens, 6) AS mean_token_len,
-           ROUND(CAST(n_distinct AS DOUBLE) / n_tokens * 0.5
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           CAST(n_chars - n_spaces AS DOUBLE) / n_tokens AS mean_token_len,
+           CAST(n_distinct AS DOUBLE) / n_tokens * 0.5
                  + LEAST(n_tokens, 100) / 100.0 * 0.3
-                 + LEAST(CAST(n_chars - n_spaces AS DOUBLE) / n_tokens, 10.0) / 10.0 * 0.2,
-                 6) AS quality
+                 + LEAST(CAST(n_chars - n_spaces AS DOUBLE) / n_tokens, 10.0) / 10.0 * 0.2
+               AS quality
     FROM base
     """,
 )

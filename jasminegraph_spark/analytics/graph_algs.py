@@ -121,9 +121,13 @@ def pagerank(
     # contribution edges carry out_deg along; persisted once, reused each iter
     contrib_base = e.join(out_deg, "src").persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    # the rank table is |V| rows vs |E| contributions: broadcast it while
+    # it fits so the big persisted edge frame is never re-shuffled per
+    # iteration; past ~10M vertices fall back to a co-partitioned join
+    brd = (lambda df: F.broadcast(df)) if n_total <= 10_000_000 else (lambda df: df)
     for i in range(iterations):
         contribs = (
-            contrib_base.join(ranks, contrib_base["src"] == ranks["node"])
+            contrib_base.join(brd(ranks), contrib_base["src"] == ranks["node"])
             .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))

@@ -99,16 +99,21 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: num_hashes columns mh0..mhN-1.
 
-    Hash family i = md5(i || ':' || shingle); the signature component is the
-    *minimum digest string* — min over an md5 image is as uniform as min
-    over an integer image, and stays portable (no engine-specific 64-bit
-    hash). One exploded pass, one partial-aggregated groupBy computing all
-    mins at once.
+    Hash family i = hex window i of md5(shingle): ONE md5 per shingle, 16
+    overlapping 8-hex-char (32-bit) windows of the 128-bit digest — md5's
+    diffusion makes the windows independent hash functions, at 1/16th the
+    hashing cost of md5(i || shingle) per component. The signature
+    component is the *minimum window string* — min over a uniform hex
+    image, engine-portable (no engine-specific 64-bit hash). One exploded
+    pass, one partial-aggregated groupBy computing all mins at once.
     """
-    sh = char_shingles(docs, k, id_col, distinct=False)  # min is dup-insensitive
+    if num_hashes > 25:
+        raise ValueError("window family supports ≤ 25 components per md5")
+    sh = char_shingles(docs, k, id_col, distinct=False).withColumn(  # min is dup-insensitive
+        "h", F.md5("shingle")
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min(F.substring("h", i + 1, 8)).alias(f"mh{i}") for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

@@ -72,7 +72,10 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """Heuristic quality features + composite score:
     length, token stats, type-token ratio, mean token length.
     score = ttr * 0.5 + min(n_tokens,100)/100 * 0.3 + min(mean_len,10)/10 * 0.2
-    (rounded to 6 — portable)."""
+    Ratios ship UNROUNDED: every term is IEEE-deterministic arithmetic on
+    identical integer inputs, so the doubles are bit-identical across
+    engines — while ROUND itself diverges on the half-way decimals these
+    rationals frequently produce (denominators 2^a·5^b)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -89,13 +92,12 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         "doc_id",
         "n_chars",
         "n_tokens",
-        F.round(ttr, 6).alias("ttr"),
-        F.round(mean_len, 6).alias("mean_token_len"),
-        F.round(
+        ttr.alias("ttr"),
+        mean_len.alias("mean_token_len"),
+        (
             ttr * 0.5
             + F.least(F.col("n_tokens"), F.lit(100)) / 100.0 * 0.3
-            + F.least(mean_len, F.lit(10.0)) / 10.0 * 0.2,
-            6,
+            + F.least(mean_len, F.lit(10.0)) / 10.0 * 0.2
         ).alias("quality"),
     )
 
