@@ -1323,6 +1323,25 @@ def cypher_unwind(spark, sf_dir):
     )
 
 
+@_q(
+    "cypher_arithmetic",
+    """
+    SELECT 'c:' || c_custkey AS id, c_acctbal * 2.0 + 10.0 AS v
+    FROM customer WHERE c_acctbal * 2.0 + 10.0 > 15000.0
+    """,
+)
+def cypher_arithmetic(spark, sf_dir):
+    """Arithmetic in WHERE and RETURN — grammar-recognized but unplanned
+    in the reference. Per-row products are IEEE-deterministic, so raw
+    doubles compare exactly."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer) WHERE c.acctbal * 2.0 + 10.0 > 15000.0 "
+        "RETURN id(c) AS id, c.acctbal * 2.0 + 10.0 AS v",
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------

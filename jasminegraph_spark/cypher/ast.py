@@ -69,6 +69,16 @@ class Literal:
 
 
 @dataclass
+class BinaryOp:
+    """Arithmetic: + - * / % (grammar-recognized but unplanned in the
+    reference — QueryPlanner TODO branches; live here)."""
+
+    op: str
+    left: object = None
+    right: object = None
+
+
+@dataclass
 class Comparison:
     left: object
     op: str  # == <> < > <= >= STARTS_WITH ENDS_WITH CONTAINS IN

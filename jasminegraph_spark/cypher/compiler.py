@@ -126,6 +126,15 @@ class _Compiler:
             return F.col(e.var)
         if isinstance(e, ast.Literal):
             return F.lit(e.value)
+        if isinstance(e, ast.BinaryOp):
+            l, r = self.expr(e.left), self.expr(e.right)
+            # string-stored numeric properties: Spark's implicit
+            # string→double coercion applies inside arithmetic, matching
+            # the engine's literal-driven typing philosophy
+            import operator as _op
+
+            return {"+": _op.add, "-": _op.sub, "*": _op.mul,
+                    "/": _op.truediv, "%": _op.mod}[e.op](l, r)
         raise CypherCompileError(f"cannot compile value expression {e!r}")
 
     def predicate(self, e) -> Column:
@@ -180,6 +189,11 @@ class _Compiler:
         if isinstance(e, ast.Aggregate):
             inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
             return f"{e.func}({inner})"
+        if isinstance(e, ast.BinaryOp):
+            return (
+                f"{self._item_name(ast.ReturnItem(e.left))} {e.op} "
+                f"{self._item_name(ast.ReturnItem(e.right))}"
+            )
         return "expr"
 
     def compile_return(self, df: DataFrame, q: ast.Query) -> DataFrame:

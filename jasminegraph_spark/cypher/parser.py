@@ -18,6 +18,7 @@ import re
 
 from jasminegraph_spark.cypher.ast import (
     Aggregate,
+    BinaryOp,
     BoolExpr,
     Comparison,
     IdFunc,
@@ -41,7 +42,7 @@ _TOKEN_RE = re.compile(
   | (?P<STRING>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ARROW_OUT>-\[|\]->|-->|<--)
   | (?P<OP><>|<=|>=|=|<|>)
-  | (?P<PUNCT>[(){}\[\],.:|*\]])
+  | (?P<PUNCT>[(){}\[\],.:|*\]+/%])
   | (?P<DASH>-)
   | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
 """,
@@ -397,6 +398,34 @@ class _Parser:
         return left
 
     def parse_value(self):
+        """additive := multiplicative (('+'|'-') multiplicative)*"""
+        left = self.parse_multiplicative()
+        while True:
+            if self.accept("PUNCT", "+"):
+                left = BinaryOp("+", left, self.parse_multiplicative())
+            elif self.peek() == ("DASH", "-"):
+                self.next()
+                left = BinaryOp("-", left, self.parse_multiplicative())
+            else:
+                return left
+
+    def parse_multiplicative(self):
+        left = self.parse_primary()
+        while True:
+            if self.accept("PUNCT", "*"):
+                left = BinaryOp("*", left, self.parse_primary())
+            elif self.accept("PUNCT", "/"):
+                left = BinaryOp("/", left, self.parse_primary())
+            elif self.accept("PUNCT", "%"):
+                left = BinaryOp("%", left, self.parse_primary())
+            else:
+                return left
+
+    def parse_primary(self):
+        if self.accept("PUNCT", "("):
+            inner = self.parse_value()
+            self.expect("PUNCT", ")")
+            return inner
         k, v = self.peek()
         if k == "WORD":
             word = self.next()[1]

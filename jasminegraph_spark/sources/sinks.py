@@ -27,6 +27,41 @@ def write_json_rows(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def reference_rows(df: DataFrame, k_partitions: int = 2):
+    """Result-shape fidelity mode: rows formatted like the reference's
+    client protocol — one JSON object per row, node variables rendered as
+    their property map with an injected ``partitionID``
+    (src/query/processor/cypher/runtime/Helpers.cpp:563 writes the
+    meta-property; OperatorExecutor.cpp:324-365 emits {var: {props…}}).
+
+    Struct-typed columns (bound variables) become property objects with
+    partitionID = hash(id) % k (the reference HASH partitioner,
+    partitioner/stream/Partitioner.cpp:110-121); scalar columns pass
+    through under their names.
+    """
+    import json as _json
+
+    cols = []
+    for f in df.schema.fields:
+        if f.dataType.typeName() == "struct" and "properties" in f.dataType.fieldNames():
+            pid = F.pmod(F.xxhash64(F.col(f"{f.name}.id")), F.lit(k_partitions)).cast("string")
+            obj = F.map_concat(
+                F.coalesce(
+                    F.col(f"{f.name}.properties"),
+                    F.create_map().cast("map<string,string>"),
+                ),
+                F.create_map(F.lit("partitionID"), pid),
+            )
+            cols.append(obj.alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+    out = df.select(*cols).select(F.to_json(F.struct("*")).alias("j"))
+    for r in out.toLocalIterator():
+        # round-trip so missing properties serialize as explicit nulls,
+        # matching the reference's {"n.age": null} behavior
+        yield _json.dumps(_json.loads(r["j"]), sort_keys=True)
+
+
 def export_edge_list(graph: PropertyGraph, path: str, sep: str = " ") -> None:
     """`sdhdfs`-style plain src/dst edge list export."""
     graph.edges.select(F.concat_ws(sep, "src", "dst").alias("value")).write.mode(

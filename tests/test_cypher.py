@@ -346,3 +346,41 @@ def test_write_clauses_set_delete_merge(spark, tmp_path):
     g = GraphCatalog(spark).load("wg", str(tmp_path), is_directed=True)
     assert sorted(r["id"] for r in g.nodes.collect()) != []
     assert g.edge_count() == 0
+
+
+def test_arithmetic_expressions(social):
+    # string-stored weight coerced to number inside arithmetic
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (a)-[r:FRIENDS]->(b) WHERE r.weight * 2 + 1 >= 17 "
+            "RETURN id(r) AS rid, r.weight * 10 AS w10, (r.weight + 1) % 3 AS m",
+        )
+    )
+    # weights 8, 9 pass (2w+1 = 17, 19); undirected graph → both
+    # orientations of each matching edge bind a row
+    got = sorted((r["rid"], float(r["w10"]), float(r["m"])) for r in out)
+    assert got == [("8", 80.0, 0.0), ("8", 80.0, 0.0), ("9", 90.0, 1.0), ("9", 90.0, 1.0)]
+
+
+def test_arithmetic_in_aggregate(social):
+    out = rows(
+        cypher_query(
+            social, "MATCH (a)-[r:FRIENDS]->(b) RETURN sum(r.weight * 2) AS s"
+        )
+    )
+    # both orientations double the sum: 2 * 2 * Σ0..9
+    assert out == [{"s": 4.0 * sum(range(10))}]
+
+
+def test_reference_row_shape(social):
+    import json
+
+    from jasminegraph_spark.sources.sinks import reference_rows
+
+    df = cypher_query(social, "MATCH (n:Person {name: 'Eva'}) RETURN n")
+    rows_out = list(reference_rows(df, k_partitions=2))
+    assert len(rows_out) == 1
+    obj = json.loads(rows_out[0])
+    assert obj["n"]["name"] == "Eva"
+    assert obj["n"]["partitionID"] in {"0", "1"}
