@@ -798,6 +798,76 @@ def rel_running_balance(spark, sf_dir):
     )
 
 
+@_q(
+    "rel_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rel_rollup_pricing(spark, sf_dir):
+    """Grouping-set coverage: ROLLUP subtotals + grand total."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@_q(
+    "rel_pivot_events",
+    """
+    SELECT day(ts) AS dom,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup
+    FROM events GROUP BY day(ts)
+    """,
+)
+def rel_pivot_events(spark, sf_dir):
+    """Pivot coverage: events per day-of-month × type."""
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.groupBy(F.dayofmonth("ts").alias("dom"))
+        .pivot("event_type", ["click", "view", "purchase", "error", "signup"])
+        .count()
+    )
+    # pivot leaves missing combinations null; oracle FILTER counts give 0
+    return out.select(
+        "dom", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in out.columns if c != "dom"]
+    )
+
+
+@_q(
+    "rel_events_zscore",
+    """
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE ABS((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def rel_events_zscore(spark, sf_dir):
+    """Anomaly flagging: per-type z-score over the stream table — the
+    batch twin of a streaming quality monitor."""
+    ev = _read(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text)
 # ---------------------------------------------------------------------------
