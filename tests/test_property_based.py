@@ -1,0 +1,80 @@
+"""Property-based checks (hypothesis): distributed results must equal
+brute-force Python computations on arbitrary small graphs — a testing
+dimension the reference lacks entirely (SURVEY §5: 'no property-based or
+randomized testing')."""
+
+from itertools import combinations
+
+from hypothesis import given, settings, strategies as st
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0,
+    max_size=30,
+)
+
+
+def _canon(edges):
+    return {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+
+@settings(max_examples=15, deadline=None)
+@given(edge_lists)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from jasminegraph_spark.analytics import triangle_count
+
+    und = _canon(edges)
+    expected = sum(
+        1
+        for a, b, c in combinations(sorted({v for e in und for v in e}), 3)
+        if {(a, b), (b, c), (a, c)} <= und
+    )
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    assert triangle_count(df) == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists)
+def test_connected_components_match_union_find(spark, edges):
+    from jasminegraph_spark.analytics import connected_components
+
+    und = _canon(edges)
+    if not und:
+        return
+    # union-find ground truth
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for e in und for v in e}
+
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.text(alphabet="abcd ", min_size=10, max_size=40), min_size=1, max_size=6))
+def test_minhash_identical_texts_identical_signatures(spark, texts):
+    """Documents with equal text must get byte-equal minhash signatures;
+    signatures must also be permutation-invariant over shingle order."""
+    from jasminegraph_spark.pipeline.dedup import minhash_signatures
+
+    rows = [(i, t) for i, t in enumerate(texts)] + [(100 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["doc_id"]: tuple(r[c] for c in sorted(r.asDict()) if c.startswith("mh"))
+           for r in minhash_signatures(df, num_hashes=4, k=4).collect()}
+    for i, t in enumerate(texts):
+        if len(t) >= 4:
+            assert sig[i] == sig[100 + i]
