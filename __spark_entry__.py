@@ -1026,6 +1026,47 @@ def pl_lsh_ann(spark, sf_dir):
 
 
 @_q(
+    "pl_ivf_ann",
+    """
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        ORDER BY vec_id ASC LIMIT 16
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.cv AS DOUBLE[])) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT a.vec_id AS query_id, a.cell, e.embedding AS qv
+        FROM assign a JOIN embeddings e USING (vec_id) WHERE a.vec_id < 10
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN q ON q.cell = a.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def pl_ivf_ann(spark, sf_dir):
+    """IVF-bucketed ANN (nprobe=1): deterministic coarse quantizer, exact
+    rank within the query's cell — the scale path next to brute force."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pl.ivf_ann(emb, queries, k=5, n_cells=16)
+
+
+@_q(
     "pl_token_counts",
     """
     SELECT doc_id,

@@ -10,6 +10,8 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     sign_lsh_buckets,
     sign_lsh_ann,
+    ivf_assign,
+    ivf_ann,
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,

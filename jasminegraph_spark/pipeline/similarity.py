@@ -80,6 +80,71 @@ def sign_lsh_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    cell. Centroids are the ``n_cells`` lowest-id vectors — deterministic
+    and engine-portable (a k-means refinement drops in without changing
+    the assignment join's shape). Returns (vec_id, cell).
+
+    The centroid table is tiny → broadcast; assignment is one pass over
+    the corpus with an argmax over n_cells cosines (codegen expression).
+    At 100 TB ``cell`` becomes the storage partition key, so a probe scans
+    |corpus|/n_cells rows.
+    """
+    cents = (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), _as_double(vec_col).alias("cv"))
+    )
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv"))
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine rank within the query's cell
+    (nprobe=1). Returns (query_id, neighbor_id, cosine, rank)."""
+    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    qs = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).join(
+        assign.withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def sign_lsh_ann(
     embeddings: DataFrame,
     queries: DataFrame,
