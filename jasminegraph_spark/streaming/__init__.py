@@ -6,5 +6,6 @@ from jasminegraph_spark.streaming.ingest import (  # noqa: F401
 )
 from jasminegraph_spark.streaming.windows import (  # noqa: F401
     run_stream_to_batch,
+    streaming_dedup,
     windowed_event_counts,
 )

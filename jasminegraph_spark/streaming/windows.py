@@ -47,6 +47,24 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list | None = None,
+    text_col: str = "text",
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming deduplication — the streaming twin of
+    pipeline.dedup.exact_dedup: drop records whose content hash was
+    already seen, with dedup state bounded by the watermark (a duplicate
+    arriving later than the delay is treated as new — the standard
+    state-size/completeness trade at stream scale).
+    """
+    keyed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    keys = key_cols or ["content_hash"]
+    return keyed.withWatermark(watermark_col, watermark).dropDuplicates(keys)
+
+
 def run_stream_to_batch(stream_df: DataFrame, checkpoint: str, out_path: str):
     """Drain a (file-backed) stream with availableNow into parquet —
     the test/bootstrap harness for streaming aggregations; swap the

@@ -124,3 +124,34 @@ def test_windowed_counts_with_watermark_matches_batch(spark, tmp_path):
     )
     assert j.count() == got.count() > 0
     assert j.filter(F.col("n_events") != F.col("n_batch")).count() == 0
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    from pyspark.sql import functions as F, types as T
+
+    from jasminegraph_spark.streaming import run_stream_to_batch, streaming_dedup
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    base = __import__("datetime").datetime(2024, 1, 1)
+    mins = __import__("datetime").timedelta
+    rows1 = [(1, base, "alpha"), (2, base + mins(minutes=1), "beta")]
+    rows2 = [(3, base + mins(minutes=2), "alpha"),  # dup of doc 1, later batch
+             (4, base + mins(minutes=3), "gamma")]
+    src = tmp_path / "src"
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "b1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    )
+    dedup = streaming_dedup(stream, watermark="1 hour")
+    q = run_stream_to_batch(dedup, str(tmp_path / "ck"), str(tmp_path / "out"))
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    texts = sorted(r["text"] for r in out.collect())
+    assert texts == ["alpha", "beta", "gamma"]  # second 'alpha' dropped
