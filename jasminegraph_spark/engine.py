@@ -1,0 +1,178 @@
+"""JasmineEngine — the reference's frontend command surface on one object.
+
+The reference exposes a telnet command frontend (port 7777,
+src/frontend/JasmineGraphFrontEnd.cpp:230-346). This facade maps each
+command to the engine's DataFrame machinery, so a JasmineGraph user can
+run every command they run today against Spark:
+
+| reference command        | method here                  |
+|--------------------------|------------------------------|
+| adgr / adgr-cust         | add_graph / add_graph_with_attributes |
+| adrdf                    | add_rdf_graph                |
+| adhdfs                   | add_graph (paths are URIs)   |
+| adstrmk / stopstrm / KTOP| add_stream / stop_stream / list_streams |
+| cypher                   | cypher (+ cypher_rows for the JSON row protocol) |
+| CREATE/SET/DELETE/MERGE  | cypher_write                 |
+| trian / strian           | triangle_count / streaming counter via add_stream |
+| pgrnk / top_k_page_rank  | pagerank / top_k_pagerank    |
+| idegree / odegree        | degree_distribution          |
+| egonet                   | egonet                       |
+| vcnt / ecnt / lst / rmgr | vertex_count / edge_count / list_graphs / remove_graph |
+| sdhdfs                   | export_graph                 |
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jasminegraph_spark import analytics as an
+from jasminegraph_spark.graph import GraphCatalog, PropertyGraph
+from jasminegraph_spark.perf import PerfCatalog
+from jasminegraph_spark.sources import (
+    read_edge_list,
+    read_edge_list_with_attributes,
+    read_property_graph_jsonl,
+    read_rdf_triples,
+)
+from jasminegraph_spark.sources.sinks import export_edge_list, export_wire_jsonl, reference_rows
+from jasminegraph_spark.streaming import EdgeStreamIngest, StreamRegistry
+
+
+@dataclass
+class JasmineEngine:
+    spark: SparkSession
+    storage_path: str | None = None  # graphs persist here when set
+    catalog: GraphCatalog = None
+    streams: StreamRegistry = field(default_factory=StreamRegistry)
+    perf: PerfCatalog | None = None
+
+    def __post_init__(self):
+        if self.catalog is None:
+            self.catalog = GraphCatalog(self.spark)
+        if self.perf is None and self.storage_path:
+            self.perf = PerfCatalog(self.spark, f"{self.storage_path}/_perfdb")
+
+    # ---- ingest (adgr / adgr-cust / adrdf / adhdfs) -----------------------
+    def add_graph(self, name: str, path: str, is_directed: bool = False) -> PropertyGraph:
+        g = read_edge_list(self.spark, path, name, is_directed)
+        return self._register(g)
+
+    def add_graph_with_attributes(
+        self, name: str, edge_path: str, attr_path: str, is_directed: bool = False
+    ) -> PropertyGraph:
+        g = read_edge_list_with_attributes(self.spark, edge_path, attr_path, name, is_directed)
+        return self._register(g)
+
+    def add_rdf_graph(self, name: str, path: str) -> PropertyGraph:
+        return self._register(read_rdf_triples(self.spark, path, name))
+
+    def add_json_graph(self, name: str, path: str, is_directed: bool = False) -> PropertyGraph:
+        return self._register(read_property_graph_jsonl(self.spark, path, name, is_directed))
+
+    def _register(self, g: PropertyGraph) -> PropertyGraph:
+        self.catalog.register(g)
+        if self.storage_path:
+            self.catalog.save(g, self.storage_path)
+            g = self.catalog.load(g.name, self.storage_path, g.is_directed)
+        return g
+
+    # ---- streaming (adstrmk / stopstrm / KTOP) ----------------------------
+    def add_stream(self, name: str, source_dir: str, checkpoint_dir: str):
+        """File-directory micro-batch stream of edge-JSON lines (swap for
+        format('kafka') + from_json on a deployment with a broker)."""
+        if not self.storage_path:
+            raise ValueError("streaming ingest requires storage_path")
+        ingest = EdgeStreamIngest(self.spark, f"{self.storage_path}/{name}")
+        query = ingest.start(source_dir, checkpoint_dir)
+        self.streams.register(name, query)
+        return ingest, query
+
+    def stop_stream(self, name: str) -> bool:
+        return self.streams.stop(name)
+
+    def list_streams(self) -> list:
+        return self.streams.list_topics()
+
+    # ---- query ------------------------------------------------------------
+    def cypher(self, graph_name: str, query: str) -> DataFrame:
+        from jasminegraph_spark.cypher import cypher_query
+
+        g = self.catalog.get(graph_name)
+        if self.perf:
+            with self.perf.timed(graph_name, "cypher"):
+                out = cypher_query(g, query)
+        else:
+            out = cypher_query(g, query)
+        return out
+
+    def cypher_rows(self, graph_name: str, query: str, k_partitions: int = 2):
+        """Rows in the reference's client JSON protocol."""
+        return reference_rows(self.cypher(graph_name, query), k_partitions)
+
+    def cypher_write(self, graph_name: str, query: str) -> dict:
+        from jasminegraph_spark.cypher.write import cypher_write
+
+        if not self.storage_path:
+            raise ValueError("write queries require storage_path")
+        stats = cypher_write(
+            self.spark,
+            f"{self.storage_path}/{graph_name}",
+            query,
+            self.catalog.get(graph_name).is_directed
+            if graph_name in self.catalog._graphs
+            else True,
+        )
+        # refresh the registered snapshot
+        directed = (
+            self.catalog.get(graph_name).is_directed
+            if graph_name in self.catalog._graphs
+            else True
+        )
+        self.catalog.load(graph_name, self.storage_path, directed)
+        return stats
+
+    # ---- analytics --------------------------------------------------------
+    def triangle_count(self, graph_name: str) -> int:
+        return an.triangle_count(self.catalog.get(graph_name).edges)
+
+    def pagerank(self, graph_name: str, alpha: float = 0.85, iterations: int = 10) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.pagerank(g.edges, alpha, iterations, undirected=not g.is_directed)
+
+    def top_k_pagerank(self, graph_name: str, k: int = 10, **kw) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.top_k_pagerank(g.edges, k, undirected=not g.is_directed, **kw)
+
+    def degree_distribution(self, graph_name: str, direction: str = "in") -> DataFrame:
+        return an.degree_distribution(self.catalog.get(graph_name).edges, direction)
+
+    def egonet(self, graph_name: str, vertex) -> DataFrame:
+        return an.egonet(self.catalog.get(graph_name).edges, vertex)
+
+    def connected_components(self, graph_name: str) -> DataFrame:
+        return an.connected_components(self.catalog.get(graph_name).edges)
+
+    def k_core(self, graph_name: str, k: int) -> DataFrame:
+        return an.k_core(self.catalog.get(graph_name).edges, k)
+
+    # ---- catalog (vcnt / ecnt / lst / rmgr / sdhdfs) ----------------------
+    def vertex_count(self, graph_name: str) -> int:
+        return self.catalog.get(graph_name).vertex_count()
+
+    def edge_count(self, graph_name: str) -> int:
+        return self.catalog.get(graph_name).edge_count()
+
+    def list_graphs(self) -> list:
+        return self.catalog.list_graphs()
+
+    def remove_graph(self, name: str) -> None:
+        self.catalog.remove(name)
+
+    def export_graph(self, graph_name: str, path: str, fmt: str = "wire") -> None:
+        g = self.catalog.get(graph_name)
+        if fmt == "wire":
+            export_wire_jsonl(g, path)
+        else:
+            export_edge_list(g, path)

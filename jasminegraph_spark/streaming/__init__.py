@@ -9,3 +9,9 @@ from jasminegraph_spark.streaming.windows import (  # noqa: F401
     streaming_dedup,
     windowed_event_counts,
 )
+from jasminegraph_spark.streaming.partitioners import (  # noqa: F401
+    hash_partition,
+    ldg_partition,
+    fennel_partition,
+    edge_cut_fraction,
+)

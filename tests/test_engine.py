@@ -1,0 +1,61 @@
+"""End-to-end lifecycle through the JasmineEngine facade — the reference's
+frontend command sequence (integration_workflow_core.py shape): ingest →
+counts → analytics → cypher → write → export, against one engine."""
+
+import json
+
+import pytest
+
+from jasminegraph_spark.engine import JasmineEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    return JasmineEngine(spark, storage_path=str(tmp_path_factory.mktemp("store")))
+
+
+@pytest.fixture(scope="module")
+def ingested(engine, tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    lines = []
+    for t in range(4):  # 4 triangles
+        a, b, c = 10 * t, 10 * t + 1, 10 * t + 2
+        lines += [f"{a} {b}", f"{b} {c}", f"{a} {c}"]
+    (d / "g.dl").write_text("\n".join(lines) + "\n")
+    engine.add_graph("pg", str(d / "g.dl"))
+    return engine
+
+
+def test_core_workflow_counts_and_analytics(ingested):
+    # the reference's golden-triple workflow: ecnt, vcnt, trian, pgrnk
+    assert ingested.edge_count("pg") == 12
+    assert ingested.vertex_count("pg") == 12
+    assert ingested.triangle_count("pg") == 4
+    top = ingested.top_k_pagerank("pg", k=3, iterations=5).collect()
+    assert len(top) == 3
+    dd = {r["degree"]: r["n_nodes"] for r in ingested.degree_distribution("pg").collect()}
+    # per triangle a->b, b->c, a->c: in-degrees are b:1, c:2 (a has none)
+    assert dd == {1: 4, 2: 4}
+    assert ingested.connected_components("pg").select("component").distinct().count() == 4
+
+
+def test_cypher_and_rows_protocol(ingested):
+    out = ingested.cypher("pg", "MATCH (n) WHERE id(n) = '0' RETURN n")
+    rows = list(ingested.cypher_rows("pg", "MATCH (n) WHERE id(n) = '0' RETURN n"))
+    assert out.count() == 1 and len(rows) == 1
+    assert "partitionID" in json.loads(rows[0])["n"]
+    # perf catalog recorded the cypher latencies
+    assert ingested.perf.estimate("pg", "cypher") is not None
+
+
+def test_write_and_export_roundtrip(ingested, tmp_path):
+    stats = ingested.cypher_write(
+        "pg", "CREATE (x:Extra {id: 'x1', kind: 'probe'})"
+    )
+    assert stats["nodes_created"] == 1
+    assert ingested.vertex_count("pg") == 13  # snapshot refreshed
+    ingested.export_graph("pg", str(tmp_path / "wire"))
+    g2 = ingested.add_json_graph("pg2", str(tmp_path / "wire"))
+    assert g2.edges.count() == 12
+    ingested.remove_graph("pg2")
+    assert all(e["name"] != "pg2" for e in ingested.list_graphs())

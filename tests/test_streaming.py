@@ -155,3 +155,37 @@ def test_streaming_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     texts = sorted(r["text"] for r in out.collect())
     assert texts == ["alpha", "beta", "gamma"]  # second 'alpha' dropped
+
+
+def test_partitioners_quality_on_clustered_graph(spark):
+    """LDG and Fennel must beat HASH on edge-cut for a clustered graph
+    (4 cliques of 8 + a few cross edges), and every vertex must be
+    assigned to a valid partition with reasonable balance."""
+    import random
+
+    from jasminegraph_spark.streaming import (
+        edge_cut_fraction,
+        fennel_partition,
+        hash_partition,
+        ldg_partition,
+    )
+
+    rnd = random.Random(7)
+    edges = []
+    for c in range(4):
+        members = [c * 100 + i for i in range(8)]
+        edges += [(a, b) for i, a in enumerate(members) for b in members[i + 1 :]]
+    edges += [(rnd.randrange(8), 100 + rnd.randrange(8)) for _ in range(3)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+
+    cuts = {}
+    for name, fn in [("hash", hash_partition), ("ldg", ldg_partition), ("fennel", fennel_partition)]:
+        assign = fn(df, 4)
+        rows = assign.collect()
+        assert len(rows) == 32
+        assert all(0 <= r["pid"] < 4 for r in rows)
+        cuts[name] = edge_cut_fraction(df, assign)
+    # greedy partitioners keep cliques together; hash scatters them
+    assert cuts["ldg"] < cuts["hash"]
+    assert cuts["fennel"] < cuts["hash"]
+    assert cuts["ldg"] <= 0.2 and cuts["fennel"] <= 0.2
