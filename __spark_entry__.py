@@ -1435,6 +1435,32 @@ def cypher_unwind(spark, sf_dir):
 
 
 @_q(
+    "cypher_varlength_path",
+    TPCH_GRAPH_CTE
+    + """
+    , sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT DISTINCT x AS id FROM (
+        SELECT 'p:' || l_partkey AS x FROM sp WHERE l_suppkey = 1
+        UNION
+        SELECT 's:' || s2.l_suppkey
+        FROM sp s1 JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+        WHERE s1.l_suppkey = 1 AND s2.l_suppkey <> 1
+    )
+    """,
+)
+def cypher_varlength_path(spark, sf_dir):
+    """Variable-length pattern: everything within 1..2 SUPPLIES hops of
+    supplier 1 — parts it supplies plus co-suppliers (per-path edge
+    uniqueness excludes bouncing back on the same edge)."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (s:Supplier)-[:SUPPLIES*1..2]-(x) WHERE id(s) = 's:1' "
+        "RETURN DISTINCT id(x) AS id",
+    )
+
+
+@_q(
     "cypher_arithmetic",
     """
     SELECT 'c:' || c_custkey AS id, c_acctbal * 2.0 + 10.0 AS v

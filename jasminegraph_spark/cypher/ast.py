@@ -25,6 +25,8 @@ class RelPattern:
     types: list[str] = field(default_factory=list)
     direction: str = "both"  # 'out' | 'in' | 'both'
     props: dict = field(default_factory=dict)
+    min_hops: int | None = None  # variable-length: -[:T*min..max]-
+    max_hops: int | None = None
 
 
 @dataclass

@@ -67,6 +67,10 @@ class _Compiler:
 
         rels_in_path: list[str] = []
         for rel, node in zip(p.rels, p.nodes[1:]):
+            if rel.min_hops is not None:
+                df = self._expand_varlength(df, var, rel, node)
+                var = node.var
+                continue
             rvar = rel.var or self.fresh("r")
             rel.var = rvar
             nvar = node.var or self.fresh("n")
@@ -99,6 +103,53 @@ class _Compiler:
             self.rel_vars.add(rvar)
             var = nvar
         return df
+
+    def _expand_varlength(
+        self, df: DataFrame, from_var: str, rel: ast.RelPattern, node: ast.NodePattern
+    ) -> DataFrame:
+        """Variable-length expansion -[:T*min..max]- : the union of the
+        min..max fixed-hop chains, each with relationship uniqueness among
+        its own hops (Cypher path semantics). Bounded ranges only — each
+        hop is one more shuffle join; unbounded '*' defaults to 1..3.
+
+        The relationship variable cannot be bound across a variable-length
+        pattern (it would be a list); anonymous rels only."""
+        if rel.var is not None:
+            raise CypherCompileError(
+                "binding a variable-length relationship is not supported"
+            )
+        nvar = node.var or self.fresh("n")
+        node.var = nvar
+        rel_type = rel.types[0] if len(rel.types) == 1 else None
+        keep_cols = df.columns
+        branches = []
+        for h in range(rel.min_hops, rel.max_hops + 1):
+            branch = df
+            hop_rels: list[str] = []
+            cur = from_var
+            for i in range(h):
+                is_last = i == h - 1
+                hop_to = nvar if is_last else self.fresh("n")
+                hop_rel = self.fresh("r")
+                branch = ops.expand_all(
+                    branch,
+                    self.graph,
+                    from_var=cur,
+                    rel_var=hop_rel,
+                    to_var=hop_to,
+                    rel_type=rel_type,
+                    direction=rel.direction,
+                    unique_vs=hop_rels,
+                    to_labels=node.labels or None if is_last else None,
+                )
+                hop_rels.append(hop_rel)
+                cur = hop_to
+            branches.append(branch.select(*keep_cols, nvar))
+        out = branches[0]
+        for b in branches[1:]:
+            out = out.unionByName(b)
+        self.node_vars.add(nvar)
+        return self._apply_node_props(out, node)
 
     def _scan(self, node: ast.NodePattern) -> DataFrame:
         if len(node.labels) == 1:

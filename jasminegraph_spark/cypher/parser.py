@@ -309,18 +309,29 @@ class _Parser:
                 while self.accept("PUNCT", "|"):
                     self.accept("PUNCT", ":")
                     types.append(self.name())
+            min_hops = max_hops = None
+            if self.accept("PUNCT", "*"):
+                min_hops, max_hops = 1, 3  # bare '*' default bound
+                if self.peek()[0] == "NUMBER":
+                    min_hops = int(self.next()[1])
+                    max_hops = min_hops
+                    if self.accept("PUNCT", ".") and self.expect("PUNCT", "."):
+                        max_hops = int(self.expect("NUMBER"))
             props = self.parse_prop_map() if self.peek() == ("PUNCT", "{") else {}
             # closing: ']->' or ']-' (PUNCT ] then DASH)
             if self.accept("ARROW_OUT", "]->"):
                 if incoming:
                     raise CypherSyntaxError("<-[...]-> is not a valid relationship")
-                return RelPattern(var=var, types=types, direction="out", props=props)
+                return RelPattern(var=var, types=types, direction="out", props=props,
+                                  min_hops=min_hops, max_hops=max_hops)
             self.expect("PUNCT", "]")
             self.expect("DASH")
             if not incoming and self.accept("OP", ">"):
-                return RelPattern(var=var, types=types, direction="out", props=props)
+                return RelPattern(var=var, types=types, direction="out", props=props,
+                                  min_hops=min_hops, max_hops=max_hops)
             return RelPattern(
-                var=var, types=types, direction="in" if incoming else "both", props=props
+                var=var, types=types, direction="in" if incoming else "both", props=props,
+                min_hops=min_hops, max_hops=max_hops
             )
         if (k, v) == ("DASH", "-"):
             # bare '-' ... '-' undirected with no bracket, or '-('? Cypher

@@ -384,3 +384,20 @@ def test_reference_row_shape(social):
     obj = json.loads(rows_out[0])
     assert obj["n"]["name"] == "Eva"
     assert obj["n"]["partitionID"] in {"0", "1"}
+
+
+def test_variable_length_paths(social):
+    # ring of FRIENDS: 1 hop reaches {1, 9}; 2 hops reaches {2, 8} —
+    # per-path edge uniqueness blocks bouncing back to Alice on the
+    # same edge, so '0' is NOT reachable within 2 hops
+    out = cypher_query(
+        social,
+        "MATCH (a:Person {name:'Alice'})-[:FRIENDS*1..2]-(b) RETURN DISTINCT id(b) AS id",
+    )
+    assert sorted(r["id"] for r in out.collect()) == ["1", "2", "8", "9"]
+    # exact hop count: *2 only
+    out2 = cypher_query(
+        social,
+        "MATCH (a:Person {name:'Alice'})-[:FRIENDS*2]-(b) RETURN DISTINCT id(b) AS id",
+    )
+    assert sorted(r["id"] for r in out2.collect()) == ["2", "8"]
