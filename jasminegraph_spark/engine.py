@@ -89,6 +89,47 @@ class JasmineEngine:
         self.streams.register(name, query)
         return ingest, query
 
+    def add_stream_with_triangles(self, name: str, source_dir: str, checkpoint_dir: str):
+        """`adstrmk` + `strian`: ingest the edge stream AND maintain the
+        running triangle count incrementally per micro-batch (the
+        reference's streaming_partition/central_store state loop,
+        StreamingTriangleCountExecutor.cpp:636-706). Returns
+        (ingest, counter, query); counter.total is the live count."""
+        from pyspark.sql import functions as F
+
+        from jasminegraph_spark.sources.readers import EDGE_WIRE_SCHEMA
+        from jasminegraph_spark.streaming import StreamingTriangleCounter
+
+        if not self.storage_path:
+            raise ValueError("streaming ingest requires storage_path")
+        ingest = EdgeStreamIngest(self.spark, f"{self.storage_path}/{name}")
+        counter = StreamingTriangleCounter(
+            self.spark, f"{self.storage_path}/{name}__tri_state"
+        )
+
+        def batch_fn(batch_df, batch_id):
+            ingest._process_batch(batch_df, batch_id)
+            counter.process_batch(
+                batch_df.select(
+                    F.col("source.id").alias("src"), F.col("destination.id").alias("dst")
+                ),
+                batch_id,
+            )
+
+        stream = (
+            self.spark.readStream.schema(EDGE_WIRE_SCHEMA)
+            .option("maxFilesPerTrigger", 2)
+            .json(source_dir)
+        )
+        query = (
+            stream.writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        self.streams.register(name, query)
+        return ingest, counter, query
+
     def stop_stream(self, name: str) -> bool:
         return self.streams.stop(name)
 

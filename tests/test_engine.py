@@ -59,3 +59,34 @@ def test_write_and_export_roundtrip(ingested, tmp_path):
     assert g2.edges.count() == 12
     ingested.remove_graph("pg2")
     assert all(e["name"] != "pg2" for e in ingested.list_graphs())
+
+
+def test_streaming_triangles_command(engine, tmp_path):
+    """adstrmk + strian through the facade: stream triangle-closing edges,
+    running count must equal the batch recount of the ingested graph."""
+    from jasminegraph_spark.analytics import triangle_count
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    lines = []
+    for k in range(5):
+        a, b, c = 1000 + 3 * k, 1001 + 3 * k, 1002 + 3 * k
+        for s, d in ((a, b), (b, c), (c, a)):
+            lines.append(
+                json.dumps(
+                    {
+                        "source": {"id": str(s), "properties": {"label": "V"}},
+                        "destination": {"id": str(d), "properties": {"label": "V"}},
+                        "properties": {"type": "E"},
+                    }
+                )
+            )
+    (src / "b1.jsonl").write_text("\n".join(lines[:7]) + "\n")
+    (src / "b2.jsonl").write_text("\n".join(lines[7:]) + "\n")
+    ingest, counter, q = engine.add_stream_with_triangles(
+        "stream_g", str(src), str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+    assert counter.total == 5
+    assert counter.total == triangle_count(ingest.edges())
+    assert engine.stop_stream("stream_g") is False  # already finished
