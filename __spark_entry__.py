@@ -1203,6 +1203,33 @@ def pl_bpe_token_count(spark, sf_dir):
     )
 
 
+@_q(
+    "an_shortest_paths",
+    CO_ORDER_CTE
+    + """
+    , edges AS (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    r0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS d),
+    r1 AS (SELECT DISTINCT e.dst AS node, 1 AS d FROM edges e JOIN r0 ON e.src = r0.node),
+    r2 AS (SELECT DISTINCT e.dst AS node, 2 AS d FROM edges e JOIN r1 ON e.src = r1.node),
+    r3 AS (SELECT DISTINCT e.dst AS node, 3 AS d FROM edges e JOIN r2 ON e.src = r2.node),
+    reach AS (
+        SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    )
+    SELECT node, MIN(d) AS distance FROM reach GROUP BY node
+    """,
+)
+def an_shortest_paths(spark, sf_dir):
+    """Single-source BFS distances (≤3 hops) from part 1 on the co-order
+    graph; the oracle unrolls the frontier levels and takes min distance
+    (= first-visit BFS level)."""
+    from jasminegraph_spark.analytics import shortest_paths
+
+    return shortest_paths(co_order_edges(spark, sf_dir), 1, max_hops=3)
+
+
 @_q("an_connected_components")  # iterative fixpoint → rows-only check
 def an_connected_components(spark, sf_dir):
     """Weakly connected components (hash-min propagation) on the co-order

@@ -12,4 +12,5 @@ from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noq
 from jasminegraph_spark.analytics.components import (  # noqa: F401
     connected_components,
     k_core,
+    shortest_paths,
 )

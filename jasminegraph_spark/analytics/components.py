@@ -63,6 +63,42 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     return labels
 
 
+def shortest_paths(
+    edges: DataFrame, source, max_hops: int = 20, undirected: bool = True
+) -> DataFrame:
+    """Single-source BFS distances: (node, distance) for every node
+    reachable from ``source`` within ``max_hops``.
+
+    Frontier-expansion BFS: each round joins the (small) frontier against
+    adjacency and anti-joins the visited set — the frontier is typically
+    broadcast-size, so rounds cost one probe of the edge table, not a
+    full shuffle of it.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    visited = e.sparkSession.createDataFrame(
+        [(source, 0)], schema=e.select("src").withColumn("distance", F.lit(0)).schema
+    ).withColumnRenamed("src", "node")
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            F.broadcast(frontier.select("node"))
+            .join(e, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("distance", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     """The k-core: the maximal subgraph where every vertex has degree ≥ k.
     Returns the surviving edge list (a, b). Iterative peel: drop vertices

@@ -21,3 +21,21 @@ def test_k_core(spark):
     # 4-core is empty; 1-core keeps everything
     assert k_core(df, 4).count() == 0
     assert k_core(df, 1).count() == len(edges)
+
+
+def test_shortest_paths_bfs(spark):
+    # path 1-2-3-4-5 plus shortcut 1-4: distances from 1
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    from jasminegraph_spark.analytics import shortest_paths
+
+    got = {r["node"]: r["distance"] for r in shortest_paths(df, 1).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # unreachable nodes are absent; directed variant respects orientation
+    got_dir = {
+        r["node"]: r["distance"]
+        for r in shortest_paths(
+            spark.createDataFrame([(1, 2), (3, 1)], ["src", "dst"]), 1, undirected=False
+        ).collect()
+    }
+    assert got_dir == {1: 0, 2: 1}
