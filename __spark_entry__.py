@@ -1488,6 +1488,26 @@ def cypher_varlength_path(spark, sf_dir):
 
 
 @_q(
+    "cypher_exists_patterns",
+    """
+    SELECT 'p:' || p_partkey AS id FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_suppkey = 1)
+    """,
+)
+def cypher_exists_patterns(spark, sf_dir):
+    """EXISTS / NOT EXISTS pattern predicates → semi/anti joins: parts
+    that are ordered but not supplied by supplier 1."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (p:Part) WHERE exists((p)<-[:CONTAINS]-(o)) "
+        "AND NOT exists((p)<-[:SUPPLIES]-(s:Supplier {name: 'Supplier#000000001'})) "
+        "RETURN id(p) AS id",
+    )
+
+
+@_q(
     "cypher_arithmetic",
     """
     SELECT 'c:' || c_custkey AS id, c_acctbal * 2.0 + 10.0 AS v

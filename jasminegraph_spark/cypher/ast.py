@@ -88,6 +88,15 @@ class Comparison:
 
 
 @dataclass
+class ExistsPattern:
+    """EXISTS((n)-[:T]->(m)) pattern predicate — compiles to a semi-join
+    (anti-join under NOT) against the bound anchor variable."""
+
+    pattern: object = None  # PathPattern
+    negated: bool = False
+
+
+@dataclass
 class NullCheck:
     expr: object
     is_null: bool

@@ -298,6 +298,53 @@ class _Compiler:
             raise CypherCompileError("aggregate outside aggregation context")
         return self.expr(e)
 
+    # ---------------- EXISTS pattern predicates ----------------
+    def split_exists(self, where):
+        """Split a WHERE tree into (exists-pattern conjuncts, residual
+        column predicate). EXISTS is supported as a top-level conjunct
+        (optionally NOT-wrapped) — the common Cypher shape."""
+        exists_parts: list[ast.ExistsPattern] = []
+
+        def walk(e):
+            if isinstance(e, ast.ExistsPattern):
+                exists_parts.append(e)
+                return None
+            if isinstance(e, ast.BoolExpr) and e.op == "NOT" and len(e.operands) == 1 and isinstance(
+                e.operands[0], ast.ExistsPattern
+            ):
+                inner = e.operands[0]
+                exists_parts.append(ast.ExistsPattern(pattern=inner.pattern, negated=True))
+                return None
+            if isinstance(e, ast.BoolExpr) and e.op == "AND":
+                kept = [w for w in (walk(o) for o in e.operands) if w is not None]
+                if not kept:
+                    return None
+                return kept[0] if len(kept) == 1 else ast.BoolExpr("AND", kept)
+            return e
+
+        residual = walk(where)
+        return exists_parts, residual
+
+    def apply_exists(self, df: DataFrame, ep: "ast.ExistsPattern") -> DataFrame:
+        """Semi/anti-join the bound rows against the EXISTS subpattern,
+        anchored at its (already-bound) first variable."""
+        anchor = ep.pattern.nodes[0].var
+        if anchor is None or anchor not in self.node_vars:
+            raise CypherCompileError("EXISTS pattern must start at a bound variable")
+        start = (
+            df.select(F.col(anchor))
+            .withColumn("__aid", F.col(f"{anchor}.id"))
+            .dropDuplicates(["__aid"])
+            .drop("__aid")
+        )
+        # compile in a scratch scope so subpattern vars don't leak
+        saved_nodes, saved_rels = set(self.node_vars), set(self.rel_vars)
+        sub = self.compile_pattern(ep.pattern, start)
+        self.node_vars, self.rel_vars = saved_nodes, saved_rels
+        keys = sub.select(F.col(f"{anchor}.id").alias("__aid")).distinct()
+        how = "left_anti" if ep.negated else "left_semi"
+        return df.join(keys, F.col(f"{anchor}.id") == F.col("__aid"), how)
+
     # ---------------- OPTIONAL MATCH ----------------
     def compile_optional(self, df: DataFrame, clause: "ast.MatchClause") -> DataFrame:
         """OPTIONAL MATCH: compile the pattern (+ its WHERE) as an *inner*
@@ -487,7 +534,11 @@ def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
                 for r2 in new_rels[i + 1 :]:
                     df = df.filter(F.col(f"{r1}.id") != F.col(f"{r2}.id"))
             if clause.where is not None:
-                df = ops.filter_rows(df, comp.predicate(clause.where))
+                exists_parts, residual = comp.split_exists(clause.where)
+                for ep in exists_parts:
+                    df = comp.apply_exists(df, ep)
+                if residual is not None:
+                    df = ops.filter_rows(df, comp.predicate(residual))
         elif isinstance(clause, ast.WithClause):
             df = comp.apply_with(df, clause)
         elif isinstance(clause, ast.UnwindClause):

@@ -370,6 +370,15 @@ class _Parser:
         return self.parse_comparison()
 
     def parse_comparison(self):
+        from jasminegraph_spark.cypher.ast import ExistsPattern
+
+        k, v = self.peek()
+        if k == "WORD" and v.lower() == "exists" and self.peek(1) == ("PUNCT", "("):
+            self.next()
+            self.expect("PUNCT", "(")
+            pat = self.parse_path()
+            self.expect("PUNCT", ")")
+            return ExistsPattern(pattern=pat)
         if self.accept("PUNCT", "("):
             inner = self.parse_or()
             self.expect("PUNCT", ")")

@@ -401,3 +401,24 @@ def test_variable_length_paths(social):
         "MATCH (a:Person {name:'Alice'})-[:FRIENDS*2]-(b) RETURN DISTINCT id(b) AS id",
     )
     assert sorted(r["id"] for r in out2.collect()) == ["2", "8"]
+
+
+def test_exists_pattern_predicate(social):
+    # Persons with an age-bearing friend (EXISTS) vs without (NOT EXISTS)
+    has = cypher_query(
+        social,
+        "MATCH (n:Person) WHERE exists((n)-[:FRIENDS]-(m)) RETURN id(n) AS id",
+    )
+    assert has.count() == 10  # ring: everyone has friends
+    none = cypher_query(
+        social,
+        "MATCH (n:Person) WHERE NOT exists((n)-[:WORKS_AT]-(x)) AND n.name <> 'Zzz' "
+        "RETURN id(n) AS id",
+    )
+    assert none.count() == 0  # everyone works somewhere
+    mixed = cypher_query(
+        social,
+        "MATCH (n) WHERE NOT exists((n)-[:FRIENDS]-(m)) RETURN id(n) AS id",
+    )
+    # Locations have no FRIENDS edges
+    assert sorted(int(r["id"]) for r in mixed.collect()) == list(range(10, 20))
