@@ -1508,6 +1508,26 @@ def cypher_exists_patterns(spark, sf_dir):
 
 
 @_q(
+    "cypher_case_expression",
+    """
+    SELECT 'c:' || c_custkey AS id,
+           CASE WHEN c_acctbal > 5000.0 THEN 'high'
+                WHEN c_acctbal > 0.0 THEN 'mid'
+                ELSE 'neg' END AS tier
+    FROM customer
+    """,
+)
+def cypher_case_expression(spark, sf_dir):
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer) RETURN id(c) AS id, "
+        "CASE WHEN c.acctbal > 5000.0 THEN 'high' "
+        "WHEN c.acctbal > 0.0 THEN 'mid' ELSE 'neg' END AS tier",
+    )
+
+
+@_q(
     "cypher_arithmetic",
     """
     SELECT 'c:' || c_custkey AS id, c_acctbal * 2.0 + 10.0 AS v

@@ -71,6 +71,14 @@ class Literal:
 
 
 @dataclass
+class CaseExpr:
+    """Generic CASE WHEN <pred> THEN <val> ... [ELSE <val>] END."""
+
+    whens: list = field(default_factory=list)  # [(predicate, value)]
+    else_: object = None
+
+
+@dataclass
 class BinaryOp:
     """Arithmetic: + - * / % (grammar-recognized but unplanned in the
     reference — QueryPlanner TODO branches; live here)."""

@@ -177,6 +177,13 @@ class _Compiler:
             return F.col(e.var)
         if isinstance(e, ast.Literal):
             return F.lit(e.value)
+        if isinstance(e, ast.CaseExpr):
+            out = F.when(self.predicate(e.whens[0][0]), self.expr(e.whens[0][1]))
+            for pred, val in e.whens[1:]:
+                out = out.when(self.predicate(pred), self.expr(val))
+            if e.else_ is not None:
+                out = out.otherwise(self.expr(e.else_))
+            return out
         if isinstance(e, ast.BinaryOp):
             l, r = self.expr(e.left), self.expr(e.right)
             # string-stored numeric properties: Spark's implicit

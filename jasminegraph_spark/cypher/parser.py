@@ -53,7 +53,7 @@ _KEYWORDS = {
     "MATCH", "CREATE", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
-    "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE",
+    "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -442,6 +442,20 @@ class _Parser:
                 return left
 
     def parse_primary(self):
+        if self.accept("KW", "CASE"):
+            from jasminegraph_spark.cypher.ast import CaseExpr
+
+            ce = CaseExpr()
+            while self.accept("KW", "WHEN"):
+                pred = self.parse_or()
+                self.expect("KW", "THEN")
+                ce.whens.append((pred, self.parse_value()))
+            if self.accept("KW", "ELSE"):
+                ce.else_ = self.parse_value()
+            self.expect("KW", "END")
+            if not ce.whens:
+                raise CypherSyntaxError("CASE requires at least one WHEN")
+            return ce
         if self.accept("PUNCT", "("):
             inner = self.parse_value()
             self.expect("PUNCT", ")")

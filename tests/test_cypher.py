@@ -422,3 +422,18 @@ def test_exists_pattern_predicate(social):
     )
     # Locations have no FRIENDS edges
     assert sorted(int(r["id"]) for r in mixed.collect()) == list(range(10, 20))
+
+
+def test_case_expression(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) RETURN n.name AS name, "
+            "CASE WHEN n.occupation = 'Teacher' THEN 'T' "
+            "WHEN n.occupation = 'Artist' THEN 'A' ELSE 'X' END AS code "
+            "ORDER BY name ASC LIMIT 4",
+        )
+    )
+    assert [(r["name"], r["code"]) for r in out] == [
+        ("Alice", "T"), ("Bob", "A"), ("Carol", "T"), ("Dave", "A"),
+    ]
