@@ -1,0 +1,118 @@
+"""Command-line frontend mirroring the reference's telnet commands.
+
+The reference is driven over a socket with commands like `adgr`, `cypher`,
+`trian`, `pgrnk`, `vcnt` (src/frontend/JasmineGraphFrontEnd.cpp:230-346).
+This CLI exposes the same verbs against a local storage directory:
+
+    python -m jasminegraph_spark --store /tmp/graphs adgr mygraph edges.dl
+    python -m jasminegraph_spark --store /tmp/graphs cypher mygraph \\
+        "MATCH (n) RETURN id(n) AS id LIMIT 5"
+    python -m jasminegraph_spark --store /tmp/graphs trian mygraph
+    python -m jasminegraph_spark --store /tmp/graphs pgrnk mygraph --top 5
+    python -m jasminegraph_spark --store /tmp/graphs vcnt mygraph
+
+Output is JSON lines (the reference streams JSON rows to the client).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jasminegraph_spark")
+    ap.add_argument("--store", required=True, help="graph storage directory")
+    ap.add_argument("--cpus", default="4")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("adgr");        p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("adrdf");       p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("adjson");      p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("cypher");      p.add_argument("name"); p.add_argument("query")
+    p = sub.add_parser("cypher-write"); p.add_argument("name"); p.add_argument("query")
+    p = sub.add_parser("trian");       p.add_argument("name")
+    p = sub.add_parser("pgrnk");       p.add_argument("name"); p.add_argument("--alpha", type=float, default=0.85); p.add_argument("--iters", type=int, default=10); p.add_argument("--top", type=int, default=10)
+    p = sub.add_parser("idegree");     p.add_argument("name")
+    p = sub.add_parser("odegree");     p.add_argument("name")
+    p = sub.add_parser("egonet");      p.add_argument("name"); p.add_argument("vertex")
+    p = sub.add_parser("vcnt");        p.add_argument("name")
+    p = sub.add_parser("ecnt");        p.add_argument("name")
+    sub.add_parser("lst")
+    p = sub.add_parser("rmgr");        p.add_argument("name")
+    p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path")
+    args = ap.parse_args(argv)
+
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", args.cpus)
+    from jasminegraph_spark.engine import JasmineEngine
+    from jasminegraph_spark.session import get_spark
+
+    spark = get_spark("jasminegraph-cli")
+    eng = JasmineEngine(spark, storage_path=args.store)
+
+    # re-attach graphs already persisted in the store
+    if os.path.isdir(args.store):
+        for name in os.listdir(args.store):
+            if name.startswith("_") or name == getattr(args, "name", None) and args.cmd in (
+                "adgr", "adrdf", "adjson"
+            ):
+                continue
+            if os.path.isdir(os.path.join(args.store, name, "nodes")):
+                try:
+                    eng.catalog.load(name, args.store, is_directed=False)
+                except Exception:
+                    pass
+
+    def emit(obj):
+        print(json.dumps(obj, default=str))
+
+    if args.cmd == "adgr":
+        g = eng.add_graph(args.name, args.path)
+        emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
+    elif args.cmd == "adrdf":
+        g = eng.add_rdf_graph(args.name, args.path)
+        emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
+    elif args.cmd == "adjson":
+        g = eng.add_json_graph(args.name, args.path)
+        emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
+    elif args.cmd == "cypher":
+        for row in eng.cypher_rows(args.name, args.query):
+            print(row)
+    elif args.cmd == "cypher-write":
+        emit(eng.cypher_write(args.name, args.query))
+    elif args.cmd == "trian":
+        emit({"triangles": eng.triangle_count(args.name)})
+    elif args.cmd == "pgrnk":
+        rows = eng.top_k_pagerank(
+            args.name, k=args.top, alpha=args.alpha, iterations=args.iters
+        ).collect()
+        for r in rows:
+            emit({"node": r["node"], "rank": r["rank"]})
+    elif args.cmd in ("idegree", "odegree"):
+        direction = "in" if args.cmd == "idegree" else "out"
+        for r in eng.degree_distribution(args.name, direction).collect():
+            emit({"degree": r["degree"], "n_nodes": r["n_nodes"]})
+    elif args.cmd == "egonet":
+        for r in eng.egonet(args.name, args.vertex).collect():
+            emit({"a": r["a"], "b": r["b"]})
+    elif args.cmd == "vcnt":
+        emit({"vertices": eng.vertex_count(args.name)})
+    elif args.cmd == "ecnt":
+        emit({"edges": eng.edge_count(args.name)})
+    elif args.cmd == "lst":
+        for entry in eng.list_graphs():
+            emit(entry)
+    elif args.cmd == "rmgr":
+        eng.remove_graph(args.name)
+        emit({"removed": args.name})
+    elif args.cmd == "sdhdfs":
+        eng.export_graph(args.name, args.path)
+        emit({"exported": args.name, "path": args.path})
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,21 +35,8 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """n-gram/stopword-marker language ID: count marker hits per language,
     argmax with deterministic tie-break on language code. Returns
     (doc_id, lang_pred, score)."""
-    scores = F.array(
-        *[
-            F.struct(
-                F.regexp_count(F.col(text_col), F.lit(rx)).alias("score"),
-                # negate lexicographic order so array_max prefers the
-                # alphabetically-first language on score ties... instead
-                # keep (score, reverse-rank) explicit below
-                F.lit(lang).alias("lang"),
-            )
-            for lang, rx in sorted(LANG_MARKERS.items())
-        ]
-    )
-    # array_max on struct compares field-by-field: score, then lang string;
-    # to make ties pick the alphabetically FIRST lang deterministically we
-    # order by (score, -index) — encode index explicitly.
+    # array_max on struct compares field-by-field; ordering by
+    # (score, -index) makes ties pick the alphabetically FIRST language
     indexed = F.array(
         *[
             F.struct(

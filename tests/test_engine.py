@@ -90,3 +90,26 @@ def test_streaming_triangles_command(engine, tmp_path):
     assert counter.total == 5
     assert counter.total == triangle_count(ingest.edges())
     assert engine.stop_stream("stream_g") is False  # already finished
+
+
+def test_cli_subprocess_roundtrip(tmp_path):
+    """The __main__ CLI as a real subprocess: adgr → trian → vcnt."""
+    import subprocess
+    import sys
+
+    (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    assert run("adgr", "cg", str(tmp_path / "g.dl")) == {
+        "added": "cg", "vertices": 3, "edges": 3,
+    }
+    assert run("trian", "cg") == {"triangles": 1}
+    assert run("vcnt", "cg") == {"vertices": 3}
