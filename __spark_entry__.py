@@ -1230,23 +1230,76 @@ def an_shortest_paths(spark, sf_dir):
     return shortest_paths(co_order_edges(spark, sf_dir), 1, max_hops=3)
 
 
-@_q("an_connected_components")  # iterative fixpoint → rows-only check
+def _cc_oracle(iterations: int = 20) -> str:
+    """Hash-min label propagation unrolled as chained CTEs. The DataFrame
+    job runs the identical recurrence for the identical round budget (it
+    may break early *at the fixpoint*, where further SQL rounds are
+    no-ops), so the unroll is exact without a convergence assumption."""
+    # min over (self ∪ neighbors) ≡ least(own, min over neighbors); the
+    # self-loop keeps each round a SINGLE reference to the previous CTE —
+    # DuckDB inlines CTEs, so a double reference would expand 2^rounds ways.
+    sql = CO_ORDER_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+        UNION ALL SELECT DISTINCT src, src FROM co_edges
+        UNION ALL SELECT DISTINCT dst, dst FROM co_edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS component FROM adj)
+    """
+    for i in range(iterations):
+        sql += f"""
+    , l{i + 1} AS (
+        SELECT a.u AS node, MIN(l.component) AS component
+        FROM adj a JOIN l{i} l ON l.node = a.v GROUP BY a.u
+    )"""
+    sql += f"\n    SELECT node, component FROM l{iterations}"
+    return sql
+
+
+@_q("an_connected_components", _cc_oracle(20))
 def an_connected_components(spark, sf_dir):
     """Weakly connected components (hash-min propagation) on the co-order
-    graph. Fixpoint iteration — not SQL-expressible in DuckDB (recursive
-    CTEs forbid the aggregate), so rows-only."""
+    graph. Oracle = the same recurrence unrolled for the same 20-round
+    budget (early break only happens at the fixpoint, where extra SQL
+    rounds are identity)."""
     from jasminegraph_spark.analytics import connected_components
 
-    return connected_components(co_order_edges(spark, sf_dir))
+    return connected_components(co_order_edges(spark, sf_dir), max_iterations=20)
 
 
-@_q("an_k_core")  # iterative peel → rows-only check
+def _kcore_oracle(k: int = 8, iterations: int = 30) -> str:
+    """Iterative min-degree peel unrolled as chained CTEs (same round
+    budget as the DataFrame job — post-fixpoint rounds are identity)."""
+    # every c{i}/k{i} is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3× — inlining would blow up 3^rounds.
+    sql = CO_ORDER_CTE + """
+    , c0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM co_edges)
+    """
+    for i in range(iterations):
+        sql += f"""
+    , k{i + 1} AS MATERIALIZED (
+        SELECT v FROM (
+            SELECT a AS v FROM c{i} UNION ALL SELECT b FROM c{i}
+        ) GROUP BY v HAVING COUNT(*) >= {k}
+    ),
+    c{i + 1} AS MATERIALIZED (
+        SELECT a, b FROM c{i}
+        WHERE a IN (SELECT v FROM k{i + 1})
+          AND b IN (SELECT v FROM k{i + 1})
+    )"""
+    sql += f"\n    SELECT a, b FROM c{iterations}"
+    return sql
+
+
+@_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
-    """k-core decomposition (k=8) of the co-order graph — the reference
-    declares `kcore` in its protocol but never dispatches it; live here."""
+    """k-core decomposition (k=80) of the co-order graph — the reference
+    declares `kcore` in its protocol but never dispatches it; live here.
+    Oracle = the peel unrolled for the same 30-round budget."""
     from jasminegraph_spark.analytics import k_core
 
-    return k_core(co_order_edges(spark, sf_dir), k=8)
+    return k_core(co_order_edges(spark, sf_dir), k=80, max_iterations=30)
 
 
 @_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
