@@ -1302,6 +1302,80 @@ def an_k_core(spark, sf_dir):
     return k_core(co_order_edges(spark, sf_dir), k=80, max_iterations=30)
 
 
+@_q(
+    "an_link_prediction",
+    CO_ORDER_CTE
+    + """
+    , adj AS MATERIALIZED (
+        SELECT src AS v, dst AS w FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+    ),
+    deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+    pairs AS (
+        SELECT l.w AS a, r.w AS b, COUNT(*) AS common_neighbors
+        FROM adj l JOIN adj r ON l.v = r.v AND l.w < r.w
+        GROUP BY l.w, r.w
+        HAVING COUNT(*) >= 2
+    ),
+    cand AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM co_edges e WHERE e.src = p.a AND e.dst = p.b
+        )
+    )
+    SELECT c.a, c.b, c.common_neighbors,
+           CAST(c.common_neighbors AS DOUBLE)
+             / (da.deg + db.deg - c.common_neighbors) AS jaccard
+    FROM cand c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b
+    ORDER BY jaccard DESC, c.a, c.b LIMIT 50
+    """,
+)
+def an_link_prediction(spark, sf_dir):
+    """Reference `train`/`predict`/`merge` (FrontEnd.cpp:321,333,319 —
+    federated GraphSAGE link prediction): the deterministic topological
+    predictor — top-50 non-adjacent pairs by neighborhood Jaccard.
+    Integer-quotient score → compared unrounded."""
+    from jasminegraph_spark.analytics import link_prediction
+
+    return link_prediction(co_order_edges(spark, sf_dir), top_k=50, min_common=2)
+
+
+@_q(
+    "pl_kg_triples",
+    """
+    SELECT s, p, o, weight, n_docs FROM (
+        SELECT s, p, o, COUNT(*) AS weight, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (
+            SELECT doc_id,
+                   split_part(t, ' ', 1) AS s,
+                   split_part(t, ' ', 2) AS p,
+                   split_part(t, ' ', 3) AS o
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[a-z]+ [a-z]+ [a-z]+')) AS t
+                FROM documents
+            )
+        )
+        GROUP BY s, p, o
+    )
+    WHERE weight >= 2
+    ORDER BY weight DESC, s, p, o LIMIT 100
+    """,
+)
+def pl_kg_triples(spark, sf_dir):
+    """Reference `constructkg` (FrontEnd.cpp:270, Pipeline.cpp): documents
+    → tuple extraction → weighted triple table. Deterministic regex
+    extractor stands in for the LLM streamers (pipeline/kg.py); top-100
+    triples by evidence weight."""
+    docs = _read(spark, sf_dir, "documents")
+    w = pl.triple_weights(pl.extract_triples(docs))
+    return (
+        w.filter(F.col("weight") >= 2)
+        .orderBy(F.desc("weight"), "s", "p", "o")
+        .limit(100)
+    )
+
+
 @_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
 def an_semantic_beam_search(spark, sf_dir):
     """Reference GenAI surface: multi-hop beam search guided by embedding

@@ -19,6 +19,8 @@ run every command they run today against Spark:
 | egonet                   | egonet                       |
 | vcnt / ecnt / lst / rmgr | vertex_count / edge_count / list_graphs / remove_graph |
 | sdhdfs                   | export_graph                 |
+| train / predict / merge  | predict_links                |
+| constructkg              | construct_kg                 |
 """
 
 from __future__ import annotations
@@ -194,6 +196,25 @@ class JasmineEngine:
 
     def connected_components(self, graph_name: str) -> DataFrame:
         return an.connected_components(self.catalog.get(graph_name).edges)
+
+    def predict_links(self, graph_name: str, top_k: int = 50, **kw) -> DataFrame:
+        """Reference `train`/`predict` surface (FrontEnd.cpp:321,333):
+        link prediction. The federated-GraphSAGE trainer is replaced by the
+        deterministic topological predictor (analytics.linkpred) — the
+        "model" is the scored candidate-pair DataFrame itself, so `merge`
+        (model merging across workers) is subsumed by the shuffle."""
+        from jasminegraph_spark.analytics.linkpred import link_prediction
+
+        return link_prediction(self.catalog.get(graph_name).edges, top_k=top_k, **kw)
+
+    def construct_kg(self, name: str, documents: DataFrame) -> PropertyGraph:
+        """Reference `constructkg` (FrontEnd.cpp:270): documents → triple
+        extraction → property graph, registered in the catalog."""
+        from jasminegraph_spark.pipeline.kg import construct_knowledge_graph
+
+        nodes, edges = construct_knowledge_graph(documents)
+        g = PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name=name)
+        return self._register(g)
 
     def k_core(self, graph_name: str, k: int) -> DataFrame:
         return an.k_core(self.catalog.get(graph_name).edges, k)

@@ -13,6 +13,11 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     ivf_assign,
     ivf_ann,
 )
+from jasminegraph_spark.pipeline.kg import (  # noqa: F401
+    construct_knowledge_graph,
+    extract_triples,
+    triple_weights,
+)
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,
     language_id,

@@ -1,0 +1,92 @@
+"""Knowledge-graph construction from documents (reference `constructkg`).
+
+The reference pipes HDFS documents through chunking, LLM tuple extraction
+(Ollama/vLLM runners) and streams the resulting (subject, predicate,
+object) triples into graph partitions
+(`knowledgegraph/construction/Pipeline.cpp`, `Prompt.h`,
+`OllamaTupleStreamer.cpp` — FrontEnd.cpp:270). The Spark shape of that
+pipeline is: documents → per-chunk extraction (a mapInPandas/regexp
+stage) → explode triples → aggregate into a weighted triple table →
+project nodes/edges DataFrames.
+
+The LLM call itself is an external service; here the extractor is
+pluggable. The default is a deterministic regex tuple extractor (greedy
+non-overlapping token triples) so the whole pipeline is testable and
+oracle-checkable; `llm_extractor` shows the real-call seam and raises
+until an endpoint is wired in.
+
+Scale notes: extraction is embarrassingly parallel over documents (no
+shuffle until the triple aggregation); the aggregation is one partial-
+aggregated groupBy on (s, p, o). Node/edge projection reuses the
+aggregated triples — at 100 TB the only wide exchange is the triple
+groupBy, keyed on the triple itself (no hot keys beyond stopword-ish
+tokens, which AQE skew-split handles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# greedy, non-overlapping, left-to-right — identical semantics in Java
+# regex (Spark) and RE2 (DuckDB), which the oracle relies on
+TRIPLE_PATTERN = r"[a-z]+ [a-z]+ [a-z]+"
+
+
+def extract_triples(documents: DataFrame, pattern: str = TRIPLE_PATTERN) -> DataFrame:
+    """(doc_id, s, p, o) — one row per extracted tuple, document order."""
+    matches = documents.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(pattern), F.lit(0))).alias(
+            "t"
+        ),
+    )
+    tok = F.split(F.col("t"), " ")
+    return matches.select(
+        "doc_id",
+        tok.getItem(0).alias("s"),
+        tok.getItem(1).alias("p"),
+        tok.getItem(2).alias("o"),
+    )
+
+
+def triple_weights(triples: DataFrame) -> DataFrame:
+    """Aggregate extracted tuples into a weighted triple table
+    (s, p, o, weight, n_docs) — the KG edge list with evidence counts."""
+    return triples.groupBy("s", "p", "o").agg(
+        F.count("*").alias("weight"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def construct_knowledge_graph(documents: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Full `constructkg` pipeline: documents → (nodes, edges) DataFrames.
+
+    nodes: (id,) distinct subjects ∪ objects; edges: (src, dst, type,
+    weight) with type = predicate — the property-graph the reference
+    streams into its partitions."""
+    w = triple_weights(extract_triples(documents))
+    edges = w.select(
+        F.col("s").alias("src"),
+        F.col("o").alias("dst"),
+        F.col("p").alias("type"),
+        "weight",
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst")))
+        .distinct()
+    )
+    return nodes, edges
+
+
+def llm_extractor(documents: DataFrame, endpoint: str) -> DataFrame:
+    """Seam for the reference's Ollama/vLLM tuple streamers: a mapInPandas
+    stage that batches chunk texts to an LLM endpoint and yields the same
+    (doc_id, s, p, o) schema as :func:`extract_triples`. No LLM runtime in
+    this environment — deliberately unimplemented."""
+    raise NotImplementedError(
+        "LLM tuple extraction requires an external endpoint "
+        "(reference: OllamaTupleStreamer.cpp / VLLMTupleStreamer.cpp); "
+        "use extract_triples() for the deterministic path"
+    )

@@ -1,0 +1,92 @@
+"""Link prediction (train/predict/merge surface) and constructkg pipeline."""
+
+import pytest
+
+from jasminegraph_spark.analytics import link_prediction
+from jasminegraph_spark.pipeline import (
+    construct_knowledge_graph,
+    extract_triples,
+    triple_weights,
+)
+from jasminegraph_spark.pipeline.kg import llm_extractor
+
+
+def test_link_prediction_known_graph(spark):
+    # star around 0 with leaves 1..4, plus edge 1-2. Non-adjacent pairs
+    # sharing ≥2 neighbors: (3,4) via {0}? no — only one common neighbor;
+    # use two hubs: 0 and 9 both connected to 1..4
+    edges = [(0, i) for i in range(1, 5)] + [(9, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = link_prediction(df, top_k=100, min_common=2).collect()
+    pairs = {(r["a"], r["b"]): (r["common_neighbors"], r["jaccard"]) for r in got}
+    # leaves i<j share exactly {0, 9}; deg(leaf)=2 → jaccard = 2/(2+2-2)=1.0
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            assert pairs[(i, j)] == (2, 1.0)
+    # hubs 0,9 share neighbors 1..4; deg=4 → 4/(4+4-4)=1.0
+    assert pairs[(0, 9)] == (4, 1.0)
+    assert len(pairs) == 7
+    # existing edges are never predicted
+    assert (0, 1) not in pairs
+
+
+def test_link_prediction_center_degree_cap(spark):
+    # capping out the shared hub removes all its wedges
+    edges = [(0, i) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    assert link_prediction(df, top_k=10, min_common=1).count() == 6  # C(4,2)
+    assert (
+        link_prediction(df, top_k=10, min_common=1, max_center_degree=3).count() == 0
+    )
+
+
+def test_extract_triples_and_weights(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c d"), (2, "a b c")], ["doc_id", "text"]
+    )
+    trips = extract_triples(docs).collect()
+    # greedy non-overlapping: doc1 → (a,b,c),(a,b,c) [d is a leftover], doc2 → (a,b,c)
+    assert sorted((r.doc_id, r.s, r.p, r.o) for r in trips) == [
+        (1, "a", "b", "c"),
+        (1, "a", "b", "c"),
+        (2, "a", "b", "c"),
+    ]
+    w = triple_weights(extract_triples(docs)).collect()
+    assert [(r.s, r.p, r.o, r.weight, r.n_docs) for r in w] == [("a", "b", "c", 3, 2)]
+
+
+def test_construct_kg_registers_graph(spark, tmp_path):
+    from jasminegraph_spark.engine import JasmineEngine
+
+    docs = spark.createDataFrame(
+        [(1, "x likes y while y hates z"), (2, "x likes y")], ["doc_id", "text"]
+    )
+    eng = JasmineEngine(spark)
+    g = eng.construct_kg("kg", docs)
+    edges = {(r.src, r.type, r.dst, r.weight) for r in g.edges.collect()}
+    assert ("x", "likes", "y", 2) in edges
+    # greedy triples: (x,likes,y) ×2 and (while,y,hates); z is a leftover
+    # tail token — nodes = subjects ∪ objects = {x, y, while, hates}
+    assert g.nodes.count() == len({"x", "y", "while", "hates"})
+    assert eng.vertex_count("kg") == g.nodes.count()
+
+
+def test_engine_predict_links(spark):
+    from jasminegraph_spark.engine import JasmineEngine
+    from jasminegraph_spark.graph import PropertyGraph
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 4)] + [(9, i) for i in range(1, 4)], ["src", "dst"]
+    )
+    nodes = edges.select("src").union(edges.select("dst")).distinct().toDF("id")
+    eng = JasmineEngine(spark)
+    eng.catalog.register(PropertyGraph(nodes=nodes, edges=edges, name="g"))
+    top = eng.predict_links("g", top_k=3)
+    assert top.count() == 3
+    assert top.columns == ["a", "b", "common_neighbors", "jaccard"]
+
+
+def test_llm_extractor_is_gated(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        llm_extractor(docs, "http://localhost:11434")
