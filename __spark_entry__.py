@@ -1661,6 +1661,7 @@ def cypher_case_expression(spark, sf_dir):
     FROM customer WHERE c_acctbal * 2.0 + 10.0 > 15000.0
     """,
 )
+
 def cypher_arithmetic(spark, sf_dir):
     """Arithmetic in WHERE and RETURN — grammar-recognized but unplanned
     in the reference. Per-row products are IEEE-deterministic, so raw
@@ -1676,6 +1677,56 @@ def cypher_arithmetic(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
+
+
+def cypher_list_predicates(spark, sf_dir):
+    """ANY/ALL/SINGLE list predicates (grammar surface the reference AST
+    recognizes but never plans — SURVEY §2.1) compiled to Spark
+    higher-order functions exists/forall on the collected list."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.name AS name, collect(o.totalprice) AS totals "
+        "WHERE all(t IN totals WHERE t > 60000.0) "
+        "AND any(t IN totals WHERE t > 150000.0) "
+        "AND NOT single(t IN totals WHERE t > 0.0) "
+        "RETURN name ORDER BY name",
+    )
+
+
+def cypher_list_comprehension(spark, sf_dir):
+    """[x IN list WHERE p | m] comprehension → filter+transform (JVM-side
+    HOFs), exploded back to rows by UNWIND."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.name AS name, collect(o.totalprice) AS totals "
+        "UNWIND [t IN totals WHERE t > 200000.0 | t / 1000.0] AS big_k "
+        "RETURN name, count(big_k) AS n_big, max(big_k) AS max_big_k "
+        "ORDER BY name",
+    )
+
+
+_QUERIES["cypher_list_predicates"] = cypher_list_predicates
+_ORACLES["cypher_list_predicates"] = """
+    SELECT c_name AS name
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_name
+    HAVING MIN(o_totalprice) > 60000 AND MAX(o_totalprice) > 150000
+       AND COUNT(*) <> 1
+    ORDER BY name
+"""
+_QUERIES["cypher_list_comprehension"] = cypher_list_comprehension
+_ORACLES["cypher_list_comprehension"] = """
+    SELECT c_name AS name, COUNT(*) AS n_big,
+           MAX(o_totalprice / 1000.0) AS max_big_k
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE o_totalprice > 200000.0
+    GROUP BY c_name
+    ORDER BY name
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -123,6 +123,28 @@ class Aggregate:
     distinct: bool = False
 
 
+@dataclass
+class ListPredicate:
+    """ANY/ALL/NONE/SINGLE (x IN list WHERE pred) — the grammar's list
+    predicates (reference AST recognizes them, planner never did —
+    SURVEY §2.1 'unimplemented surface')."""
+
+    func: str  # any all none single
+    var: str
+    list_expr: object
+    where: object
+
+
+@dataclass
+class ListComprehension:
+    """[x IN list WHERE pred | map] — filter and/or transform a list."""
+
+    var: str
+    list_expr: object
+    where: object | None = None
+    map_expr: object | None = None
+
+
 # --- clauses ---------------------------------------------------------------
 
 

@@ -42,6 +42,9 @@ class _Compiler:
         self._anon = itertools.count()
         self.node_vars: set[str] = set()
         self.rel_vars: set[str] = set()
+        # lambda-scoped variables (list predicates / comprehensions):
+        # name → the higher-order-function argument Column
+        self.lambda_vars: dict[str, Column] = {}
 
     def fresh(self, prefix: str) -> str:
         return f"__{prefix}{next(self._anon)}"
@@ -174,9 +177,20 @@ class _Compiler:
         if isinstance(e, ast.LabelsFunc):
             return F.col(f"{e.var}.label")
         if isinstance(e, ast.VarRef):
+            if e.var in self.lambda_vars:
+                return self.lambda_vars[e.var]
             return F.col(e.var)
         if isinstance(e, ast.Literal):
             return F.lit(e.value)
+        if isinstance(e, ast.ListComprehension):
+            # [x IN l WHERE p | m] → transform(filter(l, p), m): stays
+            # JVM-side inside whole-stage codegen (no Python UDF)
+            lst = self.expr(e.list_expr)
+            if e.where is not None:
+                lst = F.filter(lst, self._lambda(e.var, e.where, self.predicate))
+            if e.map_expr is not None:
+                lst = F.transform(lst, self._lambda(e.var, e.map_expr, self.expr))
+            return lst
         if isinstance(e, ast.CaseExpr):
             out = F.when(self.predicate(e.whens[0][0]), self.expr(e.whens[0][1]))
             for pred, val in e.whens[1:]:
@@ -195,7 +209,35 @@ class _Compiler:
                     "/": _op.truediv, "%": _op.mod}[e.op](l, r)
         raise CypherCompileError(f"cannot compile value expression {e!r}")
 
+    def _lambda(self, var: str, body, compile_fn):
+        """Bind ``var`` to the HOF argument Column while compiling body."""
+
+        def fn(c: Column) -> Column:
+            prev = self.lambda_vars.get(var)
+            self.lambda_vars[var] = c
+            try:
+                return compile_fn(body)
+            finally:
+                if prev is None:
+                    del self.lambda_vars[var]
+                else:
+                    self.lambda_vars[var] = prev
+
+        return fn
+
     def predicate(self, e) -> Column:
+        if isinstance(e, ast.ListPredicate):
+            lam = self._lambda(e.var, e.where, self.predicate)
+            lst = self.expr(e.list_expr)
+            if e.func == "any":
+                return F.exists(lst, lam)
+            if e.func == "all":
+                return F.forall(lst, lam)
+            if e.func == "none":
+                return ~F.exists(lst, lam)
+            if e.func == "single":
+                return F.size(F.filter(lst, lam)) == 1
+            raise CypherCompileError(f"unknown list predicate {e.func}")
         if isinstance(e, ast.BoolExpr):
             return logical(e.op, *[self.predicate(o) for o in e.operands])
         if isinstance(e, ast.NullCheck):
@@ -206,8 +248,14 @@ class _Compiler:
         raise CypherCompileError(f"cannot compile predicate {e!r}")
 
     def _comparison(self, e: ast.Comparison) -> Column:
-        # var-to-var compare = node identity by id (Helpers.cpp:171-182)
-        if isinstance(e.left, ast.VarRef) and isinstance(e.right, ast.VarRef):
+        # var-to-var compare = node identity by id (Helpers.cpp:171-182);
+        # lambda-bound variables are scalars, not nodes — generic compare
+        if (
+            isinstance(e.left, ast.VarRef)
+            and isinstance(e.right, ast.VarRef)
+            and e.left.var not in self.lambda_vars
+            and e.right.var not in self.lambda_vars
+        ):
             l, r = F.col(f"{e.left.var}.id"), F.col(f"{e.right.var}.id")
             return {"==": l == r, "<>": l != r}[e.op]
         if isinstance(e.right, ast.Literal):

@@ -234,13 +234,7 @@ class _Parser:
         return mc
 
     def _parse_list_or_value(self):
-        if self.peek() == ("PUNCT", "["):
-            self.next()
-            vals = [self.parse_literal().value]
-            while self.accept("PUNCT", ","):
-                vals.append(self.parse_literal().value)
-            self.expect("PUNCT", "]")
-            return Literal(vals)
+        # list literals and comprehensions are both handled by parse_primary
         return self.parse_value()
 
     def parse_path(self) -> PathPattern:
@@ -370,9 +364,23 @@ class _Parser:
         return self.parse_comparison()
 
     def parse_comparison(self):
-        from jasminegraph_spark.cypher.ast import ExistsPattern
+        from jasminegraph_spark.cypher.ast import ExistsPattern, ListPredicate
 
         k, v = self.peek()
+        if (
+            k == "WORD"
+            and v.lower() in ("any", "all", "none", "single")
+            and self.peek(1) == ("PUNCT", "(")
+        ):
+            func = self.next()[1].lower()
+            self.expect("PUNCT", "(")
+            lvar = self.expect("WORD")
+            self.expect("KW", "IN")
+            lst = self.parse_value()
+            self.expect("KW", "WHERE")
+            pred = self.parse_or()
+            self.expect("PUNCT", ")")
+            return ListPredicate(func, lvar, lst, pred)
         if k == "WORD" and v.lower() == "exists" and self.peek(1) == ("PUNCT", "("):
             self.next()
             self.expect("PUNCT", "(")
@@ -442,6 +450,33 @@ class _Parser:
                 return left
 
     def parse_primary(self):
+        if self.peek() == ("PUNCT", "["):
+            from jasminegraph_spark.cypher.ast import ListComprehension
+
+            # comprehension [x IN list ...] vs literal list [1, 2, 3]
+            if (
+                self.peek(1)[0] == "WORD"
+                and self.peek(2)[0] == "KW"
+                and self.peek(2)[1].upper() == "IN"
+            ):
+                self.next()
+                lvar = self.expect("WORD")
+                self.expect("KW", "IN")
+                lst = self.parse_value()
+                where = None
+                if self.accept("KW", "WHERE"):
+                    where = self.parse_or()
+                map_expr = None
+                if self.accept("PUNCT", "|"):
+                    map_expr = self.parse_value()
+                self.expect("PUNCT", "]")
+                return ListComprehension(lvar, lst, where, map_expr)
+            self.next()
+            vals = [self.parse_literal().value]
+            while self.accept("PUNCT", ","):
+                vals.append(self.parse_literal().value)
+            self.expect("PUNCT", "]")
+            return Literal(vals)
         if self.accept("KW", "CASE"):
             from jasminegraph_spark.cypher.ast import CaseExpr
 

@@ -437,3 +437,54 @@ def test_case_expression(social):
     assert [(r["name"], r["code"]) for r in out] == [
         ("Alice", "T"), ("Bob", "A"), ("Carol", "T"), ("Dave", "A"),
     ]
+
+
+def test_list_predicates(social):
+    # friends of Person 0 in the ring are 1 and 9
+    out = cypher_query(
+        social,
+        "MATCH (p:Person)-[:FRIENDS]-(q:Person) "
+        "WITH p.name AS name, collect(id(q)) AS fids "
+        "WHERE any(f IN fids WHERE f = 0) RETURN name ORDER BY name",
+    )
+    assert [r["name"] for r in out.collect()] == ["Bob", "Jack"]
+    # everyone has exactly 2 ring friends → single() never holds
+    out = cypher_query(
+        social,
+        "MATCH (p:Person)-[:FRIENDS]-(q:Person) "
+        "WITH p.name AS name, collect(id(q)) AS fids "
+        "WHERE single(f IN fids WHERE f >= 0) RETURN name",
+    )
+    assert out.count() == 0
+    # all/none
+    out = cypher_query(
+        social,
+        "MATCH (p:Person)-[:FRIENDS]-(q:Person) "
+        "WITH p.name AS name, collect(id(q)) AS fids "
+        "WHERE all(f IN fids WHERE f < 10) AND none(f IN fids WHERE f > 9) "
+        "RETURN name",
+    )
+    assert out.count() == 10
+
+
+def test_list_comprehension(social):
+    # Alice's friends are 1 and 9; keep ids >= 5, add 100
+    out = cypher_query(
+        social,
+        "MATCH (p:Person {name:'Alice'})-[:FRIENDS]-(q:Person) "
+        "WITH p.name AS name, collect(id(q)) AS fids "
+        "UNWIND [f IN fids WHERE f >= 5 | f + 100] AS big "
+        "RETURN name, big",
+    )
+    assert [(r["name"], r["big"]) for r in out.collect()] == [("Alice", 109)]
+    # comprehension without WHERE (pure transform) and without map (pure filter)
+    out = cypher_query(
+        social,
+        "UNWIND [x IN [1, 2, 3] | x * 2] AS d RETURN d ORDER BY d",
+    )
+    assert [r["d"] for r in out.collect()] == [2, 4, 6]
+    out = cypher_query(
+        social,
+        "UNWIND [x IN [1, 2, 3] WHERE x <> 2] AS d RETURN d ORDER BY d",
+    )
+    assert [r["d"] for r in out.collect()] == [1, 3]
