@@ -1729,6 +1729,32 @@ _ORACLES["cypher_list_comprehension"] = """
 """
 
 
+def cypher_call_procedure(spark, sf_dir):
+    """CALL ... YIELD (grammar tokens the reference recognizes but never
+    plans — SURVEY §2.1): analytics procedures composable inside a query.
+    In-degree distribution of the property graph, post-filtered by the
+    YIELD WHERE."""
+    return _cy(
+        spark,
+        sf_dir,
+        "CALL algo.degreeDistribution('in') YIELD degree, n_nodes "
+        "WHERE degree > 1 RETURN degree, n_nodes ORDER BY degree",
+    )
+
+
+_QUERIES["cypher_call_procedure"] = cypher_call_procedure
+_ORACLES["cypher_call_procedure"] = (
+    TPCH_GRAPH_CTE
+    + """
+    , deg AS (
+        SELECT dst, COUNT(*) AS degree FROM g_edges GROUP BY dst
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg
+    GROUP BY degree HAVING degree > 1 ORDER BY degree
+    """
+)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: 2-hop Cypher-style expansion over the property graph at
     sf0.001 (scan → coerced filter → expand → expand → project)."""

@@ -178,6 +178,16 @@ class WithClause:
 
 
 @dataclass
+class CallClause:
+    """CALL proc(args) [YIELD cols [WHERE pred]]."""
+
+    proc: str
+    args: list = field(default_factory=list)
+    yields: list = field(default_factory=list)
+    where: object | None = None
+
+
+@dataclass
 class UnwindClause:
     expr: object = None  # Literal list (or list-valued expression)
     var: str = "x"

@@ -490,6 +490,32 @@ class _Compiler:
             return F.col(it.expr.var)
         return self.expr(it.expr)
 
+    def apply_call(self, df: DataFrame | None, cc: "ast.CallClause") -> DataFrame:
+        """CALL proc(args) YIELD cols [WHERE p]: the procedure result is a
+        plain DataFrame; YIELD projects it, WHERE filters it, and a
+        preceding bound frame composes by cross join (each bound row sees
+        the full procedure table — openCypher CALL semantics)."""
+        from jasminegraph_spark.cypher.procedures import resolve
+
+        try:
+            fn = resolve(cc.proc)
+        except KeyError as e:
+            raise CypherCompileError(str(e)) from None
+        res = fn(self.graph, *cc.args)
+        if cc.yields:
+            missing = [y for y in cc.yields if y not in res.columns]
+            if missing:
+                raise CypherCompileError(
+                    f"procedure {cc.proc} does not yield {missing}; "
+                    f"available: {res.columns}"
+                )
+            res = res.select(*cc.yields)
+        if cc.where is not None:
+            res = ops.filter_rows(res, self.predicate(cc.where))
+        if df is None:
+            return res
+        return ops.cartesian_product(df, res)
+
     def apply_unwind(self, df: DataFrame | None, uc: "ast.UnwindClause") -> DataFrame:
         """UNWIND list AS x — one row per element (explode)."""
         if isinstance(uc.expr, ast.Literal) and isinstance(uc.expr.value, list):
@@ -598,6 +624,8 @@ def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
             df = comp.apply_with(df, clause)
         elif isinstance(clause, ast.UnwindClause):
             df = comp.apply_unwind(df, clause)
+        elif isinstance(clause, ast.CallClause):
+            df = comp.apply_call(df, clause)
         else:
             raise CypherCompileError(f"unsupported clause {clause!r}")
     return comp.compile_return(df, q)

@@ -54,6 +54,7 @@ _KEYWORDS = {
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
     "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "CALL", "YIELD",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -147,6 +148,27 @@ class _Parser:
                 expr = self._parse_list_or_value()
                 self.expect("KW", "AS")
                 q.clauses.append(UnwindClause(expr=expr, var=self.name()))
+            elif self.accept("KW", "CALL"):
+                from jasminegraph_spark.cypher.ast import CallClause
+
+                pname = self.name()
+                while self.accept("PUNCT", "."):
+                    pname += "." + self.name()
+                self.expect("PUNCT", "(")
+                args = []
+                if self.peek() != ("PUNCT", ")"):
+                    args.append(self.parse_literal().value)
+                    while self.accept("PUNCT", ","):
+                        args.append(self.parse_literal().value)
+                self.expect("PUNCT", ")")
+                cc = CallClause(proc=pname, args=args)
+                if self.accept("KW", "YIELD"):
+                    cc.yields.append(self.name())
+                    while self.accept("PUNCT", ","):
+                        cc.yields.append(self.name())
+                    if self.accept("KW", "WHERE"):
+                        cc.where = self.parse_or()
+                q.clauses.append(cc)
             elif self.accept("KW", "WITH"):
                 wc = WithClause()
                 if self.accept("KW", "DISTINCT"):

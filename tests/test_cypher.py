@@ -488,3 +488,47 @@ def test_list_comprehension(social):
         "UNWIND [x IN [1, 2, 3] WHERE x <> 2] AS d RETURN d ORDER BY d",
     )
     assert [r["d"] for r in out.collect()] == [1, 3]
+
+
+def test_call_yield_procedures(social):
+    # ring of 10 FRIENDS edges → 0 triangles; VISITS/WORKS_AT are acyclic
+    out = cypher_query(
+        social, "CALL algo.triangleCount() YIELD n_triangles RETURN n_triangles"
+    )
+    assert out.collect()[0]["n_triangles"] == 0
+    # every Person has exactly 3 undirected neighbors (2 ring + 1 VISITS +
+    # 1 WORKS_AT? → ring 2 + visits 1 + works 1 = 4 for persons; locations 2)
+    out = cypher_query(
+        social,
+        "CALL algo.components() YIELD node, component "
+        "RETURN count(node) AS n, min(component) AS mc",
+    )
+    row = out.collect()[0]
+    assert row["n"] == 20 and row["mc"] == "0"  # one connected graph
+    # YIELD projection + WHERE + ORDER BY compose
+    out = cypher_query(
+        social,
+        "CALL algo.pagerank(0.85, 2) YIELD node, rank "
+        "WHERE rank > 0.0 RETURN node ORDER BY node LIMIT 3",
+    )
+    assert [r["node"] for r in out.collect()] == ["0", "1", "10"]
+
+
+def test_call_unknown_procedure_raises(social):
+    import pytest as _pytest
+
+    from jasminegraph_spark.cypher.compiler import CypherCompileError
+
+    with _pytest.raises(CypherCompileError):
+        cypher_query(social, "CALL algo.doesNotExist() YIELD x RETURN x")
+
+
+def test_call_procedure_registry_extension(social):
+    from jasminegraph_spark.cypher import procedures
+
+    procedures.register("test.nodeCount", lambda g: g.nodes.groupBy().count())
+    try:
+        out = cypher_query(social, "CALL test.nodeCount() YIELD count RETURN count")
+        assert out.collect()[0]["count"] == 20
+    finally:
+        del procedures.PROCEDURES["test.nodeCount"]
