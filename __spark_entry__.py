@@ -1729,6 +1729,54 @@ _ORACLES["cypher_list_comprehension"] = """
 """
 
 
+def pl_ivf_ann_nprobe(spark, sf_dir):
+    """Multi-probe IVF ANN (nprobe=4): recall/latency knob of the FAISS
+    IVF family — candidates from the query's 4 nearest cells, exact rank
+    within them (scan cost 4·|corpus|/16)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pl.ivf_ann(emb, queries, k=5, n_cells=16, nprobe=4)
+
+
+_QUERIES["pl_ivf_ann_nprobe"] = pl_ivf_ann_nprobe
+_ORACLES["pl_ivf_ann_nprobe"] = """
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        ORDER BY vec_id ASC LIMIT 16
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.cv AS DOUBLE[])) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT query_id, cell, qv FROM (
+            SELECT e.vec_id AS query_id, c.cell, e.embedding AS qv,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.cv AS DOUBLE[])) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cents c WHERE e.vec_id < 10
+        ) WHERE rn <= 4
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN q ON q.cell = a.cell AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
 def cypher_call_procedure(spark, sf_dir):
     """CALL ... YIELD (grammar tokens the reference recognizes but never
     plans — SURVEY §2.1): analytics procedures composable inside a query.

@@ -80,6 +80,17 @@ def sign_lsh_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def _centroids(
+    embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(cell, cv) — the deterministic coarse-quantizer codebook."""
+    return (
+        embeddings.orderBy(F.asc(id_col))
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), _as_double(vec_col).alias("cv"))
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -96,11 +107,7 @@ def ivf_assign(
     At 100 TB ``cell`` becomes the storage partition key, so a probe scans
     |corpus|/n_cells rows.
     """
-    cents = (
-        embeddings.orderBy(F.asc(id_col))
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), _as_double(vec_col).alias("cv"))
-    )
+    cents = _centroids(embeddings, n_cells, id_col, vec_col)
     corpus = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv"))
     scored = corpus.join(F.broadcast(cents)).select(
         "vec_id",
@@ -120,17 +127,31 @@ def ivf_ann(
     queries: DataFrame,
     k: int = 5,
     n_cells: int = 16,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF approximate top-k: exact cosine rank within the query's cell
-    (nprobe=1). Returns (query_id, neighbor_id, cosine, rank)."""
+    """IVF approximate top-k: exact cosine rank within the query's
+    ``nprobe`` nearest cells. Returns (query_id, neighbor_id, cosine,
+    rank). Recall grows with nprobe while scan cost stays
+    nprobe·|corpus|/n_cells — the standard FAISS IVF recall/latency knob
+    (reference serves FAISS IndexFlatL2, vectorstore/FaissIndex.h:20-53).
+    """
     assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
-    qs = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")).join(
-        assign.withColumnRenamed("vec_id", "query_id"), "query_id"
+    # query side probes its nprobe nearest cells (nprobe=1 ≡ its own cell)
+    cents = _centroids(embeddings, n_cells, id_col, vec_col)
+    qraw = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    qscored = qraw.join(F.broadcast(cents)).select(
+        "query_id", "qv", "cell", (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+    qs = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cell")
     )
     scored = (
         corpus.join(F.broadcast(qs), "cell")

@@ -1,0 +1,65 @@
+"""ANN operators: exactness and recall-vs-nprobe behavior on a small
+deterministic corpus (pipeline.similarity)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.pipeline import cosine_topk, ivf_ann, ivf_assign, sign_lsh_ann
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 40 deterministic 8-d vectors in 4 obvious clusters around axes
+    rows = []
+    for i in range(40):
+        axis = i % 4
+        v = [0.05 * ((i * 7 + d) % 5) for d in range(8)]
+        v[axis * 2] += 3.0  # strong cluster signal
+        rows.append((i, [float(x) for x in v], axis))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+    df.cache().count()
+    return df
+
+
+def test_cosine_topk_exact(corpus):
+    out = cosine_topk(corpus, corpus.filter(F.col("vec_id") == 0), k=3)
+    rows = out.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # nearest neighbors of a cluster-0 vector are cluster-0 vectors
+    labels = {r["neighbor_id"] % 4 for r in rows}
+    assert labels == {0}
+
+
+def test_ivf_assign_deterministic(corpus):
+    a1 = sorted(map(tuple, ivf_assign(corpus, n_cells=8).collect()))
+    a2 = sorted(map(tuple, ivf_assign(corpus, n_cells=8).collect()))
+    assert a1 == a2
+    assert len(a1) == 40
+
+
+def test_ivf_nprobe_recall_monotone(corpus):
+    """nprobe = n_cells probes every cell → identical to brute force."""
+    qs = corpus.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, qs, k=3).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_ann(corpus, qs, k=3, n_cells=8, nprobe=nprobe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r1 <= r4 <= r8 == 1.0
+
+
+def test_lsh_ann_subset_of_bruteforce(corpus):
+    qs = corpus.filter(F.col("vec_id") < 3)
+    ann = sign_lsh_ann(corpus, qs, k=5, planes=4)
+    exact = cosine_topk(corpus, qs, k=40)
+    pairs_ann = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in ann.collect()}
+    pairs_all = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()}
+    assert pairs_ann <= pairs_all  # same scores, candidate subset
