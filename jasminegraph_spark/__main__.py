@@ -42,6 +42,8 @@ def main(argv=None) -> int:
     sub.add_parser("lst")
     p = sub.add_parser("rmgr");        p.add_argument("name")
     p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("predict");     p.add_argument("name"); p.add_argument("--top", type=int, default=20)
+    p = sub.add_parser("constructkg"); p.add_argument("name"); p.add_argument("path", help="parquet/jsonl of (doc_id, text)")
     args = ap.parse_args(argv)
 
     import os
@@ -111,6 +113,24 @@ def main(argv=None) -> int:
     elif args.cmd == "sdhdfs":
         eng.export_graph(args.name, args.path)
         emit({"exported": args.name, "path": args.path})
+    elif args.cmd == "predict":
+        for r in eng.predict_links(args.name, top_k=args.top).collect():
+            emit(
+                {
+                    "a": r["a"],
+                    "b": r["b"],
+                    "common_neighbors": r["common_neighbors"],
+                    "jaccard": r["jaccard"],
+                }
+            )
+    elif args.cmd == "constructkg":
+        docs = (
+            spark.read.parquet(args.path)
+            if args.path.endswith(".parquet")
+            else spark.read.json(args.path)
+        )
+        g = eng.construct_kg(args.name, docs)
+        emit({"constructed": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
     return 0
 
 

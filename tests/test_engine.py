@@ -113,3 +113,32 @@ def test_cli_subprocess_roundtrip(tmp_path):
     }
     assert run("trian", "cg") == {"triangles": 1}
     assert run("vcnt", "cg") == {"vertices": 3}
+
+
+def test_cli_predict_and_constructkg(tmp_path):
+    """CLI verbs for the reference's predict and constructkg commands."""
+    import subprocess
+    import sys
+
+    # two hubs sharing 3 leaves → predictable links
+    (tmp_path / "g.dl").write_text("0 1\n0 2\n0 3\n9 1\n9 2\n9 3\n")
+    (tmp_path / "docs.jsonl").write_text(
+        '{"doc_id": 1, "text": "x likes y while y hates z"}\n'
+        '{"doc_id": 2, "text": "x likes y"}\n'
+    )
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+
+    run("adgr", "pg", str(tmp_path / "g.dl"))
+    preds = run("predict", "pg", "--top", "5")
+    assert {(p["a"], p["b"]) for p in preds} >= {("0", "9")}
+    assert all(0.0 < p["jaccard"] <= 1.0 for p in preds)
+    (kg,) = run("constructkg", "kg", str(tmp_path / "docs.jsonl"))
+    assert kg == {"constructed": "kg", "vertices": 4, "edges": 2}
