@@ -1777,6 +1777,51 @@ _ORACLES["pl_ivf_ann_nprobe"] = """
 """
 
 
+def pl_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by md5(text) prefix range
+    (content-hash split — stable under reruns/engines/partitioning).
+    80/10/10; per-split document count and char volume."""
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        pl.hash_split(docs, key_col="text", train=0.8, val=0.1)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_QUERIES["pl_hash_split"] = pl_hash_split
+_ORACLES["pl_hash_split"] = """
+    SELECT CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+"""
+
+
+def pl_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling (rebalance a skewed
+    corpus): keep 25% of 'en', 75% of every other language — selection is
+    a map-side md5-prefix expression, no RNG state, no shuffle."""
+    docs = _read(spark, sf_dir, "documents")
+    sampled = pl.stratified_sample(
+        docs, "lang", {"en": 0.25}, key_col="text", default_fraction=0.75
+    )
+    return sampled.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+_QUERIES["pl_stratified_sample"] = pl_stratified_sample
+_ORACLES["pl_stratified_sample"] = """
+    SELECT lang, COUNT(*) AS n_docs FROM documents
+    WHERE substr(md5(text), 1, 4) <
+          CASE WHEN lang = 'en' THEN '4000' ELSE 'c000' END
+    GROUP BY lang
+"""
+
+
 def cypher_call_procedure(spark, sf_dir):
     """CALL ... YIELD (grammar tokens the reference recognizes but never
     plans — SURVEY §2.1): analytics procedures composable inside a query.

@@ -18,6 +18,10 @@ from jasminegraph_spark.pipeline.kg import (  # noqa: F401
     extract_triples,
     triple_weights,
 )
+from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
+    hash_split,
+    stratified_sample,
+)
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,
     language_id,

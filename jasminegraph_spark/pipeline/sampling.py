@@ -1,0 +1,60 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+A 100 TB corpus is carved into train/val/test and per-stratum samples as
+a *pure function of content*, not of run order: the selector is a range
+over the md5 hex digest (lexicographic on hex = uniform over 16^k), so
+any engine — and any rerun after adding files — assigns the same row the
+same way. This is the standard content-hash split trick (e.g. per-URL
+hashing in web-corpus pipelines); md5 hex compares identically in Spark
+and DuckDB, which also makes the operators oracle-checkable.
+
+Everything is a map-side expression (no shuffle, no sort, no RNG state);
+the only wide op in the demo queries is the final per-split aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _hex_threshold(fraction: float, digits: int = 4) -> str:
+    """Hex string h such that P(md5_prefix < h) ≈ fraction."""
+    space = 16**digits
+    return format(min(int(fraction * space), space - 1), f"0{digits}x")
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "text",
+    train: float = 0.8,
+    val: float = 0.1,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign train/val/test by md5(key) prefix range. Deterministic,
+    engine-portable, stable under re-partitioning and corpus growth."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    out = F.when(prefix < F.lit(_hex_threshold(train)), "train").when(
+        prefix < F.lit(_hex_threshold(train + val)), "val"
+    ).otherwise("test")
+    return df.withColumn(split_col, out)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    fractions: dict[str, float],
+    key_col: str = "text",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its md5(key)
+    prefix falls below the stratum's threshold. Rebalancing a skewed
+    corpus (e.g. downsample the dominant language) without RNG state or
+    a shuffle — selection is a codegen expression on the scan."""
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    thr: Column = F.lit(_hex_threshold(default_fraction))
+    for stratum, frac in sorted(fractions.items()):
+        thr = F.when(F.col(stratum_col) == stratum, F.lit(_hex_threshold(frac))).otherwise(
+            thr
+        )
+    return df.filter(prefix < thr)
