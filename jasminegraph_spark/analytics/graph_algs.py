@@ -80,7 +80,9 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
     co-occurrence self-join producing the edges) re-executes many times
     (observed 22 parquet scans in the un-persisted plan)."""
     und = canonical_undirected(edges).persist()
-    ordered = _degree_ordered(und)
+    # both wedge sides read `ordered`; persist so the degree ranking joins
+    # run once, not once per side
+    ordered = _degree_ordered(und).persist()
     e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))

@@ -168,3 +168,11 @@ def test_salted_agg_exact_and_two_stage(spark):
         .collect()
     }
     assert got == want
+
+
+def test_link_prediction_stays_equi_join(q):
+    """Wedge enumeration + scoring must be hash/sort-merge equi-joins —
+    a cartesian over the adjacency would be |E|² at scale."""
+    plan = _plan(q("an_link_prediction"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
