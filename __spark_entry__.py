@@ -1496,7 +1496,7 @@ def cypher_string_preds(spark, sf_dir):
     """
     SELECT 'c:' || c_custkey AS id, c_name AS name FROM customer
     WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-    ORDER BY name ASC NULLS FIRST LIMIT 25 OFFSET 5
+    ORDER BY name ASC NULLS LAST LIMIT 25 OFFSET 5
     """,
 )
 def cypher_in_order_skip_limit(spark, sf_dir):
@@ -1854,9 +1854,59 @@ def entry(spark: SparkSession) -> DataFrame:
     return cy_expand_two_hop(spark, "/root/testdata/sf0.001")
 
 
+# The driver sweep processes queries in registration order and records the
+# first N it reaches; round 1 covered the first 50 registered, leaving the
+# rest without a CORRECTNESS row. Pin an explicit order so queries without
+# a green driver row yet run FIRST this round (round 1 + round 2 rows
+# together then cover the whole registry).
+_PRIORITY = [
+    # text-Cypher frontend (parse → compile → DataFrame): the user-typed path
+    "cypher_label_scan_project",
+    "cypher_filter_expand",
+    "cypher_undirected_unique",
+    "cypher_aggregate_group",
+    "cypher_string_preds",
+    "cypher_in_order_skip_limit",
+    "cypher_distinct_null_checks",
+    "cypher_cartesian_patterns",
+    "cypher_with_agg_having",
+    "cypher_optional_match",
+    "cypher_unwind",
+    "cypher_varlength_path",
+    "cypher_exists_patterns",
+    "cypher_case_expression",
+    "cypher_arithmetic",
+    "cypher_list_predicates",
+    "cypher_list_comprehension",
+    "cypher_call_procedure",
+    # iterative graph algorithms
+    "an_shortest_paths",
+    "an_connected_components",
+    "an_k_core",
+    "an_link_prediction",
+    "an_semantic_beam_search",
+    # pipeline ops without rows
+    "pl_kg_triples",
+    "pl_ivf_ann_nprobe",
+    "pl_hash_split",
+    "pl_stratified_sample",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    out = {}
+    for name in _PRIORITY:
+        if name in mapping:
+            out[name] = mapping[name]
+    for name, v in mapping.items():
+        if name not in out:
+            out[name] = v
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)

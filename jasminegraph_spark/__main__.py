@@ -64,7 +64,8 @@ def main(argv=None) -> int:
                 continue
             if os.path.isdir(os.path.join(args.store, name, "nodes")):
                 try:
-                    eng.catalog.load(name, args.store, is_directed=False)
+                    # directedness restored from the graph's _meta.json
+                    eng.catalog.load(name, args.store)
                 except Exception:
                     pass
 

@@ -331,7 +331,9 @@ class _Compiler:
             for oi in q.order_by:
                 named = self._order_name(oi.expr, names, q)
                 c = F.col(f"`{named}`") if named else self.expr(oi.expr)
-                keys.append(c.asc_nulls_first() if oi.ascending else c.desc_nulls_last())
+                # openCypher/Neo4j null placement: nulls LAST ascending,
+                # FIRST descending (null = largest)
+                keys.append(c.asc_nulls_last() if oi.ascending else c.desc_nulls_first())
             out = ops.order_by(out, *keys)
         return ops.limit_skip(out, q.limit, q.skip or 0)
 
@@ -478,7 +480,7 @@ class _Compiler:
             for oi in wc.order_by:
                 named = self._order_name(oi.expr, names, None)
                 c = F.col(f"`{named}`") if named else self.expr(oi.expr)
-                keys.append(c.asc_nulls_first() if oi.ascending else c.desc_nulls_last())
+                keys.append(c.asc_nulls_last() if oi.ascending else c.desc_nulls_first())
             out = ops.order_by(out, *keys)
         out = ops.limit_skip(out, wc.limit, wc.skip or 0)
         if wc.where is not None:
@@ -534,14 +536,21 @@ class _Compiler:
         # (reference avg does stod on strings — Helpers.cpp:332-345)
         if a.func in ("avg", "sum"):
             inner = inner.cast("double")
+        if a.distinct:
+            # distinct-aware variants (min/max are distinct-invariant);
+            # avg(DISTINCT) = sum over the distinct value set / its size
+            if a.func == "count":
+                return F.count_distinct(inner)
+            if a.func == "sum":
+                return F.sum_distinct(inner)
+            if a.func == "avg":
+                return F.sum_distinct(inner) / F.count_distinct(inner)
+            if a.func == "collect":
+                return F.collect_set(inner)
         fn = {
             "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
             "count": F.count, "collect": F.collect_list,
         }[a.func]
-        if a.distinct:
-            if a.func == "count":
-                return F.countDistinct(inner)
-            inner = inner  # avg(DISTINCT) etc. rare; keep simple
         return fn(inner)
 
 

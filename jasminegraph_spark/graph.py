@@ -22,6 +22,7 @@ sites (operators.predicates).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 from dataclasses import dataclass, field
@@ -129,11 +130,28 @@ class GraphCatalog:
         self._graphs.pop(name, None)
 
     def save(self, graph: PropertyGraph, base_path: str) -> None:
-        """Persist as parquet (replaces FlatBuffers partition files)."""
+        """Persist as parquet (replaces FlatBuffers partition files) plus a
+        per-graph metadata file (the reference's metadb graph row —
+        ddl/metadb.sql:17 stores is_directed there too)."""
         graph.nodes.write.mode("overwrite").parquet(f"{base_path}/{graph.name}/nodes")
         graph.edges.write.mode("overwrite").parquet(f"{base_path}/{graph.name}/edges")
+        with open(f"{base_path}/{graph.name}/_meta.json", "w") as fh:
+            json.dump({"name": graph.name, "is_directed": graph.is_directed}, fh)
 
-    def load(self, name: str, base_path: str, is_directed: bool = True) -> PropertyGraph:
+    def load(
+        self, name: str, base_path: str, is_directed: bool | None = None
+    ) -> PropertyGraph:
+        """Re-attach a persisted graph. Directedness comes from the saved
+        metadata unless explicitly overridden — hardcoding a default would
+        silently flip pgrnk symmetrization and Cypher expansion direction
+        for directed graphs across CLI invocations."""
+        if is_directed is None:
+            meta_path = f"{base_path}/{name}/_meta.json"
+            if os.path.exists(meta_path):
+                with open(meta_path) as fh:
+                    is_directed = bool(json.load(fh).get("is_directed", True))
+            else:
+                is_directed = True
         g = PropertyGraph(
             nodes=self.spark.read.parquet(f"{base_path}/{name}/nodes"),
             edges=self.spark.read.parquet(f"{base_path}/{name}/edges"),

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 
 def _hex_threshold(fraction: float, digits: int = 4) -> str:
-    """Hex string h such that P(md5_prefix < h) ≈ fraction."""
+    """Hex string h such that P(md5_prefix < h) ≈ fraction.
+
+    fraction >= 1.0 returns 'g' — lexicographically above every hex
+    digit, so `prefix < h` keeps ALL rows (a clamped 'ffff...' with a
+    strict '<' would silently drop the ~16^-digits of rows whose prefix
+    is exactly the maximum)."""
+    if fraction >= 1.0:
+        return "g"
     space = 16**digits
     return format(min(int(fraction * space), space - 1), f"0{digits}x")
 

@@ -62,7 +62,11 @@ def streaming_dedup(
     """
     keyed = stream.withColumn("content_hash", F.md5(F.col(text_col)))
     keys = key_cols or ["content_hash"]
-    return keyed.withWatermark(watermark_col, watermark).dropDuplicates(keys)
+    # dropDuplicatesWithinWatermark evicts per-key state once the key's
+    # event time falls behind the watermark; plain dropDuplicates(keys)
+    # only evicts when the event-time column is part of the key subset,
+    # so its state would grow unboundedly here.
+    return keyed.withWatermark(watermark_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def run_stream_to_batch(stream_df: DataFrame, checkpoint: str, out_path: str):
