@@ -953,6 +953,49 @@ def pl_minhash_lsh(spark, sf_dir):
     return pl.minhash_lsh_candidates(_read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8)
 
 
+_LSH_TAIL = """
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """
+
+
+def _lsh_verified_oracle(num_hashes: int = 16, bands: int = 4, threshold: float = 0.4) -> str:
+    """MinHash-LSH candidates → exact Jaccard verify, as one DuckDB query
+    (the candidate CTE is the pl_minhash_lsh oracle verbatim)."""
+    return _lsh_oracle(num_hashes, bands).replace(
+        _LSH_TAIL,
+        f"""
+    , cand AS ({_LSH_TAIL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) >= {threshold}
+    """,
+    )
+
+
+@_q("pl_lsh_verified_dedup", _lsh_verified_oracle(16, 4, 0.4))
+def pl_lsh_verified_dedup(spark, sf_dir):
+    """The composed near-dup scale path: LSH band buckets generate
+    candidate pairs, exact n-gram Jaccard verifies ≥ 0.4 — every wide op
+    linear in candidates (contrast pl_ngram_jaccard, the quadratic exact
+    oracle kept for verification)."""
+    return pl.jaccard_verified_dedup(
+        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8, threshold=0.4
+    )
+
+
 @_q(
     "pl_simhash",
     _SHINGLE_CTE
@@ -1148,31 +1191,37 @@ def pl_doc_fingerprint(spark, sf_dir):
 @_q(
     "pl_embedding_near_dup",
     """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+    WITH banded AS (
+        SELECT vec_id, t.b AS band,
+               array_to_string(list_transform(embedding[t.b * 4 + 1 : t.b * 4 + 4],
+                   x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '') AS sig
+        FROM embeddings, range(0, 16) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6) AS cosine
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                       CAST(eb.embedding AS DOUBLE[])), 6) >= 0.5
     """,
 )
 def pl_embedding_near_dup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.5). Brute-force
-    all-pairs here (the exact/verification path); the LSH-bucketed variant
-    (pl_lsh_ann / sign_lsh_buckets) is the 100 TB candidate generator."""
-    from jasminegraph_spark.pipeline.similarity import _as_double, _dot, _norm
-
-    emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("qv"))
-    b = emb.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("cv"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.5)
+    """Embedding-cosine near-duplicate pairs (threshold 0.5): 16 bands of
+    4-plane sign-LSH generate candidates via a uniform-key bucket
+    equi-join, then exact cosine verifies — no all-pairs
+    BroadcastNestedLoopJoin anywhere in the plan (that brute-force shape
+    survives only as the recall oracle in tests/test_similarity.py). At a
+    near-dup production threshold (τ≥0.9) fewer, wider bands shrink the
+    buckets further — see banded_sign_buckets."""
+    return pl.embedding_near_dup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.5, planes_per_band=4, bands=16
     )
 
 
@@ -1890,6 +1939,9 @@ _PRIORITY = [
     "pl_ivf_ann_nprobe",
     "pl_hash_split",
     "pl_stratified_sample",
+    # round-2 additions / reworked semantics
+    "pl_embedding_near_dup",
+    "pl_lsh_verified_dedup",
 ]
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+from jasminegraph_spark.cache import finalize
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -60,7 +61,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return finalize(labels, und, adj)
 
 
 def shortest_paths(
@@ -96,7 +97,7 @@ def shortest_paths(
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
-    return visited
+    return finalize(visited, e)
 
 
 def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
@@ -104,6 +105,10 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     Returns the surviving edge list (a, b). Iterative peel: drop vertices
     with degree < k until fixpoint."""
     core = canonical_undirected(edges).localCheckpoint(eager=True)
+    # carry the previous round's size in a Python variable: one count job
+    # per round, not two (pruned.count() == core.count() re-counts the
+    # frame counted last round)
+    n_prev = core.count()
     for i in range(max_iterations):
         deg = (
             core.select(F.col("a").alias("v")).unionAll(core.select(F.col("b")))
@@ -117,7 +122,8 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if pruned.count() == core.count():
+        n_now = pruned.count()
+        if n_now == n_prev:
             return pruned
-        core = pruned
+        core, n_prev = pruned, n_now
     return core

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jasminegraph_spark.cache import finalize
+
 
 def canonical_undirected(edges: DataFrame) -> DataFrame:
     """Distinct undirected edges as ordered pairs (a < b); drops self-loops.
@@ -66,9 +68,10 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     wedges = e1.join(e2, "y")  # x<y and y<z by construction, so x<y<z
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    return wedges.join(closing, ["x", "z"]).select(
+    tri = wedges.join(closing, ["x", "z"]).select(
         F.col("x").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
     )
+    return finalize(tri, und)
 
 
 def triangle_count_df(edges: DataFrame) -> DataFrame:
@@ -89,7 +92,8 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
     # closing edge between y<z is the canonical pair (y, z) in und; each
     # triangle has exactly one DAG-source vertex, so no dedup needed
     closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    return wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
+    n = wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
+    return finalize(n, und, ordered)
 
 
 def triangle_count(edges: DataFrame) -> int:
@@ -143,7 +147,9 @@ def pagerank(
         if (i + 1) % 5 == 0:
             # truncate lineage so the plan doesn't grow unboundedly
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    # final ranks are checkpointed; the edge/degree caches are released so
+    # repeated engine calls don't pin storage
+    return finalize(ranks, e, nodes, contrib_base)
 
 
 def top_k_pagerank(edges: DataFrame, k: int = 10, **kw) -> DataFrame:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+from jasminegraph_spark.cache import finalize
 
 
 def link_prediction(
@@ -80,4 +81,5 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
-    return scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)
+    top = scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)
+    return finalize(top, und, deg)

@@ -113,8 +113,12 @@ def cypher_write(
         for var in wc.vars:
             if var in comp.rel_vars:
                 rel_ids = df.select(F.col(f"{var}.id").alias("__id")).distinct()
+                # count the matched side once (semi join) instead of two
+                # full-table counts (total − kept)
+                stats["edges_deleted"] += g.edges.join(
+                    rel_ids, g.edges.id == F.col("__id"), "left_semi"
+                ).count()
                 kept = g.edges.join(rel_ids, g.edges.id == F.col("__id"), "left_anti")
-                stats["edges_deleted"] += g.edges.count() - kept.count()
                 _replace(kept, f"{graph_path}/edges")
                 g = _load(spark, graph_path, is_directed)
             elif var in comp.node_vars:
@@ -142,8 +146,10 @@ def cypher_write(
                 )
                 stats["edges_deleted"] += n_incident
                 _replace(kept_edges, f"{graph_path}/edges")
+            stats["nodes_deleted"] = g.nodes.join(
+                node_ids, g.nodes.id == F.col("__id"), "left_semi"
+            ).count()
             kept_nodes = g.nodes.join(node_ids, g.nodes.id == F.col("__id"), "left_anti")
-            stats["nodes_deleted"] = g.nodes.count() - kept_nodes.count()
             _replace(kept_nodes, f"{graph_path}/nodes")
         return stats
 

@@ -4,11 +4,14 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_lsh_candidates,
+    jaccard_verified_dedup,
     simhash_signatures,
 )
 from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     sign_lsh_buckets,
+    banded_sign_buckets,
+    embedding_near_dup,
     sign_lsh_ann,
     ivf_assign,
     ivf_ann,

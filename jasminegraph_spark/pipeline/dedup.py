@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jasminegraph_spark.cache import finalize
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via content hash: one partial-aggregated groupBy.
@@ -151,8 +153,53 @@ def minhash_lsh_candidates(
     )
     l = banded.select(F.col("doc_id").alias("id_a"), "band", "sig")
     r = banded.select(F.col("doc_id").alias("id_b"), "band", "sig")
-    return (
+    pairs = (
         l.join(r, ["band", "sig"]).filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    return finalize(pairs, sig)
+
+
+def jaccard_verified_dedup(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composed scale path: MinHash-LSH candidate pairs → exact n-gram
+    Jaccard verification ≥ ``threshold``. Returns (id_a, id_b, jaccard).
+
+    Unlike :func:`ngram_jaccard_pairs` (the all-pairs shingle self-join,
+    quadratic in per-shingle frequency — verification/oracle use only),
+    every wide op here is linear in candidates: band buckets bound the
+    pair set, then shingles are joined per candidate pair, never
+    all-against-all.
+    """
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col)
+    sh = char_shingles(docs, k, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # candidates ⋈ A-shingles on id_a, then (id_b, shingle) equi-join picks
+    # exactly the common shingles of each candidate pair
+    common = (
+        cands.join(sh.select(F.col("doc_id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

@@ -80,6 +80,79 @@ def sign_lsh_buckets(
     return embeddings.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
 
 
+def banded_sign_buckets(
+    embeddings: DataFrame,
+    planes_per_band: int = 4,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH: band ``b`` hashes dimensions
+    [b·r, b·r + r) into their sign pattern. Returns (vec_id, band, sig) —
+    ``bands`` rows per vector. Two vectors are candidates when any band
+    matches; more bands → higher recall, more planes per band → smaller
+    buckets. For cosine ≥ τ the per-band collision probability is
+    (1 − θ/π)^r, so pick r by the target threshold (r=4 catches τ≈0.5;
+    near-dup thresholds τ≥0.9 afford r=8..16 for much tighter buckets)."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "",
+                F.expr(
+                    f"transform(slice({vec_col}, {b * planes_per_band + 1}, "
+                    f"{planes_per_band}), x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END)"
+                ),
+            ).alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*band_cols)).alias("bs")
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def embedding_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.5,
+    planes_per_band: int = 4,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: banded sign-LSH candidate
+    generation → exact cosine verification ≥ ``threshold``.
+
+    This is the 100 TB shape (reference buckets vectors in per-partition
+    FAISS indexes — vectorstore/FaissIndex.h:20-53): candidates come from
+    a uniform-key bucket equi-join (cost Σ|bucket|², never corpus²), and
+    the exact cosine runs only on candidates. The brute-force all-pairs
+    plan (BroadcastNestedLoopJoin on id_a < id_b) exists only as the test
+    oracle. Returns (id_a, id_b, cosine) with id_a < id_b.
+    """
+    banded = banded_sign_buckets(embeddings, planes_per_band, bands, id_col, vec_col)
+    l = banded.select(F.col("vec_id").alias("id_a"), "band", "sig")
+    r = banded.select(F.col("vec_id").alias("id_b"), "band", "sig")
+    cands = (
+        l.join(r, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("qv"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("cv"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _centroids(
     embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:

@@ -186,6 +186,9 @@ def tpch_graph(spark: SparkSession, sf_dir: str, name: str = "tpch") -> Property
     return PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name=name)
 
 
+_CO_ORDER_MEMO: dict = {}
+
+
 def co_order_edges(spark: SparkSession, sf_dir: str):
     """Analytics graph: parts co-occurring in an order (undirected edge
     list src/dst = partkeys, a<b distinct). This is the graph the analytics
@@ -194,20 +197,27 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
 
     The self-join is key-partitioned on l_orderkey (co-partitioned shuffle,
     no broadcast needed at scale); distinct collapses multi-lineitem pairs.
-    Persisted: every analytics consumer (degree/triangles/pagerank/egonet)
-    references the edge set more than once, and without the persist the
-    lineitem self-join re-executes per reference.
+    Persisted AND memoized per (session, sf_dir): every analytics consumer
+    (degree/triangles/pagerank/egonet) references the edge set more than
+    once, and repeated engine calls reuse the one cache entry instead of
+    stacking new persists (spark.catalog.clearCache() still frees it).
     """
+    key = (id(spark), sf_dir)
+    hit = _CO_ORDER_MEMO.get(key)
+    if hit is not None:
+        return hit
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", "src")
     b = li.withColumnRenamed("l_partkey", "dst")
-    return (
+    out = (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
         .persist()
     )
+    _CO_ORDER_MEMO[key] = out
+    return out
 
 
 # co-order graph as a DuckDB CTE (mirrors co_order_edges)

@@ -87,16 +87,46 @@ def test_topk_uses_limit_pushdown(q):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_triangle_plan_reuses_persisted_edges(spark, sf_dir):
+def test_triangle_result_is_checkpointed_and_caches_released(spark, sf_dir):
+    """The canonical edge set persists ONLY during the triangle job (it
+    feeds the degree calc, both wedge sides and the closing join — 22
+    re-executed lineitem self-joins without it); finalize() then
+    materializes the one-row result and releases the intermediates, so
+    repeated engine analytics calls don't pin executor storage."""
     from jasminegraph_spark.analytics import triangle_count_df
     from jasminegraph_spark.projection import co_order_edges
 
-    plan = _plan(triangle_count_df(co_order_edges(spark, sf_dir)))
-    # the co-occurrence self-join materializes once and every reference
-    # reads the cache (was: 22 re-executed lineitem self-joins). The cached
-    # relation's description still embeds the original scan text, so assert
-    # on InMemoryTableScan presence rather than substring counts.
-    assert "InMemoryTableScan" in plan
+    df = triangle_count_df(co_order_edges(spark, sf_dir))
+    # result lineage is truncated: a checkpoint scan, no live joins/caches
+    plan = _plan(df)
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" not in plan
+
+
+def test_iterative_algs_release_their_caches(spark):
+    """After an analytics call on a non-memoized input, the DataFrame
+    cache manager holds nothing: every operator-internal persist was
+    released by finalize(). (co_order_edges is excluded by design — its
+    cache entry is memoized for cross-query reuse.)"""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import link_prediction, pagerank, triangle_count_df
+    from jasminegraph_spark.pipeline import minhash_lsh_candidates
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 50) for i in range(120)], ["src", "dst"]
+    )
+    triangle_count_df(edges).collect()
+    pagerank(edges, iterations=3, undirected=True).count()
+    link_prediction(edges, top_k=10).count()
+    docs = spark.createDataFrame(
+        [(i, f"document text {i % 7} repeated payload") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    minhash_lsh_candidates(docs).count()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty(), "operator-internal persists were not released"
 
 
 def test_bucketed_graph_expand_avoids_shuffle(spark, sf_dir, tmp_path):
@@ -176,3 +206,20 @@ def test_link_prediction_stays_equi_join(q):
     plan = _plan(q("an_link_prediction"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_has_no_all_pairs_join(q):
+    """The shipped near-dup query must generate candidates from the LSH
+    band bucket equi-join — the O(n²) BroadcastNestedLoopJoin on
+    id_a < id_b is the test oracle only, never the shipped plan."""
+    plan = _plan(q("pl_embedding_near_dup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_verified_dedup_has_no_all_pairs_join(q):
+    """Jaccard verification must run on LSH candidates (linear in
+    candidate pairs), not the quadratic shingle self-join."""
+    plan = _plan(q("pl_lsh_verified_dedup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

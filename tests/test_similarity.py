@@ -4,7 +4,15 @@ deterministic corpus (pipeline.similarity)."""
 import pytest
 from pyspark.sql import functions as F
 
-from jasminegraph_spark.pipeline import cosine_topk, ivf_ann, ivf_assign, sign_lsh_ann
+from jasminegraph_spark.pipeline import (
+    cosine_topk,
+    embedding_near_dup,
+    ivf_ann,
+    ivf_assign,
+    jaccard_verified_dedup,
+    ngram_jaccard_pairs,
+    sign_lsh_ann,
+)
 
 
 @pytest.fixture(scope="module")
@@ -63,3 +71,51 @@ def test_lsh_ann_subset_of_bruteforce(corpus):
     pairs_ann = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in ann.collect()}
     pairs_all = {(r["query_id"], r["neighbor_id"], r["cosine"]) for r in exact.collect()}
     assert pairs_ann <= pairs_all  # same scores, candidate subset
+
+
+def _brute_near_dup_pairs(spark, sf_dir, threshold):
+    """The brute-force all-pairs oracle — test-only; the shipped operator
+    must never plan this shape (asserted in test_plans.py)."""
+    from jasminegraph_spark.pipeline.similarity import _as_double, _dot, _norm
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), _as_double("embedding").alias("qv"))
+    b = emb.select(F.col("vec_id").alias("id_b"), _as_double("embedding").alias("cv"))
+    scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+    )
+    return {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in scored.filter(F.col("cosine") >= threshold).collect()
+    }
+
+
+def test_banded_near_dup_matches_bruteforce_on_corpus(spark, sf_dir):
+    """16 bands × 4 planes: full recall at τ=0.45 on the test corpus
+    (sf0.001 has 7 such pairs, none above 0.48), and every reported pair
+    carries the exact (identical) cosine."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup(emb, threshold=0.45, planes_per_band=4, bands=16).collect()
+    }
+    want = _brute_near_dup_pairs(spark, sf_dir, 0.45)
+    assert got == want and len(want) >= 1
+
+
+def test_jaccard_verified_matches_exact_pairs(spark, sf_dir):
+    """LSH-candidate Jaccard ≥ 0.4 equals the exact all-pairs result on
+    the test corpus (LSH at 16 hashes / 4 bands recalls every ≥0.4 pair
+    here), with identical scores."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_verified_dedup(docs, 16, 4, 8, threshold=0.4).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, k=8, threshold=0.4).collect()
+    }
+    assert got == want and len(want) >= 1
