@@ -146,12 +146,22 @@ def read_rdf_triples(
 
 
 def read_property_graph_jsonl(
-    spark: SparkSession, path: str, name: str = "graph", is_directed: bool = False
+    spark: SparkSession,
+    path: str,
+    name: str = "graph",
+    is_directed: bool = False,
+    inject_partition_id: int | None = None,
 ) -> PropertyGraph:
     """JSON-lines property graph in the reference's Kafka edge wire format
     (one edge per line with inline source/destination nodes). Node labels
     ride in properties['label'] when present; edge type in
-    properties['type'] (graph_with_properties.txt convention)."""
+    properties['type'] (graph_with_properties.txt convention).
+
+    ``inject_partition_id=k`` adds the reference's ``partitionID``
+    meta-property to every node (MetaPropertyLink.h; assignment =
+    ``stoi(id) % k``, Partitioner.cpp:110-112 hashPartitioning) so Cypher
+    results expose the same partition column the reference streams back.
+    """
     raw = spark.read.schema(EDGE_WIRE_SCHEMA).json(path)
     edges = raw.select(
         F.concat_ws("->", F.col("source.id"), F.col("destination.id")).alias("id"),
@@ -171,4 +181,13 @@ def read_property_graph_jsonl(
             F.col("props").alias("properties"),
         )
     )
+    if inject_partition_id is not None:
+        pid = (F.col("id").cast("long") % inject_partition_id).cast("string")
+        nodes = nodes.select(
+            "id",
+            "label",
+            F.map_concat(
+                "properties", F.create_map(F.lit("partitionID"), pid)
+            ).alias("properties"),
+        )
     return PropertyGraph(nodes=nodes, edges=edges, is_directed=is_directed, name=name)
