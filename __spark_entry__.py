@@ -1871,6 +1871,149 @@ _ORACLES["pl_stratified_sample"] = """
 """
 
 
+_EMBED_DIM = 32
+
+
+def _embed_cte(dim: int = _EMBED_DIM) -> str:
+    """documents → hashed-token L2-normalized embedding, as a DuckDB CTE
+    chain ending in emb(doc_id, embedding DOUBLE[]). Mirrors
+    pipeline.text.embed_text: bucket = first-4-hex(md5(token)) % dim,
+    term counts as FILTER sums, normalize."""
+    hd = lambda i: f"(strpos('0123456789abcdef', substr(md5(token), {i}, 1)) - 1)"  # noqa: E731
+    bucket = f"(({hd(1)} * 4096 + {hd(2)} * 256 + {hd(3)} * 16 + {hd(4)}) % {dim})"
+    sums = ",\n               ".join(
+        f"CAST(COUNT(*) FILTER (WHERE bucket = {i}) AS DOUBLE) AS c{i}" for i in range(dim)
+    )
+    sq = " + ".join(f"c{i} * c{i}" for i in range(dim))
+    lst = ", ".join(f"c{i} / nrm" for i in range(dim))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+        FROM documents
+    ),
+    bt AS (SELECT doc_id, {bucket} AS bucket FROM tok),
+    wide AS (
+        SELECT doc_id,
+               {sums}
+        FROM bt GROUP BY doc_id
+    ),
+    normed AS (SELECT *, sqrt({sq}) AS nrm FROM wide),
+    emb AS (SELECT doc_id, [{lst}] AS embedding FROM normed)
+    """
+
+
+def _embed_text_oracle(dim: int = _EMBED_DIM) -> str:
+    cols = ", ".join(f"printf('%.6f', embedding[{i + 1}])" for i in range(dim))
+    return _embed_cte(dim) + f"""
+    SELECT doc_id, array_to_string([{cols}], ',') AS embedding_csv FROM emb
+    """
+
+
+@_q("pl_embed_text", _embed_text_oracle())
+def pl_embed_text(spark, sf_dir):
+    """Text → embedding operator (TextEmbedder.h:29-42 parity): hashed-token
+    L2-normalized vectors from raw text. Output rendered as fixed-format
+    CSV (engine-portable float formatting) for the value-hash compare."""
+    emb = pl.embed_text(_read(spark, sf_dir, "documents"), dim=_EMBED_DIM)
+    return emb.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda x: F.format_string("%.6f", x))
+        ).alias("embedding_csv"),
+    )
+
+
+def _embed_ivf_oracle(dim: int = _EMBED_DIM, n_cells: int = 8) -> str:
+    return _embed_cte(dim) + f"""
+    , cents AS (
+        SELECT doc_id AS cell, embedding AS cv FROM emb
+        ORDER BY doc_id ASC LIMIT {n_cells}
+    ), assign AS (
+        SELECT doc_id, cell FROM (
+            SELECT e.doc_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY
+                       list_cosine_similarity(e.embedding, c.cv) DESC,
+                       c.cell ASC) AS rn
+            FROM emb e, cents c
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT a.doc_id AS query_id, a.cell, e.embedding AS qv
+        FROM assign a JOIN emb e USING (doc_id) WHERE a.doc_id < 5
+    ), scored AS (
+        SELECT q.query_id, e.doc_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.qv, e.embedding), 6) AS cosine
+        FROM emb e
+        JOIN assign a ON a.doc_id = e.doc_id
+        JOIN q ON q.cell = a.cell AND e.doc_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """
+
+
+@_q("pl_embed_ivf_ann", _embed_ivf_oracle())
+def pl_embed_ivf_ann(spark, sf_dir):
+    """End-to-end text → embedding → bucketed ANN: embed_text feeds
+    ivf_ann directly (the reference's ingest-embed-then-FAISS pipeline,
+    JasmineGraphIncrementalLocalStore.cpp:42-67 → FaissIndex.h:20-53),
+    no precomputed embedding column required."""
+    emb = pl.embed_text(_read(spark, sf_dir, "documents"), dim=_EMBED_DIM)
+    queries = emb.filter(F.col("doc_id") < 5)
+    return pl.ivf_ann(emb, queries, k=5, n_cells=8, id_col="doc_id", vec_col="embedding")
+
+
+@_q(
+    "an_link_prediction_embedding",
+    CO_ORDER_CTE
+    + """
+    , adj AS MATERIALIZED (
+        SELECT src AS v, dst AS w FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+    ),
+    deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+    feat AS MATERIALIZED (
+        SELECT a.v,
+               CAST(MIN(d.deg) AS DOUBLE) AS f0,
+               CAST(SUM(wd.deg) AS DOUBLE) AS f1,
+               CAST(MAX(wd.deg) AS DOUBLE) AS f2,
+               CAST(MIN(wd.deg) AS DOUBLE) AS f3
+        FROM adj a JOIN deg d ON d.v = a.v JOIN deg wd ON wd.v = a.w
+        GROUP BY a.v
+    ),
+    pairs AS (
+        SELECT l.w AS a, r.w AS b, COUNT(*) AS common_neighbors
+        FROM adj l JOIN adj r ON l.v = r.v AND l.w < r.w
+        GROUP BY l.w, r.w
+        HAVING COUNT(*) >= 2
+    ),
+    cand AS (
+        SELECT p.* FROM pairs p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM co_edges e WHERE e.src = p.a AND e.dst = p.b
+        )
+    )
+    SELECT c.a, c.b, c.common_neighbors,
+           ROUND((fa.f0 * fb.f0 + fa.f1 * fb.f1 + fa.f2 * fb.f2 + fa.f3 * fb.f3)
+                 / (sqrt(fa.f0^2 + fa.f1^2 + fa.f2^2 + fa.f3^2)
+                    * sqrt(fb.f0^2 + fb.f1^2 + fb.f2^2 + fb.f3^2)), 6) AS cosine
+    FROM cand c JOIN feat fa ON fa.v = c.a JOIN feat fb ON fb.v = c.b
+    ORDER BY cosine DESC, c.a, c.b LIMIT 50
+    """,
+)
+def an_link_prediction_embedding(spark, sf_dir):
+    """The `predict` surface with structural node embeddings: candidate
+    pairs scored by embedding cosine (deterministic GraphSAGE stand-in —
+    supervised.py:41-212 dot-product edge scoring). f0 = own degree
+    (MIN(d.deg) is constant per group), f1..f3 = neighbor-degree
+    sum/max/min = the 1-hop aggregation a SAGE layer computes."""
+    from jasminegraph_spark.analytics import link_prediction_embedding
+
+    return link_prediction_embedding(co_order_edges(spark, sf_dir), top_k=50, min_common=2)
+
+
 def cypher_call_procedure(spark, sf_dir):
     """CALL ... YIELD (grammar tokens the reference recognizes but never
     plans — SURVEY §2.1): analytics procedures composable inside a query.
@@ -1942,6 +2085,9 @@ _PRIORITY = [
     # round-2 additions / reworked semantics
     "pl_embedding_near_dup",
     "pl_lsh_verified_dedup",
+    "pl_embed_text",
+    "pl_embed_ivf_ann",
+    "an_link_prediction_embedding",
 ]
 
 

@@ -70,6 +70,19 @@ def main() -> None:
         timings[name] = round(run_once(name), 3)
         spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
+
+    # per-query ledger (PerfCatalog = the reference's perfdb): every run
+    # appends (query, sf, cpus, warm seconds) so later rounds can
+    # regression-check query-by-query instead of total-only
+    try:
+        from jasminegraph_spark.perf import PerfCatalog
+
+        ledger = PerfCatalog(spark, os.path.join(os.path.dirname(os.path.abspath(__file__)), "perf_ledger"))
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        for name, sec in timings.items():
+            ledger.record(f"sf{sf}", name, int(cpus), sec)
+    except Exception as exc:  # ledger failures must never fail the bench
+        print(f"# perf ledger skipped: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {

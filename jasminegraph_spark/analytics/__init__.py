@@ -9,7 +9,11 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     egonet,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
-from jasminegraph_spark.analytics.linkpred import link_prediction  # noqa: F401
+from jasminegraph_spark.analytics.linkpred import (  # noqa: F401
+    link_prediction,
+    link_prediction_embedding,
+    node_embeddings,
+)
 from jasminegraph_spark.analytics.components import (  # noqa: F401
     connected_components,
     k_core,

@@ -83,3 +83,90 @@ def link_prediction(
     )
     top = scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)
     return finalize(top, und, deg)
+
+
+def node_embeddings(edges: DataFrame) -> DataFrame:
+    """Deterministic structural node embedding: the 4-feature vector
+    [degree, Σ neighbor-degree, max neighbor-degree, min neighbor-degree]
+    per vertex (un-normalized integers — exact across engines).
+
+    This is the hand-rolled stand-in for the reference's learned GraphSAGE
+    node representations (src_python/models/supervised.py:41-212):
+    degree profile ≈ the 1-hop aggregation a GraphSAGE layer computes,
+    without trained weights — deterministic, so oracle-checkable. Returns
+    (v, f1, f2, f3, f4)."""
+    und = canonical_undirected(edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
+    nbr = (
+        adj.join(deg.select(F.col("v").alias("w"), F.col("deg").alias("wd")), "w")
+        .groupBy("v")
+        .agg(
+            F.sum("wd").alias("sum_nd"),
+            F.max("wd").alias("max_nd"),
+            F.min("wd").alias("min_nd"),
+        )
+    )
+    return deg.join(nbr, "v").select(
+        "v",
+        F.col("deg").cast("double").alias("f1"),
+        F.col("sum_nd").cast("double").alias("f2"),
+        F.col("max_nd").cast("double").alias("f3"),
+        F.col("min_nd").cast("double").alias("f4"),
+    )
+
+
+def link_prediction_embedding(
+    edges: DataFrame, top_k: int = 50, min_common: int = 2
+) -> DataFrame:
+    """Embedding-similarity link predictor: candidate pairs (wedge-joined,
+    ≥ ``min_common`` common neighbors, non-adjacent) scored by the COSINE
+    of their structural node embeddings — the `predict` surface of the
+    reference's trained model (FrontEnd.cpp:333; supervised.py dot-product
+    scoring), with node_embeddings() standing in for the learned encoder.
+
+    Same candidate plan as link_prediction (equi-joins only); the scoring
+    join touches |candidates| rows. Returns (a, b, common_neighbors,
+    cosine) — cosine rounded to 6 for portable rank boundaries."""
+    und = canonical_undirected(edges).persist()
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    left = adj.select("v", F.col("w").alias("x"))
+    right = adj.select("v", F.col("w").alias("y"))
+    pairs = (
+        left.join(right, "v")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common_neighbors"))
+        .filter(F.col("common_neighbors") >= min_common)
+    )
+    cand = pairs.join(
+        und.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_anti"
+    )
+    emb = node_embeddings(edges).persist()
+    ea = emb.select(
+        F.col("v").alias("x"),
+        *[F.col(f"f{i}").alias(f"a{i}") for i in (1, 2, 3, 4)],
+    )
+    eb = emb.select(
+        F.col("v").alias("y"),
+        *[F.col(f"f{i}").alias(f"b{i}") for i in (1, 2, 3, 4)],
+    )
+    dot = sum(F.col(f"a{i}") * F.col(f"b{i}") for i in (1, 2, 3, 4))
+    na = F.sqrt(sum(F.col(f"a{i}") * F.col(f"a{i}") for i in (1, 2, 3, 4)))
+    nb = F.sqrt(sum(F.col(f"b{i}") * F.col(f"b{i}") for i in (1, 2, 3, 4)))
+    scored = (
+        cand.join(ea, "x")
+        .join(eb, "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            "common_neighbors",
+            F.round(dot / (na * nb), 6).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(F.desc("cosine"), F.asc("a"), F.asc("b")).limit(top_k)
+    return finalize(top, und, emb)

@@ -15,6 +15,7 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     sign_lsh_ann,
     ivf_assign,
     ivf_ann,
+    kmeans_centroids,
 )
 from jasminegraph_spark.pipeline.kg import (  # noqa: F401
     construct_knowledge_graph,
@@ -30,4 +31,5 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     language_id,
     quality_scores,
     doc_fingerprint,
+    embed_text,
 )

@@ -164,24 +164,9 @@ def _centroids(
     )
 
 
-def ivf_assign(
-    embeddings: DataFrame,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF coarse quantization: assign each vector to its nearest centroid
-    cell. Centroids are the ``n_cells`` lowest-id vectors — deterministic
-    and engine-portable (a k-means refinement drops in without changing
-    the assignment join's shape). Returns (vec_id, cell).
-
-    The centroid table is tiny → broadcast; assignment is one pass over
-    the corpus with an argmax over n_cells cosines (codegen expression).
-    At 100 TB ``cell`` becomes the storage partition key, so a probe scans
-    |corpus|/n_cells rows.
-    """
-    cents = _centroids(embeddings, n_cells, id_col, vec_col)
-    corpus = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv"))
+def _assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell): argmax-cosine assignment of corpus (vec_id, qv)
+    against the broadcast centroid table (cell, cv)."""
     scored = corpus.join(F.broadcast(cents)).select(
         "vec_id",
         "cell",
@@ -195,6 +180,69 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF codebook: deterministic first-``n_cells``-by-id seed, optionally
+    refined by ``lloyd_iters`` Lloyd (k-means) rounds — assign every
+    vector to its nearest centroid, recompute each cell's mean vector.
+    1-2 rounds substantially tighten cells vs the raw seed (FAISS trains
+    its IVF coarse quantizer the same way); the seed stays deterministic
+    so refined centroids are too. Each round is one broadcast-assign pass
+    + one posexplode/groupBy mean — no driver-side vectors."""
+    cents = _centroids(embeddings, n_cells, id_col, vec_col)
+    if lloyd_iters <= 0:
+        return cents
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
+    ).persist()
+    for _ in range(lloyd_iters):
+        assign = _assign_cells(corpus, cents)
+        means = (
+            assign.join(corpus, "vec_id")
+            .select("cell", F.posexplode("qv").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+                ).alias("cv")
+            )
+        )
+    from jasminegraph_spark.cache import finalize
+
+    return finalize(cents, corpus)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lloyd_iters: int = 0,
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest centroid
+    cell. Centroids are the ``n_cells`` lowest-id vectors (optionally
+    k-means-refined — see kmeans_centroids); deterministic and
+    engine-portable. Returns (vec_id, cell).
+
+    The centroid table is tiny → broadcast; assignment is one pass over
+    the corpus with an argmax over n_cells cosines (codegen expression).
+    At 100 TB ``cell`` becomes the storage partition key, so a probe scans
+    |corpus|/n_cells rows.
+    """
+    cents = kmeans_centroids(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    corpus = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv"))
+    return _assign_cells(corpus, cents)
+
+
 def ivf_ann(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -203,22 +251,29 @@ def ivf_ann(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine rank within the query's
     ``nprobe`` nearest cells. Returns (query_id, neighbor_id, cosine,
     rank). Recall grows with nprobe while scan cost stays
     nprobe·|corpus|/n_cells — the standard FAISS IVF recall/latency knob
     (reference serves FAISS IndexFlatL2, vectorstore/FaissIndex.h:20-53).
+    ``lloyd_iters`` k-means rounds refine the codebook (recall at the same
+    nprobe); corpus assignment and query probing share the refined cells.
     """
-    assign = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    cents = kmeans_centroids(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    corpus_vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
+    )
+    assign = _assign_cells(corpus_vecs, cents)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     # query side probes its nprobe nearest cells (nprobe=1 ≡ its own cell)
-    cents = _centroids(embeddings, n_cells, id_col, vec_col)
     qraw = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     qscored = qraw.join(F.broadcast(cents)).select(
-        "query_id", "qv", "cell", (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim")
+        "query_id", "qv", "cell",
+        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     qs = (

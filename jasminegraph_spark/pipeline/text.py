@@ -104,3 +104,48 @@ def doc_fingerprint(
     return sh.groupBy("doc_id").agg(
         F.concat_ws(",", F.slice(F.array_sort(F.collect_set("h")), 1, k)).alias("fingerprint")
     )
+
+
+def embed_text(
+    docs: DataFrame, dim: int = 32, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic hashed-token text embedding (feature hashing): lowercase
+    alnum tokens → md5-prefix bucket (first 4 hex chars mod ``dim``) →
+    per-bucket term counts → L2-normalized double array.
+
+    Closes the reference's text→embedding ingest surface
+    (vectorstore/TextEmbedder.h:29-42 embeds node text before FAISS
+    indexing) with an engine-portable featurizer: no model weights, the
+    same vector from any engine/run/partitioning, so ANN / near-dup /
+    beam-search run from raw text end-to-end and stay oracle-checkable.
+
+    One explode + ONE partial-aggregated groupBy computing all ``dim``
+    bucket counts as conditional sums (wide-column pattern, like simhash
+    votes) — no per-bucket shuffle, no Python. Docs with zero tokens drop
+    out (no embeddable content). Returns (doc_id, embedding array<double>).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+        ).alias("token"),
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 4), 16, 10).cast("long"), F.lit(dim)
+    )
+    counts = tok.select("doc_id", bucket.alias("bucket"))
+    wide = counts.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == i, 1).otherwise(0)).cast("double").alias(f"c{i}")
+            for i in range(dim)
+        ]
+    )
+    vec = F.array(*[F.col(f"c{i}") for i in range(dim)])
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    return wide.select(
+        "doc_id", F.transform(vec, lambda x: x / norm).alias("embedding")
+    )

@@ -205,6 +205,8 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     hit = _CO_ORDER_MEMO.get(key)
     if hit is not None:
+        if not hit.is_cached:  # re-arm after a spark.catalog.clearCache()
+            hit.persist()
         return hit
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", "src")

@@ -65,27 +65,47 @@ class EdgeStreamIngest:
     def __init__(self, spark: SparkSession, graph_path: str):
         self.spark = spark
         self.graph_path = graph_path
-        self.edge_count = 0
         self.query = None
 
     def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """Idempotent micro-batch append: each batch overwrites ITS OWN
+        ``batch_id=N`` partition (dynamic partition overwrite), so a batch
+        replayed after a crash replaces its previous output instead of
+        double-appending — exactly-once store contents from
+        at-least-once foreachBatch delivery, on plain parquet (a Delta/
+        Iceberg transactional sink drops in unchanged). No per-batch
+        count job: totals come from the store (total_edges())."""
         edges = batch_df.select(
             F.concat_ws("->", F.col("source.id"), F.col("destination.id")).alias("id"),
             F.col("source.id").alias("src"),
             F.col("destination.id").alias("dst"),
             F.col("properties")["type"].alias("type"),
             F.col("properties").alias("properties"),
-        )
+        ).withColumn("batch_id", F.lit(batch_id))
         nodes = (
             batch_df.select(F.col("source.id").alias("id"), F.col("source.properties").alias("p"))
             .union(batch_df.select("destination.id", "destination.properties"))
             .groupBy("id")
             .agg(F.first("p", ignorenulls=True).alias("p"))
             .select("id", F.col("p")["label"].alias("label"), F.col("p").alias("properties"))
+            .withColumn("batch_id", F.lit(batch_id))
         )
-        edges.write.mode("append").parquet(f"{self.graph_path}/edges")
-        nodes.write.mode("append").parquet(f"{self.graph_path}/nodes")
-        self.edge_count += edges.count()
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            edges.write.mode("overwrite").partitionBy("batch_id").parquet(
+                f"{self.graph_path}/edges"
+            )
+            nodes.write.mode("overwrite").partitionBy("batch_id").parquet(
+                f"{self.graph_path}/nodes"
+            )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def total_edges(self) -> int:
+        """Running edge total, derived from the store (metadb-count
+        equivalent; always replay-consistent)."""
+        return self.edges().count()
 
     def start(self, source_dir: str, checkpoint_dir: str):
         stream = (
@@ -110,7 +130,7 @@ class EdgeStreamIngest:
         )
 
     def edges(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.graph_path}/edges")
+        return self.spark.read.parquet(f"{self.graph_path}/edges").drop("batch_id")
 
 
 def new_triangle_delta(old_edges: DataFrame, new_edges: DataFrame) -> int:

@@ -43,11 +43,15 @@ def hash_partition(edges: DataFrame, k: int) -> DataFrame:
     return nodes.select("node", F.pmod(F.xxhash64("node"), F.lit(k)).cast("int").alias("pid"))
 
 
-def _greedy(edges: DataFrame, k: int, scorer) -> DataFrame:
-    """Shared sequential greedy pass (one executor task, stream order)."""
-    e = edges.select(
-        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
-    ).withColumn("one", F.lit(1))
+# Beyond this row count the single-task sequential pass is a scale
+# hazard (all edges through one executor's Python state); callers must
+# opt into the chunked parallel variant or use hash_partition.
+MAX_SEQUENTIAL_ROWS = 2_000_000
+
+
+def _greedy_fn(k: int, scorer):
+    """Greedy assignment over one pandas chunk in arrival order —
+    per-chunk dict/set state, the reference's master-side loop."""
 
     def fn(_key, pdf: pd.DataFrame) -> pd.DataFrame:
         adj: dict[str, set] = {}
@@ -71,17 +75,83 @@ def _greedy(edges: DataFrame, k: int, scorer) -> DataFrame:
                 sizes[best] += 1
         return pd.DataFrame({"node": list(assign), "pid": list(assign.values())})
 
-    return e.groupBy("one").applyInPandas(lambda key, pdf: fn(key, pdf), ASSIGN_SCHEMA)
+    return fn
 
 
-def ldg_partition(edges: DataFrame, k: int) -> DataFrame:
+def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFrame:
+    """Greedy streaming partitioner driver.
+
+    ``chunked=False`` replicates the reference exactly: ONE sequential
+    pass in stream order (master-side state, Partitioner.cpp:28-226).
+    That is a single executor task holding the whole edge stream in a
+    Python dict — guarded by MAX_SEQUENTIAL_ROWS; past it, either opt
+    into ``chunked=True`` or use :func:`hash_partition` (stateless column
+    expression).
+
+    ``chunked=True`` is the scale path: each INPUT PARTITION runs the
+    greedy pass independently (parallel tasks, state bounded by
+    maxPartitionBytes), then cross-chunk conflicts resolve to the
+    earliest chunk's choice — per-chunk arrival-order semantics with
+    bounded memory. Balance still holds: every chunk balances its own
+    assignments across all k partitions.
+    """
+    e = edges.select(
+        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
+    )
+    if not chunked:
+        n = e.count()
+        if n > MAX_SEQUENTIAL_ROWS:
+            raise ValueError(
+                f"sequential greedy partitioning over {n} edges would run as a "
+                "single executor task holding the whole stream in Python state; "
+                "pass chunked=True (per-chunk greedy + merge) or use "
+                "hash_partition (stateless column expression)"
+            )
+        fn = _greedy_fn(k, scorer)
+        return (
+            e.withColumn("chunk", F.lit(0))
+            .groupBy("chunk")
+            .applyInPandas(fn, ASSIGN_SCHEMA)
+        )
+    chunk_schema = T.StructType(
+        [
+            T.StructField("node", T.StringType(), False),
+            T.StructField("pid", T.IntegerType(), False),
+            T.StructField("chunk", T.IntegerType(), False),
+        ]
+    )
+    fn = _greedy_fn(k, scorer)
+
+    def chunk_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        out = fn(key, pdf)
+        out["chunk"] = key[0]
+        return out
+
+    from pyspark.sql import Window
+
+    per_chunk = (
+        e.withColumn("chunk", F.spark_partition_id())
+        .groupBy("chunk")
+        .applyInPandas(chunk_fn, chunk_schema)
+    )
+    w = Window.partitionBy("node").orderBy(F.asc("chunk"))
+    return (
+        per_chunk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("node", "pid")
+    )
+
+
+def ldg_partition(edges: DataFrame, k: int, chunked: bool = False) -> DataFrame:
     """Linear Deterministic Greedy: place v where it has most neighbors,
     discounted by partition fullness (reference :49-108):
     score = |N(v) ∩ P_i| · (1 − |P_i|/C)."""
-    return _greedy(edges, k, lambda nbrs, size, cap, n, kk: nbrs * (1.0 - size / cap))
+    return _greedy(edges, k, lambda nbrs, size, cap, n, kk: nbrs * (1.0 - size / cap), chunked)
 
 
-def fennel_partition(edges: DataFrame, k: int, gamma: float = 1.5) -> DataFrame:
+def fennel_partition(
+    edges: DataFrame, k: int, gamma: float = 1.5, chunked: bool = False
+) -> DataFrame:
     """Fennel objective (reference :174-226): neighbors gained minus a
     superlinear load penalty: score = |N(v) ∩ P_i| − α·γ/2·|P_i|^(γ−1)."""
 
@@ -89,7 +159,7 @@ def fennel_partition(edges: DataFrame, k: int, gamma: float = 1.5) -> DataFrame:
         alpha = (kk ** (gamma - 1.0)) * n / max(n ** gamma, 1)
         return nbrs - alpha * gamma / 2.0 * (size ** (gamma - 1.0))
 
-    return _greedy(edges, k, score)
+    return _greedy(edges, k, score, chunked)
 
 
 def edge_cut_fraction(edges: DataFrame, assignment: DataFrame) -> float:

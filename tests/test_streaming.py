@@ -189,3 +189,70 @@ def test_partitioners_quality_on_clustered_graph(spark):
     assert cuts["ldg"] < cuts["hash"]
     assert cuts["fennel"] < cuts["hash"]
     assert cuts["ldg"] <= 0.2 and cuts["fennel"] <= 0.2
+
+
+def test_chunked_greedy_partitioner_parallel_and_valid(spark):
+    """The chunked Fennel/LDG path: per-input-partition greedy tasks (no
+    single-task bottleneck), earliest-chunk conflict resolution, full
+    coverage, valid pids, and clique quality comparable to sequential."""
+    from jasminegraph_spark.streaming import (
+        edge_cut_fraction,
+        fennel_partition,
+        hash_partition,
+        ldg_partition,
+    )
+
+    edges = []
+    for c in range(4):
+        members = [c * 100 + i for i in range(8)]
+        edges += [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]
+    df = spark.createDataFrame(edges, ["src", "dst"]).repartition(4)
+    assert df.rdd.getNumPartitions() == 4  # greedy state is per-task, not global
+
+    for fn in (ldg_partition, fennel_partition):
+        assign = fn(df, 4, chunked=True)
+        rows = assign.collect()
+        assert len(rows) == 32  # every vertex assigned exactly once
+        assert all(0 <= r["pid"] < 4 for r in rows)
+        cut = edge_cut_fraction(df, assign)
+        assert cut <= edge_cut_fraction(df, hash_partition(df, 4))
+
+
+def test_sequential_greedy_guard_points_at_scale_paths(spark, monkeypatch):
+    """Past MAX_SEQUENTIAL_ROWS the single-task sequential pass must
+    refuse with actionable guidance instead of silently funnelling the
+    stream through one executor."""
+    import pytest as _pytest
+
+    from jasminegraph_spark.streaming import partitioners
+
+    monkeypatch.setattr(partitioners, "MAX_SEQUENTIAL_ROWS", 10)
+    df = spark.createDataFrame([(i, i + 1) for i in range(50)], ["src", "dst"])
+    with _pytest.raises(ValueError, match="chunked=True|hash_partition"):
+        partitioners.fennel_partition(df, 4)
+    # chunked path stays available past the guard
+    assert partitioners.fennel_partition(df, 4, chunked=True).count() > 0
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    """A replayed foreachBatch micro-batch (same batch_id) must overwrite
+    its own partition, not double-append — the crash-replay contract."""
+    from jasminegraph_spark.streaming.ingest import EdgeStreamIngest
+
+    rows = [
+        {"source": {"id": str(a), "properties": {"id": str(a)}},
+         "destination": {"id": str(b), "properties": {"id": str(b)}},
+         "properties": {"type": "E"}}
+        for a, b in [(0, 1), (1, 2), (2, 0)]
+    ]
+    from jasminegraph_spark.sources.readers import EDGE_WIRE_SCHEMA
+
+    batch = spark.createDataFrame(rows, EDGE_WIRE_SCHEMA)
+    ingest = EdgeStreamIngest(spark, str(tmp_path / "g"))
+    ingest._process_batch(batch, batch_id=0)
+    n_first = ingest.total_edges()
+    ingest._process_batch(batch, batch_id=0)  # crash-replay of batch 0
+    assert ingest.total_edges() == n_first == 3
+    # a NEW batch id still appends
+    ingest._process_batch(batch, batch_id=1)
+    assert ingest.total_edges() == 6
