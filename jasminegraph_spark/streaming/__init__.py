@@ -1,6 +1,7 @@
 from jasminegraph_spark.streaming.ingest import (  # noqa: F401
     EdgeStreamIngest,
     StreamRegistry,
+    kafka_edge_stream,
     new_triangle_delta,
     StreamingTriangleCounter,
 )
@@ -13,5 +14,6 @@ from jasminegraph_spark.streaming.partitioners import (  # noqa: F401
     hash_partition,
     ldg_partition,
     fennel_partition,
+    community_partition,
     edge_cut_fraction,
 )

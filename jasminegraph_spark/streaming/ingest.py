@@ -53,6 +53,39 @@ class StreamRegistry:
         return False
 
 
+def kafka_edge_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The reference's Kafka edge source (util/kafka/StreamHandler.cpp:
+    65-144: poll → JSON parse → partitioner), as a Structured Streaming
+    source: kafka format → from_json(EDGE_WIRE_SCHEMA). Rows whose
+    source id is the ``-1`` EOF sentinel (StreamHandler.cpp:56-63) are
+    dropped — micro-batch triggers replace the sentinel protocol.
+
+    Requires the spark-sql-kafka package on the cluster (e.g.
+    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
+    this sandbox has no broker, so tests drive the identical
+    transformations through the file source instead
+    (EdgeStreamIngest.start) — the returned frame is source-agnostic.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EDGE_WIRE_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.filter(
+        F.col("source.id").isNotNull() & (F.col("source.id") != "-1")
+    )
+
+
 class EdgeStreamIngest:
     """Append-only property-graph ingest from a stream of edge-JSON lines.
 
