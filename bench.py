@@ -42,6 +42,12 @@ HEADLINE = [
     "pl_simhash",
     "pl_cosine_topk",
     "pl_quality_scores",
+    # round-2 composed scale paths (LSH-verified dedup/near-dup, text →
+    # embedding → bucketed ANN, iterative components)
+    "pl_lsh_verified_dedup",
+    "pl_embedding_near_dup",
+    "pl_embed_ivf_ann",
+    "an_connected_components",
 ]
 
 

@@ -119,7 +119,10 @@ def node_embeddings(edges: DataFrame) -> DataFrame:
 
 
 def link_prediction_embedding(
-    edges: DataFrame, top_k: int = 50, min_common: int = 2
+    edges: DataFrame,
+    top_k: int = 50,
+    min_common: int = 2,
+    max_center_degree: int | None = None,
 ) -> DataFrame:
     """Embedding-similarity link predictor: candidate pairs (wedge-joined,
     ≥ ``min_common`` common neighbors, non-adjacent) scored by the COSINE
@@ -134,8 +137,15 @@ def link_prediction_embedding(
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
-    left = adj.select("v", F.col("w").alias("x"))
-    right = adj.select("v", F.col("w").alias("y"))
+    centers = adj
+    if max_center_degree is not None:
+        # GraphSAGE's neighbor-sampling budget: cap the quadratic wedge
+        # fan-out at hub vertices
+        deg_v = adj.groupBy("v").agg(F.count("*").alias("d"))
+        ok = deg_v.filter(F.col("d") <= max_center_degree).select("v")
+        centers = adj.join(ok, "v", "left_semi")
+    left = centers.select("v", F.col("w").alias("x"))
+    right = centers.select("v", F.col("w").alias("y"))
     pairs = (
         left.join(right, "v")
         .filter(F.col("x") < F.col("y"))

@@ -177,7 +177,9 @@ def jaccard_verified_dedup(
     all-against-all.
     """
     cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col)
-    sh = char_shingles(docs, k, id_col)
+    # the distinct shingle set feeds three consumers (sizes + both sides
+    # of the common-shingle join) — materialize it once
+    sh = char_shingles(docs, k, id_col).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidates ⋈ A-shingles on id_a, then (id_b, shingle) equi-join picks
     # exactly the common shingles of each candidate pair
@@ -189,7 +191,7 @@ def jaccard_verified_dedup(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    verified = (
         common.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -201,6 +203,7 @@ def jaccard_verified_dedup(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    return finalize(verified, sh)
 
 
 def simhash_signatures(

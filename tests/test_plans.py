@@ -223,3 +223,11 @@ def test_lsh_verified_dedup_has_no_all_pairs_join(q):
     plan = _plan(q("pl_lsh_verified_dedup"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_linkpred_stays_equi_join(q):
+    """Wedge candidates + feature scoring: hash/sort-merge equi-joins
+    only, like the Jaccard predictor."""
+    plan = _plan(q("an_link_prediction_embedding"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
