@@ -1425,12 +1425,52 @@ def pl_kg_triples(spark, sf_dir):
     )
 
 
-@_q("an_semantic_beam_search")  # iterative + data-dependent → rows-only check
+def _beam_oracle(beam_width: int = 5, hops: int = 3, dim: int = 64) -> str:
+    """The beam unrolled as hop CTEs: scores are rounded before selection
+    in both engines, so every cut (top-w by score desc, node asc, minus
+    visited) is deterministic and the unroll is exact. Query vector = unit
+    basis e0."""
+    qlit = ", ".join(["1.0"] + ["0.0"] * (dim - 1))
+    sql = CO_ORDER_CTE + f"""
+    , sym_edges AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION SELECT dst, src FROM co_edges
+    ),
+    scored AS MATERIALIZED (
+        SELECT vec_id AS node,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                            CAST([{qlit}] AS DOUBLE[])), 6) AS score
+        FROM embeddings
+    ),
+    b0 AS (SELECT node, score, 0 AS hop FROM scored
+           ORDER BY score DESC, node ASC LIMIT {beam_width}),
+    v0 AS (SELECT node FROM b0)
+    """
+    for h in range(1, hops + 1):
+        sql += f"""
+    , f{h} AS (
+        SELECT DISTINCT e.dst AS node
+        FROM sym_edges e JOIN b{h - 1} b ON b.node = e.src
+    ),
+    b{h} AS (
+        SELECT s.node, s.score, {h} AS hop
+        FROM scored s JOIN f{h} USING (node)
+        WHERE s.node NOT IN (SELECT node FROM v{h - 1})
+        ORDER BY s.score DESC, s.node ASC LIMIT {beam_width}
+    ),
+    v{h} AS (SELECT node FROM v{h - 1} UNION SELECT node FROM b{h})"""
+    union = " UNION ALL ".join(f"SELECT * FROM b{h}" for h in range(hops + 1))
+    return sql + f"\n    SELECT node, score, hop FROM ({union})"
+
+
+@_q("an_semantic_beam_search", _beam_oracle(5, 3, 64))
 def an_semantic_beam_search(spark, sf_dir):
     """Reference GenAI surface: multi-hop beam search guided by embedding
     similarity (SemanticBeamSearch.cpp). Graph = co-order parts; embeddings
-    joined by id; query = unit basis vector. Not SQL-expressible (iterative
-    beam), so the driver records the weaker rows-only check."""
+    joined by id; query = unit basis vector. Scores are rounded before
+    every beam cut, so the iterative beam IS oracle-expressible as
+    unrolled hop CTEs; the path column (array-typed, engine-specific
+    rendering) is exposed by the operator but trimmed from the driver
+    row contract."""
     from jasminegraph_spark.analytics import semantic_beam_search
 
     emb = _read(spark, sf_dir, "embeddings")
@@ -1438,7 +1478,7 @@ def an_semantic_beam_search(spark, sf_dir):
     q = [1.0] + [0.0] * (dim - 1)
     return semantic_beam_search(
         co_order_edges(spark, sf_dir), emb, q, beam_width=5, hops=3
-    ).select("node", "score", "hop", F.col("path").cast("array<string>").alias("path"))
+    ).select("node", "score", "hop")
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path")
     p = sub.add_parser("predict");     p.add_argument("name"); p.add_argument("--top", type=int, default=20)
     p = sub.add_parser("constructkg"); p.add_argument("name"); p.add_argument("path", help="parquet/jsonl of (doc_id, text)")
+    p = sub.add_parser("wcc");         p.add_argument("name")
+    p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
+    p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
     args = ap.parse_args(argv)
 
     import os
@@ -124,6 +127,15 @@ def main(argv=None) -> int:
                     "jaccard": r["jaccard"],
                 }
             )
+    elif args.cmd == "wcc":
+        for r in eng.connected_components(args.name).collect():
+            emit({"node": r["node"], "component": r["component"]})
+    elif args.cmd == "kcore":
+        for r in eng.k_core(args.name, args.k).collect():
+            emit({"a": r["a"], "b": r["b"]})
+    elif args.cmd == "partition":
+        for r in eng.partition_graph(args.name, args.k, args.algo).collect():
+            emit({"node": r["node"], "pid": r["pid"]})
     elif args.cmd == "constructkg":
         docs = (
             spark.read.parquet(args.path)

@@ -219,6 +219,30 @@ class JasmineEngine:
     def k_core(self, graph_name: str, k: int) -> DataFrame:
         return an.k_core(self.catalog.get(graph_name).edges, k)
 
+    def partition_graph(
+        self, graph_name: str, k: int, algo: str = "hash"
+    ) -> DataFrame:
+        """Explicit k-way partition assignment (node, pid) — the reference
+        partitions at ingest (METIS offline / hash / Fennel / LDG stream);
+        here partitioning is a first-class operator over the stored graph.
+        ``algo``: hash | ldg | fennel | community (min-cut role)."""
+        from jasminegraph_spark.streaming import (
+            community_partition,
+            fennel_partition,
+            hash_partition,
+            ldg_partition,
+        )
+
+        fns = {
+            "hash": hash_partition,
+            "ldg": ldg_partition,
+            "fennel": fennel_partition,
+            "community": community_partition,
+        }
+        if algo not in fns:
+            raise ValueError(f"unknown partitioner {algo!r}; pick from {sorted(fns)}")
+        return fns[algo](self.catalog.get(graph_name).edges, k)
+
     # ---- catalog (vcnt / ecnt / lst / rmgr / sdhdfs) ----------------------
     def vertex_count(self, graph_name: str) -> int:
         return self.catalog.get(graph_name).vertex_count()

@@ -142,3 +142,34 @@ def test_cli_predict_and_constructkg(tmp_path):
     assert all(0.0 < p["jaccard"] <= 1.0 for p in preds)
     (kg,) = run("constructkg", "kg", str(tmp_path / "docs.jsonl"))
     assert kg == {"constructed": "kg", "vertices": 4, "edges": 2}
+
+
+def test_cli_wcc_kcore_partition(tmp_path):
+    """CLI verbs for components, k-core, and explicit partitioning."""
+    import subprocess
+    import sys
+
+    # two triangles bridged by one edge
+    (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n4 5\n5 6\n6 4\n3 4\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+
+    run("adgr", "tg", str(tmp_path / "g.dl"))
+    wcc = run("wcc", "tg")
+    assert len(wcc) == 6 and len({r["component"] for r in wcc}) == 1
+    # every vertex (bridge endpoints included) has degree >= 2, so the
+    # 2-core is the whole graph; the 3-core peels everything (triangle
+    # vertices lose the bridge edge's support once 3/4 drop below 3)
+    core = run("kcore", "tg", "--k", "2")
+    assert {(r["a"], r["b"]) for r in core} == {
+        ("1", "2"), ("1", "3"), ("2", "3"), ("3", "4"), ("4", "5"), ("4", "6"), ("5", "6")
+    }
+    parts = run("partition", "tg", "--k", "2", "--algo", "community")
+    assert len(parts) == 6 and all(0 <= r["pid"] < 2 for r in parts)
