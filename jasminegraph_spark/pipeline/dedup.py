@@ -97,7 +97,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, k: int = 8, id_col: str = "doc_id"
+    docs: DataFrame,
+    num_hashes: int = 16,
+    k: int = 8,
+    id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: num_hashes columns mh0..mhN-1.
 
@@ -111,9 +115,9 @@ def minhash_signatures(
     """
     if num_hashes > 25:
         raise ValueError("window family supports ≤ 25 components per md5")
-    sh = char_shingles(docs, k, id_col, distinct=False).withColumn(  # min is dup-insensitive
-        "h", F.md5("shingle")
-    )
+    if shingles is None:
+        shingles = char_shingles(docs, k, id_col, distinct=False)  # min is dup-insensitive
+    sh = shingles.withColumn("h", F.md5("shingle"))
     aggs = [
         F.min(F.substring("h", i + 1, 8)).alias(f"mh{i}") for i in range(num_hashes)
     ]
@@ -126,6 +130,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     k: int = 8,
     id_col: str = "doc_id",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     ``num_hashes/bands`` rows; docs agreeing on any full band are
@@ -138,7 +143,7 @@ def minhash_lsh_candidates(
     rows_per_band = num_hashes // bands
     # both sides of the bucket self-join read the signatures: persist so
     # the shingle+md5 pipeline runs once, not twice
-    sig = minhash_signatures(docs, num_hashes, k, id_col).persist()
+    sig = minhash_signatures(docs, num_hashes, k, id_col, shingles).persist()
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -176,10 +181,11 @@ def jaccard_verified_dedup(
     pair set, then shingles are joined per candidate pair, never
     all-against-all.
     """
-    cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col)
-    # the distinct shingle set feeds three consumers (sizes + both sides
-    # of the common-shingle join) — materialize it once
+    # ONE shingle materialization feeds everything: the MinHash signature
+    # aggregation (min over the distinct set ≡ min over the multiset),
+    # the per-doc sizes, and both sides of the common-shingle join
     sh = char_shingles(docs, k, id_col).persist()
+    cands = minhash_lsh_candidates(docs, num_hashes, bands, k, id_col, shingles=sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # candidates ⋈ A-shingles on id_a, then (id_b, shingle) equi-join picks
     # exactly the common shingles of each candidate pair
