@@ -1911,6 +1911,21 @@ _ORACLES["pl_stratified_sample"] = """
 """
 
 
+@_q(
+    "cypher_type_function",
+    TPCH_GRAPH_CTE
+    + """
+    SELECT type AS t, COUNT(*) AS n FROM g_edges GROUP BY type ORDER BY t
+    """,
+)
+def cypher_type_function(spark, sf_dir):
+    """type(r) scalar function (relationship type string) grouped over the
+    full edge set."""
+    return _cy(
+        spark, sf_dir, "MATCH (a)-[r]->(b) RETURN type(r) AS t, count(*) AS n ORDER BY t"
+    )
+
+
 _EMBED_DIM = 32
 
 
@@ -2128,6 +2143,7 @@ _PRIORITY = [
     "pl_embed_text",
     "pl_embed_ivf_ann",
     "an_link_prediction_embedding",
+    "cypher_type_function",
 ]
 
 

@@ -61,6 +61,14 @@ class LabelsFunc:
 
 
 @dataclass
+class TypeFunc:
+    """type(r) — the relationship type string (RelationBlock type in the
+    reference's store)."""
+
+    var: str
+
+
+@dataclass
 class VarRef:
     var: str
 

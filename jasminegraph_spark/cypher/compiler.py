@@ -176,6 +176,8 @@ class _Compiler:
             return F.col(f"{e.var}.id")
         if isinstance(e, ast.LabelsFunc):
             return F.col(f"{e.var}.label")
+        if isinstance(e, ast.TypeFunc):
+            return F.col(f"{e.var}.type")
         if isinstance(e, ast.VarRef):
             if e.var in self.lambda_vars:
                 return self.lambda_vars[e.var]
@@ -200,9 +202,17 @@ class _Compiler:
             return out
         if isinstance(e, ast.BinaryOp):
             l, r = self.expr(e.left), self.expr(e.right)
-            # string-stored numeric properties: Spark's implicit
-            # string→double coercion applies inside arithmetic, matching
-            # the engine's literal-driven typing philosophy
+            # openCypher overloads + as string concatenation; properties
+            # are stored as strings so the operand TYPE is invisible at
+            # compile time — the literal decides (the engine's
+            # literal-driven typing philosophy): a string literal on
+            # either side makes + a concat, otherwise arithmetic (where
+            # Spark's implicit string→double coercion applies)
+            if e.op == "+" and any(
+                isinstance(s, ast.Literal) and isinstance(s.value, str)
+                for s in (e.left, e.right)
+            ):
+                return F.concat(l, r)
             import operator as _op
 
             return {"+": _op.add, "-": _op.sub, "*": _op.mul,
@@ -292,6 +302,8 @@ class _Compiler:
             return f"id({e.var})"
         if isinstance(e, ast.LabelsFunc):
             return f"labels({e.var})"
+        if isinstance(e, ast.TypeFunc):
+            return f"type({e.var})"
         if isinstance(e, ast.Aggregate):
             inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
             return f"{e.func}({inner})"

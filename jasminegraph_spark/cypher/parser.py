@@ -23,6 +23,7 @@ from jasminegraph_spark.cypher.ast import (
     Comparison,
     IdFunc,
     LabelsFunc,
+    TypeFunc,
     Literal,
     NodePattern,
     NullCheck,
@@ -530,6 +531,11 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return LabelsFunc(var)
+            if word == "type" and self.peek() == ("PUNCT", "("):
+                self.next()
+                var = self.expect("WORD")
+                self.expect("PUNCT", ")")
+                return TypeFunc(var)
             if self.accept("PUNCT", "."):
                 return PropRef(word, self.name())
             return VarRef(word)

@@ -532,3 +532,27 @@ def test_call_procedure_registry_extension(social):
         assert out.collect()[0]["count"] == 20
     finally:
         del procedures.PROCEDURES["test.nodeCount"]
+
+
+def test_type_function_and_string_concat(social):
+    out = rows(
+        cypher_query(
+            social, "MATCH (a)-[r]->(b) RETURN type(r) AS t, count(*) AS n ORDER BY t"
+        )
+    )
+    # undirected graph: -> matches both orientations, so each of the 10
+    # edges per type is seen twice
+    assert out == [
+        {"t": "FRIENDS", "n": 20},
+        {"t": "VISITS", "n": 20},
+        {"t": "WORKS_AT", "n": 20},
+    ]
+    # openCypher-overloaded +: a string literal operand makes it concat,
+    # numeric literals keep arithmetic semantics
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE n.age = 25 RETURN n.name + '!' AS s",
+        )
+    )
+    assert out == [{"s": PEOPLE[3] + "!"}]
