@@ -1017,6 +1017,55 @@ def pl_simhash(spark, sf_dir):
     return pl.simhash_signatures(_read(spark, sf_dir, "documents"), bits=16, k=8)
 
 
+def _simhash_near_dup_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
+    r = bits // bands
+    ham = " + ".join(
+        f"CASE WHEN substr(sa.simhash, {i}, 1) <> substr(sb.simhash, {i}, 1) THEN 1 ELSE 0 END"
+        for i in range(1, bits + 1)
+    )
+    return _SHINGLE_CTE + f"""
+    , h AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+    votes AS (
+        SELECT doc_id, j AS bit_pos,
+               SUM(CASE WHEN (strpos('0123456789abcdef', substr(h, j, 1)) - 1) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM h, range(1, {bits + 1}) t(j)
+        GROUP BY doc_id, j
+    ),
+    sig AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY bit_pos) AS simhash
+        FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, t.b AS band, substr(simhash, t.b * {r} + 1, {r}) AS bsig
+        FROM sig, range(0, {bands}) t(b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, ({ham}) AS hamming
+    FROM cand
+    JOIN sig sa ON sa.doc_id = id_a
+    JOIN sig sb ON sb.doc_id = id_b
+    WHERE ({ham}) <= {max_hamming}
+    """
+
+
+@_q("pl_simhash_near_dup", _simhash_near_dup_oracle(16, 4, 3))
+def pl_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs: banded signature buckets → exact Hamming
+    verify ≤ 3. bands > max_hamming gives the pigeonhole 100%-recall
+    guarantee (any pair within distance 3 shares a clean 4-bit band) —
+    the deterministic sibling of the probabilistic MinHash/sign-LSH
+    candidate generators."""
+    return pl.simhash_near_dup(
+        _read(spark, sf_dir, "documents"), bits=16, k=8, bands=4, max_hamming=3
+    )
+
+
 @_q(
     "pl_cosine_topk",
     """
@@ -2144,6 +2193,7 @@ _PRIORITY = [
     "pl_embed_ivf_ann",
     "an_link_prediction_embedding",
     "cypher_type_function",
+    "pl_simhash_near_dup",
 ]
 
 

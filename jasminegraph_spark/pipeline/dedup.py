@@ -164,6 +164,68 @@ def minhash_lsh_candidates(
     return finalize(pairs, sig)
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    bits: int = 16,
+    k: int = 8,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded signature buckets generate
+    candidates, exact Hamming distance verifies ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: any pair within Hamming distance
+    ``bands - 1`` MUST agree on at least one band — with bands >
+    max_hamming the candidate stage has 100% recall for the verified
+    output (unlike probabilistic MinHash/sign-LSH recall). Candidates
+    come from a uniform-key bucket equi-join; Hamming is a fixed
+    ``bits``-term codegen expression on the two signature strings.
+    Returns (id_a, id_b, hamming).
+    """
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands={bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole guarantee (a pair differing in <= max_hamming bits "
+            "must share one clean band)"
+        )
+    r = bits // bands
+    sig = simhash_signatures(docs, bits, k, id_col).persist()
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * r + 1, r).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("bsig")
+    )
+    l = banded.select(F.col("doc_id").alias("id_a"), "band", "bsig")
+    rr = banded.select(F.col("doc_id").alias("id_b"), "band", "bsig")
+    cands = (
+        l.join(rr, ["band", "bsig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    hamming = sum(
+        F.when(
+            F.substring("ha", i, 1) != F.substring("hb", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, bits + 1)
+    )
+    out = (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return finalize(out, sig)
+
+
 def jaccard_verified_dedup(
     docs: DataFrame,
     num_hashes: int = 16,

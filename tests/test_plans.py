@@ -225,6 +225,12 @@ def test_lsh_verified_dedup_has_no_all_pairs_join(q):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash_near_dup_has_no_all_pairs_join(q):
+    plan = _plan(q("pl_simhash_near_dup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_linkpred_stays_equi_join(q):
     """Wedge candidates + feature scoring: hash/sort-merge equi-joins
     only, like the Jaccard predictor."""

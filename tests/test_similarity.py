@@ -147,3 +147,26 @@ def test_jaccard_verified_matches_exact_pairs(spark, sf_dir):
         for r in ngram_jaccard_pairs(docs, k=8, threshold=0.4).collect()
     }
     assert got == want and len(want) >= 1
+
+
+def test_simhash_near_dup_pigeonhole_recall(spark, sf_dir):
+    """bands=4 > max_hamming=3: the banded candidate stage must have 100%
+    recall vs brute-force Hamming over all signature pairs (pigeonhole —
+    a pair differing in ≤3 of 16 bits shares at least one clean 4-bit
+    band), so the operator equals the exact answer, not an approximation."""
+    from jasminegraph_spark.pipeline import simhash_near_dup, simhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_near_dup(docs, bits=16, k=8, bands=4, max_hamming=3).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs, 16, 8).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+            if h <= 3:
+                want.add((a, b, h))
+    assert got == want and len(want) >= 1
