@@ -64,15 +64,21 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
 
 
 def shortest_paths(
-    edges: DataFrame, source, max_hops: int = 20, undirected: bool = True
+    edges: DataFrame,
+    source,
+    max_hops: int = 20,
+    undirected: bool = True,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Single-source BFS distances: (node, distance) for every node
     reachable from ``source`` within ``max_hops``.
 
-    Frontier-expansion BFS: each round joins the (small) frontier against
-    adjacency and anti-joins the visited set — the frontier is typically
-    broadcast-size, so rounds cost one probe of the edge table, not a
-    full shuffle of it.
+    Frontier-expansion BFS: each round joins the frontier against
+    adjacency and anti-joins the visited set. The frontier carries the
+    broadcast hint only while its (already-counted) size stays under
+    ``broadcast_threshold`` — on a power-law graph a middle BFS level can
+    approach |V|, where an unconditional broadcast would OOM the driver;
+    big frontiers fall back to the co-partitioned shuffle join.
     """
     e = edges.select("src", "dst")
     if undirected:
@@ -82,17 +88,21 @@ def shortest_paths(
         [(source, 0)], schema=e.select("src").withColumn("distance", F.lit(0)).schema
     ).withColumnRenamed("src", "node")
     frontier = visited
+    frontier_rows = 1
     for hop in range(1, max_hops + 1):
+        f = frontier.select("node")
+        if frontier_rows <= broadcast_threshold:
+            f = F.broadcast(f)
         nxt = (
-            F.broadcast(frontier.select("node"))
-            .join(e, F.col("node") == F.col("src"))
+            f.join(e, F.col("node") == F.col("src"))
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("distance", F.lit(hop))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
+        frontier_rows = nxt.count()  # materialized: count is metadata-cheap
+        if frontier_rows == 0:
             break
         visited = visited.unionByName(nxt)
         frontier = nxt

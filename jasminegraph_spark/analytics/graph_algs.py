@@ -106,6 +106,7 @@ def pagerank(
     alpha: float = 0.85,
     iterations: int = 10,
     undirected: bool = False,
+    broadcast_threshold: int = 10_000_000,
 ) -> DataFrame:
     """`pgrnk` (JasmineGraphInstanceService.cpp:1650-1816; defaults α=0.85,
     10 iterations — FrontEndProtocol.h:112-113).
@@ -129,8 +130,9 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
     # the rank table is |V| rows vs |E| contributions: broadcast it while
     # it fits so the big persisted edge frame is never re-shuffled per
-    # iteration; past ~10M vertices fall back to a co-partitioned join
-    brd = (lambda df: F.broadcast(df)) if n_total <= 10_000_000 else (lambda df: df)
+    # iteration; past broadcast_threshold vertices fall back to a
+    # co-partitioned shuffle join (exercised in tests via threshold=0)
+    brd = (lambda df: F.broadcast(df)) if n_total <= broadcast_threshold else (lambda df: df)
     for i in range(iterations):
         contribs = (
             contrib_base.join(brd(ranks), contrib_base["src"] == ranks["node"])

@@ -39,3 +39,43 @@ def test_shortest_paths_bfs(spark):
         ).collect()
     }
     assert got_dir == {1: 0, 2: 1}
+
+
+def test_pagerank_copartitioned_path_matches_broadcast(spark, sf_dir):
+    """The at-scale co-partitioned join (vertex count above the broadcast
+    threshold) must produce identical ranks to the broadcast path — it
+    otherwise first runs in production at 10M+ vertices."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import pagerank
+    from jasminegraph_spark.projection import co_order_edges
+
+    e = co_order_edges(spark, sf_dir)
+    a = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=3, undirected=True).select(
+            "node", F.round("rank", 9).alias("rank")
+        ).collect()
+    }
+    b = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=3, undirected=True, broadcast_threshold=0).select(
+            "node", F.round("rank", 9).alias("rank")
+        ).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_bfs_shuffle_frontier_matches_broadcast(spark, sf_dir):
+    """BFS with the frontier-broadcast hint disabled (threshold=0) must
+    return identical distances — the big-frontier fallback path."""
+    from jasminegraph_spark.analytics import shortest_paths
+    from jasminegraph_spark.projection import co_order_edges
+
+    e = co_order_edges(spark, sf_dir)
+    a = {(r["node"], r["distance"]) for r in shortest_paths(e, 1, max_hops=3).collect()}
+    b = {
+        (r["node"], r["distance"])
+        for r in shortest_paths(e, 1, max_hops=3, broadcast_threshold=0).collect()
+    }
+    assert a == b and len(a) > 1
