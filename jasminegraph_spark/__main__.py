@@ -44,6 +44,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path")
     p = sub.add_parser("predict");     p.add_argument("name"); p.add_argument("--top", type=int, default=20)
     p = sub.add_parser("constructkg"); p.add_argument("name"); p.add_argument("path", help="parquet/jsonl of (doc_id, text)")
+    p = sub.add_parser("adstrmk");     p.add_argument("name"); p.add_argument("source_dir", help="directory of edge-JSON line files (Kafka stand-in)"); p.add_argument("--strian", action="store_true", help="also maintain the incremental triangle count")
     p = sub.add_parser("wcc");         p.add_argument("name")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
     p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
@@ -127,6 +128,27 @@ def main(argv=None) -> int:
                     "jaccard": r["jaccard"],
                 }
             )
+    elif args.cmd == "adstrmk":
+        # drain-mode `adstrmk`: availableNow trigger consumes everything
+        # currently in the directory then completes (the reference's
+        # stream lives in a server process; the CLI is one-shot)
+        ckpt = os.path.join(args.store, f"_ckpt_{args.name}")
+        if args.strian:
+            ingest, counter, query = eng.add_stream_with_triangles(
+                args.name, args.source_dir, ckpt
+            )
+            query.awaitTermination()
+            emit(
+                {
+                    "streamed": args.name,
+                    "edges": ingest.total_edges(),
+                    "triangles": counter.total,
+                }
+            )
+        else:
+            ingest, query = eng.add_stream(args.name, args.source_dir, ckpt)
+            query.awaitTermination()
+            emit({"streamed": args.name, "edges": ingest.total_edges()})
     elif args.cmd == "wcc":
         for r in eng.connected_components(args.name).collect():
             emit({"node": r["node"], "component": r["component"]})

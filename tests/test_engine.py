@@ -173,3 +173,34 @@ def test_cli_wcc_kcore_partition(tmp_path):
     }
     parts = run("partition", "tg", "--k", "2", "--algo", "community")
     assert len(parts) == 6 and all(0 <= r["pid"] < 2 for r in parts)
+
+
+def test_cli_adstrmk_drains_stream_with_triangles(tmp_path):
+    """CLI adstrmk: drain-mode streaming ingest of edge-JSON files with
+    the incremental triangle counter (the reference's adstrmk + strian)."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    lines = []
+    for base in (0, 3):
+        a, b, c = base, base + 1, base + 2
+        for s, d in [(a, b), (b, c), (c, a)]:
+            lines.append(json.dumps({
+                "source": {"id": str(s), "properties": {"id": str(s)}},
+                "destination": {"id": str(d), "properties": {"id": str(d)}},
+                "properties": {"type": "E"},
+            }))
+    (src / "batch0.jsonl").write_text("\n".join(lines[:3]) + "\n")
+    (src / "batch1.jsonl").write_text("\n".join(lines[3:]) + "\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    out = subprocess.run(
+        [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"),
+         "adstrmk", "sg", str(src), "--strian"],
+        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res == {"streamed": "sg", "edges": 6, "triangles": 2}
