@@ -1017,6 +1017,74 @@ def pl_simhash(spark, sf_dir):
     return pl.simhash_signatures(_read(spark, sf_dir, "documents"), bits=16, k=8)
 
 
+def _dedup_corpus_oracle(
+    num_hashes: int = 16, bands: int = 4, threshold: float = 0.4, cc_rounds: int = 10
+) -> str:
+    """Survivors of end-to-end dedup: exact-dup edges ∪ LSH-verified
+    Jaccard edges → hash-min label propagation (unrolled, self-loop
+    single-reference recurrence) → drop non-representative members."""
+    body = f"""
+    , cand AS ({_LSH_TAIL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    near AS (
+        SELECT id_a AS src, id_b AS dst
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+              >= {threshold}
+    ),
+    exact_g AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep FROM documents GROUP BY md5(text)
+    ),
+    exact_e AS (
+        SELECT g.keep AS src, d.doc_id AS dst
+        FROM documents d JOIN exact_g g ON md5(d.text) = g.h
+        WHERE d.doc_id <> g.keep
+    ),
+    dedges AS MATERIALIZED (
+        SELECT src, dst FROM exact_e UNION ALL SELECT src, dst FROM near
+    ),
+    adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM dedges
+        UNION ALL SELECT dst, src FROM dedges
+        UNION ALL SELECT DISTINCT src, src FROM dedges
+        UNION ALL SELECT DISTINCT dst, dst FROM dedges
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS component FROM adj)
+    """
+    for i in range(cc_rounds):
+        body += f"""
+    , l{i + 1} AS MATERIALIZED (
+        SELECT a.u AS node, MIN(l.component) AS component
+        FROM adj a JOIN l{i} l ON l.node = a.v GROUP BY a.u
+    )"""
+    body += f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM l{cc_rounds} WHERE component <> node)
+    """
+    return _lsh_oracle(num_hashes, bands).replace(_LSH_TAIL, body)
+
+
+@_q("pl_dedup_corpus", _dedup_corpus_oracle(16, 4, 0.4, 10))
+def pl_dedup_corpus(spark, sf_dir):
+    """End-to-end corpus dedup: exact + LSH-verified near-dup clusters
+    collapse to one representative each (hash-min components over the
+    dup graph — near-dup similarity is not transitive, so chains must
+    cluster); returns the surviving documents."""
+    return pl.dedup_corpus(
+        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8,
+        threshold=0.4, cc_rounds=10,
+    ).select("doc_id", "n_chars")
+
+
 def _simhash_near_dup_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
     r = bits // bands
     ham = " + ".join(
@@ -2194,6 +2262,7 @@ _PRIORITY = [
     "an_link_prediction_embedding",
     "cypher_type_function",
     "pl_simhash_near_dup",
+    "pl_dedup_corpus",
 ]
 
 

@@ -5,6 +5,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
     minhash_signatures,
     minhash_lsh_candidates,
     jaccard_verified_dedup,
+    dedup_corpus,
     simhash_signatures,
     simhash_near_dup,
 )

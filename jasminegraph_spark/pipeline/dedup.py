@@ -274,6 +274,55 @@ def jaccard_verified_dedup(
     return finalize(verified, sh)
 
 
+def dedup_corpus(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 8,
+    threshold: float = 0.4,
+    cc_rounds: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end corpus deduplication — the operator a 100 TB training
+    pipeline actually runs: drop every document that is an exact OR
+    near-duplicate of a kept one, one survivor per duplicate CLUSTER.
+
+    Composition (each stage scale-safe on its own):
+      1. exact-dup edges: md5(text) groups → (keep_id, member) pairs;
+      2. near-dup edges: MinHash-LSH candidates verified by exact Jaccard
+         ≥ ``threshold`` (jaccard_verified_dedup);
+      3. hash-min label propagation over the union dup-graph (duplicate
+         similarity is not transitive pairwise, so near-dup CHAINS —
+         A≈B≈C with A̸≈C — must collapse to one representative: the
+         cluster minimum);
+      4. survivors = corpus minus non-representative cluster members.
+
+    Returns the surviving rows of ``docs`` (all original columns).
+    ``cc_rounds`` bounds label propagation; dup clusters have tiny
+    diameter so the default converges with a wide margin.
+    """
+    hashed = docs.select(F.col(id_col).alias("m"), F.md5(F.col(text_col)).alias("h"))
+    groups = hashed.groupBy("h").agg(F.min("m").alias("keep"))
+    exact_edges = (
+        hashed.join(groups, "h")
+        .filter(F.col("m") != F.col("keep"))
+        .select(F.col("keep").alias("src"), F.col("m").alias("dst"))
+    )
+    near_edges = jaccard_verified_dedup(
+        docs, num_hashes, bands, k, threshold, id_col
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    dup_edges = exact_edges.unionByName(near_edges)
+
+    from jasminegraph_spark.analytics.components import connected_components
+
+    labels = connected_components(dup_edges, max_iterations=cc_rounds)
+    losers = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash_signatures(
     docs: DataFrame, bits: int = 16, k: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -170,3 +170,18 @@ def test_simhash_near_dup_pigeonhole_recall(spark, sf_dir):
             if h <= 3:
                 want.add((a, b, h))
     assert got == want and len(want) >= 1
+
+
+def test_dedup_corpus_survivors_are_clean(spark, sf_dir):
+    """After end-to-end dedup the surviving corpus must contain no exact
+    duplicates and no verified near-dup pair ≥ the threshold (any such
+    pair would have been an edge of one cluster)."""
+    from jasminegraph_spark.pipeline import dedup_corpus, exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = dedup_corpus(docs, threshold=0.4).cache()
+    n_docs, n_surv = docs.count(), survivors.count()
+    assert 0 < n_surv < n_docs  # something was actually removed
+    assert exact_dedup(survivors).filter("n_dups > 1").count() == 0
+    assert jaccard_verified_dedup(survivors, threshold=0.4).count() == 0
+    survivors.unpersist()
