@@ -1423,6 +1423,40 @@ def _cc_oracle(iterations: int = 20) -> str:
     return sql
 
 
+@_q(
+    "an_closeness_centrality",
+    CO_ORDER_CTE
+    + """
+    , edges AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    r0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS node, 0 AS d
+           FROM (VALUES (1), (2), (3)) t(s)),
+    r1 AS (SELECT DISTINCT r.source, e.dst AS node, 1 AS d
+           FROM edges e JOIN r0 r ON e.src = r.node),
+    r2 AS (SELECT DISTINCT r.source, e.dst AS node, 2 AS d
+           FROM edges e JOIN r1 r ON e.src = r.node),
+    r3 AS (SELECT DISTINCT r.source, e.dst AS node, 3 AS d
+           FROM edges e JOIN r2 r ON e.src = r.node),
+    reach AS (
+        SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    ),
+    dist AS (SELECT source, node, MIN(d) AS distance FROM reach GROUP BY source, node)
+    SELECT source, COUNT(*) AS n_reached, SUM(distance) AS total_dist,
+           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(distance), 6) AS closeness
+    FROM dist GROUP BY source
+    """,
+)
+def an_closeness_centrality(spark, sf_dir):
+    """Sampled-source closeness centrality (sources 1..3, ≤3 hops) via ONE
+    multi-source BFS frame — the sampled estimator exact closeness
+    reduces to at scale; oracle unrolls the frontier levels per source."""
+    from jasminegraph_spark.analytics import closeness_centrality
+
+    return closeness_centrality(co_order_edges(spark, sf_dir), [1, 2, 3], max_hops=3)
+
+
 @_q("an_connected_components", _cc_oracle(20))
 def an_connected_components(spark, sf_dir):
     """Weakly connected components (hash-min propagation) on the co-order
@@ -2263,6 +2297,7 @@ _PRIORITY = [
     "cypher_type_function",
     "pl_simhash_near_dup",
     "pl_dedup_corpus",
+    "an_closeness_centrality",
 ]
 
 

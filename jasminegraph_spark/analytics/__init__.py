@@ -18,4 +18,6 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     connected_components,
     k_core,
     shortest_paths,
+    multi_source_bfs,
+    closeness_centrality,
 )

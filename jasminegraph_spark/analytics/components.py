@@ -109,6 +109,87 @@ def shortest_paths(
     return finalize(visited, e)
 
 
+def multi_source_bfs(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 20,
+    undirected: bool = True,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """BFS from MANY sources in one frame: (source, node, distance) for
+    every node within ``max_hops`` of each source.
+
+    All sources expand together — per hop ONE join of the labeled
+    frontier against adjacency and one anti-join against the per-source
+    visited set, instead of |sources| separate BFS jobs. The frontier
+    broadcast hint drops once the level outgrows ``broadcast_threshold``
+    (same power-law armor as shortest_paths).
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    spark = e.sparkSession
+    src_type = e.schema["src"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("source", src_type),
+            T.StructField("node", src_type),
+            T.StructField("distance", T.IntegerType()),
+        ]
+    )
+    visited = spark.createDataFrame([(s, s, 0) for s in sources], schema)
+    frontier = visited
+    frontier_rows = len(sources)
+    for hop in range(1, max_hops + 1):
+        f = frontier.select("source", "node")
+        if frontier_rows <= broadcast_threshold:
+            f = F.broadcast(f)
+        nxt = (
+            f.join(e, F.col("node") == F.col("src"))
+            .select("source", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("distance", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        frontier_rows = nxt.count()
+        if frontier_rows == 0:
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return finalize(visited, e)
+
+
+def closeness_centrality(
+    edges: DataFrame, sources: list, max_hops: int = 20, undirected: bool = True
+) -> DataFrame:
+    """Closeness centrality of the sampled ``sources`` (the standard
+    sampled estimator at scale — exact closeness needs all-pairs
+    distances): c(s) = (reached − 1) / Σ distances within ``max_hops``.
+    Returns (source, n_reached, total_dist, closeness rounded to 6)."""
+    d = multi_source_bfs(edges, sources, max_hops, undirected)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_reached"),
+            F.sum("distance").alias("total_dist"),
+        )
+        .select(
+            "source",
+            "n_reached",
+            "total_dist",
+            F.round(
+                (F.col("n_reached") - 1)
+                / F.when(F.col("total_dist") > 0, F.col("total_dist")),
+                6,
+            ).alias("closeness"),
+        )
+    )
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     """The k-core: the maximal subgraph where every vertex has degree ≥ k.
     Returns the surviving edge list (a, b). Iterative peel: drop vertices

@@ -79,3 +79,17 @@ def test_bfs_shuffle_frontier_matches_broadcast(spark, sf_dir):
         for r in shortest_paths(e, 1, max_hops=3, broadcast_threshold=0).collect()
     }
     assert a == b and len(a) > 1
+
+
+def test_closeness_centrality_on_path_graph(spark):
+    """Path 1—2—3—4—5: closeness(1) = 4/10, closeness(3) = 4/6 (center is
+    closest); multi-source BFS computes both in one frame."""
+    from jasminegraph_spark.analytics import closeness_centrality
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 5)], ["src", "dst"])
+    out = {
+        r["source"]: (r["n_reached"], r["total_dist"], r["closeness"])
+        for r in closeness_centrality(edges, [1, 3], max_hops=10).collect()
+    }
+    assert out[1] == (5, 10, 0.4)
+    assert out[3] == (5, 6, round(4 / 6, 6))
