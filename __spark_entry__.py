@@ -1017,6 +1017,31 @@ def pl_simhash(spark, sf_dir):
     return pl.simhash_signatures(_read(spark, sf_dir, "documents"), bits=16, k=8)
 
 
+@_q(
+    "cypher_named_path_length",
+    TPCH_GRAPH_CTE
+    + """
+    , sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+    SELECT 'p:' || l_partkey AS id, 1 AS len FROM sp WHERE l_suppkey = 1
+    UNION ALL
+    SELECT 's:' || s2.l_suppkey, 2
+    FROM sp s1 JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+    WHERE s1.l_suppkey = 1 AND s2.l_suppkey <> 1
+    """,
+)
+def cypher_named_path_length(spark, sf_dir):
+    """Named path binding over a variable-length pattern: length(p) is
+    the per-row hop count (each union branch knows its hops statically);
+    row multiplicity = one row per PATH (a co-supplier appears once per
+    shared part), matching openCypher path semantics."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH p = (s:Supplier)-[:SUPPLIES*1..2]-(x) WHERE id(s) = 's:1' "
+        "RETURN id(x) AS id, length(p) AS len",
+    )
+
+
 def _dedup_corpus_oracle(
     num_hashes: int = 16, bands: int = 4, threshold: float = 0.4, cc_rounds: int = 10
 ) -> str:
@@ -2298,6 +2323,7 @@ _PRIORITY = [
     "pl_simhash_near_dup",
     "pl_dedup_corpus",
     "an_closeness_centrality",
+    "cypher_named_path_length",
 ]
 
 

@@ -31,10 +31,12 @@ class RelPattern:
 
 @dataclass
 class PathPattern:
-    """node (rel node)* chain."""
+    """node (rel node)* chain; ``path_var`` binds the whole path
+    (``MATCH p = (...)-[...]-(...)``) for length()/nodes()."""
 
     nodes: list[NodePattern] = field(default_factory=list)
     rels: list[RelPattern] = field(default_factory=list)
+    path_var: str | None = None
 
 
 # --- expressions -----------------------------------------------------------
@@ -57,6 +59,16 @@ class LabelsFunc:
     string (the reference likewise stores one label per node,
     NodeBlock.h:33-48)."""
 
+    var: str
+
+
+@dataclass
+class PathFunc:
+    """length(p) — relationship count of the bound path; nodes(p) — node
+    id sequence (fixed-length patterns only; a variable-length path's
+    interior nodes differ per row)."""
+
+    func: str  # "length" | "nodes"
     var: str
 
 

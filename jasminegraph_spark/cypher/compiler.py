@@ -45,6 +45,9 @@ class _Compiler:
         # lambda-scoped variables (list predicates / comprehensions):
         # name → the higher-order-function argument Column
         self.lambda_vars: dict[str, Column] = {}
+        # named paths (MATCH p = ...): path var → {"node_vars": [...],
+        # "n_rels": fixed rel count, "len_col": varlength column or None}
+        self.paths: dict[str, dict] = {}
 
     def fresh(self, prefix: str) -> str:
         return f"__{prefix}{next(self._anon)}"
@@ -68,11 +71,21 @@ class _Compiler:
         self.node_vars.add(var)
         df = self._apply_node_props(df, first)
 
+        path_info = None
+        if p.path_var is not None:
+            path_info = {"node_vars": [var], "n_rels": 0, "len_col": None}
+            self.paths[p.path_var] = path_info
+
         rels_in_path: list[str] = []
         for rel, node in zip(p.rels, p.nodes[1:]):
             if rel.min_hops is not None:
-                df = self._expand_varlength(df, var, rel, node)
+                plen = self.fresh("plen") if path_info is not None else None
+                df = self._expand_varlength(df, var, rel, node, plen_col=plen)
                 var = node.var
+                if path_info is not None:
+                    # interior nodes differ per row → node list unknowable
+                    path_info["node_vars"] = None
+                    path_info["len_col"] = plen
                 continue
             rvar = rel.var or self.fresh("r")
             rel.var = rvar
@@ -105,10 +118,19 @@ class _Compiler:
             rels_in_path.append(rvar)
             self.rel_vars.add(rvar)
             var = nvar
+            if path_info is not None:
+                path_info["n_rels"] += 1
+                if path_info["node_vars"] is not None:
+                    path_info["node_vars"].append(var)
         return df
 
     def _expand_varlength(
-        self, df: DataFrame, from_var: str, rel: ast.RelPattern, node: ast.NodePattern
+        self,
+        df: DataFrame,
+        from_var: str,
+        rel: ast.RelPattern,
+        node: ast.NodePattern,
+        plen_col: str | None = None,
     ) -> DataFrame:
         """Variable-length expansion -[:T*min..max]- : the union of the
         min..max fixed-hop chains, each with relationship uniqueness among
@@ -147,7 +169,12 @@ class _Compiler:
                 )
                 hop_rels.append(hop_rel)
                 cur = hop_to
-            branches.append(branch.select(*keep_cols, nvar))
+            keep = [*keep_cols, nvar]
+            if plen_col is not None:
+                # named path: each branch knows its hop count statically
+                branch = branch.withColumn(plen_col, F.lit(h))
+                keep.append(plen_col)
+            branches.append(branch.select(*keep))
         out = branches[0]
         for b in branches[1:]:
             out = out.unionByName(b)
@@ -178,6 +205,22 @@ class _Compiler:
             return F.col(f"{e.var}.label")
         if isinstance(e, ast.TypeFunc):
             return F.col(f"{e.var}.type")
+        if isinstance(e, ast.PathFunc):
+            info = self.paths.get(e.var)
+            if info is None:
+                raise CypherCompileError(f"{e.func}({e.var}): unbound path variable")
+            if e.func == "length":
+                if info["len_col"] is not None:
+                    return F.lit(info["n_rels"]) + F.col(info["len_col"])
+                return F.lit(info["n_rels"])
+            if e.func == "nodes":
+                if info["node_vars"] is None:
+                    raise CypherCompileError(
+                        "nodes() over a variable-length path is not supported "
+                        "(interior nodes differ per row)"
+                    )
+                return F.array(*[F.col(f"{v}.id") for v in info["node_vars"]])
+            raise CypherCompileError(f"unknown path function {e.func}")
         if isinstance(e, ast.VarRef):
             if e.var in self.lambda_vars:
                 return self.lambda_vars[e.var]
@@ -304,6 +347,8 @@ class _Compiler:
             return f"labels({e.var})"
         if isinstance(e, ast.TypeFunc):
             return f"type({e.var})"
+        if isinstance(e, ast.PathFunc):
+            return f"{e.func}({e.var})"
         if isinstance(e, ast.Aggregate):
             inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
             return f"{e.func}({inner})"

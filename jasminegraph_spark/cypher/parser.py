@@ -23,6 +23,7 @@ from jasminegraph_spark.cypher.ast import (
     Comparison,
     IdFunc,
     LabelsFunc,
+    PathFunc,
     TypeFunc,
     Literal,
     NodePattern,
@@ -262,6 +263,12 @@ class _Parser:
 
     def parse_path(self) -> PathPattern:
         p = PathPattern()
+        # optional path binding: `p = (...)...` ('=' lexes as OP)
+        k, v = self.peek()
+        if k == "WORD" and self.peek(1) == ("OP", "="):
+            self.next()
+            self.next()
+            p.path_var = v
         p.nodes.append(self.parse_node())
         while True:
             rel = self.try_parse_rel()
@@ -536,6 +543,11 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return TypeFunc(var)
+            if word in ("length", "nodes") and self.peek() == ("PUNCT", "("):
+                self.next()
+                var = self.expect("WORD")
+                self.expect("PUNCT", ")")
+                return PathFunc(word, var)
             if self.accept("PUNCT", "."):
                 return PropRef(word, self.name())
             return VarRef(word)

@@ -556,3 +556,35 @@ def test_type_function_and_string_concat(social):
         )
     )
     assert out == [{"s": PEOPLE[3] + "!"}]
+
+
+def test_named_path_length_and_nodes(social):
+    # fixed-length named path: nodes(p) is the id sequence, length(p) the
+    # rel count
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH p = (a)-[:FRIENDS]->(b) WHERE id(a) = '0' "
+            "RETURN nodes(p) AS ns, length(p) AS len",
+        )
+    )
+    assert sorted((tuple(r["ns"]), r["len"]) for r in out) == [
+        (("0", "1"), 1), (("0", "9"), 1),  # undirected: both orientations
+    ]
+    # variable-length named path: per-row length from the branch
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH p = (a)-[:FRIENDS*1..2]->(b) WHERE id(a) = '0' "
+            "RETURN id(b) AS b, length(p) AS len ORDER BY len, b",
+        )
+    )
+    lens = {(r["b"], r["len"]) for r in out}
+    assert ("1", 1) in lens and ("2", 2) in lens
+    # nodes() over a var-length path is a compile error, not wrong data
+    import pytest as _pytest
+
+    from jasminegraph_spark.cypher.compiler import CypherCompileError
+
+    with _pytest.raises(CypherCompileError, match="variable-length"):
+        cypher_query(social, "MATCH p = (a)-[:FRIENDS*1..2]->(b) RETURN nodes(p) AS ns")
