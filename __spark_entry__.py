@@ -868,6 +868,47 @@ def rel_events_zscore(spark, sf_dir):
     )
 
 
+@_q(
+    "rel_asof_last_purchase",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts, MAX(value) AS pvalue
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s,
+           ROUND(p.pvalue, 2) AS last_purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def rel_asof_last_purchase(spark, sf_dir):
+    """AS-OF join (events enrichment): every click picks the user's
+    latest purchase at-or-before it — the union-and-window formulation
+    (one key shuffle + sorted window, never a per-row inequality nested
+    loop); DuckDB's native ASOF LEFT JOIN is the oracle. Purchases are
+    pre-aggregated per (user, ts) so the carried value is deterministic."""
+    from jasminegraph_spark.operators import as_of_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+    )
+    joined = as_of_join(
+        clicks, purchases, on=["user_id"], left_time="ts", right_time="ts",
+        value_cols=["pvalue"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts_s"),
+        F.round("pvalue_asof", 2).alias("last_purchase_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text)
 # ---------------------------------------------------------------------------
@@ -2324,6 +2365,7 @@ _PRIORITY = [
     "pl_dedup_corpus",
     "an_closeness_centrality",
     "cypher_named_path_length",
+    "rel_asof_last_purchase",
 ]
 
 

@@ -20,3 +20,4 @@ from jasminegraph_spark.operators.cypher_ops import (  # noqa: F401
     create_elements,
 )
 from jasminegraph_spark.operators.predicates import prop, coerced_compare  # noqa: F401
+from jasminegraph_spark.operators.temporal import as_of_join  # noqa: F401

@@ -237,3 +237,12 @@ def test_embedding_linkpred_stays_equi_join(q):
     plan = _plan(q("an_link_prediction_embedding"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_window_not_range_join(q):
+    """The as-of join must plan as union + window over a key shuffle —
+    a per-row time-inequality join would be a BroadcastNestedLoopJoin."""
+    plan = _plan(q("rel_asof_last_purchase"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -110,3 +110,33 @@ def test_perf_catalog(spark, tmp_path):
     assert 0.2 <= est <= 0.6
     assert pc.admits("g1", "cypher", 1.0)
     assert not pc.admits("g1", "cypher", 0.1)
+
+
+def test_as_of_join_semantics(spark):
+    """Inclusive at-or-before match, null extension without history, and
+    tolerance nulling of stale matches."""
+    from jasminegraph_spark.operators import as_of_join
+
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 20, "t2"), ("B", 7, "t3")],
+        ["sym", "ts", "trade_id"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 1.0), ("A", 10, 2.0), ("A", 18, 3.0), ("B", 90, 9.0)],
+        ["sym", "ts", "px"],
+    )
+    out = {
+        r["trade_id"]: (r["px_asof"], r["ts_asof"])
+        for r in as_of_join(trades, quotes, on=["sym"], value_cols=["px"]).collect()
+    }
+    assert out["t1"] == (2.0, 10)   # equal timestamp matches (inclusive)
+    assert out["t2"] == (3.0, 18)   # latest at-or-before
+    assert out["t3"] == (None, None)  # no prior quote → null-extended
+    # tolerance: t2's quote is 2 ticks old → kept at 5, nulled at 1
+    tol = {
+        r["trade_id"]: r["px_asof"]
+        for r in as_of_join(
+            trades, quotes, on=["sym"], value_cols=["px"], tolerance=1
+        ).collect()
+    }
+    assert tol["t1"] == 2.0 and tol["t2"] is None
