@@ -869,6 +869,41 @@ def rel_events_zscore(spark, sf_dir):
 
 
 @_q(
+    "rel_events_rollup_multires",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CASE WHEN GROUPING(date_trunc('hour', ts)) = 0
+                THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') END AS hour,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY ROLLUP(date_trunc('day', ts), date_trunc('hour', ts))
+    HAVING GROUPING(date_trunc('day', ts)) = 0
+    """,
+)
+def rel_events_rollup_multires(spark, sf_dir):
+    """Hypertable-style continuous-aggregate shape: one pass produces the
+    hourly aggregate AND its daily rollup (time-hierarchy ROLLUP grouping
+    sets — partial aggregation feeds both resolutions, no second scan).
+    The grand-total row is dropped (HAVING on GROUPING) to keep the
+    day→hour hierarchy."""
+    ev = _read(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    hour = F.date_trunc("hour", "ts")
+    out = ev.rollup(day.alias("__day"), hour.alias("__hour")).agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    # date_trunc never yields null on real rows, so a null __day IS the
+    # grand-total grouping row — drop it to keep the day→hour hierarchy
+    return out.filter(F.col("__day").isNotNull()).select(
+        F.date_format("__day", "yyyy-MM-dd").alias("day"),
+        F.date_format("__hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n_events",
+        "total_value",
+    )
+
+
+@_q(
     "rel_asof_last_purchase",
     """
     WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
@@ -2366,6 +2401,7 @@ _PRIORITY = [
     "an_closeness_centrality",
     "cypher_named_path_length",
     "rel_asof_last_purchase",
+    "rel_events_rollup_multires",
 ]
 
 
