@@ -1544,18 +1544,30 @@ def _cc_oracle(iterations: int = 20) -> str:
         UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
     ),
     dist AS (SELECT source, node, MIN(d) AS distance FROM reach GROUP BY source, node)
-    SELECT source, COUNT(*) AS n_reached, SUM(distance) AS total_dist,
-           ROUND(CAST(COUNT(*) - 1 AS DOUBLE) / SUM(distance), 6) AS closeness
-    FROM dist GROUP BY source
+    SELECT source, COUNT(*) AS n_reached, CAST(SUM(distance) AS BIGINT) AS total_dist,
+           printf('%.6f', CAST(COUNT(*) - 1 AS DOUBLE) / SUM(distance)) AS closeness
+    FROM dist GROUP BY source ORDER BY source
     """,
 )
 def an_closeness_centrality(spark, sf_dir):
     """Sampled-source closeness centrality (sources 1..3, ≤3 hops) via ONE
     multi-source BFS frame — the sampled estimator exact closeness
-    reduces to at scale; oracle unrolls the frontier levels per source."""
+    reduces to at scale; oracle unrolls the frontier levels per source.
+    Parity rule: raw doubles diverge between engines' string formatting, so
+    the registered surface emits %.6f strings + deterministic order."""
     from jasminegraph_spark.analytics import closeness_centrality
 
-    return closeness_centrality(co_order_edges(spark, sf_dir), [1, 2, 3], max_hops=3)
+    cc = closeness_centrality(co_order_edges(spark, sf_dir), [1, 2, 3], max_hops=3)
+    return cc.select(
+        "source",
+        "n_reached",
+        F.col("total_dist").cast("long").alias("total_dist"),
+        F.format_string(
+            "%.6f",
+            (F.col("n_reached") - 1).cast("double")
+            / F.when(F.col("total_dist") > 0, F.col("total_dist")),
+        ).alias("closeness"),
+    ).orderBy("source")
 
 
 @_q("an_connected_components", _cc_oracle(20))
@@ -2128,8 +2140,9 @@ def pl_hash_split(spark, sf_dir):
         .groupBy("split")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
+        .orderBy("split")
     )
 
 
@@ -2138,8 +2151,8 @@ _ORACLES["pl_hash_split"] = """
     SELECT CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
                 WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
                 ELSE 'test' END AS split,
-           COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
-    FROM documents GROUP BY 1
+           COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1 ORDER BY split
 """
 
 
@@ -2359,49 +2372,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # text-Cypher frontend (parse → compile → DataFrame): the user-typed path
-    "cypher_label_scan_project",
-    "cypher_filter_expand",
-    "cypher_undirected_unique",
-    "cypher_aggregate_group",
-    "cypher_string_preds",
-    "cypher_in_order_skip_limit",
-    "cypher_distinct_null_checks",
-    "cypher_cartesian_patterns",
-    "cypher_with_agg_having",
-    "cypher_optional_match",
-    "cypher_unwind",
-    "cypher_varlength_path",
-    "cypher_exists_patterns",
-    "cypher_case_expression",
-    "cypher_arithmetic",
-    "cypher_list_predicates",
-    "cypher_list_comprehension",
-    "cypher_call_procedure",
-    # iterative graph algorithms
-    "an_shortest_paths",
-    "an_connected_components",
-    "an_k_core",
-    "an_link_prediction",
-    "an_semantic_beam_search",
-    # pipeline ops without rows
-    "pl_kg_triples",
-    "pl_ivf_ann_nprobe",
-    "pl_hash_split",
-    "pl_stratified_sample",
-    # round-2 additions / reworked semantics
-    "pl_embedding_near_dup",
-    "pl_lsh_verified_dedup",
-    "pl_embed_text",
-    "pl_embed_ivf_ann",
-    "an_link_prediction_embedding",
-    "cypher_type_function",
-    "pl_simhash_near_dup",
-    "pl_dedup_corpus",
+    # round-4 fixes: the 4 red r03 rows (2 hash-canonicalization fixes, 2
+    # read_events timestamp-dtype regressions) must re-verify first
     "an_closeness_centrality",
-    "cypher_named_path_length",
+    "pl_hash_split",
     "rel_asof_last_purchase",
     "rel_events_rollup_multires",
+    # round-4 new queries (never driver-checked)
+    "an_link_prediction_trained",
+    "cy_write_roundtrip",
+    "pl_ngram_jaccard_capped",
+    # 38 queries whose last driver row is r01 while code paths changed since
+    # (shared shingle materialization, cache finalize, session tweaks):
+    # rotate them through the ~50-query window so every row is ≤1 round old
+    "an_triangle_count",
+    "an_pagerank",
+    "an_top_k_pagerank",
+    "an_degree_dist_in",
+    "an_egonet",
+    "pl_exact_dedup",
+    "pl_minhash_signatures",
+    "pl_minhash_lsh",
+    "pl_simhash",
+    "pl_cosine_topk",
+    "pl_lsh_ann",
+    "pl_ivf_ann",
+    "pl_token_counts",
+    "pl_language_id",
+    "pl_quality_scores",
+    "pl_doc_fingerprint",
+    "pl_bpe_token_count",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q6_forecast_revenue",
+    "rel_q2_min_cost_supplier",
+    "rel_q7_nation_volume",
+    "rel_events_hourly",
+    "rel_events_sessionize",
+    "rel_events_topk_users",
+    "rel_running_balance",
+    "rel_rollup_pricing",
+    "rel_pivot_events",
+    "rel_events_zscore",
+    "cy_order_by_limit",
+    "cy_skip_limit",
+    "cy_aggregate",
+    "cy_cartesian_product",
+    "cy_union",
+    "cy_intersect",
+    "cy_vcnt_ecnt",
 ]
 
 

@@ -74,17 +74,27 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
 
 
 def read_events(spark: SparkSession, sf_dir: str):
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read nanos as long and floor-convert to microsecond
-    timestamps — the same truncation DuckDB applies, so oracle comparisons
-    stay exact."""
+    """events.parquet has shipped with ``ts`` as either TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects — read nanos as long and
+    floor-convert to micros, matching DuckDB's truncation) or plain
+    timestamp[us] (usable as-is). Adapt to whichever the file carries so
+    regenerated testdata never breaks the read path."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Driver compares against DuckDB, which reads parquet timestamps
+        # without a zone; keep NTZ but cast to the session-TZ type Spark
+        # functions expect (session TZ is pinned to UTC, so values align).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
