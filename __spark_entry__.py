@@ -1624,9 +1624,13 @@ def an_k_core(spark, sf_dir):
         UNION ALL SELECT dst, src FROM co_edges
     ),
     deg AS MATERIALIZED (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+    centers AS (
+        SELECT a.v, a.w FROM adj a JOIN deg d ON d.v = a.v
+        WHERE d.deg <= 16 * (SELECT CEIL(AVG(deg)) FROM deg)
+    ),
     pairs AS (
         SELECT l.w AS a, r.w AS b, COUNT(*) AS common_neighbors
-        FROM adj l JOIN adj r ON l.v = r.v AND l.w < r.w
+        FROM centers l JOIN centers r ON l.v = r.v AND l.w < r.w
         GROUP BY l.w, r.w
         HAVING COUNT(*) >= 2
     ),
@@ -1647,7 +1651,9 @@ def an_link_prediction(spark, sf_dir):
     """Reference `train`/`predict`/`merge` (FrontEnd.cpp:321,333,319 —
     federated GraphSAGE link prediction): the deterministic topological
     predictor — top-50 non-adjacent pairs by neighborhood Jaccard.
-    Integer-quotient score → compared unrounded."""
+    Integer-quotient score → compared unrounded. Wedge centers capped at
+    16×⌈avg degree⌉ by default (GraphSAGE sampling budget) so the Σdeg²
+    fan-out stays bounded on power-law hubs at scale."""
     from jasminegraph_spark.analytics import link_prediction
 
     return link_prediction(co_order_edges(spark, sf_dir), top_k=50, min_common=2)
@@ -2303,9 +2309,13 @@ def pl_embed_ivf_ann(spark, sf_dir):
         FROM adj a JOIN deg d ON d.v = a.v JOIN deg wd ON wd.v = a.w
         GROUP BY a.v
     ),
+    centers AS (
+        SELECT a.v, a.w FROM adj a JOIN deg d ON d.v = a.v
+        WHERE d.deg <= 16 * (SELECT CEIL(AVG(deg)) FROM deg)
+    ),
     pairs AS (
         SELECT l.w AS a, r.w AS b, COUNT(*) AS common_neighbors
-        FROM adj l JOIN adj r ON l.v = r.v AND l.w < r.w
+        FROM centers l JOIN centers r ON l.v = r.v AND l.w < r.w
         GROUP BY l.w, r.w
         HAVING COUNT(*) >= 2
     ),
@@ -2328,7 +2338,8 @@ def an_link_prediction_embedding(spark, sf_dir):
     pairs scored by embedding cosine (deterministic GraphSAGE stand-in —
     supervised.py:41-212 dot-product edge scoring). f0 = own degree
     (MIN(d.deg) is constant per group), f1..f3 = neighbor-degree
-    sum/max/min = the 1-hop aggregation a SAGE layer computes."""
+    sum/max/min = the 1-hop aggregation a SAGE layer computes. Wedge
+    centers capped at 16×⌈avg degree⌉ by default (sampling budget)."""
     from jasminegraph_spark.analytics import link_prediction_embedding
 
     return link_prediction_embedding(co_order_edges(spark, sf_dir), top_k=50, min_common=2)

@@ -48,6 +48,9 @@ HEADLINE = [
     "pl_embedding_near_dup",
     "pl_embed_ivf_ann",
     "an_connected_components",
+    # round-4: link prediction enters the headline now that the wedge join
+    # is degree-capped by default (was ~42 s uncapped at sf0.1, hidden)
+    "an_link_prediction",
 ]
 
 

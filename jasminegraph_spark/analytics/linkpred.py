@@ -10,17 +10,32 @@ neighborhood overlap (common neighbors / Jaccard), the standard classical
 baseline the GraphSAGE papers themselves compare against.
 
 Scale notes:
- * Candidate generation enumerates wedges (x —v— y): one self-join of the
-   adjacency list on the shared center, cost Σ_v deg(v)². This is the same
-   frontier GraphSAGE samples; at 100 TB the hub vertices dominate, so the
-   center join is AQE-skew-split and an optional ``max_center_degree`` cap
-   (= GraphSAGE's neighbor-sampling budget) bounds the quadratic term.
+ * Candidate generation enumerates wedges (x —v— y). Two physical plans:
+   - **Broadcast-CSR SpGEMM** (default while |E| ≤ ``SPGEMM_EDGE_LIMIT``):
+     ship the whole adjacency to every task as numpy CSR arrays, count
+     common neighbors per vertex row-block with one ``bincount`` per
+     chunk (the A² row product), keep a per-chunk top-k, merge globally.
+     No wedge ever hits a shuffle — the only exchanged rows are ≤ k per
+     chunk. This is 1D block SpGEMM with a replicated operand; the
+     replication budget (~12 B/edge) holds to ~50M edges, far past any
+     broadcast-join threshold, because tasks share one deserialized copy
+     per executor.
+   - **Degree-capped wedge join** (fallback past the limit): one
+     self-join of the adjacency on the shared center, cost Σ_v deg(v)².
+     ``max_center_degree`` (= GraphSAGE's neighbor-sampling budget,
+     default-on at 16×⌈avg deg⌉) bounds the quadratic term at power-law
+     hubs; AQE skew-split handles the residue. At 100 TB this is the
+     plan — SpGEMM beyond replication budget needs a 2D grid, out of
+     scope.
  * Everything else is partial-aggregated groupBys and key joins — no
    driver-side state; the "model" is a DataFrame of scored pairs.
 """
 
 from __future__ import annotations
 
+import math
+
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,11 +43,185 @@ from jasminegraph_spark.analytics.graph_algs import canonical_undirected
 from jasminegraph_spark.cache import finalize
 
 
+AUTO_CENTER_CAP_FACTOR = 16
+# past this many (undirected) edges the CSR no longer fits the replication
+# budget and candidate generation falls back to the capped wedge join
+SPGEMM_EDGE_LIMIT = 50_000_000
+# per-chunk dense count-matrix budget (rows_per_chunk × n_vertices cells)
+_SPGEMM_CELL_BUDGET = 6_000_000
+
+
+def _spgemm_topk(
+    und: DataFrame,
+    top_k: int,
+    min_common: int,
+    max_center_degree,
+    mode: str,
+) -> DataFrame:
+    """Exact top-k common-neighbor scoring as replicated 1D SpGEMM.
+
+    ``und`` is the canonical (a < b, distinct) edge set. Builds CSR
+    (indptr/indices/deg) once, broadcasts it, and maps over vertex
+    row-blocks: for each source row x the counts vector is
+    ``bincount(concat(nbrs(v) for v in nbrs(x) if deg(v) ≤ cap))`` — A²'s
+    row x restricted to capped centers, the same pairs the wedge join
+    emits. Adjacent pairs, y ≤ x, and counts < ``min_common`` are masked
+    in-place; scores are IEEE-double expressions bit-identical to the SQL
+    oracle (integer-exact inputs, correctly-rounded sqrt/division).
+
+    Emits each chunk's top-k only (the global top-k is a subset of the
+    per-chunk top-ks under the same total order), so the exchange after
+    the map is tiny regardless of |candidates|."""
+    spark = und.sparkSession
+    pdf = und.toPandas()  # guarded by SPGEMM_EDGE_LIMIT: the broadcast build
+    a = pdf["a"].to_numpy(np.int64)
+    b = pdf["b"].to_numpy(np.int64)
+    ids = np.unique(np.concatenate([a, b]))
+    n = int(ids.size)
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    # one sorted (src*n + dst) key array doubles as CSR: rows are contiguous
+    # and sorted by neighbor id, so "neighbors of v greater than x" is a
+    # single searchsorted — each unordered wedge is generated exactly once
+    gk = np.concatenate([ai * n + bi, bi * n + ai])
+    gk.sort()
+    indices = (gk % n).astype(np.int32)
+    deg = np.bincount((gk // n), minlength=n).astype(np.int64)
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+
+    if max_center_degree == "auto":
+        cap = AUTO_CENTER_CAP_FACTOR * math.ceil(deg.mean())
+        center_ok = deg <= cap
+    elif max_center_degree is None:
+        center_ok = np.ones(n, bool)
+    else:
+        center_ok = deg <= int(max_center_degree)
+
+    feats = None
+    if mode == "cosine":
+        nd = deg[indices].astype(np.float64)
+        f1 = deg.astype(np.float64)
+        f2 = np.add.reduceat(nd, indptr[:-1])
+        f3 = np.maximum.reduceat(nd, indptr[:-1])
+        f4 = np.minimum.reduceat(nd, indptr[:-1])
+        norm = np.sqrt(f1 * f1 + f2 * f2 + f3 * f3 + f4 * f4)
+        feats = np.stack([f1, f2, f3, f4, norm])
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "ids": ids,
+            "gk": gk,
+            "indptr": indptr,
+            "indices": indices,
+            "deg": deg,
+            "center_ok": center_ok,
+            "feats": feats,
+        }
+    )
+    score_col = "jaccard" if mode == "jaccard" else "cosine"
+    schema = f"a long, b long, common_neighbors long, {score_col} double"
+    rows_per_chunk = max(1, _SPGEMM_CELL_BUDGET // max(n, 1))
+
+    def gen(batches):
+        import pandas as pd
+
+        d = bc.value
+        ids_, gk_, indptr_, indices_ = d["ids"], d["gk"], d["indptr"], d["indices"]
+        deg_, center_ok_, feats_ = d["deg"], d["center_ok"], d["feats"]
+        n_ = ids_.size
+
+        def segments(seg_owner, lo, hi):
+            # gather indices_[lo_i:hi_i] per segment; returns (owner, value)
+            c = hi - lo
+            total = int(c.sum())
+            if total == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int32)
+            owner = np.repeat(seg_owner, c)
+            off = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+            return owner, indices_[np.repeat(lo, c) + off]
+
+        for batch in batches:
+            xs_all = batch["id"].to_numpy(np.int64)
+            for i0 in range(0, xs_all.size, rows_per_chunk):
+                X = xs_all[i0 : i0 + rows_per_chunk]
+                m = X.size
+                # level 1: centers v ∈ nbrs(x), capped
+                seg1, v32 = segments(np.arange(m), indptr_[X], indptr_[X + 1])
+                keep = center_ok_[v32]
+                seg1, v = seg1[keep], v32[keep].astype(np.int64)
+                # level 2: y ∈ nbrs(v) with y > x only (row-sorted CSR +
+                # one searchsorted) — each unordered wedge counted once
+                lo = np.searchsorted(gk_, v * n_ + X[seg1], side="right")
+                xloc, y = segments(seg1, lo, indptr_[v + 1])
+                cnt = np.bincount(xloc * n_ + y, minlength=m * n_).reshape(m, n_)
+                # zero out already-adjacent pairs (y > x half only)
+                loA = np.searchsorted(gk_, X * n_ + X, side="right")
+                adj_r, adj_y = segments(np.arange(m), loA, indptr_[X + 1])
+                cnt[adj_r, adj_y] = 0
+                rloc, ycol = np.nonzero(cnt >= min_common)
+                if rloc.size == 0:
+                    continue
+                cn = cnt[rloc, ycol].astype(np.int64)
+                gx = X[rloc]
+                if mode == "jaccard":
+                    score = cn / (deg_[gx] + deg_[ycol] - cn)
+                else:
+                    f = feats_
+                    dot = (
+                        f[0][gx] * f[0][ycol]
+                        + f[1][gx] * f[1][ycol]
+                        + f[2][gx] * f[2][ycol]
+                        + f[3][gx] * f[3][ycol]
+                    )
+                    c = dot / (f[4][gx] * f[4][ycol])
+                    # ROUND(x, 6) half-away-from-zero on the scaled double —
+                    # bit-compatible with DuckDB ROUND and Spark HALF_UP for
+                    # the positive cosines this graph produces
+                    score = np.floor(c * 1e6 + 0.5) / 1e6
+                sel = np.lexsort((ycol, gx, -score))[:top_k]
+                yield pd.DataFrame(
+                    {
+                        "a": ids_[gx[sel]],
+                        "b": ids_[ycol[sel]],
+                        "common_neighbors": cn[sel],
+                        score_col: score[sel],
+                    }
+                )
+
+    # 4× parallelism: row blocks are uniform in rows but not in Σdeg², so
+    # finer tasks smooth the stragglers
+    n_parts = max(4 * spark.sparkContext.defaultParallelism, 1)
+    out = spark.range(0, n, 1, n_parts).mapInPandas(gen, schema)
+    return out.orderBy(F.desc(score_col), F.asc("a"), F.asc("b")).limit(top_k)
+
+
+def _capped_centers(adj: DataFrame, deg: DataFrame, max_center_degree) -> DataFrame:
+    """Bound the wedge join's Σ deg(v)² fan-out at hub centers — the
+    GraphSAGE neighbor-sampling budget, default-on because a power-law hub
+    at 100× data is where the quadratic term explodes.
+
+    ``"auto"`` caps at 16×⌈avg degree⌉, computed as a broadcast scalar
+    join (no driver collect, stays one distributed plan); an int caps
+    explicitly; ``None`` disables (opt-in exact oracle mode)."""
+    if max_center_degree is None:
+        return adj
+    if max_center_degree == "auto":
+        cap = deg.agg(
+            (F.lit(AUTO_CENTER_CAP_FACTOR) * F.ceil(F.avg("deg"))).alias("_cap")
+        )
+        ok = deg.join(F.broadcast(cap)).filter(F.col("deg") <= F.col("_cap")).select("v")
+    else:
+        ok = deg.filter(F.col("deg") <= max_center_degree).select("v")
+    return adj.join(ok, "v", "left_semi")
+
+
 def link_prediction(
     edges: DataFrame,
     top_k: int = 50,
     min_common: int = 2,
-    max_center_degree: int | None = None,
+    max_center_degree: int | str | None = "auto",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-``top_k`` predicted links (a < b, not currently adjacent) ranked
     by Jaccard overlap of neighborhoods; ties broken on (a, b).
@@ -40,17 +229,23 @@ def link_prediction(
     Returns (a, b, common_neighbors, jaccard). Jaccard = cn / (deg_a +
     deg_b − cn) is an integer quotient — bit-identical across engines, so
     the DuckDB oracle compares it unrounded.
+
+    ``strategy``: "spgemm" (replicated-CSR block product, no wedge
+    shuffle), "wedge" (pure DataFrame self-join), or "auto" (spgemm while
+    the edge set fits the replication budget). Both produce identical
+    rows.
     """
     und = canonical_undirected(edges).persist()
+    if strategy == "spgemm" or (strategy == "auto" and und.count() <= SPGEMM_EDGE_LIMIT):
+        return finalize(
+            _spgemm_topk(und, top_k, min_common, max_center_degree, "jaccard"), und
+        )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
     deg = adj.groupBy("v").agg(F.count("*").alias("deg")).persist()
 
-    centers = adj
-    if max_center_degree is not None:
-        ok = deg.filter(F.col("deg") <= max_center_degree).select("v")
-        centers = adj.join(ok, "v", "left_semi")
+    centers = _capped_centers(adj, deg, max_center_degree)
 
     # wedge join on the shared center vertex; x < y emits each pair once
     left = centers.select("v", F.col("w").alias("x"))
@@ -122,7 +317,8 @@ def link_prediction_embedding(
     edges: DataFrame,
     top_k: int = 50,
     min_common: int = 2,
-    max_center_degree: int | None = None,
+    max_center_degree: int | str | None = "auto",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Embedding-similarity link predictor: candidate pairs (wedge-joined,
     ≥ ``min_common`` common neighbors, non-adjacent) scored by the COSINE
@@ -134,16 +330,15 @@ def link_prediction_embedding(
     join touches |candidates| rows. Returns (a, b, common_neighbors,
     cosine) — cosine rounded to 6 for portable rank boundaries."""
     und = canonical_undirected(edges).persist()
+    if strategy == "spgemm" or (strategy == "auto" and und.count() <= SPGEMM_EDGE_LIMIT):
+        return finalize(
+            _spgemm_topk(und, top_k, min_common, max_center_degree, "cosine"), und
+        )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
-    centers = adj
-    if max_center_degree is not None:
-        # GraphSAGE's neighbor-sampling budget: cap the quadratic wedge
-        # fan-out at hub vertices
-        deg_v = adj.groupBy("v").agg(F.count("*").alias("d"))
-        ok = deg_v.filter(F.col("d") <= max_center_degree).select("v")
-        centers = adj.join(ok, "v", "left_semi")
+    deg_v = adj.groupBy("v").agg(F.count("*").alias("deg"))
+    centers = _capped_centers(adj, deg_v, max_center_degree)
     left = centers.select("v", F.col("w").alias("x"))
     right = centers.select("v", F.col("w").alias("y"))
     pairs = (

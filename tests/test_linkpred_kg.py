@@ -40,6 +40,28 @@ def test_link_prediction_center_degree_cap(spark):
     )
 
 
+def test_link_prediction_strategies_agree(spark):
+    # the replicated-CSR SpGEMM path and the wedge-join path must produce
+    # identical rows (same candidates, same scores, same order)
+    import random
+
+    from jasminegraph_spark.analytics import link_prediction_embedding
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(160)})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for fn in (link_prediction, link_prediction_embedding):
+        for cap in ("auto", None, 8):
+            got_sp = fn(df, top_k=20, min_common=2, max_center_degree=cap,
+                        strategy="spgemm").collect()
+            got_we = fn(df, top_k=20, min_common=2, max_center_degree=cap,
+                        strategy="wedge").collect()
+            assert [tuple(r) for r in got_sp] == [tuple(r) for r in got_we], (
+                fn.__name__,
+                cap,
+            )
+
+
 def test_extract_triples_and_weights(spark):
     docs = spark.createDataFrame(
         [(1, "a b c a b c d"), (2, "a b c")], ["doc_id", "text"]
