@@ -970,13 +970,15 @@ def pl_exact_dedup(spark, sf_dir):
 
 
 @_q(
-    "pl_ngram_jaccard",
+    "pl_ngram_jaccard_capped",
     _SHINGLE_CTE
     + """
-    , sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    , rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 32),
+    shf AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY doc_id),
     common AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -987,8 +989,15 @@ def pl_exact_dedup(spark, sf_dir):
     WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.4
     """,
 )
-def pl_ngram_jaccard(spark, sf_dir):
-    return pl.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=8, threshold=0.4)
+def pl_ngram_jaccard_capped(spark, sf_dir):
+    """Exact n-gram Jaccard with stop-shingle removal (doc-frequency cap
+    32): the self-join cost is ≤ 32×|shingles| — linear in shingle volume,
+    never quadratic in a data-dependent frequency. The unbounded exact
+    variant survives as a test oracle only (tests/test_similarity.py);
+    the shipped near-dup surface is pl_lsh_verified_dedup."""
+    return pl.ngram_jaccard_pairs(
+        _read(spark, sf_dir, "documents"), k=8, threshold=0.4, max_doc_frequency=32
+    )
 
 
 def _minhash_oracle(num_hashes: int = 16) -> str:
@@ -1568,6 +1577,21 @@ def an_closeness_centrality(spark, sf_dir):
             / F.when(F.col("total_dist") > 0, F.col("total_dist")),
         ).alias("closeness"),
     ).orderBy("source")
+
+
+def an_link_prediction_trained(spark, sf_dir):
+    """Learned link predictor: seeded LogisticRegression head on the
+    structural pair features (supervised.py:41-212's EdgeSplitter +
+    link_classification re-expressed on Spark ML). Scores the hash-held-out
+    positive/negative edge pairs; top-100 by learned probability. Training
+    is not SQL-expressible → rows-only driver check; the AUC floor vs the
+    Jaccard baseline is asserted in tests/test_linkpred_kg.py."""
+    from jasminegraph_spark.analytics import link_prediction_trained
+
+    return link_prediction_trained(co_order_edges(spark, sf_dir), top_k=100)
+
+
+_QUERIES["an_link_prediction_trained"] = an_link_prediction_trained
 
 
 @_q("an_connected_components", _cc_oracle(20))

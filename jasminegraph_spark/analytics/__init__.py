@@ -14,6 +14,11 @@ from jasminegraph_spark.analytics.linkpred import (  # noqa: F401
     link_prediction_embedding,
     node_embeddings,
 )
+from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
+    auc,
+    link_prediction_trained,
+    train_link_predictor,
+)
 from jasminegraph_spark.analytics.components import (  # noqa: F401
     connected_components,
     k_core,

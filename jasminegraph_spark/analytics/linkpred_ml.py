@@ -1,0 +1,219 @@
+"""Learned link prediction: the reference's `train` / `predict` / `merge`
+surface (FrontEnd.cpp:321,333,319) re-expressed on Spark ML.
+
+The reference trains a federated GraphSAGE link classifier per partition
+(src_python/models/supervised.py:41-212: StellarGraph EdgeSplitter
+positives/negatives, seeds pinned to 42, link_classification head; its
+integration fixture is the cora citation graph) and merges worker models.
+The Spark-first equivalent keeps the same experimental contract but swaps
+the TensorFlow encoder for deterministic structural features and a Spark
+ML LogisticRegression head:
+
+ * 3-way hash split of the edge set (EdgeSplitter semantics): a feature
+   graph the encoder sees, train example edges, test example edges —
+   DISJOINT, so train and test positives are both absent from the feature
+   graph and share one feature distribution.
+ * negatives = hash-derangement non-edges, ~1 per positive (balanced
+   classes, like EdgeSplitter's sampling).
+ * pair features: common-neighbor count, Jaccard, Adamic–Adar, plus the
+   symmetric |f_a − f_b| / f_a·f_b / f_a+f_b combinations of the
+   structural embeddings (linkpred.node_embeddings) — the binary
+   operators GraphSAGE link heads apply to endpoint encodings.
+ * model = LogisticRegression (L-BFGS, fixed params — deterministic on
+   identical input).
+
+Scale notes: every step is joins/groupBys on vertex keys; the only
+all-vertex ordering is the row_number indexing vertices for the
+derangement — one |V|-row sort, same cost class as a groupBy on vertices.
+Example frames are ~|E| rows, far smaller than the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+from jasminegraph_spark.analytics.linkpred import node_embeddings
+from jasminegraph_spark.cache import finalize
+
+_FEATS = ("f1", "f2", "f3", "f4")
+
+
+def three_way_edge_split(
+    und: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Deterministic (feature_graph, train_pos, test_pos) split by the
+    first hex char of md5(a|b): ≥'6' → feature graph (~62%), <'3' →
+    train examples (~19%), else test examples (~19%). Engine-stable."""
+    tagged = und.withColumn("_h", F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 1))
+    feature_graph = tagged.filter(F.col("_h") >= "6").drop("_h")
+    train_pos = tagged.filter(F.col("_h") < "3").drop("_h")
+    test_pos = tagged.filter((F.col("_h") >= "3") & (F.col("_h") < "6")).drop("_h")
+    return feature_graph, train_pos, test_pos
+
+
+def negative_edges(und: DataFrame, n_per_vertex: int = 1) -> DataFrame:
+    """Deterministic non-edges, ~``n_per_vertex``·|V| of them: index
+    vertices 0..n-1 by id order, pair index i with
+    (i·2654435761 + salt) mod n for salt = 1..n_per_vertex (a Knuth-hash
+    derangement family), canonicalize, and anti-join the real edge set."""
+    verts = und.select(F.col("a").alias("v")).union(und.select("b")).distinct()
+    w = Window.orderBy("v")
+    idx = verts.withColumn("i", F.row_number().over(w) - 1)
+    n = idx.count()
+    partner = idx.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(1, n_per_vertex + 1)]))
+    ).withColumn("j", (F.col("i") * F.lit(2654435761) + F.col("salt")) % F.lit(n))
+    paired = (
+        partner.alias("l")
+        .join(idx.alias("r"), F.col("l.j") == F.col("r.i"))
+        .select(
+            F.least("l.v", "r.v").alias("a"),
+            F.greatest("l.v", "r.v").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return paired.join(und, ["a", "b"], "left_anti")
+
+
+def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> DataFrame:
+    """Pair features over the FEATURE graph only: neighborhood overlap
+    (common-neighbor count, Jaccard, Adamic–Adar) plus the symmetric
+    embedding combinations — order-invariant, so the a<b canonicalization
+    never changes the vector."""
+    adj = feat_graph.select(F.col("a").alias("x"), F.col("b").alias("w")).unionAll(
+        feat_graph.select(F.col("b"), F.col("a"))
+    )
+    degw = adj.groupBy("w").agg(F.count("*").alias("dw"))
+    overlap = (
+        pairs.select("a", "b")
+        .join(adj.select(F.col("x").alias("a"), "w"), "a")
+        .join(adj.select(F.col("x").alias("b"), F.col("w")), ["b", "w"], "left_semi")
+        .join(degw, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            # Adamic–Adar: Σ 1/log deg(v) over common neighbors (deg-1
+            # vertices get a tiny epsilon so log never hits 0)
+            F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
+        )
+    )
+    ea = emb.select(F.col("v").alias("a"), *[F.col(f).alias(f"a_{f}") for f in _FEATS])
+    eb = emb.select(F.col("v").alias("b"), *[F.col(f).alias(f"b_{f}") for f in _FEATS])
+    out = (
+        pairs.join(ea, "a")
+        .join(eb, "b")
+        .join(overlap, ["a", "b"], "left")
+        .withColumn("cn", F.coalesce("cn", F.lit(0)).cast("double"))
+        .withColumn("aa", F.coalesce("aa", F.lit(0.0)))
+    )
+    cols = [
+        F.col("cn"),
+        F.col("aa"),
+        # f1 is the vertex degree in the feature graph → Jaccard ratio
+        (F.col("cn") / (F.col("a_f1") + F.col("b_f1") - F.col("cn"))).alias("jac"),
+    ]
+    for f in _FEATS:
+        cols.append(F.abs(F.col(f"a_{f}") - F.col(f"b_{f}")).alias(f"d_{f}"))
+        cols.append((F.col(f"a_{f}") * F.col(f"b_{f}")).alias(f"p_{f}"))
+        cols.append((F.col(f"a_{f}") + F.col(f"b_{f}")).alias(f"s_{f}"))
+    return out.select("a", "b", *cols)
+
+
+FEATURE_COLS = ["cn", "aa", "jac"] + [
+    f"{p}_{f}" for f in _FEATS for p in ("d", "p", "s")
+]
+
+
+def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: int = 100):
+    """Train the seeded logistic link classifier. Returns (model,
+    test_scored) where test_scored has (a, b, label, score, jac) for the
+    held-out pos/neg pairs — AUC-compare `score` (learned) against `jac`
+    (the raw heuristic on the same feature graph)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    und = canonical_undirected(edges).persist()
+    feat_graph, pos_train, pos_test = three_way_edge_split(und)
+    feat_graph = feat_graph.persist()
+    emb = node_embeddings(
+        feat_graph.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).persist()
+    # class balance: roughly one negative per positive (the negatives are
+    # split ~50/50 so each side matches its positive count)
+    n_pos = und.count()
+    n_vert = und.select("a").union(und.select("b")).distinct().count()
+    neg = negative_edges(und, n_per_vertex=max(1, round(0.4 * n_pos / max(n_vert, 1))))
+    tagged = neg.withColumn(
+        "_h", F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 1)
+    )
+    neg_train = tagged.filter(F.col("_h") < "8").drop("_h")
+    neg_test = tagged.filter(F.col("_h") >= "8").drop("_h")
+
+    def labelled(pos, negf):
+        return pos.withColumn("label", F.lit(1.0)).unionByName(
+            negf.withColumn("label", F.lit(0.0))
+        )
+
+    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+
+    def prep(pairs):
+        joined = _pair_features(pairs.select("a", "b"), emb, feat_graph).join(
+            pairs.select("a", "b", "label"), ["a", "b"]
+        )
+        return asm.transform(joined)
+
+    train_df = prep(labelled(pos_train, neg_train)).persist()
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    model = lr.fit(train_df)
+    test_df = prep(labelled(pos_test, neg_test))
+    get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # P(label=1)
+    scored = model.transform(test_df).select(
+        "a",
+        "b",
+        F.col("label").cast("int").alias("label"),
+        get_p1.alias("score"),
+        "jac",  # kept so callers can AUC-compare against the raw heuristic
+    )
+    return model, finalize(scored, und, feat_graph, emb, train_df)
+
+
+def link_prediction_trained(edges: DataFrame, top_k: int = 100) -> DataFrame:
+    """The `predict` surface end-to-end: train the seeded classifier, score
+    the held-out pos/neg pairs, return the top-``top_k`` by learned score
+    (ties → a, b). Columns (a, b, label, score_r) with score rounded to 4
+    — ranking output, compared rows-only by the driver (training is not
+    SQL-expressible)."""
+    _, scored = train_link_predictor(edges)
+    return (
+        scored.select("a", "b", "label", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("a"), F.asc("b"))
+        .limit(top_k)
+    )
+
+
+def auc(scored: DataFrame, score_col: str = "score") -> float:
+    """Area under the ROC curve of (label, score) via Spark ML's evaluator
+    (a plain double score column is a valid rawPrediction)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    ev = BinaryClassificationEvaluator(
+        rawPredictionCol=score_col, labelCol="label", metricName="areaUnderROC"
+    )
+    return float(
+        ev.evaluate(
+            scored.withColumn("label", F.col("label").cast("double")).withColumn(
+                score_col, F.col(score_col).cast("double")
+            )
+        )
+    )

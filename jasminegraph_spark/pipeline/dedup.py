@@ -62,15 +62,32 @@ def char_shingles(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = 8, threshold: float = 0.8, id_col: str = "doc_id"
+    docs: DataFrame,
+    k: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard similarity ≥ threshold.
 
-    Exact but quadratic in per-shingle frequency — the small-corpus /
-    verification path. Returns (id_a, id_b, jaccard) with id_a < id_b and
-    jaccard rounded to 6 digits (portable float compare).
+    Exact but quadratic in per-shingle frequency when unbounded — the
+    small-corpus / verification path. With ``max_doc_frequency`` set,
+    shingles appearing in more than that many documents are dropped BEFORE
+    the self-join and the similarity is computed over the filtered shingle
+    sets (stop-shingle-removed Jaccard): cost becomes ≤ cap × |shingles|,
+    linear in shingle volume — the registered / at-scale shape. Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard rounded to 6 digits
+    (portable float compare).
     """
     sh = char_shingles(docs, k, id_col)
+    if max_doc_frequency is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_frequency)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")

@@ -62,6 +62,40 @@ def test_link_prediction_strategies_agree(spark):
             )
 
 
+def test_trained_link_predictor_beats_jaccard_auc(spark):
+    # cora.cites is the reference's own GraphSAGE training fixture
+    # (supervised.py trains on it); the learned model must separate
+    # held-out edges from non-edges better than the raw Jaccard heuristic
+    # computed on the same feature graph
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import auc, train_link_predictor
+
+    raw = spark.read.csv(
+        "/root/reference/tests/integration/env_init/data/cora/cora.cites", sep="\t"
+    ).toDF("src", "dst")
+    edges = raw.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    _, scored = train_link_predictor(edges)
+    scored = scored.persist()
+    model_auc = auc(scored)
+    jaccard_auc = auc(scored, "jac")
+    assert model_auc > jaccard_auc + 0.05  # decisively, not by noise
+    assert model_auc > 0.75
+    scored.unpersist()
+
+
+def test_trained_predictor_query_shape(spark):
+    from __spark_entry__ import an_link_prediction_trained
+
+    top = an_link_prediction_trained(spark, "/root/testdata/sf0.001")
+    rows = top.collect()
+    assert top.columns == ["a", "b", "label", "score_r"]
+    assert len(rows) == 100
+    # scores descend; mostly true edges at the top if the model learned
+    scores = [r["score_r"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
 def test_extract_triples_and_weights(spark):
     docs = spark.createDataFrame(
         [(1, "a b c a b c d"), (2, "a b c")], ["doc_id", "text"]
