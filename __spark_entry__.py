@@ -1579,6 +1579,78 @@ def an_closeness_centrality(spark, sf_dir):
     ).orderBy("source")
 
 
+@_q(
+    "cy_write_roundtrip",
+    """
+    SELECT * FROM (
+        SELECT 'edges' AS metric, (SELECT COUNT(*) FROM nation) - 2 AS value
+        UNION ALL
+        SELECT 'flagged', (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+        UNION ALL
+        SELECT 'hub_nodes', 2
+        UNION ALL
+        SELECT 'nation_nodes', (SELECT COUNT(*) FROM nation) - 1
+    ) ORDER BY metric
+    """,
+)
+def cy_write_roundtrip(spark, sf_dir):
+    """Cypher write path end-to-end (§2.1 Create + SET/MERGE/DELETE —
+    FrontEnd.cpp CREATE; QueryPlanner.cpp write TODO branches implemented
+    here): seed a temp parquet graph from `nation` (ring edges), then
+    CREATE a hub, MERGE one match + one miss, SET a region flag, DETACH
+    DELETE one nation, and report final-state metrics. The oracle derives
+    the same metrics arithmetically from the base table, so the driver
+    hash-checks real write semantics."""
+    import shutil
+    import tempfile
+
+    from jasminegraph_spark.cypher.write import cypher_write
+    from jasminegraph_spark.graph import EDGE_SCHEMA, NODE_SCHEMA, PropertyGraph
+
+    nat = _read(spark, sf_dir, "nation")
+    nodes = nat.select(
+        F.col("n_nationkey").cast("string").alias("id"),
+        F.lit("Nation").alias("label"),
+        F.create_map(
+            F.lit("name"), F.col("n_name"),
+            F.lit("region"), F.col("n_regionkey").cast("string"),
+        ).alias("properties"),
+    )
+    n_nat = nat.count()  # 25 at every TPC-H SF (fixed dimension table)
+    edges = nat.select(
+        F.concat_ws("-", F.col("n_nationkey"), F.lit("next")).alias("id"),
+        F.col("n_nationkey").cast("string").alias("src"),
+        ((F.col("n_nationkey") + 1) % n_nat).cast("string").alias("dst"),
+        F.lit("NEXT").alias("type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cy_write_")
+    gp = f"{tmp}/g"
+    try:
+        spark.createDataFrame(nodes.collect(), NODE_SCHEMA).write.parquet(f"{gp}/nodes")
+        spark.createDataFrame(edges.collect(), EDGE_SCHEMA).write.parquet(f"{gp}/edges")
+        cypher_write(spark, gp, "CREATE (h:Hub {id: 'hub1', name: 'Hub One'})")
+        cypher_write(spark, gp, "MERGE (n:Nation {name: 'NATION_3'})")  # match → no-op
+        cypher_write(spark, gp, "MERGE (n:Hub {name: 'Hub Two'})")  # miss → create
+        cypher_write(spark, gp, "MATCH (n:Nation) WHERE n.region = '0' SET n.flag = 1")
+        cypher_write(spark, gp, "MATCH (n:Nation {name: 'NATION_3'}) DETACH DELETE n")
+        g = PropertyGraph(
+            nodes=spark.read.parquet(f"{gp}/nodes"),
+            edges=spark.read.parquet(f"{gp}/edges"),
+        )
+        metrics = [
+            ("edges", g.edges.count()),
+            ("flagged", g.nodes.filter(F.col("properties")["flag"] == "1").count()),
+            ("hub_nodes", g.nodes.filter(F.col("label") == "Hub").count()),
+            ("nation_nodes", g.nodes.filter(F.col("label") == "Nation").count()),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [(m, int(v)) for m, v in metrics], "metric string, value long"
+    ).orderBy("metric")
+
+
 def an_link_prediction_trained(spark, sf_dir):
     """Learned link predictor: seeded LogisticRegression head on the
     structural pair features (supervised.py:41-212's EdgeSplitter +

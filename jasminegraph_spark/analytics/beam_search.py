@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from jasminegraph_spark.cache import checkpoint
+
 
 def semantic_beam_search(
     edges: DataFrame,
@@ -96,9 +98,9 @@ def semantic_beam_search(
             .orderBy(F.desc("score"), F.asc("node"))
             .limit(beam_width)
         )
-        cands = cands.localCheckpoint(eager=True)
+        cands = cands.transform(checkpoint)
         if cands.isEmpty():
             break
         beam = beam.unionByName(cands)
-        visited = visited.union(cands.select("node")).distinct().localCheckpoint(eager=True)
+        visited = visited.union(cands.select("node")).distinct().transform(checkpoint)
     return beam

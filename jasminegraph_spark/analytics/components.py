@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jasminegraph_spark.analytics.graph_algs import canonical_undirected
-from jasminegraph_spark.cache import finalize
+from jasminegraph_spark.cache import checkpoint, finalize
 
 
 def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
@@ -54,7 +54,7 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(checkpoint)
         )
         changed = cand.filter(F.col("component") != F.col("old")).count()
         labels = cand.select("node", "component")
@@ -99,7 +99,7 @@ def shortest_paths(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("distance", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint)
         )
         frontier_rows = nxt.count()  # materialized: count is metadata-cheap
         if frontier_rows == 0:
@@ -153,7 +153,7 @@ def multi_source_bfs(
             .distinct()
             .join(visited.select("source", "node"), ["source", "node"], "left_anti")
             .withColumn("distance", F.lit(hop))
-            .localCheckpoint(eager=True)
+            .transform(checkpoint)
         )
         frontier_rows = nxt.count()
         if frontier_rows == 0:
@@ -194,7 +194,7 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     """The k-core: the maximal subgraph where every vertex has degree ≥ k.
     Returns the surviving edge list (a, b). Iterative peel: drop vertices
     with degree < k until fixpoint."""
-    core = canonical_undirected(edges).localCheckpoint(eager=True)
+    core = canonical_undirected(edges).transform(checkpoint)
     # carry the previous round's size in a Python variable: one count job
     # per round, not two (pruned.count() == core.count() re-counts the
     # frame counted last round)
@@ -210,7 +210,7 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
             core.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint)
         )
         n_now = pruned.count()
         if n_now == n_prev:

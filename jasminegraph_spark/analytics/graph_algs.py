@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from jasminegraph_spark.cache import finalize
+from jasminegraph_spark.cache import checkpoint, finalize
 
 
 def canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -148,7 +148,7 @@ def pagerank(
         )
         if (i + 1) % 5 == 0:
             # truncate lineage so the plan doesn't grow unboundedly
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(checkpoint)
     # final ranks are checkpointed; the edge/degree caches are released so
     # repeated engine calls don't pin storage
     return finalize(ranks, e, nodes, contrib_base)

@@ -8,25 +8,57 @@ storage until eviction thrash (the reference frees its per-query local
 stores the same way when the executor completes).
 
 `finalize(result, *cached)` is the contract: materialize the result once
-(eager localCheckpoint — also truncates the lineage so the result no
-longer references the caches), then unpersist every intermediate. The
-returned frame serves any number of downstream actions from its
-checkpoint blocks without recomputation.
+(eager checkpoint — also truncates the lineage so the result no longer
+references the caches), then unpersist every intermediate. The returned
+frame serves any number of downstream actions from its checkpoint blocks
+without recomputation.
 
-At cluster scale swap localCheckpoint for a reliable checkpoint
-(`spark.sparkContext.setCheckpointDir` + `.checkpoint()`) so executor
-loss cannot drop result partitions — see SCALE.md.
+Checkpoint mode (SCALE.md): `localCheckpoint` keeps blocks on executors —
+fast, but an executor loss drops partitions mid-algorithm. At cluster
+scale call :func:`set_checkpoint_dir` (or set the
+``SPARK_GRAFT_CHECKPOINT_DIR`` env var before the first checkpoint) to
+switch every iterative operator to reliable `.checkpoint()` into shared
+storage (HDFS/S3); lineage truncation semantics are identical, so
+results do not change — only the failure story does.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+# None → localCheckpoint; a path → reliable checkpoint into that dir
+_CHECKPOINT_DIR: str | None = None
+
+
+def set_checkpoint_dir(spark, path: str | None) -> None:
+    """Enable reliable checkpointing for all iterative operators (pass
+    ``None`` to revert to localCheckpoint)."""
+    global _CHECKPOINT_DIR
+    _CHECKPOINT_DIR = path
+    if path is not None:
+        spark.sparkContext.setCheckpointDir(path)
+
+
+def checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Truncate lineage: reliable `.checkpoint()` when a checkpoint dir is
+    configured (set_checkpoint_dir or SPARK_GRAFT_CHECKPOINT_DIR),
+    executor-local `localCheckpoint` otherwise."""
+    global _CHECKPOINT_DIR
+    if _CHECKPOINT_DIR is None:
+        env_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if env_dir:
+            set_checkpoint_dir(df.sparkSession, env_dir)
+    if _CHECKPOINT_DIR is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 def finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize ``result`` eagerly, then unpersist the ``cached``
     intermediates it was built from. Returns the checkpointed result."""
-    out = result.localCheckpoint(eager=True)
+    out = checkpoint(result, eager=True)
     for df in cached:
         df.unpersist()
     return out

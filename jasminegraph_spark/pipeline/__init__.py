@@ -21,6 +21,7 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
 )
 from jasminegraph_spark.pipeline.kg import (  # noqa: F401
     construct_knowledge_graph,
+    extract_entity_triples,
     extract_triples,
     triple_weights,
 )

@@ -80,6 +80,42 @@ def construct_knowledge_graph(documents: DataFrame) -> tuple[DataFrame, DataFram
     return nodes, edges
 
 
+# a capitalized run ("Radio City", "New Delhi", "PlanetRadiocity.com");
+# entities join across spaces, predicates are the lowercase span between
+_ENTITY = r"[A-Z][A-Za-z0-9.'&-]*(?: [A-Z][A-Za-z0-9.'&-]*)*"
+_ENTITY_TRIPLE = rf"({_ENTITY})((?: [a-z0-9',()-]+){{1,8}} )({_ENTITY})"
+
+
+def extract_entity_triples(documents: DataFrame) -> DataFrame:
+    """(doc_id, s, p, o) at ENTITY granularity: within each sentence, a
+    capitalized entity pair bridged by a 1-8-token lowercase predicate
+    span. The deterministic stand-in for the reference's LLM tuple
+    extraction over prose (Prompt.h asks the model for exactly this
+    entity-relation-entity shape); pure Catalyst expressions — sentence
+    explode + regexp, no shuffle until aggregation.
+
+    Matches are greedy and non-overlapping left-to-right; chained facts
+    ("A rel B rel2 C") surface the first pair per scan — a recall floor,
+    not exhaustive extraction (graded in tests/test_linkpred_kg.py
+    against the reference's radio_city gold set)."""
+    sentences = documents.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"[.?!](?:\s+|$)")).alias("sentence"),
+    )
+    matches = sentences.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("sentence"), F.lit(_ENTITY_TRIPLE), F.lit(0))
+        ).alias("t"),
+    )
+    return matches.select(
+        "doc_id",
+        F.regexp_extract(F.col("t"), _ENTITY_TRIPLE, 1).alias("s"),
+        F.trim(F.regexp_extract(F.col("t"), _ENTITY_TRIPLE, 2)).alias("p"),
+        F.regexp_extract(F.col("t"), _ENTITY_TRIPLE, 3).alias("o"),
+    )
+
+
 def llm_extractor(documents: DataFrame, endpoint: str) -> DataFrame:
     """Seam for the reference's Ollama/vLLM tuple streamers: a mapInPandas
     stage that batches chunk texts to an LLM endpoint and yields the same

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jasminegraph_spark.cache import checkpoint, finalize
+
 ASSIGN_SCHEMA = T.StructType(
     [
         T.StructField("node", T.StringType(), False),
@@ -224,7 +226,7 @@ def community_partition(
             nbr.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
-            .localCheckpoint(eager=True)
+            .transform(checkpoint)
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
     top = sizes.orderBy(F.desc("sz"), F.asc("label")).limit(max_collect).collect()
@@ -256,6 +258,4 @@ def community_partition(
             ).alias("pid"),
         )
     )
-    from jasminegraph_spark.cache import finalize
-
     return finalize(assign, und, adj)

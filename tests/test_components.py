@@ -1,6 +1,39 @@
 """Connected components + k-core on graphs with known structure."""
 
+import os
+
 from jasminegraph_spark.analytics import connected_components, k_core
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """SCALE.md's cluster knob: with a checkpoint dir configured, iterative
+    algorithms truncate lineage via reliable .checkpoint() into that dir
+    (executor-loss-safe) and produce identical results."""
+    from jasminegraph_spark import cache
+    from jasminegraph_spark.analytics import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (3, 4), (4, 5)], ["src", "dst"])
+    base_cc = {(r["node"], r["component"]) for r in connected_components(edges).collect()}
+    base_pr = {
+        (r["node"], round(r["rank"], 9)) for r in pagerank(edges, iterations=6).collect()
+    }
+    ckpt = str(tmp_path / "ckpt")
+    cache.set_checkpoint_dir(spark, ckpt)
+    try:
+        rel_cc = {
+            (r["node"], r["component"]) for r in connected_components(edges).collect()
+        }
+        rel_pr = {
+            (r["node"], round(r["rank"], 9))
+            for r in pagerank(edges, iterations=6).collect()
+        }
+        assert rel_cc == base_cc
+        assert rel_pr == base_pr
+        # reliable checkpoint files actually landed in the directory
+        found = [os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs]
+        assert found, "no reliable checkpoint files written"
+    finally:
+        cache.set_checkpoint_dir(spark, None)
 
 
 def test_connected_components(spark):

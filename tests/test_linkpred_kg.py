@@ -142,6 +142,52 @@ def test_engine_predict_links(spark):
     assert top.columns == ["a", "b", "common_neighbors", "jaccard"]
 
 
+def test_constructkg_against_reference_gold(spark):
+    """Grade the deterministic entity extractor against the reference's
+    graphRAG gold document (tests/integration/graphRAG/KG/gold/radio_city):
+    recall over hand-annotated sentence-level facts, precision as the
+    share of extracted triples matching some gold fact, and the gold QA
+    pair (CEO of Radio City → Abraham Thomas) must be answerable from the
+    extracted graph."""
+    import json
+    import os
+
+    from jasminegraph_spark.pipeline import extract_entity_triples
+
+    gold_dir = "/root/reference/tests/integration/graphRAG/KG/gold/radio_city"
+    text = open(f"{gold_dir}/text.txt").read()
+    lines = [
+        line.strip()
+        for line in text.splitlines()
+        if line.strip() and not line.startswith("#")
+    ]
+    docs = spark.createDataFrame(list(enumerate(lines)), ["doc_id", "text"])
+    triples = [
+        f"{r.s} {r.p} {r.o}".lower() for r in extract_entity_triples(docs).collect()
+    ]
+    assert triples, "extractor found nothing in the gold document"
+
+    gold = json.load(
+        open(os.path.join(os.path.dirname(__file__), "fixtures", "radio_city_gold.json"))
+    )
+
+    def recovered(key_terms):
+        return any(all(term in t for term in key_terms) for t in triples)
+
+    hits = sum(1 for f in gold["facts"] if recovered(f["key_terms"]))
+    recall = hits / len(gold["facts"])
+    matched = sum(
+        1
+        for t in triples
+        if any(all(term in t for term in f["key_terms"]) for f in gold["facts"])
+    )
+    precision = matched / len(triples)
+    assert recall >= 0.75, f"gold-fact recall {recall:.2f} below floor"
+    assert precision >= 0.5, f"gold-topic precision {precision:.2f} below floor"
+    # the reference's QA pair is answerable from the extraction
+    assert recovered(gold["qa_pair"]["key_terms"])
+
+
 def test_llm_extractor_is_gated(spark):
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(NotImplementedError):
