@@ -53,24 +53,42 @@ class StreamRegistry:
         return False
 
 
+def parse_edge_wire(raw: DataFrame) -> DataFrame:
+    """THE Kafka ingest contract (util/kafka/StreamHandler.cpp:65-144:
+    poll → JSON parse → partitioner): takes the kafka source's raw frame
+    (binary ``value`` column, as `spark.readStream.format("kafka")...load()`
+    yields it — or any frame with that shape), JSON-decodes each record
+    against EDGE_WIRE_SCHEMA, and drops malformed records plus the
+    reference's ``-1`` EOF sentinel rows (StreamHandler.cpp:56-63 —
+    micro-batch triggers replace the sentinel protocol).
+
+    This function IS the tested surface: with no broker in the sandbox,
+    tests/test_streaming.py feeds it a kafka-shaped static frame and
+    asserts byte-identical results with the file-source parse of the same
+    payloads. On a cluster the only swap is the three readStream lines in
+    :func:`kafka_edge_stream` (see SCALE.md §Kafka)."""
+    parsed = raw.select(
+        F.from_json(F.col("value").cast("string"), EDGE_WIRE_SCHEMA).alias("e")
+    ).select("e.*")
+    return parsed.filter(
+        F.col("source.id").isNotNull() & (F.col("source.id") != "-1")
+    )
+
+
 def kafka_edge_stream(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str,
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """The reference's Kafka edge source (util/kafka/StreamHandler.cpp:
-    65-144: poll → JSON parse → partitioner), as a Structured Streaming
-    source: kafka format → from_json(EDGE_WIRE_SCHEMA). Rows whose
-    source id is the ``-1`` EOF sentinel (StreamHandler.cpp:56-63) are
-    dropped — micro-batch triggers replace the sentinel protocol.
+    """The reference's Kafka edge source as a Structured Streaming plan:
+    kafka format → :func:`parse_edge_wire`.
 
-    Requires the spark-sql-kafka package on the cluster (e.g.
-    ``--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<ver>``);
-    this sandbox has no broker, so tests drive the identical
-    transformations through the file source instead
-    (EdgeStreamIngest.start) — the returned frame is source-agnostic.
-    """
+    Requires the spark-sql-kafka package on the cluster (exact swap-in
+    documented in SCALE.md §Kafka; e.g. ``--packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``); this
+    sandbox has no broker or connector jar, so the downstream contract is
+    tested via parse_edge_wire + the file source (EdgeStreamIngest)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -78,12 +96,7 @@ def kafka_edge_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.from_json(F.col("value").cast("string"), EDGE_WIRE_SCHEMA).alias("e")
-    ).select("e.*")
-    return parsed.filter(
-        F.col("source.id").isNotNull() & (F.col("source.id") != "-1")
-    )
+    return parse_edge_wire(raw)
 
 
 class EdgeStreamIngest:

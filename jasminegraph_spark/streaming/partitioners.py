@@ -101,13 +101,15 @@ def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFram
         F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
     )
     if not chunked:
-        n = e.count()
-        if n > MAX_SEQUENTIAL_ROWS:
+        # bounded probe, not a full count: limit() short-circuits the scan
+        # at the guard, so the check costs O(MAX_SEQUENTIAL_ROWS) no matter
+        # how large the input is
+        if e.limit(MAX_SEQUENTIAL_ROWS + 1).count() > MAX_SEQUENTIAL_ROWS:
             raise ValueError(
-                f"sequential greedy partitioning over {n} edges would run as a "
-                "single executor task holding the whole stream in Python state; "
-                "pass chunked=True (per-chunk greedy + merge) or use "
-                "hash_partition (stateless column expression)"
+                f"sequential greedy partitioning over > {MAX_SEQUENTIAL_ROWS} "
+                "edges would run as a single executor task holding the whole "
+                "stream in Python state; pass chunked=True (per-chunk greedy "
+                "+ merge) or use hash_partition (stateless column expression)"
             )
         fn = _greedy_fn(k, scorer)
         return (

@@ -300,3 +300,55 @@ def test_kafka_source_surface(spark):
 
     with _pytest.raises(Exception, match="kafka|Kafka"):
         kafka_edge_stream(spark, "localhost:9092", "edges")
+
+
+def test_kafka_wire_contract(spark, tmp_path):
+    """The tested Kafka contract: parse_edge_wire over a kafka-SHAPED frame
+    (binary value column, exactly what format('kafka').load() yields) must
+    produce byte-identical rows to the file-source JSONL parse of the same
+    payloads, drop the reference's -1 EOF sentinel (StreamHandler.cpp:56-63)
+    and drop malformed records. On a real cluster only the readStream
+    source lines change (SCALE.md §Kafka)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.sources.readers import EDGE_WIRE_SCHEMA
+    from jasminegraph_spark.streaming.ingest import parse_edge_wire
+
+    payloads = [
+        json.dumps(
+            {
+                "source": {"id": "1", "properties": {"name": "a"}},
+                "destination": {"id": "2", "properties": {"name": "b"}},
+                "properties": {"type": "KNOWS"},
+            }
+        ),
+        json.dumps(
+            {
+                "source": {"id": "2", "properties": {}},
+                "destination": {"id": "3", "properties": {}},
+                "properties": {},
+            }
+        ),
+        json.dumps({"source": {"id": "-1"}, "destination": {"id": "-1"}}),  # EOF
+        "{not valid json",  # malformed record
+    ]
+    # kafka-shaped frame: key/value binary + topic/partition/offset metadata
+    kafka_like = spark.createDataFrame(
+        [(None, p.encode("utf-8"), "edges", 0, i) for i, p in enumerate(payloads)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    got = parse_edge_wire(kafka_like)
+    # same payloads through the file source path (what tests exercise today)
+    f = tmp_path / "wire.jsonl"
+    f.write_text("\n".join(payloads) + "\n")
+    expected = (
+        spark.read.text(str(f))
+        .select(F.from_json("value", EDGE_WIRE_SCHEMA).alias("e"))
+        .select("e.*")
+        .filter(F.col("source.id").isNotNull() & (F.col("source.id") != "-1"))
+    )
+    assert got.schema == expected.schema
+    assert sorted(map(str, got.collect())) == sorted(map(str, expected.collect()))
+    assert got.count() == 2  # sentinel + malformed dropped
