@@ -2232,6 +2232,61 @@ _ORACLES["pl_ivf_ann_nprobe"] = """
 """
 
 
+@_q(
+    "pl_pack_sequences",
+    """
+    WITH base AS (
+        SELECT lang AS grp, substr(md5(text), 1, 1) AS shard, doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT grp, shard, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY grp, shard ORDER BY doc_id)
+                           - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        FROM base
+    )
+    SELECT grp, CAST(COUNT(DISTINCT (shard, pack_id)) AS BIGINT) AS n_packs,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           printf('%.6f', CAST(SUM(n_tokens) AS DOUBLE)
+                          / (COUNT(DISTINCT (shard, pack_id)) * 512.0)) AS fill_ratio
+    FROM packed GROUP BY grp ORDER BY grp
+    """,
+)
+def pl_pack_sequences(spark, sf_dir):
+    """Context-window packing (beyond-reference LLM-pipeline op): stream
+    docs into 512-token packs within (lang, md5-shard) partitions —
+    16 bounded window partitions per lang, never one global sort. Reports
+    per-lang pack counts and mean fill ratio."""
+    return pl.packing_stats(_read(spark, sf_dir, "documents"), token_budget=512)
+
+
+@_q(
+    "pl_quality_filter_chain",
+    """
+    WITH scored AS (
+        SELECT lang,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+               CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\\s+')) AS ttr
+        FROM documents
+    )
+    SELECT CASE WHEN lang NOT IN ('en', 'de', 'fr') THEN 'bad_lang'
+                WHEN n_tokens < 5 THEN 'too_short'
+                WHEN n_tokens > 5000 THEN 'too_long'
+                WHEN ttr < 0.3 THEN 'low_ttr'
+                ELSE 'keep' END AS reason,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored GROUP BY 1 ORDER BY reason
+    """,
+)
+def pl_quality_filter_chain(spark, sf_dir):
+    """Corpus filter funnel with first-failing-reason attribution
+    (bad_lang → too_short → too_long → low_ttr → keep) — the attrition
+    report a data team audits before training."""
+    return pl.quality_filter_chain(_read(spark, sf_dir, "documents"))
+
+
 def pl_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by md5(text) prefix range
     (content-hash split — stable under reruns/engines/partitioning).
@@ -2489,6 +2544,8 @@ _PRIORITY = [
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",
+    "pl_pack_sequences",
+    "pl_quality_filter_chain",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

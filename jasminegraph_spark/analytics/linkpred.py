@@ -74,8 +74,10 @@ def _spgemm_topk(
     the map is tiny regardless of |candidates|."""
     spark = und.sparkSession
     pdf = und.toPandas()  # guarded by SPGEMM_EDGE_LIMIT: the broadcast build
-    a = pdf["a"].to_numpy(np.int64)
-    b = pdf["b"].to_numpy(np.int64)
+    # keep the native id dtype (graphs may key vertices by string ids);
+    # all kernel math runs on 0..n-1 indices either way
+    a = pdf["a"].to_numpy()
+    b = pdf["b"].to_numpy()
     ids = np.unique(np.concatenate([a, b]))
     n = int(ids.size)
     ai = np.searchsorted(ids, a)
@@ -120,7 +122,8 @@ def _spgemm_topk(
         }
     )
     score_col = "jaccard" if mode == "jaccard" else "cosine"
-    schema = f"a long, b long, common_neighbors long, {score_col} double"
+    id_type = und.schema["a"].dataType.simpleString()
+    schema = f"a {id_type}, b {id_type}, common_neighbors long, {score_col} double"
     rows_per_chunk = max(1, _SPGEMM_CELL_BUDGET // max(n, 1))
 
     def gen(batches):

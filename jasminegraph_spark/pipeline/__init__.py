@@ -36,3 +36,8 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     doc_fingerprint,
     embed_text,
 )
+from jasminegraph_spark.pipeline.packing import (  # noqa: F401
+    pack_sequences,
+    packing_stats,
+    quality_filter_chain,
+)

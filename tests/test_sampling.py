@@ -1,8 +1,51 @@
-"""Deterministic split/sampling invariants (pipeline.sampling)."""
+"""Deterministic split/sampling invariants (pipeline.sampling) and
+sequence-packing/filter-funnel semantics (pipeline.packing)."""
 
 from pyspark.sql import functions as F
 
 from jasminegraph_spark.pipeline import hash_split, stratified_sample
+
+
+def test_pack_sequences_budget_semantics(spark):
+    from jasminegraph_spark.pipeline import pack_sequences
+
+    # docs of 3 tokens each, budget 7; identical text → one shard; cum
+    # sums 3,6,9,12,15,18 → pack_id = floor((cum-3)/7) = 0,0,0,1,1,2
+    docs = spark.createDataFrame(
+        [(i, "tok tok tok", "en") for i in range(6)], ["doc_id", "text", "lang"]
+    )
+    by_doc = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(docs, token_budget=7).collect()
+    }
+    assert [by_doc[i] for i in range(6)] == [0, 0, 0, 1, 1, 2]
+    # an oversized doc occupies its own pack; the next doc (same md5
+    # shard 'd', chosen deliberately) starts a new one
+    big = spark.createDataFrame(
+        [(0, " ".join(["t"] * 20), "en"), (1, "w9 z", "en")],
+        ["doc_id", "text", "lang"],
+    )
+    packs = {
+        r["doc_id"]: r["pack_id"]
+        for r in pack_sequences(big, token_budget=7).collect()
+    }
+    assert packs[0] == 0 and packs[1] >= 1
+
+
+def test_quality_filter_chain_reason_order(spark):
+    from jasminegraph_spark.pipeline import quality_filter_chain
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three four five six", "en"),  # keep
+            (1, "a b", "en"),                          # too_short
+            (2, "x x x", "zz"),                        # bad_lang wins over low_ttr
+            (3, "w w w w w w w w", "en"),              # low_ttr (ttr = 1/8)
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["reason"]: r["n_docs"] for r in quality_filter_chain(docs).collect()}
+    assert got == {"keep": 1, "too_short": 1, "bad_lang": 1, "low_ttr": 1}
 
 
 def _docs(spark, n=400):
