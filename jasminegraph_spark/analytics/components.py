@@ -23,7 +23,11 @@ from jasminegraph_spark.analytics.graph_algs import canonical_undirected
 from jasminegraph_spark.cache import checkpoint, finalize
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 20,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
     """Weakly connected components via hash-min propagation.
     Returns (node, component) with component = min node id reachable.
     """
@@ -34,13 +38,19 @@ def connected_components(edges: DataFrame, max_iterations: int = 20) -> DataFram
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    # the label table is |V| rows vs |E| adjacency rows: broadcast it while
+    # it fits so the persisted adjacency is never re-shuffled per round
+    # (same guard as pagerank; past the threshold fall back to a
+    # co-partitioned shuffle join)
+    n_nodes = labels.count()
+    brd = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_threshold else (lambda df: df)
     for i in range(max_iterations):
         # candidate = min(own, min over neighbors' labels); carrying the
         # old label through the checkpoint makes the convergence check a
         # filter-count on already-materialized data — no extra join and
         # no recomputation of the round (2 jobs/round → 1 + cheap count)
         nbr_min = (
-            adj.join(labels, adj.v == labels.node)
+            adj.join(brd(labels), adj.v == labels.node)
             .select(F.col("u").alias("node"), F.col("component").alias("cand"))
             .groupBy("node")
             .agg(F.min("cand").alias("nbr_min"))

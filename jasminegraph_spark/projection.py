@@ -209,12 +209,23 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
             hit.persist()
         return hit
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
-    a = li.withColumnRenamed("l_partkey", "src")
-    b = li.withColumnRenamed("l_partkey", "dst")
+    # one groupBy shuffle + in-array pair expansion beats the self-join:
+    # the join shuffles lineitem twice and feeds ALL n² ordered pairs to
+    # distinct; collect_set dedups per order map-side and the slice()
+    # expansion emits only x<y pairs — half the distinct input. Per-order
+    # arrays are bounded (≤7 lineitems/order in TPC-H at every SF), so
+    # collect_set state never skews.
+    g = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     out = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
+        g.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
