@@ -1666,6 +1666,54 @@ def an_link_prediction_trained(spark, sf_dir):
 _QUERIES["an_link_prediction_trained"] = an_link_prediction_trained
 
 
+def _lpa_oracle(iterations: int = 4) -> str:
+    sql = (
+        CO_ORDER_CTE
+        + """
+    , adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS community FROM adj)"""
+    )
+    for i in range(iterations):
+        sql += f""",
+    l{i + 1} AS (
+        SELECT node, community FROM (
+            SELECT a.u AS node, l.community,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.u
+                       ORDER BY COUNT(*) DESC, l.community ASC) AS rn
+            FROM adj a JOIN l{i} l ON l.node = a.v
+            GROUP BY a.u, l.community
+        ) WHERE rn = 1
+    )"""
+    sql += f"""
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(COUNT(*) AS BIGINT) AS n_communities
+    FROM (SELECT community, COUNT(*) AS sz FROM l{iterations} GROUP BY community)
+    GROUP BY sz ORDER BY community_size
+    """
+    return sql
+
+
+@_q("an_label_propagation", _lpa_oracle(4))
+def an_label_propagation(spark, sf_dir):
+    """Community detection via synchronous label propagation (4 rounds,
+    neighbor-majority labels, min-label tie-break) on the co-order graph;
+    reports the community size histogram. Oracle = the same recurrence
+    unrolled round for round in SQL."""
+    from jasminegraph_spark.analytics import label_propagation
+
+    communities = label_propagation(co_order_edges(spark, sf_dir), iterations=4)
+    sizes = communities.groupBy("community").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy(F.col("sz").cast("long").alias("community_size"))
+        .agg(F.count("*").cast("long").alias("n_communities"))
+        .orderBy("community_size")
+    )
+
+
 @_q("an_connected_components", _cc_oracle(20))
 def an_connected_components(spark, sf_dir):
     """Weakly connected components (hash-min propagation) on the co-order
@@ -2233,6 +2281,41 @@ _ORACLES["pl_ivf_ann_nprobe"] = """
 
 
 @_q(
+    "pl_multimodal_decode",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS kind,
+           COUNT(*) AS n_media,
+           CAST(SUM(8 + doc_id % 16) AS BIGINT) AS sum_width,
+           CAST(SUM(8 + doc_id % 8) AS BIGINT) AS sum_height,
+           CAST(SUM((8 + doc_id % 16) * (8 + doc_id % 8)) AS BIGINT) AS sum_bytes
+    FROM documents GROUP BY 1 ORDER BY kind
+    """,
+)
+def pl_multimodal_decode(spark, sf_dir):
+    """Multimodal plumbing end-to-end under the driver's hash check:
+    synthesize binary media payloads ON EXECUTORS from doc ids (JGMM fake
+    container — real codecs are the documented stub), decode them through
+    the Arrow mapInPandas decode stage, and aggregate dimensions. The
+    oracle recomputes the same aggregates arithmetically, so a broken
+    header pack/unpack, batch shape, or binary round-trip fails the hash."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_media
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_media(docs))
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+@_q(
     "pl_pack_sequences",
     """
     WITH base AS (
@@ -2546,6 +2629,8 @@ _PRIORITY = [
     "pl_ngram_jaccard_capped",
     "pl_pack_sequences",
     "pl_quality_filter_chain",
+    "pl_multimodal_decode",
+    "an_label_propagation",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

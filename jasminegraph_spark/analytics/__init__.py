@@ -22,6 +22,7 @@ from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
 from jasminegraph_spark.analytics.components import (  # noqa: F401
     connected_components,
     k_core,
+    label_propagation,
     shortest_paths,
     multi_source_bfs,
     closeness_centrality,

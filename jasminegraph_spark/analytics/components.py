@@ -200,6 +200,42 @@ def closeness_centrality(
     )
 
 
+def label_propagation(edges: DataFrame, iterations: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection: every round each
+    vertex adopts the most frequent label among its NEIGHBORS (ties → the
+    smallest label; isolated semantics don't arise — every vertex here is
+    edge-incident). Deterministic, so oracle-checkable round for round.
+    Returns (node, community) after ``iterations`` rounds.
+
+    Same recurrence the METIS-role partitioner uses internally
+    (streaming/partitioners.community_partition); exposed first-class as
+    the community-detection analytics surface. Each round is one
+    adjacency⋈labels join + per-node window top-1 — shuffle keyed on the
+    node, lineage truncated per round."""
+    from pyspark.sql.window import Window
+
+    und = canonical_undirected(edges).persist()
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    ).persist()
+    labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
+        "community", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("n"), F.asc("community"))
+    for _ in range(iterations):
+        labels = (
+            adj.join(labels, adj.v == labels.node)
+            .select(F.col("u").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count("*").alias("n"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+            .transform(checkpoint)
+        )
+    return finalize(labels, und, adj)
+
+
 def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
     """The k-core: the maximal subgraph where every vertex has degree ≥ k.
     Returns the surviving edge list (a, b). Iterative peel: drop vertices

@@ -79,6 +79,37 @@ def _decode_one(payload: bytes, kind: str = "image") -> tuple[int, int, bytes]:
     raise ValueError("unknown media container (expected JGMM fake header)")
 
 
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic media-table fixture for environments whose testdata
+    has no binary column: (media_id, kind, payload) with kind cycling
+    image/audio/video by id and payload = the JGMM fake container with
+    width = 8 + id%16, height = 8 + id%8, seed = id%251. Runs as a
+    distributed mapInPandas stage (payloads are created ON EXECUTORS, as a
+    real ingest would decode-side) — the arithmetic shape lets a SQL
+    oracle verify the whole synth → binary → decode path end-to-end."""
+    kinds = ("image", "audio", "video")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [kinds[i % 3] for i in ids],
+                    "payload": [
+                        encode_fake_payload(
+                            kinds[i % 3], 8 + i % 16, 8 + i % 8, seed=i % 251
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
 def decode_media(media: DataFrame, hist_bins: int = 16) -> DataFrame:
     """Decode + feature-extract in one mapInPandas stage.
 

@@ -44,6 +44,20 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_label_propagation_two_cliques(spark):
+    from jasminegraph_spark.analytics import label_propagation
+
+    # two triangles joined by one bridge edge: LPA resolves each triangle
+    # to its min label; the bridge endpoints stay with their clique
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10), (3, 10)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["community"] for r in label_propagation(df, iterations=4).collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    # both triangles collapse to one community each
+    assert len({got[1], got[2], got[3]}) == 1
+    assert len({got[10], got[11], got[12]}) == 1
+
+
 def test_k_core(spark):
     # K4 on {1,2,3,4} plus a pendant chain 4-5-6: 3-core = the K4 only
     k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
