@@ -51,6 +51,8 @@ HEADLINE = [
     # round-4: link prediction enters the headline now that the wedge join
     # is degree-capped by default (was ~42 s uncapped at sf0.1, hidden)
     "an_link_prediction",
+    # round-4 pipeline additions: sequence packing (windowed, sharded)
+    "pl_pack_sequences",
 ]
 
 
