@@ -246,3 +246,35 @@ def test_asof_join_is_window_not_range_join(q):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_pack_sequences_window_is_partitioned(q):
+    """The packing cumsum must window over (grp, shard) partitions — an
+    unpartitioned window funnels the whole corpus through ONE task at
+    scale (Spark even warns about it)."""
+    plan = _plan(q("pl_pack_sequences"))
+    assert "Window" in plan
+    # the partition spec must name both keys; an empty partitionBy would
+    # render as 'Window [... ORDER BY ...]' with no partition columns
+    import re
+
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    assert any("grp" in ln and "shard" in ln for ln in win_lines), win_lines
+
+
+def test_spgemm_linkpred_output_exchange_is_tiny(spark, sf_dir):
+    """The SpGEMM path's only exchange after the map stage is the global
+    top-k (TakeOrderedAndProject over the mapInPandas output) — no wedge
+    groupBy/shuffle may appear. Asserted on the pre-checkpoint frame (the
+    registered query finalize-checkpoints, which truncates its plan)."""
+    from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+    from jasminegraph_spark.analytics.linkpred import _spgemm_topk
+    from jasminegraph_spark.projection import co_order_edges
+
+    und = canonical_undirected(co_order_edges(spark, sf_dir))
+    df = _spgemm_topk(und, 50, 2, "auto", "jaccard")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "HashAggregate" not in plan  # counting happened inside the kernel
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
