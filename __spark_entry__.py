@@ -546,6 +546,93 @@ def rel_q3_shipping_priority(spark, sf_dir):
 
 
 @_q(
+    "rel_q14_promo_revenue_share",
+    """
+    SELECT printf('%.6f',
+               100.0 * SUM(CASE WHEN p.p_type = 'ECONOMY'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount))) AS promo_share,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-03-01 00:00:00'
+    """,
+)
+def rel_q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape (promo revenue share): conditional aggregate over a
+    fact⋈dim join — the dim side broadcasts, the date filter pushes to the
+    fact scan. Share emitted %.6f (engine-portable ratio rule)."""
+    l = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-03-01 00:00:00").cast("timestamp"))
+    )
+    p = _read(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.format_string(
+                "%.6f",
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0)))
+                / F.sum(rev),
+            ).alias("promo_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "rel_q18_large_volume_customer",
+    """
+    SELECT c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS o_date, o.o_totalprice,
+           CAST(SUM(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 150
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
+    """,
+)
+def rel_q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate drives a semi-join back into the fact table — the classic
+    pre-aggregate-then-join pattern; the qualifying key set is tiny, so
+    the semi-join broadcasts under AQE."""
+    l = _read(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    o = _read(spark, sf_dir, "orders")
+    c = _read(spark, sf_dir, "customer")
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@_q(
     "rel_q5_local_supplier_volume",
     """
     SELECT n.n_name,
@@ -2631,6 +2718,8 @@ _PRIORITY = [
     "pl_quality_filter_chain",
     "pl_multimodal_decode",
     "an_label_propagation",
+    "rel_q14_promo_revenue_share",
+    "rel_q18_large_volume_customer",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old
