@@ -196,7 +196,23 @@ def _spgemm_topk(
     # finer tasks smooth the stragglers
     n_parts = max(4 * spark.sparkContext.defaultParallelism, 1)
     out = spark.range(0, n, 1, n_parts).mapInPandas(gen, schema)
-    return out.orderBy(F.desc(score_col), F.asc("a"), F.asc("b")).limit(top_k)
+    result = out.orderBy(F.desc(score_col), F.asc("a"), F.asc("b")).limit(top_k)
+    # the CSR broadcast (~12 B/edge on every executor) must be released
+    # once the caller materializes the result, or a long-lived engine
+    # session leaks one copy per query — same lifecycle contract as the
+    # persisted frames cache.finalize() frees
+    result._jgs_broadcast = bc  # noqa: SLF001 (released by _finalize_spgemm)
+    return result
+
+
+def _finalize_spgemm(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """finalize() + release the kernel's CSR broadcast: the eager
+    checkpoint inside finalize materializes the plan, after which the
+    broadcast blocks are dead weight on executors."""
+    bc = result._jgs_broadcast
+    out = finalize(result, *cached)
+    bc.unpersist(blocking=False)
+    return out
 
 
 def _capped_centers(adj: DataFrame, deg: DataFrame, max_center_degree) -> DataFrame:
@@ -240,7 +256,7 @@ def link_prediction(
     """
     und = canonical_undirected(edges).persist()
     if strategy == "spgemm" or (strategy == "auto" and und.count() <= SPGEMM_EDGE_LIMIT):
-        return finalize(
+        return _finalize_spgemm(
             _spgemm_topk(und, top_k, min_common, max_center_degree, "jaccard"), und
         )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
@@ -334,7 +350,7 @@ def link_prediction_embedding(
     cosine) — cosine rounded to 6 for portable rank boundaries."""
     und = canonical_undirected(edges).persist()
     if strategy == "spgemm" or (strategy == "auto" and und.count() <= SPGEMM_EDGE_LIMIT):
-        return finalize(
+        return _finalize_spgemm(
             _spgemm_topk(und, top_k, min_common, max_center_degree, "cosine"), und
         )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
