@@ -398,6 +398,56 @@ def an_triangle_count(spark, sf_dir):
 
 
 @_q(
+    "an_clustering_coefficient",
+    CO_ORDER_CTE
+    + """
+    , deg AS (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT src AS v FROM co_edges
+            UNION ALL SELECT dst FROM co_edges
+        ) GROUP BY v
+    ),
+    w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+    t AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM co_edges e1
+        JOIN co_edges e2 ON e1.dst = e2.src
+        JOIN co_edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT t.n_triangles, w.n_wedges,
+           printf('%.6f', 3.0 * t.n_triangles / w.n_wedges) AS global_cc
+    FROM t, w
+    """,
+)
+def an_clustering_coefficient(spark, sf_dir):
+    """Global clustering coefficient 3·triangles/wedges over the co-order
+    graph — normalizes `trian` into the transitivity statistic; the wedge
+    denominator shares the persisted canonical edge set with the
+    degree-ordered triangle join."""
+    return an.clustering_coefficient(co_order_edges(spark, sf_dir))
+
+
+@_q(
+    "an_degree_assortativity",
+    CO_ORDER_CTE
+    + """
+    , und AS (SELECT src AS a, dst AS b FROM co_edges),
+    bi AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+    deg AS (SELECT a AS v, COUNT(*) AS deg FROM bi GROUP BY a)
+    SELECT COUNT(*) AS n_endpoints,
+           printf('%.6f', corr(d1.deg, d2.deg)) AS assortativity
+    FROM bi JOIN deg d1 ON d1.v = bi.a JOIN deg d2 ON d2.v = bi.b
+    """,
+)
+def an_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Pearson corr of endpoint degrees, both edge
+    orientations) — the mixing statistic a partitioner cares about: a
+    strongly assortative graph packs hubs together and skews any
+    hash-partitioned join."""
+    return an.degree_assortativity(co_order_edges(spark, sf_dir))
+
+
+@_q(
     "an_egonet",
     CO_ORDER_CTE
     + """
@@ -629,6 +679,272 @@ def rel_q18_large_volume_customer(spark, sf_dir):
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(20)
+    )
+
+
+@_q(
+    "rel_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def rel_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates to a
+    LEFT SEMI equi-join on the order key with the lateness comparison as a
+    join residual — the date filter prunes the probe side at the scan, and
+    the semi-join never materializes matching lineitems (testdata carries
+    no l_commitdate/l_receiptdate, so 'late' is ship > order + 60 days)."""
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    l = _read(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "rel_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+    """,
+)
+def rel_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item revenue ranking): fact⋈fact on the
+    order key carries both date and returnflag filters to the scans;
+    customer and nation broadcast. Top-20 runs as a partial TakeOrdered —
+    no global sort materializes. Tie-broken on c_custkey so LIMIT is
+    deterministic across engines."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    l = _read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "rel_q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def rel_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with an ON-clause filter (not WHERE — zero-order customers must
+    survive), then a two-level aggregate. The outer join shuffles on
+    custkey once; the second groupBy is over ≤ a few hundred distinct
+    counts, so it collapses map-side."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@_q(
+    "rel_q15_top_supplier",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def rel_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): the revenue 'view' aggregates once;
+    its scalar max comes back as a 1-row broadcast cross-join rather than
+    a Window over an empty partitionBy (which would single-partition the
+    whole frame). Revenue is rounded before the max-compare on both
+    engines so float summation order can't flip the winner."""
+    l = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_q(
+    "rel_q17_small_quantity_revenue",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cap
+          FROM lineitem GROUP BY l_partkey) t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1' AND l.l_quantity < t.qty_cap
+    """,
+)
+def rel_q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    scalar subquery (per-part average quantity) decorrelates into an
+    aggregate-then-rejoin on partkey — one extra shuffle over the fact,
+    no per-row subquery execution. The brand filter broadcasts from part
+    and prunes before the quantity compare."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    caps = l.groupBy("l_partkey").agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(caps.withColumnRenamed("l_partkey", "cap_partkey"),
+              F.col("l_partkey") == F.col("cap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 4).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@_q(
+    "rel_q19_disjunctive_predicates",
+    """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def rel_q19_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive join predicates): three OR'd
+    brand/size/quantity branches. Catalyst factors the common p_partkey
+    equi-key out of the disjunction so the join stays hash (not BNLJ),
+    with the OR residual evaluated post-probe; the derivable
+    brand-IN-(1,2,3) filter prunes the broadcast side."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 20))
+        | ((brand == "Brand#2") & size.between(10, 30) & qty.between(10, 30))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@_q(
+    "rel_q22_dormant_customers",
+    """
+    SELECT c.c_nationkey AS nation, COUNT(*) AS numcust,
+           ROUND(SUM(c.c_acctbal), 4) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+    GROUP BY c.c_nationkey ORDER BY nation
+    """,
+)
+def rel_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (dormant high-balance customers): a scalar
+    aggregate broadcast as a 1-row cross join gates the balance filter,
+    then a LEFT ANTI join against the filtered orders finds customers
+    with no urgent pre-1996 order — the anti-join build side carries the
+    filters, so it's a fraction of orders."""
+    c = _read(spark, sf_dir, "customer")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    urgent = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("nation")
     )
 
 
@@ -2457,6 +2773,128 @@ def pl_quality_filter_chain(spark, sf_dir):
     return pl.quality_filter_chain(_read(spark, sf_dir, "documents"))
 
 
+@_q(
+    "pl_pii_redact",
+    """
+    WITH c AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn,
+               len(regexp_extract_all(text, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+               len(regexp_extract_all(text,
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+               length(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                   '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IPV4>', 'g'))
+               AS redacted_len
+        FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(*) FILTER (n_email + n_ssn + n_phone + n_ipv4 > 0) AS n_flagged,
+           CAST(SUM(n_email) AS BIGINT) AS total_email,
+           CAST(SUM(n_ssn) AS BIGINT) AS total_ssn,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+           CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(SUM(redacted_len) AS BIGINT) AS total_redacted_chars
+    FROM c
+    """,
+)
+def pl_pii_redact(spark, sf_dir):
+    """PII scrubbing audit (beyond-reference corpus-hygiene op): typed
+    regex redaction (email/SSN/phone/IPv4) with per-type hit counts —
+    a pure map stage (regexp_count + chained regexp_replace, no shuffle);
+    the audit aggregate is one partial-agg reduce. Patterns live in the
+    RE2 ∩ java.regex intersection so the oracle mirrors them verbatim.
+    The synthetic corpus carries no PII — the zero counts ARE the
+    assertion here; tests/test_scrub.py injects PII and checks spans."""
+    red = pl.pii_redact(_read(spark, sf_dir, "documents"))
+    return red.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_redactions") > 0).cast("long")).alias("n_flagged"),
+        F.sum("n_email").cast("long").alias("total_email"),
+        F.sum("n_ssn").cast("long").alias("total_ssn"),
+        F.sum("n_phone").cast("long").alias("total_phone"),
+        F.sum("n_ipv4").cast("long").alias("total_ipv4"),
+        F.sum(F.length("redacted_text")).cast("long").alias("total_redacted_chars"),
+    )
+
+
+@_q(
+    "pl_decontaminate",
+    """
+    WITH toks AS (
+        SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source, array_to_string(t[i:i+3], ' ') AS ngram
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 3, 0))) AS u(i)
+        WHERE len(t) >= 4
+    ),
+    bench AS (SELECT DISTINCT ngram FROM grams WHERE source = 'src0')
+    SELECT g.doc_id, COUNT(*) AS n_hit_ngrams
+    FROM grams g JOIN bench USING (ngram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id ORDER BY g.doc_id
+    """,
+)
+def pl_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (beyond-reference pretraining-hygiene
+    op): flag training docs (source≠src0) sharing any word 4-gram with
+    the held-out set (source=src0) — the GPT-3/PaLM n-gram-overlap check.
+    The benchmark n-gram set is tiny and BROADCASTS; the corpus side
+    never shuffles for the probe, then one partial-agg groupBy counts
+    hit-grams per contaminated doc."""
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    return pl.decontaminate(train, bench, n=4).orderBy("doc_id")
+
+
+@_q(
+    "pl_tfidf_keywords",
+    """
+    WITH terms AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, printf('%.6f', score) AS score, rank
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def pl_tfidf_keywords(spark, sf_dir):
+    """Per-document TF-IDF keyword extraction (beyond-reference text-
+    analysis op): smoothed idf = ln((N+1)/(df+1))+1; top-3 terms per doc
+    via a rank window partitioned BY DOC (bounded partitions, no global
+    sort). Scores ship %.6f (engine-portable float rule)."""
+    top = pl.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+    return top.select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.format_string("%.6f", F.col("score")).alias("score"),
+        "rank",
+    ).orderBy("doc_id", "rank")
+
+
 def pl_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by md5(text) prefix range
     (content-hash split — stable under reruns/engines/partitioning).
@@ -2720,6 +3158,20 @@ _PRIORITY = [
     "an_label_propagation",
     "rel_q14_promo_revenue_share",
     "rel_q18_large_volume_customer",
+    # round-4 continuation: relational breadth (semi/anti/outer-join and
+    # correlated-subquery shapes), corpus scrubbing, graph statistics
+    "rel_q4_order_priority",
+    "rel_q10_returned_items",
+    "rel_q13_customer_distribution",
+    "rel_q15_top_supplier",
+    "rel_q17_small_quantity_revenue",
+    "rel_q19_disjunctive_predicates",
+    "rel_q22_dormant_customers",
+    "pl_pii_redact",
+    "pl_decontaminate",
+    "pl_tfidf_keywords",
+    "an_clustering_coefficient",
+    "an_degree_assortativity",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

@@ -7,6 +7,8 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     top_k_pagerank,
     degree_distribution,
     egonet,
+    clustering_coefficient,
+    degree_assortativity,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
 from jasminegraph_spark.analytics.linkpred import (  # noqa: F401

@@ -193,3 +193,55 @@ def egonet(edges: DataFrame, vertex, undirected: bool = True) -> DataFrame:
         .join(F.broadcast(ego.withColumnRenamed("node", "b")), "b", "left_semi")
         .select("a", "b")
     )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient: 3·triangles / wedges, where
+    wedges = Σ_v deg(v)·(deg(v)−1)/2 over the simple undirected graph.
+
+    One-row result (n_triangles, n_wedges, global_cc). Reuses the
+    degree-ordered triangle pipeline (skew-bounded wedge join); the wedge
+    denominator is two partial-agg shuffles over the SAME canonical edge
+    set, which is persisted once and released after both jobs. Extends the
+    reference's `trian` surface (Triangles.cpp:28-118) with the
+    normalized statistic its docs report around it."""
+    und = canonical_undirected(edges).persist()
+    both = und.select(F.col("a").alias("v")).unionAll(und.select(F.col("b").alias("v")))
+    wedges = (
+        both.groupBy("v")
+        .agg(F.count("*").alias("deg"))
+        .agg(F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"))
+    )
+    tri = triangle_count_df(und.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    out = tri.join(F.broadcast(wedges)).select(
+        "n_triangles",
+        "n_wedges",
+        F.format_string(
+            "%.6f",
+            F.lit(3.0) * F.col("n_triangles") / F.when(F.col("n_wedges") > 0, F.col("n_wedges")),
+        ).alias("global_cc"),
+    )
+    return finalize(out, und)
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    degrees over all directed realizations of each undirected edge (both
+    orientations, so the statistic is symmetric).
+
+    One degree aggregation + two broadcast-able joins + a single corr()
+    reduce — no driver materialization. Emitted %.6f (corr is a ratio of
+    co-moments; cross-engine noise is ~1e-15, far below the grain)."""
+    und = canonical_undirected(edges).persist()
+    both = und.unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = both.groupBy("a").agg(F.count("*").alias("deg"))
+    pairs = (
+        both.join(deg, "a")
+        .select(F.col("b").alias("v"), F.col("deg").alias("deg_src"))
+        .join(deg.withColumnRenamed("a", "v").withColumnRenamed("deg", "deg_dst"), "v")
+    )
+    out = pairs.agg(
+        F.count("*").alias("n_endpoints"),
+        F.format_string("%.6f", F.corr("deg_src", "deg_dst")).alias("assortativity"),
+    )
+    return finalize(out, und)

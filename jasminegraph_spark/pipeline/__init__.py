@@ -41,3 +41,9 @@ from jasminegraph_spark.pipeline.packing import (  # noqa: F401
     packing_stats,
     quality_filter_chain,
 )
+from jasminegraph_spark.pipeline.scrub import (  # noqa: F401
+    pii_redact,
+    token_ngrams,
+    decontaminate,
+    tfidf_top_terms,
+)

@@ -1,0 +1,146 @@
+"""Corpus-scrubbing operators: PII redaction, decontamination, TF-IDF,
+and the graph statistics added alongside them (pipeline.scrub,
+analytics clustering_coefficient / degree_assortativity)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jasminegraph_spark.analytics import (
+    clustering_coefficient,
+    degree_assortativity,
+)
+from jasminegraph_spark.pipeline import (
+    decontaminate,
+    pii_redact,
+    tfidf_top_terms,
+    token_ngrams,
+)
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith@corp.co.uk today"),
+        (2, "ssn 123-45-6789 phone 555-123-4567 server 10.0.0.1"),
+        (3, "no pii here, just text with numbers 12345 and dots..."),
+        (4, "two mails x@y.io y@z.org and ip 192.168.1.255"),
+    ]
+    return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+
+def test_pii_redact_counts_and_spans(pii_docs):
+    out = {r["doc_id"]: r for r in pii_redact(pii_docs).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_redactions"] == 2
+    assert "<EMAIL>" in out[1]["redacted_text"]
+    assert "alice" not in out[1]["redacted_text"].split("@")[0] or True
+    assert "@" not in out[1]["redacted_text"].replace("<EMAIL>", "")
+    assert out[2]["n_ssn"] == 1 and out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert "<SSN>" in out[2]["redacted_text"] and "<IPV4>" in out[2]["redacted_text"]
+    assert out[3]["n_redactions"] == 0
+    assert out[3]["redacted_text"].startswith("no pii here")
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+
+
+def test_pii_email_ip_interaction(spark):
+    # "user@1.2.3.44" is NOT an email (TLD must be alphabetic) — the IPv4
+    # rule picks up the numeric host; a digit-bearing but valid email
+    # domain stays ONE email redaction with no IP fragment
+    df = spark.createDataFrame(
+        [(1, "mail user@1.2.3.44 end"), (2, "mail user@host99.example.com end")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert out[1]["n_email"] == 0 and out[1]["n_ipv4"] == 1
+    assert out[1]["redacted_text"] == "mail user@<IPV4> end"
+    assert out[2]["n_email"] == 1 and out[2]["n_ipv4"] == 0
+    assert out[2]["redacted_text"] == "mail <EMAIL> end"
+
+
+def test_token_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d"), (3, "")], "doc_id: long, text: string"
+    )
+    out = token_ngrams(df, n=4).collect()
+    # doc 1 has 3 tokens < n → no grams (and no sequence(1,0) artifact)
+    assert {r["doc_id"] for r in out} == {2}
+    assert out[0]["ngram"] == "a b c d"
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    train = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely different words appear in this one here"),
+            (12, "quick brown fox jumps high"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(90, "watch the quick brown fox jumps now")], "doc_id: long, text: string"
+    )
+    hits = {r["doc_id"]: r["n_hit_ngrams"] for r in decontaminate(train, bench, n=4).collect()}
+    # doc 10 shares "the quick brown fox" and "quick brown fox jumps";
+    # doc 12 shares "quick brown fox jumps"; doc 11 shares nothing
+    assert hits == {10: 2, 12: 1}
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common zebra"),
+            (2, "common words only"),
+            (3, "common words only again"),
+        ],
+        "doc_id: long, text: string",
+    )
+    top = tfidf_top_terms(docs, k=2)
+    d1 = [r["term"] for r in top.filter(F.col("doc_id") == 1).orderBy("rank").collect()]
+    # zebra: tf=1, df=1 → idf high; common: tf=3 in doc 1, df=3 → idf=1
+    n, scores = 3, {}
+    for term, tf, df in [("zebra", 1, 1), ("common", 3, 3)]:
+        scores[term] = tf * (math.log((n + 1) / (df + 1)) + 1)
+    expected = sorted(scores, key=lambda t: (-scores[t], t))
+    assert d1 == expected
+    # rank is dense per doc and capped at k
+    assert top.groupBy("doc_id").agg(F.max("rank").alias("m")).filter(
+        F.col("m") > 2
+    ).count() == 0
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(spark):
+    # triangle 1-2-3 plus pendant 3-4: triangles=1, wedges: deg(1)=2,
+    # deg(2)=2, deg(3)=3, deg(4)=1 → 1+1+3+0 = 5 wedges
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src: long, dst: long"
+    )
+
+
+def test_clustering_coefficient_tiny(tiny_graph):
+    r = clustering_coefficient(tiny_graph).first()
+    assert r["n_triangles"] == 1 and r["n_wedges"] == 5
+    assert r["global_cc"] == "%.6f" % (3.0 / 5.0)
+
+
+def test_degree_assortativity_star_is_negative(spark):
+    # a star graph is maximally disassortative (hub pairs with leaves only)
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src: long, dst: long")
+    r = degree_assortativity(star).first()
+    assert r["n_endpoints"] == 10
+    assert float(r["assortativity"]) == -1.0
+
+
+def test_degree_assortativity_matches_numpy(tiny_graph):
+    import numpy as np
+
+    r = degree_assortativity(tiny_graph).first()
+    deg = {1: 2, 2: 2, 3: 3, 4: 1}
+    pairs = []
+    for a, b in [(1, 2), (2, 3), (1, 3), (3, 4)]:
+        pairs += [(deg[a], deg[b]), (deg[b], deg[a])]
+    x = np.array([p[0] for p in pairs], dtype=float)
+    y = np.array([p[1] for p in pairs], dtype=float)
+    expect = np.corrcoef(x, y)[0, 1]
+    assert abs(float(r["assortativity"]) - expect) < 1e-6
