@@ -2398,6 +2398,37 @@ def cypher_string_preds(spark, sf_dir):
 
 
 @_q(
+    "cypher_scalar_functions",
+    """
+    SELECT 'p:' || p_partkey AS id,
+           upper(p_name) AS uname,
+           length(p_name) AS name_len,
+           substr(p_name, 2, 5) AS mid,
+           CAST(CAST(floor(CAST(p_retailprice AS DOUBLE)) AS BIGINT) AS BIGINT)
+               AS price_floor,
+           round(CAST(p_retailprice AS DOUBLE), 1) AS price_r
+    FROM part
+    WHERE regexp_full_match(p_name, '.*l.* .*d.*')
+    ORDER BY id
+    """,
+)
+def cypher_scalar_functions(spark, sf_dir):
+    """openCypher scalar functions (toUpper/size/substring/floor/round)
+    and the `=~` full-string regex — each compiles 1:1 onto a Catalyst
+    built-in (cypher/compiler.py _scalar), so the whole RETURN stays
+    inside whole-stage codegen. Reference grammar: CypherParser.g4
+    function invocation rules; executor had no scalar-function support."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Part) WHERE n.name =~ '.*l.* .*d.*' "
+        "RETURN id(n) AS id, toUpper(n.name) AS uname, size(n.name) AS name_len, "
+        "substring(n.name, 1, 5) AS mid, floor(n.retailprice) AS price_floor, "
+        "round(n.retailprice, 1) AS price_r ORDER BY id",
+    )
+
+
+@_q(
     "cypher_in_order_skip_limit",
     """
     SELECT 'c:' || c_custkey AS id, c_name AS name FROM customer

@@ -81,6 +81,16 @@ class TypeFunc:
 
 
 @dataclass
+class ScalarFunc:
+    """Whitelisted openCypher scalar function call over value expressions
+    (toUpper/substring/coalesce/abs/...). Args are value expressions;
+    compilation maps 1:1 onto Catalyst built-ins (no UDFs)."""
+
+    func: str
+    args: list
+
+
+@dataclass
 class VarRef:
     var: str
 

@@ -221,6 +221,8 @@ class _Compiler:
                     )
                 return F.array(*[F.col(f"{v}.id") for v in info["node_vars"]])
             raise CypherCompileError(f"unknown path function {e.func}")
+        if isinstance(e, ast.ScalarFunc):
+            return self._scalar(e)
         if isinstance(e, ast.VarRef):
             if e.var in self.lambda_vars:
                 return self.lambda_vars[e.var]
@@ -261,6 +263,88 @@ class _Compiler:
             return {"+": _op.add, "-": _op.sub, "*": _op.mul,
                     "/": _op.truediv, "%": _op.mod}[e.op](l, r)
         raise CypherCompileError(f"cannot compile value expression {e!r}")
+
+    def _scalar(self, e: "ast.ScalarFunc") -> Column:
+        """openCypher scalar functions → Catalyst built-ins, 1:1 (no UDFs).
+        Properties are stored as strings (the reference's block store keeps
+        untyped bytes, PropertyLink.cpp) — numeric functions coerce through
+        double, matching the engine's literal-driven typing elsewhere."""
+        args = [self.expr(a) for a in e.args]
+
+        def need(n: int):
+            if len(args) != n:
+                raise CypherCompileError(f"{e.func}() expects {n} args, got {len(args)}")
+
+        f = e.func
+        if f == "toupper":
+            need(1); return F.upper(args[0])
+        if f == "tolower":
+            need(1); return F.lower(args[0])
+        if f == "tostring":
+            need(1); return args[0].cast("string")
+        if f == "tointeger":
+            need(1); return args[0].cast("double").cast("long")
+        if f == "tofloat":
+            need(1); return args[0].cast("double")
+        if f == "substring":
+            if len(args) == 2:  # openCypher is 0-based; Spark is 1-based
+                return F.substring(args[0], args[1] + F.lit(1), F.lit(2147483647))
+            need(3)
+            return F.substring(args[0], args[1] + F.lit(1), args[2])
+        if f == "size":
+            need(1)
+            # compile-time dispatch: list-shaped args use array size,
+            # string properties use length
+            a0 = e.args[0]
+            list_shaped = (
+                isinstance(a0, ast.ListComprehension)
+                or (isinstance(a0, ast.Literal) and isinstance(a0.value, list))
+                or (isinstance(a0, ast.ScalarFunc) and a0.func == "split")
+                or (isinstance(a0, ast.PathFunc) and a0.func == "nodes")
+            )
+            return F.size(args[0]) if list_shaped else F.length(args[0])
+        if f == "coalesce":
+            if not args:
+                raise CypherCompileError("coalesce() needs at least one arg")
+            return F.coalesce(*args)
+        if f == "abs":
+            need(1); return F.abs(args[0].cast("double"))
+        if f == "round":
+            if len(args) == 2:
+                return F.round(args[0].cast("double"), e.args[1].value)
+            need(1)
+            return F.round(args[0].cast("double"), 0)
+        if f == "ceil":
+            need(1); return F.ceil(args[0].cast("double")).cast("long")
+        if f == "floor":
+            need(1); return F.floor(args[0].cast("double")).cast("long")
+        if f == "sqrt":
+            need(1); return F.sqrt(args[0].cast("double"))
+        if f == "sign":
+            need(1); return F.signum(args[0].cast("double")).cast("int")
+        if f == "trim":
+            need(1); return F.trim(args[0])
+        if f == "ltrim":
+            need(1); return F.ltrim(args[0])
+        if f == "rtrim":
+            need(1); return F.rtrim(args[0])
+        if f == "reverse":
+            need(1); return F.reverse(args[0])
+        if f == "replace":
+            need(3); return F.replace(args[0], args[1], args[2])
+        if f == "split":
+            need(2)
+            if not (isinstance(e.args[1], ast.Literal) and isinstance(e.args[1].value, str)):
+                raise CypherCompileError("split() delimiter must be a string literal")
+            import re as _re
+
+            # openCypher split is a LITERAL delimiter; Spark's is a regex
+            return F.split(args[0], _re.escape(e.args[1].value))
+        if f == "left":
+            need(2); return F.substring(args[0], F.lit(1), args[1])
+        if f == "right":
+            need(2); return F.substring(args[0], -args[1], args[1])
+        raise CypherCompileError(f"unknown scalar function {e.func}")
 
     def _lambda(self, var: str, body, compile_fn):
         """Bind ``var`` to the HOF argument Column while compiling body."""
@@ -322,6 +406,10 @@ class _Compiler:
                 return lhs.contains(lit)
             if e.op == "IN":
                 return lhs.isin(lit)
+            if e.op == "=~":
+                # openCypher =~ is a FULL-string regex match (Java regex
+                # matches()); Spark rlike is a substring search — anchor it
+                return lhs.rlike(f"^(?:{lit})$")
             return coerced_compare(lhs, e.op, lit)
         # value-to-value (e.g. n.a = m.b): cast both as-is
         lhs, rhs = self.expr(e.left), self.expr(e.right)
@@ -349,6 +437,9 @@ class _Compiler:
             return f"type({e.var})"
         if isinstance(e, ast.PathFunc):
             return f"{e.func}({e.var})"
+        if isinstance(e, ast.ScalarFunc):
+            inner = ",".join(self._item_name(ast.ReturnItem(a)) for a in e.args)
+            return f"{e.func}({inner})"
         if isinstance(e, ast.Aggregate):
             inner = self._item_name(ast.ReturnItem(e.expr)) if e.expr else "*"
             return f"{e.func}({inner})"

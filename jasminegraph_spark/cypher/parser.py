@@ -24,6 +24,7 @@ from jasminegraph_spark.cypher.ast import (
     IdFunc,
     LabelsFunc,
     PathFunc,
+    ScalarFunc,
     TypeFunc,
     Literal,
     NodePattern,
@@ -43,7 +44,7 @@ _TOKEN_RE = re.compile(
   | (?P<NUMBER>-?\d+\.\d+|-?\d+)
   | (?P<STRING>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<ARROW_OUT>-\[|\]->|-->|<--)
-  | (?P<OP><>|<=|>=|=|<|>)
+  | (?P<OP>=~|<>|<=|>=|=|<|>)
   | (?P<PUNCT>[(){}\[\],.:|*\]+/%])
   | (?P<DASH>-)
   | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
@@ -60,6 +61,15 @@ _KEYWORDS = {
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
+
+# whitelisted scalar functions (lowercased); each maps 1:1 to a Catalyst
+# built-in in the compiler — anything else is a compile error, not a UDF
+_SCALAR_FUNCS = {
+    "toupper", "tolower", "tostring", "tointeger", "tofloat",
+    "substring", "size", "coalesce", "abs", "round", "ceil", "floor",
+    "sqrt", "sign", "trim", "ltrim", "rtrim", "replace", "split",
+    "reverse", "left", "right",
+}
 
 
 class CypherSyntaxError(ValueError):
@@ -548,6 +558,15 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return PathFunc(word, var)
+            if word.lower() in _SCALAR_FUNCS and self.peek() == ("PUNCT", "("):
+                self.next()
+                args = []
+                if self.peek() != ("PUNCT", ")"):
+                    args.append(self.parse_value())
+                    while self.accept("PUNCT", ","):
+                        args.append(self.parse_value())
+                self.expect("PUNCT", ")")
+                return ScalarFunc(word.lower(), args)
             if self.accept("PUNCT", "."):
                 return PropRef(word, self.name())
             return VarRef(word)

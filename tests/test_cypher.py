@@ -588,3 +588,69 @@ def test_named_path_length_and_nodes(social):
 
     with _pytest.raises(CypherCompileError, match="variable-length"):
         cypher_query(social, "MATCH p = (a)-[:FRIENDS*1..2]->(b) RETURN nodes(p) AS ns")
+
+
+# ---------------- scalar functions + regex match (round-4) ----------------
+
+
+def test_scalar_string_functions(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE id(n) = '0' "
+            "RETURN toUpper(n.name) AS up, toLower(n.name) AS lo, "
+            "size(n.name) AS sz, substring(n.name, 1, 3) AS mid, "
+            "left(n.name, 2) AS l2, right(n.name, 3) AS r3, "
+            "reverse(n.name) AS rev, replace(n.name, 'li', 'LI') AS rep",
+        )
+    )
+    assert out == [
+        {
+            "up": "ALICE", "lo": "alice", "sz": 5, "mid": "lic",
+            "l2": "Al", "r3": "ice", "rev": "ecilA", "rep": "ALIce",
+        }
+    ]
+
+
+def test_scalar_numeric_and_coalesce(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE id(n) = '3' "
+            "RETURN toInteger(n.age) AS age_i, toFloat(n.age) AS age_f, "
+            "abs(toInteger(n.age) - 30) AS diff, sqrt(toFloat('9')) AS root, "
+            "coalesce(n.missing, n.name) AS fallback, sign(toFloat('-2.5')) AS sg",
+        )
+    )
+    assert out == [
+        {"age_i": 25, "age_f": 25.0, "diff": 5.0, "root": 3.0,
+         "fallback": "Dave", "sg": -1}
+    ]
+
+
+def test_scalar_split_is_literal_delimiter(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE id(n) = '0' "
+            "RETURN size(split(n.name, 'i')) AS parts",
+        )
+    )
+    # "Alice" splits on literal 'i' → ["Al","ce"]: size() dispatches to
+    # array size for split()-shaped args
+    assert out[0]["parts"] == 2
+
+
+def test_regex_match_full_string(social):
+    # =~ must anchor: 'A.' alone matches NO 5-char name; 'A.*' matches Alice
+    none = cypher_query(social, "MATCH (n:Person) WHERE n.name =~ 'A.' RETURN n.name AS name")
+    assert none.count() == 0
+    out = rows(cypher_query(social, "MATCH (n:Person) WHERE n.name =~ 'A.*' RETURN n.name AS name"))
+    assert [r["name"] for r in out] == ["Alice"]
+    multi = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE n.name =~ '.*a.*' RETURN n.name AS name ORDER BY name",
+        )
+    )
+    assert [r["name"] for r in multi] == ["Carol", "Dave", "Eva", "Frank", "Grace", "Jack"]
