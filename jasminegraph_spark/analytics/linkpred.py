@@ -157,15 +157,37 @@ def _spgemm_topk(
                 # one searchsorted) — each unordered wedge counted once
                 lo = np.searchsorted(gk_, v * n_ + X[seg1], side="right")
                 xloc, y = segments(seg1, lo, indptr_[v + 1])
-                cnt = np.bincount(xloc * n_ + y, minlength=m * n_).reshape(m, n_)
-                # zero out already-adjacent pairs (y > x half only)
+                # sparse count: sort the (row, y) keys once and run-length
+                # them — memory O(#wedges in chunk), not O(m·n) (a dense
+                # bincount zeroes 8·m·n bytes per chunk; at n=200k vertices
+                # that dense row would not exist, the sparse path scales
+                # with the actual wedge count)
+                keys = xloc * n_ + y
+                if keys.size == 0:
+                    continue
+                keys.sort()
+                change = np.empty(keys.size, bool)
+                change[0] = True
+                np.not_equal(keys[1:], keys[:-1], out=change[1:])
+                starts = np.flatnonzero(change)
+                cnts = np.diff(np.append(starts, keys.size))
+                sel_cn = cnts >= min_common
+                uniq, cn = keys[starts[sel_cn]], cnts[sel_cn].astype(np.int64)
+                if uniq.size == 0:
+                    continue
+                # drop already-adjacent pairs (y > x half only): adjacency
+                # keys come out ascending (rows asc, CSR columns sorted), so
+                # one searchsorted marks membership
                 loA = np.searchsorted(gk_, X * n_ + X, side="right")
                 adj_r, adj_y = segments(np.arange(m), loA, indptr_[X + 1])
-                cnt[adj_r, adj_y] = 0
-                rloc, ycol = np.nonzero(cnt >= min_common)
-                if rloc.size == 0:
+                if adj_r.size:
+                    adjk = adj_r * n_ + adj_y
+                    pos = np.searchsorted(adjk, uniq).clip(0, adjk.size - 1)
+                    keep2 = adjk[pos] != uniq
+                    uniq, cn = uniq[keep2], cn[keep2]
+                if uniq.size == 0:
                     continue
-                cn = cnt[rloc, ycol].astype(np.int64)
+                rloc, ycol = uniq // n_, uniq % n_
                 gx = X[rloc]
                 if mode == "jaccard":
                     score = cn / (deg_[gx] + deg_[ycol] - cn)
@@ -182,6 +204,16 @@ def _spgemm_topk(
                     # bit-compatible with DuckDB ROUND and Spark HALF_UP for
                     # the positive cosines this graph produces
                     score = np.floor(c * 1e6 + 0.5) / 1e6
+                # exact top-k under (score desc, a, b): partition finds the
+                # kth score, keep the >= threshold slice (ties INCLUDED so
+                # the total order decides them), lexsort only that slice —
+                # O(C) select + O(k log k) sort instead of O(C log C)
+                if score.size > top_k:
+                    thr = np.partition(score, score.size - top_k)[score.size - top_k]
+                    keep_top = score >= thr
+                    score, gx, ycol, cn = (
+                        score[keep_top], gx[keep_top], ycol[keep_top], cn[keep_top]
+                    )
                 sel = np.lexsort((ycol, gx, -score))[:top_k]
                 yield pd.DataFrame(
                     {
