@@ -949,6 +949,259 @@ def rel_q22_dormant_customers(spark, sf_dir):
 
 
 @_q(
+    "rel_q8_market_share",
+    """
+    WITH v AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               n.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           printf('%.6f', SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                                   ELSE 0 END) / SUM(volume)) AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def rel_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): conditional-sum share per
+    year over a 5-way join — part/supplier/nation broadcast, the
+    lineitem⋈orders equi-join is the only real shuffle; the share is a
+    same-group conditional ratio (single aggregate pass, no self-join)."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    s = _read(spark, sf_dir, "supplier")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.format_string(
+                "%.6f",
+                F.sum(F.when(F.col("n_name") == "NATION_0", vol).otherwise(F.lit(0)))
+                / F.sum(vol),
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@_q(
+    "rel_q9_product_profit",
+    """
+    SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year ORDER BY nation, o_year DESC
+    """,
+)
+def rel_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year): testdata
+    has no partsupp/supplycost, so cost is proxied at 60% of retail price
+    — the plan shape is the point: a LIKE filter pushed to the part scan,
+    three broadcast dims around the lineitem⋈orders shuffle, then a
+    two-key aggregate."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    s = _read(spark, sf_dir, "supplier")
+    o = _read(spark, sf_dir, "orders")
+    n = _read(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+@_q(
+    "rel_q11_important_parts",
+    """
+    WITH pv AS (
+        SELECT l.l_partkey AS partkey, SUM(l.l_extendedprice) AS value
+        FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        WHERE s.s_nationkey < 5
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, ROUND(value, 4) AS value
+    FROM pv WHERE value > (SELECT 0.001 * SUM(value) FROM pv)
+    ORDER BY partkey
+    """,
+)
+def rel_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important inventory): per-part value restricted
+    to one region's suppliers (nations 0-4), kept above a global-share
+    threshold —
+    the scalar total comes back as a 1-row broadcast, so the HAVING
+    against it is a map-side filter over the aggregated frame (no second
+    shuffle)."""
+    l = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("l_extendedprice").alias("value"))
+    )
+    thresh = pv.agg((F.lit(0.001) * F.sum("value")).alias("t"))
+    return (
+        pv.join(F.broadcast(thresh), F.col("value") > F.col("t"))
+        .select("partkey", F.round(F.col("value"), 4).alias("value"))
+        .orderBy("partkey")
+    )
+
+
+@_q(
+    "rel_q12_late_by_priority",
+    """
+    SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 'high' ELSE 'low' END AS prio_class,
+           COUNT(*) FILTER (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+               AS late_count,
+           COUNT(*) AS line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY prio_class ORDER BY prio_class
+    """,
+)
+def rel_q12_late_by_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping delay by priority class; testdata has no
+    l_shipmode, so the 2-bucket CASE runs on order priority): fact⋈fact
+    equi-join with the year filter pushed to the lineitem scan and a
+    conditional count — one shuffle, two output rows."""
+    l = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = _read(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .otherwise("low")
+            .alias("prio_class")
+        )
+        .agg(
+            F.sum(late.cast("long")).alias("late_count"),
+            F.count("*").alias("line_count"),
+        )
+        .orderBy("prio_class")
+    )
+
+
+@_q(
+    "rel_q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def rel_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier diversity per part group; partsupp is
+    derived from lineitem in this schema): COUNT(DISTINCT) over a
+    broadcast-dim join — Spark expands distinct aggregation into a
+    two-phase partial/final plan automatically; the NOT/IN filters prune
+    the broadcast side at its scan."""
+    l = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"))
+    )
+
+
+@_q(
+    "rel_q21_waiting_supplier",
+    """
+    WITH marks AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    ord AS (
+        SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+        FROM marks GROUP BY l_orderkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM marks m
+    JOIN ord USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = m.l_suppkey
+    WHERE m.late = 1 AND ord.n_supp >= 2 AND ord.n_late = 1
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 20
+    """,
+)
+def rel_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept multi-supplier orders
+    waiting): the EXISTS(other supplier) / NOT EXISTS(other late
+    supplier) pair decorrelates into ONE per-(order,supplier) lateness
+    aggregate plus a per-order rollup — two shuffles on the same
+    l_orderkey key (AQE coalesces the exchange), instead of two
+    correlated re-scans of lineitem."""
+    l = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    s = _read(spark, sf_dir, "supplier")
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    marks = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    ordstats = marks.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    return (
+        marks.filter(F.col("late") == 1)
+        .join(ordstats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@_q(
     "rel_q5_local_supplier_volume",
     """
     SELECT n.n_name,
@@ -2926,6 +3179,115 @@ def pl_tfidf_keywords(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
+def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
+    """DuckDB expression: first ``digits`` hex chars of ``expr`` as a
+    number (Horner on strpos) — mirrors Spark's conv(substring(...),16,10).
+    48 bits < 53, so the double is exact and bit-identical cross-engine."""
+    out = "0"
+    for i in range(1, digits + 1):
+        out = f"({out} * 16 + (strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1))"
+    return out
+
+
+@_q(
+    "pl_kmv_distinct",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT
+            CAST({_hex_to_num_sql("md5(CAST(user_id AS VARCHAR))")} AS DOUBLE)
+            / 281474976710656.0 AS h
+        FROM events
+    ),
+    mins AS (SELECT h FROM h WHERE h > 0 ORDER BY h LIMIT 128)
+    SELECT COUNT(*) AS n_sampled,
+           printf('%.6f', (COUNT(*) - 1) / MAX(h)) AS est_distinct
+    FROM mins
+    """,
+)
+def pl_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch over the event-stream user ids
+    (beyond-reference approximate aggregate): k smallest md5-derived
+    uniform hashes → (k-1)/max estimator. Deterministic (a pure function
+    of the value SET), so unlike HLL the sketch itself oracle-checks;
+    the k-smallest selection is a TakeOrdered, and per-partition sketches
+    merge by union-of-mins at cluster scale."""
+    ev = _read(spark, sf_dir, "events")
+    est = pl.kmv_distinct(ev, "user_id", k=128)
+    return est.select(
+        "n_sampled", F.format_string("%.6f", F.col("est_distinct")).alias("est_distinct")
+    )
+
+
+@_q(
+    "pl_weighted_sample",
+    f"""
+    WITH keyed AS (
+        SELECT doc_id,
+               pow(CAST({_hex_to_num_sql("md5(text)")} AS DOUBLE)
+                   / 281474976710656.0,
+                   1.0 / n_chars) AS sample_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT 100
+    """,
+)
+def pl_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES, u^(1/w) keys from content hashes) — the data-mixing
+    primitive: sample long documents proportionally to char count with
+    zero RNG state. Top-k runs as TakeOrdered (no global sort). Only the
+    selected doc_ids ship: the key itself is libm-pow-computed and may
+    differ in the last ulp across engines, but the SELECTED SET only
+    changes if the rank-100/101 keys collide within that ulp."""
+    docs = _read(spark, sf_dir, "documents")
+    out = pl.weighted_sample(docs, weight_col="n_chars", k=100, key_col="text")
+    return out.orderBy(F.desc("sample_key"), F.asc("doc_id")).select("doc_id")
+
+
+@_q(
+    "rel_cohort_retention",
+    """
+    WITH firstd AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(floor(datediff('day', DATE '2024-01-01', f.first_day) / 7)
+                AS BIGINT) AS cohort_week,
+           CAST(floor(datediff('day', f.first_day, CAST(e.ts AS DATE)) / 7)
+                AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firstd f USING (user_id)
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def rel_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix (beyond-reference product-analytics shape):
+    first-seen week × activity-week-offset distinct-user counts. The
+    first-seen aggregate shuffles on user_id once and joins back on the
+    same key (no extra exchange under AQE); week math is integer
+    epoch-day arithmetic, engine-portable by construction."""
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    firstd = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    epoch = F.lit("2024-01-01").cast("date")
+    return (
+        ev.join(firstd, "user_id")
+        .groupBy(
+            F.floor(F.datediff(F.col("first_day"), epoch) / 7)
+            .cast("long")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 def pl_hash_split(spark, sf_dir):
     """Deterministic train/val/test split by md5(text) prefix range
     (content-hash split — stable under reruns/engines/partitioning).
@@ -3203,6 +3565,16 @@ _PRIORITY = [
     "pl_tfidf_keywords",
     "an_clustering_coefficient",
     "an_degree_assortativity",
+    "cypher_scalar_functions",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_q11_important_parts",
+    "rel_q12_late_by_priority",
+    "rel_q16_supplier_part_counts",
+    "rel_q21_waiting_supplier",
+    "pl_kmv_distinct",
+    "pl_weighted_sample",
+    "rel_cohort_retention",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

@@ -28,6 +28,8 @@ from jasminegraph_spark.pipeline.kg import (  # noqa: F401
 from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
     hash_split,
     stratified_sample,
+    kmv_distinct,
+    weighted_sample,
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,

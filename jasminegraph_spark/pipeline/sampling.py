@@ -65,3 +65,60 @@ def stratified_sample(
             thr
         )
     return df.filter(prefix < thr)
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, out_col: str = "est_distinct"
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: hash each value to a
+    uniform (0,1) via its md5 prefix; with the k smallest DISTINCT hashes,
+    the unbiased estimator is (k-1) / max(kth smallest hash).
+
+    Unlike HLL, the estimate is a pure deterministic function of the
+    value set — identical from any engine, run, or partitioning — so the
+    sketch itself is oracle-checkable. At scale the k-smallest selection
+    is a TakeOrdered (per-partition top-k then a k-row merge at one
+    reducer), never a global sort; the sketch's merge (union of mins) is
+    how per-split sketches would combine on a 1000-executor cluster.
+
+    Returns one row: (n_sampled = k actually kept, est_distinct double).
+    """
+    # 12 hex chars = 48 bits: collision-free well past k·√N territory
+    h = (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    mins = df.select(h.alias("h")).filter(F.col("h") > 0).distinct().orderBy("h").limit(k)
+    return mins.agg(
+        F.count("*").alias("n_sampled"),
+        ((F.count("*") - 1) / F.max("h")).alias(out_col),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    key_col: str = "text",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u ∈ (0,1) from its content hash and
+    keys on u^(1/w); the global top-k by key is the weighted sample.
+
+    No RNG state — the sample is a pure function of (content, weight), so
+    reruns, engines and partitionings agree. Top-k is a TakeOrdered (no
+    global sort). Returns the sampled rows with the sort key attached.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("sample_key", key)
+        .filter(F.col(weight_col) > 0)
+        .orderBy(F.desc("sample_key"))
+        .limit(k)
+    )

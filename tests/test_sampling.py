@@ -90,3 +90,63 @@ def test_sample_monotone_in_fraction(spark):
     small = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.2, "de": 0.2}).collect()}
     big = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.6, "de": 0.6}).collect()}
     assert small <= big  # nested samples: raising the fraction only adds rows
+
+
+# ---------------- KMV sketch + weighted sampling (round-4) ----------------
+
+
+def test_kmv_distinct_exact_when_under_k(spark):
+    # 50 distinct values with k=128: every hash is kept, the estimator
+    # still lands near the true count (it IS (n-1)/max over all n mins)
+    df = spark.range(50).select(F.col("id").cast("string").alias("v"))
+    from jasminegraph_spark.pipeline import kmv_distinct
+
+    r = kmv_distinct(df, "v", k=128).first()
+    assert r["n_sampled"] == 50
+    assert 25 <= r["est_distinct"] <= 100
+
+
+def test_kmv_distinct_estimates_within_tolerance(spark):
+    df = spark.range(10000).select(F.col("id").cast("string").alias("v"))
+    from jasminegraph_spark.pipeline import kmv_distinct
+
+    r = kmv_distinct(df, "v", k=256).first()
+    assert r["n_sampled"] == 256
+    # standard error of KMV ≈ n/sqrt(k-2): 10000/15.9 ≈ 628; allow 4σ
+    assert abs(r["est_distinct"] - 10000) < 2600
+
+
+def test_kmv_insensitive_to_duplication_and_partitioning(spark):
+    from jasminegraph_spark.pipeline import kmv_distinct
+
+    base = spark.range(1000).select(F.col("id").cast("string").alias("v"))
+    dup = base.unionAll(base).repartition(13)
+    e1 = kmv_distinct(base, "v", k=64).first()["est_distinct"]
+    e2 = kmv_distinct(dup, "v", k=64).first()["est_distinct"]
+    assert e1 == e2  # pure function of the value SET
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from jasminegraph_spark.pipeline import weighted_sample
+
+    # 200 light rows (w=1) + 20 heavy rows (w=1000): heavy rows should
+    # dominate a k=20 sample
+    rows = [(i, f"light-{i}", 1) for i in range(200)]
+    rows += [(1000 + i, f"heavy-{i}", 1000) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, w: long")
+    out = weighted_sample(df, "w", k=20, key_col="text")
+    got = [r["doc_id"] for r in out.collect()]
+    heavy = sum(1 for d in got if d >= 1000)
+    assert heavy >= 15
+
+
+def test_weighted_sample_deterministic(spark):
+    from jasminegraph_spark.pipeline import weighted_sample
+
+    rows = [(i, f"doc {i}", (i % 7) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string, w: long")
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "w", k=10).collect())
+    b = sorted(
+        r["doc_id"] for r in weighted_sample(df.repartition(17), "w", k=10).collect()
+    )
+    assert a == b
