@@ -2805,6 +2805,50 @@ def cypher_varlength_path(spark, sf_dir):
 
 
 @_q(
+    "cypher_shortest_path",
+    TPCH_GRAPH_CTE
+    + """
+    , sp AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+    d1 AS (SELECT DISTINCT 'p:' || l_partkey AS id FROM sp WHERE l_suppkey = 1),
+    d2 AS (
+        SELECT DISTINCT 's:' || s2.l_suppkey AS id
+        FROM sp s1 JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+        WHERE s1.l_suppkey = 1 AND s2.l_suppkey <> 1
+    ),
+    d3 AS (
+        SELECT DISTINCT 'p:' || s3.l_partkey AS id
+        FROM sp s1
+        JOIN sp s2 ON s1.l_partkey = s2.l_partkey
+        JOIN sp s3 ON s3.l_suppkey = s2.l_suppkey
+        WHERE s1.l_suppkey = 1 AND s2.l_suppkey <> 1
+          AND 'p:' || s3.l_partkey NOT IN (SELECT id FROM d1)
+    )
+    SELECT id, 1 AS dist FROM d1
+    UNION ALL SELECT id, 2 FROM d2
+    UNION ALL SELECT id, 3 FROM d3
+    ORDER BY dist, id
+    """,
+)
+def cypher_shortest_path(spark, sf_dir):
+    """shortestPath((s)-[:SUPPLIES*1..3]-(x)): min-hop distance to every
+    node within 3 SUPPLIES hops of supplier 1 (the supplies graph is
+    bipartite, so dist 1/3 are parts and dist 2 is co-suppliers). The
+    property-map anchor prunes the source BEFORE expansion — the
+    hop-union never fans out from other suppliers; the per-pair
+    row_number window then takes the minimum branch. Oracle is BFS
+    unrolled level by level. Reference: shortest paths exist only as the
+    procedure surface (CALL jg.shortestPaths); the pattern form was
+    grammar-recognized, never planned."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH p = shortestPath((s:Supplier {name: 'Supplier#000000001'})"
+        "-[:SUPPLIES*1..3]-(x)) "
+        "RETURN id(x) AS id, length(p) AS dist ORDER BY dist, id",
+    )
+
+
+@_q(
     "cypher_exists_patterns",
     """
     SELECT 'p:' || p_partkey AS id FROM part

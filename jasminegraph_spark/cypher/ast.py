@@ -37,6 +37,7 @@ class PathPattern:
     nodes: list[NodePattern] = field(default_factory=list)
     rels: list[RelPattern] = field(default_factory=list)
     path_var: str | None = None
+    shortest: bool = False  # shortestPath((...)-[*..n]-(...)) wrapper
 
 
 # --- expressions -----------------------------------------------------------

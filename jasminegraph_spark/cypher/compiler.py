@@ -75,13 +75,25 @@ class _Compiler:
         if p.path_var is not None:
             path_info = {"node_vars": [var], "n_rels": 0, "len_col": None}
             self.paths[p.path_var] = path_info
+        if p.shortest and bound is not None:
+            raise CypherCompileError(
+                "shortestPath() is supported as a standalone pattern "
+                "(its per-endpoint-pair reduction would be ambiguous "
+                "against other bound rows)"
+            )
+        first_var, shortest_len_col = var, None
 
         rels_in_path: list[str] = []
         for rel, node in zip(p.rels, p.nodes[1:]):
             if rel.min_hops is not None:
-                plen = self.fresh("plen") if path_info is not None else None
+                plen = (
+                    self.fresh("plen")
+                    if (path_info is not None or p.shortest)
+                    else None
+                )
                 df = self._expand_varlength(df, var, rel, node, plen_col=plen)
                 var = node.var
+                shortest_len_col = plen
                 if path_info is not None:
                     # interior nodes differ per row → node list unknowable
                     path_info["node_vars"] = None
@@ -122,6 +134,22 @@ class _Compiler:
                 path_info["n_rels"] += 1
                 if path_info["node_vars"] is not None:
                     path_info["node_vars"].append(var)
+        if p.shortest and shortest_len_col is not None:
+            # shortestPath((a)-[*..n]-(b)): ONE min-hop row per endpoint
+            # pair. A row_number window ordered by path length both takes
+            # the minimum and dedups alternate routes (whose interior
+            # nodes were already projected away — tied rows are
+            # identical). Fixed-length shortestPath needs no reduction.
+            from pyspark.sql.window import Window as _W
+
+            w = _W.partitionBy(
+                F.col(f"{first_var}.id"), F.col(f"{var}.id")
+            ).orderBy(F.col(shortest_len_col))
+            df = (
+                df.withColumn("_sp_rn", F.row_number().over(w))
+                .filter(F.col("_sp_rn") == 1)
+                .drop("_sp_rn")
+            )
         return df
 
     def _expand_varlength(

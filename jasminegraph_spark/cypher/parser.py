@@ -279,6 +279,20 @@ class _Parser:
             self.next()
             self.next()
             p.path_var = v
+        k, v = self.peek()
+        if k == "WORD" and v.lower() == "shortestpath" and self.peek(1) == ("PUNCT", "("):
+            self.next()
+            self.expect("PUNCT", "(")
+            p.shortest = True
+            p.nodes.append(self.parse_node())
+            while True:
+                rel = self.try_parse_rel()
+                if rel is None:
+                    break
+                p.rels.append(rel)
+                p.nodes.append(self.parse_node())
+            self.expect("PUNCT", ")")
+            return p
         p.nodes.append(self.parse_node())
         while True:
             rel = self.try_parse_rel()

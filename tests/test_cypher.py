@@ -654,3 +654,47 @@ def test_regex_match_full_string(social):
         )
     )
     assert [r["name"] for r in multi] == ["Carol", "Dave", "Eva", "Frank", "Grace", "Jack"]
+
+
+def test_shortest_path_ring_distances(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH p = shortestPath((a:Person {name: 'Alice'})-[:FRIENDS*1..3]-(b:Person)) "
+            "RETURN b.name AS name, length(p) AS dist ORDER BY dist, name",
+        )
+    )
+    # FRIENDS is a 10-ring over persons 0..9; distances from Alice (0):
+    # 1 → Bob(1), Jack(9); 2 → Carol(2), Ivy(8); 3 → Dave(3), Hugo(7)
+    assert out == [
+        {"name": "Bob", "dist": 1},
+        {"name": "Jack", "dist": 1},
+        {"name": "Carol", "dist": 2},
+        {"name": "Ivy", "dist": 2},
+        {"name": "Dave", "dist": 3},
+        {"name": "Hugo", "dist": 3},
+    ]
+
+
+def test_shortest_path_one_row_per_pair(social):
+    # VISITS+WORKS_AT give persons two distinct 2-hop routes to some
+    # locations; shortestPath must emit exactly one row per (a, b)
+    df = cypher_query(
+        social,
+        "MATCH p = shortestPath((a:Person {name: 'Alice'})-[*1..2]-(b)) "
+        "RETURN id(b) AS bid, length(p) AS dist",
+    )
+    rows_ = df.collect()
+    assert len({r["bid"] for r in rows_}) == len(rows_)
+
+
+def test_shortest_path_rejects_chained_context(social):
+    import pytest as _pytest
+    from jasminegraph_spark.cypher.compiler import CypherCompileError
+
+    with _pytest.raises(CypherCompileError):
+        cypher_query(
+            social,
+            "MATCH (c:Person) MATCH p = shortestPath((c)-[*1..2]-(b)) "
+            "RETURN id(b) AS bid",
+        ).collect()
