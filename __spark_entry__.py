@@ -428,6 +428,93 @@ def an_clustering_coefficient(spark, sf_dir):
 
 
 @_q(
+    "an_betweenness_sampled",
+    CO_ORDER_CTE
+    + """
+    , bi AS (SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges),
+    l0 AS (SELECT s AS source, s AS node, CAST(1 AS BIGINT) AS sigma
+           FROM (VALUES (1), (2), (3)) t(s)),
+    l1 AS (
+        SELECT l0.source, bi.dst AS node, SUM(l0.sigma) AS sigma
+        FROM l0 JOIN bi ON bi.src = l0.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                          WHERE v.source = l0.source AND v.node = bi.dst)
+        GROUP BY 1, 2
+    ),
+    l2 AS (
+        SELECT l1.source, bi.dst AS node, SUM(l1.sigma) AS sigma
+        FROM l1 JOIN bi ON bi.src = l1.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                          WHERE v.source = l1.source AND v.node = bi.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 v
+                          WHERE v.source = l1.source AND v.node = bi.dst)
+        GROUP BY 1, 2
+    ),
+    l3 AS (
+        SELECT l2.source, bi.dst AS node, SUM(l2.sigma) AS sigma
+        FROM l2 JOIN bi ON bi.src = l2.node
+        WHERE NOT EXISTS (SELECT 1 FROM l0 v
+                          WHERE v.source = l2.source AND v.node = bi.dst)
+          AND NOT EXISTS (SELECT 1 FROM l1 v
+                          WHERE v.source = l2.source AND v.node = bi.dst)
+          AND NOT EXISTS (SELECT 1 FROM l2 v
+                          WHERE v.source = l2.source AND v.node = bi.dst)
+        GROUP BY 1, 2
+    ),
+    d2 AS (
+        SELECT l2.source, l2.node,
+               SUM(l2.sigma * 1.0 / l3.sigma) AS delta
+        FROM l2
+        JOIN bi ON bi.src = l2.node
+        JOIN l3 ON l3.source = l2.source AND l3.node = bi.dst
+        GROUP BY 1, 2
+    ),
+    d1 AS (
+        SELECT l1.source, l1.node,
+               SUM(l1.sigma * 1.0 / l2.sigma * (1 + COALESCE(d2.delta, 0)))
+                   AS delta
+        FROM l1
+        JOIN bi ON bi.src = l1.node
+        JOIN l2 ON l2.source = l1.source AND l2.node = bi.dst
+        LEFT JOIN d2 ON d2.source = l2.source AND d2.node = l2.node
+        GROUP BY 1, 2
+    ),
+    bc AS (
+        SELECT node, SUM(delta) AS bc FROM (
+            SELECT * FROM d1 UNION ALL SELECT * FROM d2
+        ) WHERE node NOT IN (1, 2, 3)
+        GROUP BY node
+    )
+    SELECT node, printf('%.4f', ROUND(bc, 4)) AS betweenness
+    FROM bc ORDER BY ROUND(bc, 4) DESC, node LIMIT 20
+    """,
+)
+def an_betweenness_sampled(spark, sf_dir):
+    """Sampled betweenness centrality (Brandes, sources 1-3, ≤3 hops) on
+    the co-order graph: ONE multi-source sigma-counting BFS frame + one
+    dependency-accumulation join per level — never a per-source job.
+    Top-20 emitted with 4-decimal rounding (delta sums are float; the
+    1e-13 cross-engine summation-order noise sits far below the grain).
+    The reference exposes centrality only via its pagerank/degree
+    commands — betweenness extends §2.3 with the third classic."""
+    from jasminegraph_spark.analytics import betweenness_sampled
+
+    bc = betweenness_sampled(co_order_edges(spark, sf_dir), [1, 2, 3], max_hops=3)
+    return (
+        bc.select(
+            "node",
+            F.format_string("%.4f", F.round(F.col("betweenness"), 4)).alias(
+                "betweenness"
+            ),
+            F.round(F.col("betweenness"), 4).alias("_o"),
+        )
+        .orderBy(F.desc("_o"), F.asc("node"))
+        .limit(20)
+        .drop("_o")
+    )
+
+
+@_q(
     "an_degree_assortativity",
     CO_ORDER_CTE
     + """
@@ -3609,6 +3696,8 @@ _PRIORITY = [
     "pl_tfidf_keywords",
     "an_clustering_coefficient",
     "an_degree_assortativity",
+    "an_betweenness_sampled",
+    "cypher_shortest_path",
     "cypher_scalar_functions",
     "rel_q8_market_share",
     "rel_q9_product_profit",

@@ -22,6 +22,7 @@ from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
     train_link_predictor,
 )
 from jasminegraph_spark.analytics.components import (  # noqa: F401
+    betweenness_sampled,
     connected_components,
     k_core,
     label_propagation,

@@ -263,3 +263,112 @@ def k_core(edges: DataFrame, k: int, max_iterations: int = 50) -> DataFrame:
             return pruned
         core, n_prev = pruned, n_now
     return core
+
+
+def betweenness_sampled(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Sampled betweenness centrality (Brandes 2001, source-sampled — the
+    standard estimator at scale; exact betweenness needs all-pairs).
+
+    Forward phase: one MULTI-SOURCE level-synchronous frame carries
+    (source, node, dist, sigma) where sigma counts shortest paths —
+    each level is a frontier⋈adjacency join aggregated on (source, node)
+    summing sigma, anti-joined against visited (same shape as
+    multi_source_bfs, one extra additive column). Backward phase: walk
+    levels deepest-first accumulating the Brandes dependency
+    delta(v) = Σ_{w ∈ succ(v)} sigma_v/sigma_w · (1 + delta(w)) — one
+    join per level, ≤ ``max_hops`` joins total, never per-source jobs.
+
+    Returns (node, betweenness) for nodes with nonzero accumulated
+    dependency over the sampled sources (endpoints excluded, per
+    Brandes). Deterministic up to float summation order; callers round.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    spark = e.sparkSession
+    src_type = e.schema["src"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("source", src_type),
+            T.StructField("node", src_type),
+            T.StructField("dist", T.IntegerType()),
+            T.StructField("sigma", T.LongType()),
+        ]
+    )
+    visited = spark.createDataFrame([(s, s, 0, 1) for s in sources], schema)
+    frontier = visited
+    levels = [visited]
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.node == e.src)
+            .groupBy("source", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .select("source", "node", "dist", "sigma")
+            .transform(checkpoint)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        levels.append(nxt)
+
+    # backward accumulation, deepest level first. Iteration h computes
+    # the deltas OF the level-(h-1) nodes from their level-h successors;
+    # every level's delta frame is kept (a node's betweenness sums its
+    # delta across sources, and each (source, node) sits at exactly one
+    # level) — only the h=1 result (the sources' own deltas) is excluded.
+    delta = None  # deltas of level h (the successor side)
+    level_deltas: list[DataFrame] = []
+    for h in range(len(levels) - 1, 0, -1):
+        lower = levels[h]  # nodes at dist h (the "w" side)
+        upper = levels[h - 1]  # their shortest-path predecessors
+        w_side = lower.select(
+            "source",
+            F.col("node").alias("w"),
+            F.col("sigma").alias("sigma_w"),
+        )
+        if delta is not None:
+            w_side = w_side.join(
+                delta.select("source", F.col("node").alias("w"), "delta"),
+                ["source", "w"],
+                "left_outer",
+            ).fillna(0.0, subset=["delta"])
+        else:
+            w_side = w_side.withColumn("delta", F.lit(0.0))
+        contrib = (
+            upper.join(e, upper.node == e.src)
+            .select("source", "node", "sigma", F.col("dst").alias("w"))
+            .join(w_side, ["source", "w"])
+            .groupBy("source", "node")
+            .agg(
+                F.sum(
+                    F.col("sigma") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))
+                ).alias("delta")
+            )
+            .transform(checkpoint)
+        )
+        delta = contrib
+        if h > 1:  # h == 1 yields the sources' own deltas — not counted
+            level_deltas.append(contrib)
+    if not level_deltas:
+        out = spark.createDataFrame([], "node string, betweenness double")
+        return finalize(out, e)
+    all_d = level_deltas[0]
+    for d in level_deltas[1:]:
+        all_d = all_d.unionByName(d)
+    out = (
+        all_d.filter(~F.col("node").isin(sources))
+        .groupBy("node")
+        .agg(F.sum("delta").alias("betweenness"))
+    )
+    return finalize(out, e)

@@ -140,3 +140,38 @@ def test_closeness_centrality_on_path_graph(spark):
     }
     assert out[1] == (5, 10, 0.4)
     assert out[3] == (5, 6, round(4 / 6, 6))
+
+
+def test_betweenness_path_graph(spark):
+    from jasminegraph_spark.analytics import betweenness_sampled
+
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src: long, dst: long"
+    )
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_sampled(path, [1], max_hops=3).collect()}
+    # from source 1 within 3 hops: 2 lies on paths to 3 and 4; 3 on the
+    # path to 4; node 5 is beyond the hop bound
+    assert out == {2: 2.0, 3: 1.0}
+
+
+def test_betweenness_diamond_splits_dependency(spark):
+    from jasminegraph_spark.analytics import betweenness_sampled
+
+    diamond = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "src: long, dst: long"
+    )
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_sampled(diamond, [1], max_hops=3).collect()}
+    # two equal-length routes to 4: sigma(4)=2, each middle carries 1/2
+    assert out == {2: 0.5, 3: 0.5}
+
+
+def test_betweenness_multi_source_sums(spark):
+    from jasminegraph_spark.analytics import betweenness_sampled
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src: long, dst: long")
+    out = {r["node"]: r["betweenness"] for r in
+           betweenness_sampled(path, [1, 3], max_hops=2).collect()}
+    # node 2 is between (1,3) from BOTH sampled endpoints
+    assert out == {2: 2.0}
