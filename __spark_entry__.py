@@ -2010,6 +2010,49 @@ def pl_cosine_topk(spark, sf_dir):
 
 
 @_q(
+    "pl_sq_ann",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ex AS (SELECT i AS pos, v[i] AS x
+           FROM e, UNNEST(generate_series(1, len(v))) AS t(i)),
+    mm AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos),
+    cal AS (SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+            FROM mm),
+    enc AS (SELECT vec_id, list_transform(generate_series(1, len(v)),
+                i -> CASE WHEN maxs[i] = mins[i] THEN 0
+                     ELSE CAST(round((v[i] - mins[i]) / (maxs[i] - mins[i]) * 255,
+                               0) AS INT) END) AS code
+            FROM e, cal),
+    deq AS (SELECT vec_id, list_transform(generate_series(1, len(code)),
+                i -> mins[i] + CAST(code[i] AS DOUBLE) / 255
+                     * (maxs[i] - mins[i])) AS vhat
+            FROM enc, cal),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    scored AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+                      ROUND(list_cosine_similarity(q.qv, d.vhat), 6) AS cosine
+               FROM deq d, q WHERE d.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+            AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def pl_sq_ann(spark, sf_dir):
+    """Scalar-quantized ANN (beyond-reference memory-scale path): the
+    corpus lives int8-encoded (8× smaller than float64 — the form a
+    100 TB embedding store actually ships), queries stay full-precision,
+    cosine runs on the dequantized reconstruction. Same broadcast-query /
+    one-corpus-pass plan as exact cosine_topk; quantization is a pure
+    map against a broadcast per-dimension (min, max) calibration row."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pl.sq_ann(emb, queries, k=5)
+
+
+@_q(
     "pl_lsh_ann",
     """
     WITH b AS (
@@ -3708,6 +3751,7 @@ _PRIORITY = [
     "pl_kmv_distinct",
     "pl_weighted_sample",
     "rel_cohort_retention",
+    "pl_sq_ann",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

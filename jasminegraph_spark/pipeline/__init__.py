@@ -18,6 +18,9 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     ivf_assign,
     ivf_ann,
     kmeans_centroids,
+    sq_minmax,
+    sq_encode,
+    sq_ann,
 )
 from jasminegraph_spark.pipeline.kg import (  # noqa: F401
     construct_knowledge_graph,

@@ -323,3 +323,82 @@ def sign_lsh_ann(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq_minmax(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Global per-dimension (min, max) calibration for scalar
+    quantization, as ONE row (mins array<double>, maxs array<double>).
+    One posexplode + one tiny groupBy(dim); the result broadcasts."""
+    ex = embeddings.select(F.posexplode(_as_double(vec_col)).alias("pos", "x"))
+    mm = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return mm.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s["mn"]
+        ).alias("mins"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s["mx"]
+        ).alias("maxs"),
+    )
+
+
+def sq_encode(
+    embeddings: DataFrame,
+    minmax: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """int8-range scalar quantization: code_i = round((x_i − min_i) /
+    (max_i − min_i) · 255) — 4× memory vs float32, 8× vs float64; the
+    calibration row broadcasts, encoding is a pure map expression.
+    Constant dimensions (max = min) encode as 0. Returns (id, code
+    array<int>)."""
+    enc = F.expr(
+        "transform(sequence(0, size(_v) - 1), i -> CASE "
+        "WHEN maxs[i] = mins[i] THEN 0 "
+        "ELSE cast(round((_v[i] - mins[i]) / (maxs[i] - mins[i]) * 255, 0) as int) "
+        "END)"
+    )
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("_v"))
+        .join(F.broadcast(minmax))
+        .select("vec_id", enc.alias("code"))
+    )
+
+
+def sq_ann(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric scalar-quantized distance: the
+    corpus is int8-encoded (the form it would live in at 100 TB — the
+    full-precision corpus never loads), queries stay full-precision, and
+    cosine runs against the dequantized reconstruction
+    x̂_i = min_i + code_i/255 · (max_i − min_i).
+
+    Same plan shape as exact cosine_topk (broadcast queries, one corpus
+    pass, per-query rank window) — only the corpus operand is 8× smaller.
+    Returns (query_id, neighbor_id, cosine, rank ≤ k)."""
+    mm = sq_minmax(embeddings, vec_col)
+    codes = sq_encode(embeddings, mm, id_col, vec_col)
+    deq = F.expr(
+        "transform(sequence(0, size(code) - 1), i -> "
+        "mins[i] + cast(code[i] as double) / 255 * (maxs[i] - mins[i]))"
+    )
+    c = codes.join(F.broadcast(mm)).select(
+        F.col("vec_id").alias("neighbor_id"), deq.alias("cv")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -185,3 +185,44 @@ def test_dedup_corpus_survivors_are_clean(spark, sf_dir):
     assert exact_dedup(survivors).filter("n_dups > 1").count() == 0
     assert jaccard_verified_dedup(survivors, threshold=0.4).count() == 0
     survivors.unpersist()
+
+
+# ---------------- scalar quantization (round-4) ----------------
+
+
+def test_sq_encode_range_and_determinism(corpus):
+    from jasminegraph_spark.pipeline import sq_encode, sq_minmax
+
+    mm = sq_minmax(corpus)
+    codes = sq_encode(corpus, mm)
+    rows = codes.collect()
+    assert len(rows) == 40
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r["code"])
+    # repartitioning must not change any code (pure function of values)
+    again = {r["vec_id"]: r["code"] for r in sq_encode(corpus.repartition(7), mm).collect()}
+    assert {r["vec_id"]: r["code"] for r in rows} == again
+
+
+def test_sq_ann_recall_vs_exact(corpus):
+    from jasminegraph_spark.pipeline import sq_ann
+
+    q = corpus.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(corpus, q, k=3)
+    approx = sq_ann(corpus, q, k=3)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # 8-bit quantization of well-separated clusters: near-total recall
+    assert len(ex & ap) / len(ex) >= 0.8
+
+
+def test_sq_constant_dimension_encodes_zero(spark):
+    from jasminegraph_spark.pipeline import sq_encode, sq_minmax
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 7.0])], "vec_id: long, embedding: array<double>"
+    )
+    mm = sq_minmax(df)
+    codes = {r["vec_id"]: r["code"] for r in sq_encode(df, mm).collect()}
+    assert codes[1][0] == 0 and codes[2][0] == 0  # constant dim → 0, no div0
+    assert codes[1][1] == 0 and codes[2][1] == 255
