@@ -38,6 +38,11 @@ HEADLINE = [
     "an_pagerank",
     "an_degree_dist_in",
     "pl_exact_dedup",
+    # pack_sequences sits here (pure-JVM window) rather than after the
+    # mapInPandas-heavy link prediction: measured 1.0s standalone but up
+    # to 5.6s when it directly follows the SpGEMM query, whose dropped
+    # checkpoint RDDs the ContextCleaner is still collecting
+    "pl_pack_sequences",
     "pl_minhash_lsh",
     "pl_simhash",
     "pl_cosine_topk",
@@ -51,8 +56,6 @@ HEADLINE = [
     # round-4: link prediction enters the headline now that the wedge join
     # is degree-capped by default (was ~42 s uncapped at sf0.1, hidden)
     "an_link_prediction",
-    # round-4 pipeline additions: sequence packing (windowed, sharded)
-    "pl_pack_sequences",
 ]
 
 

@@ -219,6 +219,19 @@ class JasmineEngine:
     def k_core(self, graph_name: str, k: int) -> DataFrame:
         return an.k_core(self.catalog.get(graph_name).edges, k)
 
+    def betweenness(self, graph_name: str, sources: list, max_hops: int = 3) -> DataFrame:
+        """Sampled Brandes betweenness over the named graph (round-4;
+        extends the reference's §2.3 centrality surface beyond pagerank)."""
+        return an.betweenness_sampled(
+            self.catalog.get(graph_name).edges, sources, max_hops=max_hops
+        )
+
+    def clustering_coefficient(self, graph_name: str) -> DataFrame:
+        return an.clustering_coefficient(self.catalog.get(graph_name).edges)
+
+    def assortativity(self, graph_name: str) -> DataFrame:
+        return an.degree_assortativity(self.catalog.get(graph_name).edges)
+
     def partition_graph(
         self, graph_name: str, k: int, algo: str = "hash"
     ) -> DataFrame:

@@ -1,5 +1,6 @@
 from jasminegraph_spark.sources.readers import (  # noqa: F401
     read_edge_list,
+    read_documents_jsonl,
     read_property_graph_jsonl,
     read_rdf_triples,
     read_edge_list_with_attributes,

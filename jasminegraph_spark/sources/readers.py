@@ -191,3 +191,50 @@ def read_property_graph_jsonl(
             ).alias("properties"),
         )
     return PropertyGraph(nodes=nodes, edges=edges, is_directed=is_directed, name=name)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    text_field: str = "text",
+    id_field: str | None = None,
+) -> DataFrame:
+    """JSON-lines document corpus — the standard LLM pretraining
+    interchange format (one object per line: {"text": ..., metadata}).
+
+    Reads with an EXPLICIT schema (no schema-inference pre-pass: at
+    100 TB that pass would read the corpus twice); unknown metadata keys
+    are simply not projected. Rows with a missing/empty text field are
+    dropped. When ``id_field`` is absent, doc_id derives from the content
+    hash (first 12 md5 hex chars as a BIGINT) so reruns, engines and
+    partitionings assign the same id to the same document — the same
+    content-addressing rule the dedup/split operators key on.
+
+    Returns the `documents` shape downstream operators expect:
+    (doc_id bigint, text, lang, source, n_chars).
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(text_field, T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+        ]
+        + ([T.StructField(id_field, T.LongType())] if id_field else [])
+    )
+    raw = spark.read.schema(schema).json(path)
+    txt = F.col(text_field)
+    raw = raw.filter(txt.isNotNull() & (F.length(txt) > 0))
+    doc_id = (
+        F.col(id_field)
+        if id_field
+        else F.conv(F.substring(F.md5(txt), 1, 12), 16, 10).cast("long")
+    )
+    return raw.select(
+        doc_id.alias("doc_id"),
+        txt.alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.length(txt).cast("long").alias("n_chars"),
+    )

@@ -140,3 +140,33 @@ def test_as_of_join_semantics(spark):
         ).collect()
     }
     assert tol["t1"] == 2.0 and tol["t2"] is None
+
+
+def test_read_documents_jsonl(spark, tmp_path):
+    from jasminegraph_spark.sources import read_documents_jsonl
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"text": "hello world", "lang": "en", "source": "web", "extra": 1}\n'
+        '{"text": "bonjour le monde", "lang": "fr", "source": "web"}\n'
+        '{"lang": "de", "source": "web"}\n'  # no text → dropped
+        '{"text": "", "lang": "en", "source": "web"}\n'  # empty → dropped
+    )
+    docs = read_documents_jsonl(spark, str(p))
+    rows = {r["text"]: r for r in docs.collect()}
+    assert set(rows) == {"hello world", "bonjour le monde"}
+    assert rows["hello world"]["lang"] == "en"
+    assert rows["hello world"]["n_chars"] == 11
+    # content-derived ids: stable across re-reads and partitionings
+    again = {r["text"]: r["doc_id"] for r in
+             read_documents_jsonl(spark, str(p)).repartition(3).collect()}
+    assert {t: r["doc_id"] for t, r in rows.items()} == again
+
+
+def test_read_documents_jsonl_explicit_id(spark, tmp_path):
+    from jasminegraph_spark.sources import read_documents_jsonl
+
+    p = tmp_path / "c.jsonl"
+    p.write_text('{"text": "abc", "lang": "en", "source": "s", "doc_id": 7}\n')
+    r = read_documents_jsonl(spark, str(p), id_field="doc_id").first()
+    assert r["doc_id"] == 7 and r["n_chars"] == 3
