@@ -1353,6 +1353,69 @@ def rel_q6_forecast_revenue(spark, sf_dir):
 
 
 @_q(
+    "st_windowed_event_counts",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st_windowed_event_counts(spark, sf_dir):
+    """STRUCTURED STREAMING driver row (§2.6 — previously pytest-only
+    evidence): the events table replayed as a micro-batched stream
+    (trigger availableNow) through the watermarked tumbling-window
+    aggregation (streaming/windows.windowed_event_counts), collected via
+    a memory sink in complete mode. The oracle is the batch twin — a
+    bounded replay must converge to exactly the batch answer. Reference
+    parity: its adstrmk ingest re-counts per batch with no event-time
+    semantics (StreamHandler.cpp); this is the windowed surface a real
+    pipeline needs."""
+    import os
+    import tempfile
+    import uuid
+
+    from jasminegraph_spark.streaming.windows import windowed_event_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    # readStream sources take a DIRECTORY; the testdata table is one file —
+    # expose it through a symlink dir (no copy)
+    stream_dir = tempfile.mkdtemp(prefix="jgs_stream_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    file_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(file_schema).parquet(stream_dir)
+    ts_t = file_schema["ts"].dataType.simpleString()
+    if ts_t == "bigint":  # nanos-as-long testdata vintages
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif ts_t == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+    name = f"st_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -3364,6 +3427,39 @@ def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
 
 
 @_q(
+    "src_jsonl_roundtrip",
+    """
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id < 100
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def src_jsonl_roundtrip(spark, sf_dir):
+    """SOURCES driver row (§2.4 readers — previously pytest-only
+    evidence): a document slice exports to JSON-lines (the LLM-corpus
+    interchange format) and comes back through read_documents_jsonl
+    (explicit schema, no inference pass, content-hash ids); the per-lang
+    aggregate must survive the round trip exactly. The oracle reads the
+    original table — equality proves the export+reader pair lossless."""
+    import tempfile
+
+    from jasminegraph_spark.sources import read_documents_jsonl
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    out_dir = tempfile.mkdtemp(prefix="jgs_jsonl_")
+    docs.select("text", "lang", "source").write.mode("overwrite").json(out_dir)
+    back = read_documents_jsonl(spark, out_dir)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "pl_kmv_distinct",
     f"""
     WITH h AS (
@@ -3752,6 +3848,8 @@ _PRIORITY = [
     "pl_weighted_sample",
     "rel_cohort_retention",
     "pl_sq_ann",
+    "st_windowed_event_counts",
+    "src_jsonl_roundtrip",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old
