@@ -1234,6 +1234,80 @@ def rel_q16_supplier_part_counts(spark, sf_dir):
 
 
 @_q(
+    "rel_q20_dominant_suppliers",
+    """
+    WITH sq AS (
+        SELECT l.l_suppkey, l.l_partkey, SUM(l.l_quantity) AS supp_qty
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    pq AS (SELECT l_partkey, SUM(supp_qty) AS part_qty FROM sq GROUP BY l_partkey)
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated_parts
+    FROM sq JOIN pq ON pq.l_partkey = sq.l_partkey
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    WHERE sq.supp_qty > 0.5 * pq.part_qty
+    GROUP BY s.s_suppkey, s.s_name
+    ORDER BY n_dominated_parts DESC, s.s_suppkey LIMIT 20
+    """,
+)
+def rel_q20_dominant_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (no partsupp.availqty in this schema, so the
+    'more than half the available quantity' predicate becomes 'shipped
+    more than half a part's annual volume'): the correlated threshold
+    decorrelates into a per-(supplier, part) aggregate REUSED as the
+    input of the per-part rollup — the second aggregate reads the first's
+    shuffle output (same key prefix), not the fact table again."""
+    l = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    sq = l.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    pq = sq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    s = _read(spark, sf_dir, "supplier")
+    return (
+        sq.join(pq, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("n_dominated_parts"))
+        .orderBy(F.desc("n_dominated_parts"), F.asc("s_suppkey"))
+        .limit(20)
+    )
+
+
+@_q(
+    "rel_value_percentiles",
+    """
+    SELECT event_type,
+           printf('%.6f', quantile_cont(value, 0.5)) AS p50,
+           printf('%.6f', quantile_cont(value, 0.95)) AS p95,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rel_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type: Spark `percentile`
+    and DuckDB `quantile_cont` implement the same linear-interpolation
+    definition, so the values match bit-for-bit on identical inputs
+    (%.6f-formatted per the float parity rule). At 100 TB the exact sort
+    per group is the cost — the approx_percentile(t-digest) swap-in is
+    one function name away, traded consciously because sketches are not
+    engine-portable."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.format_string("%.6f", F.percentile("value", F.lit(0.5))).alias("p50"),
+            F.format_string("%.6f", F.percentile("value", F.lit(0.95))).alias("p95"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "rel_q21_waiting_supplier",
     """
     WITH marks AS (
@@ -3850,6 +3924,8 @@ _PRIORITY = [
     "pl_sq_ann",
     "st_windowed_event_counts",
     "src_jsonl_roundtrip",
+    "rel_q20_dominant_suppliers",
+    "rel_value_percentiles",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old
