@@ -2503,6 +2503,55 @@ def an_closeness_centrality(spark, sf_dir):
 
 
 @_q(
+    "an_harmonic_centrality",
+    CO_ORDER_CTE
+    + """
+    , edges AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    r0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS node, 0 AS d
+           FROM (VALUES (1), (2), (3)) t(s)),
+    r1 AS (SELECT DISTINCT r.source, e.dst AS node, 1 AS d
+           FROM edges e JOIN r0 r ON e.src = r.node),
+    r2 AS (SELECT DISTINCT r.source, e.dst AS node, 2 AS d
+           FROM edges e JOIN r1 r ON e.src = r.node),
+    r3 AS (SELECT DISTINCT r.source, e.dst AS node, 3 AS d
+           FROM edges e JOIN r2 r ON e.src = r.node),
+    reach AS (
+        SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+    ),
+    dist AS (SELECT source, node, MIN(d) AS distance FROM reach
+             GROUP BY source, node),
+    cnt AS (SELECT source,
+                   COUNT(*) FILTER (distance = 1) AS c1,
+                   COUNT(*) FILTER (distance = 2) AS c2,
+                   COUNT(*) FILTER (distance = 3) AS c3
+            FROM dist WHERE distance > 0 GROUP BY source)
+    SELECT source, c1 + c2 + c3 AS n_reached,
+           printf('%.6f', CAST(c1 AS DOUBLE) / 1 + CAST(c2 AS DOUBLE) / 2
+                          + CAST(c3 AS DOUBLE) / 3) AS harmonic
+    FROM cnt ORDER BY source
+    """,
+)
+def an_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality (sources 1-3, ≤3 hops): Σ 1/d over the
+    same single multi-source BFS frame as closeness — the variant that
+    stays finite on disconnected graphs. The reciprocal sum folds
+    per-distance counts in ascending-distance order, a fixed-order
+    expression over integers, so the double is bit-identical to the
+    oracle's left-associated c1/1 + c2/2 + c3/3."""
+    from jasminegraph_spark.analytics import harmonic_centrality
+
+    h = harmonic_centrality(co_order_edges(spark, sf_dir), [1, 2, 3], max_hops=3)
+    return h.select(
+        "source",
+        "n_reached",
+        F.format_string("%.6f", F.col("harmonic")).alias("harmonic"),
+    ).orderBy("source")
+
+
+@_q(
     "cy_write_roundtrip",
     """
     SELECT * FROM (
@@ -3068,6 +3117,29 @@ def cypher_varlength_path(spark, sf_dir):
         sf_dir,
         "MATCH (s:Supplier)-[:SUPPLIES*1..2]-(x) WHERE id(s) = 's:1' "
         "RETURN DISTINCT id(x) AS id",
+    )
+
+
+@_q(
+    "cypher_union_text",
+    """
+    SELECT 'c:' || c_custkey AS id, 'building' AS tag FROM customer
+    WHERE c_mktsegment = 'BUILDING'
+    UNION ALL
+    SELECT 's:' || s_suppkey, 'supplier' FROM supplier
+    """,
+)
+def cypher_union_text(spark, sf_dir):
+    """Text-level UNION ALL of two independent query arms (each with its
+    own fresh compiler scope; unionByName enforces the spec's same-
+    column-names rule; mixing UNION with UNION ALL raises, as in Neo4j).
+    The reference grammar recognizes UNION, its planner never did."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (n:Customer) WHERE n.mktsegment = 'BUILDING' "
+        "RETURN id(n) AS id, 'building' AS tag "
+        "UNION ALL MATCH (n:Supplier) RETURN id(n) AS id, 'supplier' AS tag",
     )
 
 
@@ -3926,6 +3998,8 @@ _PRIORITY = [
     "src_jsonl_roundtrip",
     "rel_q20_dominant_suppliers",
     "rel_value_percentiles",
+    "an_harmonic_centrality",
+    "cypher_union_text",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

@@ -29,4 +29,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     shortest_paths,
     multi_source_bfs,
     closeness_centrality,
+    harmonic_centrality,
 )

@@ -372,3 +372,34 @@ def betweenness_sampled(
         .agg(F.sum("delta").alias("betweenness"))
     )
     return finalize(out, e)
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: list,
+    max_hops: int = 20,
+    undirected: bool = True,
+) -> DataFrame:
+    """Sampled harmonic centrality: h(s) = Σ_{v≠s} 1/d(s,v) within
+    ``max_hops`` — the closeness variant that stays well-defined on
+    disconnected graphs (unreached nodes contribute 0 instead of
+    poisoning the mean). Same single multi-source BFS frame as
+    closeness_centrality; one extra reciprocal-sum aggregate."""
+    d = multi_source_bfs(edges, sources, max_hops, undirected)
+    counts = (
+        d.filter(F.col("distance") > 0)
+        .groupBy("source", "distance")
+        .agg(F.count("*").alias("n"))
+    )
+    # fold per-distance counts in ASCENDING distance order: the sum is a
+    # fixed-order expression over integers, so the double is bit-identical
+    # across engines/partitionings (a naive SUM(1/d) floats in whatever
+    # order rows arrive)
+    fold = F.aggregate(
+        F.array_sort(F.collect_list(F.struct("distance", "n"))),
+        F.lit(0.0),
+        lambda acc, s: acc + s["n"].cast("double") / s["distance"],
+    )
+    return counts.groupBy("source").agg(
+        F.sum("n").alias("n_reached"), fold.alias("harmonic")
+    )

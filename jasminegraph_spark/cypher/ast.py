@@ -257,6 +257,8 @@ class Query:
     order_by: list[OrderItem] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    # UNION [ALL] chaining: [(all_flag, Query), ...] appended in text order
+    union_with: list = field(default_factory=list)
 
     # -- compatibility accessors (pre-WITH single-MATCH shape) -------------
     @property

@@ -780,7 +780,14 @@ def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
     Catalyst. collect()/toLocalIterator() at the call site replaces the
     master merge.
     """
-    q = parse(text)
+    return _compile_parsed(graph, parse(text))
+
+
+def _compile_parsed(graph: PropertyGraph, q: "ast.Query") -> DataFrame:
+    """Compile an already-parsed read query; UNION arms recurse here,
+    each with a FRESH compiler scope (openCypher arms are independent
+    queries; only return column names must line up — unionByName errors
+    loudly on a mismatch, matching the spec's rule)."""
     comp = _Compiler(graph)
     df: DataFrame | None = None
     for clause in q.clauses:
@@ -813,4 +820,22 @@ def cypher_query(graph: PropertyGraph, text: str) -> DataFrame:
             df = comp.apply_call(df, clause)
         else:
             raise CypherCompileError(f"unsupported clause {clause!r}")
-    return comp.compile_return(df, q)
+    out = comp.compile_return(df, q)
+    if q.union_with:
+        # openCypher forbids mixing UNION and UNION ALL in one chain
+        # (Neo4j: "Invalid combination of UNION and UNION ALL") — with a
+        # homogeneous chain, the right-nested parse is equivalent to the
+        # spec's left-associative evaluation
+        flags, cur = [], q
+        while cur.union_with:
+            fl, nxt = cur.union_with[0]
+            flags.append(fl)
+            cur = nxt
+        if len(set(flags)) > 1:
+            raise CypherCompileError("invalid combination of UNION and UNION ALL")
+    for all_flag, subq in q.union_with:
+        sub = _compile_parsed(graph, subq)
+        out = out.unionByName(sub)
+        if not all_flag:
+            out = ops.distinct(out)
+    return out

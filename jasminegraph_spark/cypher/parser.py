@@ -57,7 +57,7 @@ _KEYWORDS = {
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
     "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "CALL", "YIELD",
+    "CALL", "YIELD", "UNION", "ALL",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -253,6 +253,10 @@ class _Parser:
             q.skip = int(self.expect("NUMBER"))
         if self.accept("KW", "LIMIT"):
             q.limit = int(self.expect("NUMBER"))
+        if self.accept("KW", "UNION"):
+            all_flag = bool(self.accept("KW", "ALL"))
+            q.union_with.append((all_flag, self.parse_query()))
+            return q  # the recursive parse consumed EOF
         self.expect("EOF")
         return q
 
@@ -422,7 +426,8 @@ class _Parser:
 
         k, v = self.peek()
         if (
-            k == "WORD"
+            k in ("WORD", "KW")  # ALL lexes as KW (UNION ALL) but is also
+            # the list predicate all(x IN ... WHERE ...)
             and v.lower() in ("any", "all", "none", "single")
             and self.peek(1) == ("PUNCT", "(")
         ):

@@ -698,3 +698,52 @@ def test_shortest_path_rejects_chained_context(social):
             "MATCH (c:Person) MATCH p = shortestPath((c)-[*1..2]-(b)) "
             "RETURN id(b) AS bid",
         ).collect()
+
+
+def test_union_distinct_and_all(social):
+    q = (
+        "MATCH (n:Person) WHERE n.name STARTS WITH 'A' RETURN n.name AS name "
+        "UNION MATCH (n:Person) WHERE n.name STARTS WITH 'B' RETURN n.name AS name"
+    )
+    out = sorted(r["name"] for r in rows(cypher_query(social, q)))
+    assert out == ["Alice", "Bob"]
+    # overlapping arms: UNION dedups, UNION ALL keeps both copies
+    q2 = (
+        "MATCH (n:Person {name: 'Eva'}) RETURN n.name AS name "
+        "UNION MATCH (n:Person {name: 'Eva'}) RETURN n.name AS name"
+    )
+    assert cypher_query(social, q2).count() == 1
+    q3 = q2.replace("UNION ", "UNION ALL ")
+    assert cypher_query(social, q3).count() == 2
+
+
+def test_union_three_arms_chained(social):
+    q = (
+        "MATCH (n:Person {name: 'Alice'}) RETURN id(n) AS id "
+        "UNION ALL MATCH (n:Person {name: 'Bob'}) RETURN id(n) AS id "
+        "UNION ALL MATCH (n:Person {name: 'Alice'}) RETURN id(n) AS id"
+    )
+    got = sorted(r["id"] for r in rows(cypher_query(social, q)))
+    assert got == ["0", "0", "1"]
+
+
+def test_union_mixing_kinds_rejected(social):
+    from jasminegraph_spark.cypher.compiler import CypherCompileError
+
+    with pytest.raises(CypherCompileError):
+        cypher_query(
+            social,
+            "MATCH (n:Person {name: 'Alice'}) RETURN id(n) AS id "
+            "UNION MATCH (n:Person {name: 'Bob'}) RETURN id(n) AS id "
+            "UNION ALL MATCH (n:Person {name: 'Carol'}) RETURN id(n) AS id",
+        )
+
+
+def test_all_list_predicate_still_parses(social):
+    # ALL became a keyword for UNION ALL; the all(...) list predicate
+    # must keep working
+    out = cypher_query(
+        social,
+        "MATCH (n:Person) WHERE all(x IN [1, 2] WHERE x > 0) RETURN id(n) AS id",
+    )
+    assert out.count() == 10
