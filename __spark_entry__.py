@@ -1490,6 +1490,65 @@ def st_windowed_event_counts(spark, sf_dir):
 
 
 @_q(
+    "st_session_window_counts",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st_session_window_counts(spark, sf_dir):
+    """STREAMING session windows (built-in session_window, 30-min
+    inactivity gap) replayed with availableNow — per-user session counts
+    must equal the batch gap-detection sessionization. Note the oracle's
+    >= boundary: session_window's windows are end-EXCLUSIVE (an event
+    exactly gap-after the last starts a new session). Completes §2.6
+    with dynamic-gap windows next to the tumbling st_ row."""
+    import os
+    import tempfile
+    import uuid
+
+    from jasminegraph_spark.streaming.windows import session_window_counts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="jgs_sess_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    file_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(file_schema).parquet(stream_dir)
+    ts_t = file_schema["ts"].dataType.simpleString()
+    if ts_t == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif ts_t == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = session_window_counts(stream, gap="30 minutes", watermark="1 hour")
+    name = f"st_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -4000,6 +4059,7 @@ _PRIORITY = [
     "rel_value_percentiles",
     "an_harmonic_centrality",
     "cypher_union_text",
+    "st_session_window_counts",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

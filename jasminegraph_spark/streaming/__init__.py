@@ -7,6 +7,8 @@ from jasminegraph_spark.streaming.ingest import (  # noqa: F401
 )
 from jasminegraph_spark.streaming.windows import (  # noqa: F401
     run_stream_to_batch,
+    session_window_counts,
+    stateful_user_counter,
     streaming_dedup,
     windowed_event_counts,
 )

@@ -82,3 +82,82 @@ def run_stream_to_batch(stream_df: DataFrame, checkpoint: str, out_path: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def session_window_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-time SESSION windows per user (built-in session_window —
+    dynamic-gap windows close after ``gap`` of inactivity). The streaming
+    twin of the batch `rel_events_sessionize` query; watermark bounds the
+    open-session state. Stays on the built-in operator: Catalyst handles
+    the session merge, no custom state code needed."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col(user_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(user_col),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stateful_user_counter(
+    stream: DataFrame,
+    timeout_minutes: int = 60,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """CUSTOM stateful operator via applyInPandasWithState — the escape
+    hatch for semantics the built-in windows can't express (here: a
+    per-user running event counter that emits a final row only when the
+    user goes quiet for ``timeout_minutes`` of EVENT time, a
+    user-lifecycle pattern session_window's fixed aggregate surface
+    doesn't cover).
+
+    State per user: (n_events, total_value, last_seen epoch-seconds).
+    Arrow-batched, update-per-group, eviction on event-time timeout
+    against the watermark — state stays bounded exactly like the built-in
+    aggregations. Returns (user_id, n_events, total_value) on timeout.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n_events long, total_value double, last_seen long"
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            n, tot, _ = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+            return
+        n, tot, last = (state.get if state.exists else (0, 0.0, 0))
+        for pdf in pdfs:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+        state.update((n, tot, last))
+        state.setTimeoutTimestamp(last * 1000 + timeout_minutes * 60_000)
+        yield pd.DataFrame({"user_id": [], "n_events": [], "total_value": []})
+
+    return (
+        stream.withWatermark("ts", f"{timeout_minutes} minutes")
+        .groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -352,3 +352,84 @@ def test_kafka_wire_contract(spark, tmp_path):
     assert got.schema == expected.schema
     assert sorted(map(str, got.collect())) == sorted(map(str, expected.collect()))
     assert got.count() == 2  # sentinel + malformed dropped
+
+
+def test_session_window_counts_matches_batch(spark, tmp_path):
+    """Streaming session windows drained with availableNow equal the
+    batch session_window aggregate over the same rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.streaming import session_window_counts
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        # two sessions per user: 3 events 5 min apart, then a 2 h gap
+        for s in range(2):
+            start = base + dt.timedelta(hours=3 * s)
+            for i in range(3):
+                rows.append((u, start + dt.timedelta(minutes=5 * i), 1.0))
+    src = str(tmp_path / "events_in")
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    agg = session_window_counts(stream, gap="30 minutes", watermark="10 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("t_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["w"]["start"]): r["n"]
+        for r in df.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == batch and len(got) == 4  # 2 users x 2 sessions of 3
+
+
+def test_stateful_user_counter_times_out(spark, tmp_path):
+    """applyInPandasWithState: a user's counter emits once the event-time
+    watermark passes their last activity + timeout."""
+    import datetime as dt
+
+    from jasminegraph_spark.streaming import stateful_user_counter
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 2.0),
+        (1, base + dt.timedelta(minutes=5), 3.0),
+        (2, base + dt.timedelta(minutes=1), 1.0),
+        # a late rider far in the future pushes the watermark past
+        # user 1 and 2's timeout horizon
+        (9, base + dt.timedelta(hours=10), 0.5),
+    ]
+    src = str(tmp_path / "ev2")
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, value: double")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out = stateful_user_counter(stream, timeout_minutes=60)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_counter")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in spark.table("t_counter").collect()}
+    assert got.get(1) == (2, 5.0)
+    assert got.get(2) == (1, 1.0)
+    assert 9 not in got  # still live at end-of-stream
