@@ -278,3 +278,65 @@ def test_spgemm_linkpred_output_exchange_is_tiny(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "HashAggregate" not in plan  # counting happened inside the kernel
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+# ---------------- round-4 continuation plan assertions ----------------
+
+
+def test_q19_disjunction_stays_hash_join(q):
+    """OR'd brand/size/quantity branches must not degrade the part join to
+    a nested-loop: the common p_partkey equi-key keeps it hash/broadcast,
+    with the disjunction as a post-probe residual."""
+    plan = _plan(q("rel_q19_disjunctive_predicates"))
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_becomes_semi_join(q):
+    """EXISTS decorrelates to LEFT SEMI with the date filter pushed to the
+    orders scan."""
+    plan = _plan(q("rel_q4_order_priority"))
+    assert "LeftSemi" in plan
+    assert "PushedFilters" in plan
+
+
+def test_q22_anti_join_with_scalar_gate(q):
+    plan = _plan(q("rel_q22_dormant_customers"))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the 1-row scalar average broadcasts; customers never shuffle for it
+
+
+def test_decontaminate_broadcasts_benchmark_side(q):
+    """The benchmark n-gram set is tiny vs the corpus: the overlap join
+    must be a broadcast — the train side never shuffles for the probe."""
+    plan = _plan(q("pl_decontaminate"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_map_only(q):
+    """PII redaction has NO wide operator before the final audit
+    aggregate: exactly one exchange (the 1-row aggregate's)."""
+    plan = _plan(q("pl_pii_redact"))
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_sq_ann_broadcasts_queries_and_calibration(q):
+    """SQ ANN must keep the exact-cosine plan shape: corpus streams once,
+    queries + calibration broadcast, no corpus shuffle before ranking."""
+    plan = _plan(q("pl_sq_ann"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_take_ordered(q):
+    """A-ES top-k must run as TakeOrdered (per-partition top-k + k-row
+    merge), never a global sort of the corpus."""
+    plan = _plan(q("pl_weighted_sample"))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmv_min_selection_is_take_ordered(q):
+    plan = _plan(q("pl_kmv_distinct"))
+    assert "TakeOrderedAndProject" in plan
