@@ -3500,6 +3500,48 @@ def pl_quality_filter_chain(spark, sf_dir):
 
 
 @_q(
+    "pl_repetition_scores",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS n_tokens,
+               1.0 - CAST(len(list_distinct(list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE)
+                     / (len(t) - 1) AS dup_bigram_frac
+        FROM toks WHERE len(t) >= 2
+    ),
+    tc AS (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks)
+        GROUP BY doc_id, tok
+    ),
+    top AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_frac
+            FROM tc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens,
+           printf('%.6f', b.dup_bigram_frac) AS dup_bigram_frac,
+           printf('%.6f', t.top_token_frac) AS top_token_frac
+    FROM base b JOIN top t USING (doc_id) ORDER BY b.doc_id
+    """,
+)
+def pl_repetition_scores(spark, sf_dir):
+    """Gopher/MassiveText repetition rules at token level (beyond-
+    reference quality signal): duplicate-bigram fraction (pure array
+    expressions, no shuffle) + top-token share (one partial-agg count).
+    Exact single-division rationals, emitted %.6f."""
+    rep = pl.repetition_scores(_read(spark, sf_dir, "documents"))
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        F.format_string("%.6f", F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
+        F.format_string("%.6f", F.col("top_token_frac")).alias("top_token_frac"),
+    ).orderBy("doc_id")
+
+
+@_q(
     "pl_pii_redact",
     """
     WITH c AS (
@@ -4060,6 +4102,7 @@ _PRIORITY = [
     "an_harmonic_centrality",
     "cypher_union_text",
     "st_session_window_counts",
+    "pl_repetition_scores",
     # 38 queries whose last driver row is r01 while code paths changed since
     # (shared shingle materialization, cache finalize, session tweaks):
     # rotate them through the ~50-query window so every row is ≤1 round old

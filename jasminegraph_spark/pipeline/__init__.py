@@ -40,6 +40,7 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     quality_scores,
     doc_fingerprint,
     embed_text,
+    repetition_scores,
 )
 from jasminegraph_spark.pipeline.packing import (  # noqa: F401
     pack_sequences,

@@ -149,3 +149,40 @@ def embed_text(
     return wide.select(
         "doc_id", F.transform(vec, lambda x: x / norm).alias("embedding")
     )
+
+
+def repetition_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Repetition quality signals (the Gopher/MassiveText repetition
+    rules, adapted to the token level): per document,
+
+     * dup_bigram_frac — 1 − distinct/total word bigrams (templated or
+       looping text scores high),
+     * top_token_frac — the most frequent token's share of all tokens.
+
+    The bigram fraction is pure array expressions (no shuffle); the top
+    token needs one (doc, token) count — a single partial-agg shuffle.
+    Returns (doc_id, n_tokens, dup_bigram_frac, top_token_frac) with the
+    fractions as exact single-division doubles (engine-portable)."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    base = docs.filter(F.size(toks) >= 2).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+        ).alias("dup_bigram_frac"),
+    )
+    top = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"))
+    )
+    return base.join(top, "doc_id")

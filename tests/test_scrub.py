@@ -144,3 +144,21 @@ def test_degree_assortativity_matches_numpy(tiny_graph):
     y = np.array([p[1] for p in pairs], dtype=float)
     expect = np.corrcoef(x, y)[0, 1]
     assert abs(float(r["assortativity"]) - expect) < 1e-6
+
+
+def test_repetition_scores_flags_loops(spark):
+    from jasminegraph_spark.pipeline import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "six totally different words here now"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in repetition_scores(docs).collect()}
+    # all 5 bigrams of doc 1 are "spam spam" → dup fraction 4/5
+    assert abs(out[1]["dup_bigram_frac"] - 0.8) < 1e-9
+    assert out[1]["top_token_frac"] == 1.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert abs(out[2]["top_token_frac"] - 1 / 6) < 1e-9
