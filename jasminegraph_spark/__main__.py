@@ -48,6 +48,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("wcc");         p.add_argument("name")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
     p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
+    p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
+    p = sub.add_parser("graphstats");  p.add_argument("name")
     args = ap.parse_args(argv)
 
     import os
@@ -158,6 +160,21 @@ def main(argv=None) -> int:
     elif args.cmd == "partition":
         for r in eng.partition_graph(args.name, args.k, args.algo).collect():
             emit({"node": r["node"], "pid": r["pid"]})
+    elif args.cmd == "bc":
+        srcs = [s.strip() for s in args.sources.split(",") if s.strip()]
+        for r in eng.betweenness(args.name, srcs, max_hops=args.hops).collect():
+            emit({"node": r["node"], "betweenness": r["betweenness"]})
+    elif args.cmd == "graphstats":
+        cc = eng.clustering_coefficient(args.name).first()
+        asrt = eng.assortativity(args.name).first()
+        emit(
+            {
+                "n_triangles": cc["n_triangles"],
+                "n_wedges": cc["n_wedges"],
+                "global_cc": cc["global_cc"],
+                "assortativity": asrt["assortativity"],
+            }
+        )
     elif args.cmd == "constructkg":
         docs = (
             spark.read.parquet(args.path)

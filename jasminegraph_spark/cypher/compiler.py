@@ -304,6 +304,14 @@ class _Compiler:
                 raise CypherCompileError(f"{e.func}() expects {n} args, got {len(args)}")
 
         f = e.func
+        if f in ("keys", "properties"):
+            # entity functions: the arg is a bound node/rel variable
+            if not (len(e.args) == 1 and isinstance(e.args[0], ast.VarRef)):
+                raise CypherCompileError(f"{f}() takes one bound variable")
+            props = F.col(f"{e.args[0].var}.properties")
+            # keys sorted for deterministic output (map iteration order is
+            # engine-defined otherwise)
+            return F.array_sort(F.map_keys(props)) if f == "keys" else props
         if f == "toupper":
             need(1); return F.upper(args[0])
         if f == "tolower":

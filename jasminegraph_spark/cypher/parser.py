@@ -68,7 +68,7 @@ _SCALAR_FUNCS = {
     "toupper", "tolower", "tostring", "tointeger", "tofloat",
     "substring", "size", "coalesce", "abs", "round", "ceil", "floor",
     "sqrt", "sign", "trim", "ltrim", "rtrim", "replace", "split",
-    "reverse", "left", "right",
+    "reverse", "left", "right", "keys", "properties",
 }
 
 
@@ -577,6 +577,11 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return PathFunc(word, var)
+            if word in ("keys", "properties") and self.peek() == ("PUNCT", "("):
+                self.next()
+                var = self.expect("WORD")
+                self.expect("PUNCT", ")")
+                return ScalarFunc(word, [VarRef(var)])
             if word.lower() in _SCALAR_FUNCS and self.peek() == ("PUNCT", "("):
                 self.next()
                 args = []

@@ -232,6 +232,16 @@ class JasmineEngine:
     def assortativity(self, graph_name: str) -> DataFrame:
         return an.degree_assortativity(self.catalog.get(graph_name).edges)
 
+    def explain(self, graph_name: str, query: str, mode: str = "formatted") -> str:
+        """The physical plan Catalyst chose for a Cypher query — what the
+        reference's JSON operator-tree dump (QueryPlanner::exportPlan)
+        becomes on Spark. Use it to verify pushdown/broadcast/codegen on
+        a query before running it at scale."""
+        df = self.cypher(graph_name, query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), mode
+        )
+
     def partition_graph(
         self, graph_name: str, k: int, algo: str = "hash"
     ) -> DataFrame:

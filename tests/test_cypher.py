@@ -747,3 +747,15 @@ def test_all_list_predicate_still_parses(social):
         "MATCH (n:Person) WHERE all(x IN [1, 2] WHERE x > 0) RETURN id(n) AS id",
     )
     assert out.count() == 10
+
+
+def test_keys_and_properties_functions(social):
+    out = rows(
+        cypher_query(
+            social,
+            "MATCH (n:Person) WHERE id(n) = '3' "
+            "RETURN keys(n) AS ks, properties(n) AS ps",
+        )
+    )
+    assert out[0]["ks"] == ["age", "name", "occupation"]
+    assert out[0]["ps"]["name"] == "Dave" and out[0]["ps"]["age"] == "25"
