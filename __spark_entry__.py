@@ -605,6 +605,59 @@ def an_top_k_pagerank(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(10)
 
 
+def _ppr_oracle(iterations: int, alpha: float, seeds: tuple) -> str:
+    """Unrolled personalized PageRank: the _pagerank_oracle recurrence with
+    the restart vector concentrated on the seed set (1/|S| per seed)."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    share = 1.0 / len(seeds)
+    sql = CO_ORDER_CTE + f"""
+    , edges AS (
+        SELECT src, dst FROM co_edges UNION SELECT dst, src FROM co_edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+    pr0 AS (
+        SELECT node,
+               CASE WHEN node IN ({seed_list}) THEN {share} ELSE 0.0 END AS rank
+        FROM nodes
+    )
+    """
+    for i in range(iterations):
+        sql += f"""
+    , pr{i + 1} AS (
+        SELECT n.node,
+               (1 - {alpha}) * CASE WHEN n.node IN ({seed_list}) THEN {share} ELSE 0.0 END
+               + {alpha} * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank / o.od) AS mass
+            FROM edges e JOIN pr{i} p ON p.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )"""
+    sql += f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}
+    WHERE ROUND(rank, 6) > 0
+    """
+    return sql
+
+
+@_q("an_personalized_pagerank", _ppr_oracle(5, 0.85, (1, 2, 3)))
+def an_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank / random walk with restart from seeds
+    {1,2,3} — the `pgrnk` loop (JasmineGraphInstanceService.cpp:1650-1816)
+    with a seed-concentrated restart vector, the standard "related nodes"
+    recommendation query. Same broadcast-rank plan as an_pagerank (one
+    persisted contribution frame, rank table broadcast per iteration);
+    nodes with no walk mass are dropped so the result is the reachable
+    neighborhood, not |V| rows of zeros."""
+    ranks = an.personalized_pagerank(
+        co_order_edges(spark, sf_dir), [1, 2, 3], alpha=0.85, iterations=5, undirected=True
+    )
+    ranks = ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.filter(F.col("rank") > 0)
+
+
 # ---------------------------------------------------------------------------
 # Relational / SQL surface (the DataFrame substrate itself) + events stream
 # ---------------------------------------------------------------------------
@@ -4059,6 +4112,7 @@ _PRIORITY = [
     "rel_asof_last_purchase",
     "rel_events_rollup_multires",
     # round-4 new queries (never driver-checked)
+    "an_personalized_pagerank",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

