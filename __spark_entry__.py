@@ -1936,6 +1936,65 @@ def rel_asof_last_purchase(spark, sf_dir):
     )
 
 
+@_q(
+    "rel_interval_join_busy_hours",
+    """
+    WITH busy AS (
+        SELECT date_trunc('hour', ts) AS start, COUNT(*) AS c
+        FROM events GROUP BY 1 ORDER BY c DESC, start ASC LIMIT 10
+    ),
+    iv AS (SELECT start, start + INTERVAL 2 HOUR AS iend FROM busy)
+    SELECT strftime(iv.start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM iv JOIN events e ON e.ts >= iv.start AND e.ts < iv.iend
+    GROUP BY iv.start ORDER BY window_start
+    """,
+)
+def rel_interval_join_busy_hours(spark, sf_dir):
+    """Pure-inequality INTERVAL JOIN (no equi key): the 10 busiest hours
+    become 2-hour windows; every event falling in a window joins it.
+    Naive Spark plans this as BroadcastNestedLoopJoin — the operator
+    (operators/temporal.interval_join) decomposes it into a bucketed hash
+    equi-join (points take one bucket, intervals explode over covered
+    buckets, exact range as a residual filter), so both sides shuffle-
+    partition cleanly at 100 TB. DuckDB's native range join is the
+    oracle. Plan-asserted BNLJ-free in tests/test_plans.py."""
+    from jasminegraph_spark.operators.temporal import interval_join
+
+    ev = _read(spark, sf_dir, "events")
+    busy = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("start"))
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("start"))
+        .limit(10)
+    )
+    iv = busy.select(
+        "start", (F.col("start") + F.expr("INTERVAL 2 HOURS")).alias("iend")
+    )
+    joined = interval_join(
+        ev.select("ts", "user_id", "value"), iv,
+        point_time="ts", start_col="start", end_col="iend",
+        bucket_seconds=3600,
+    )
+    return (
+        joined.groupBy("start")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators (dedup / similarity / text)
 # ---------------------------------------------------------------------------

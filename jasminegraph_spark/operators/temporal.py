@@ -95,3 +95,54 @@ def as_of_join(
         *out_vals,
         F.when(within, F.col("__c_rt")).alias(f"{right_time}{suffix}"),
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_time: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi key: each point row matches
+    every interval row with ``start <= t < end``.
+
+    Spark's planner turns a pure-inequality join into a
+    BroadcastNestedLoopJoin (O(|P|·|I|) comparisons and a broadcast of a
+    whole side) — fatal when both sides are large. This is the standard
+    bucketed decomposition instead:
+
+      1. points get ONE bucket: floor(epoch / bucket_seconds);
+      2. intervals EXPLODE into every bucket they overlap
+         (sequence(floor(start/b), floor((end-ε)/b)));
+      3. shuffle hash equi-join on the bucket, then the exact
+         ``start <= t < end`` residual as a post-join filter.
+
+    Each (point, interval) pair meets in exactly one bucket — the point's
+    — so no dedup pass is needed. Cost: one explode whose factor is
+    interval_length/bucket_seconds (pick the bucket near the median
+    interval length) + one hash shuffle on uniformly-distributed bucket
+    ids. At 100 TB both sides partition cleanly; a hot bucket (all
+    intervals covering one hour) is AQE-skew-join territory, same as any
+    hot key. Plan-asserted BNLJ-free in tests/test_plans.py.
+    """
+    b = F.lit(bucket_seconds)
+    p = points.withColumn(
+        "__bucket", F.floor(F.col(point_time).cast("double") / b).cast("long")
+    )
+    i = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col).cast("double") / b).cast("long"),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into that bucket
+                F.floor((F.col(end_col).cast("double") - F.lit(1e-9)) / b).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, "__bucket").filter(
+        (F.col(point_time) >= F.col(start_col)) & (F.col(point_time) < F.col(end_col))
+    )
+    return joined.drop("__bucket")

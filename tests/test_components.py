@@ -208,3 +208,32 @@ def test_personalized_pagerank_seed_concentration(spark):
         r = nxt
     for n in nodes:
         assert abs(got[n] - r[idx[n]]) < 1e-9, (n, got[n], r[idx[n]])
+
+
+def test_interval_join_semantics(spark):
+    """Bucketed interval join == brute-force range join on a crafted set:
+    boundary inclusivity (start in, end out), intervals spanning multiple
+    buckets, overlapping intervals double-matching a point."""
+    from jasminegraph_spark.operators.temporal import interval_join
+
+    points = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate([0, 99, 100, 3600, 7199, 7200, 10000])],
+        ["pid", "ts"],
+    )
+    intervals = spark.createDataFrame(
+        [(0, 0.0, 7200.0), (1, 100.0, 200.0), (2, 7000.0, 7300.0)],
+        ["iid", "start", "end"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, intervals, point_time="ts", bucket_seconds=3600
+        ).collect()
+    }
+    brute = {
+        (p, i)
+        for p, t in [(0, 0), (1, 99), (2, 100), (3, 3600), (4, 7199), (5, 7200), (6, 10000)]
+        for i, s, e in [(0, 0, 7200), (1, 100, 200), (2, 7000, 7300)]
+        if s <= t < e
+    }
+    assert got == brute

@@ -340,3 +340,12 @@ def test_weighted_sample_is_take_ordered(q):
 def test_kmv_min_selection_is_take_ordered(q):
     plan = _plan(q("pl_kmv_distinct"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_interval_join_is_bucketed_equi_join(q):
+    """The pure-inequality interval join must decompose into the bucket
+    hash equi-join + residual filter — a direct range predicate would be
+    a BroadcastNestedLoopJoin (O(|P|·|I|))."""
+    plan = _plan(q("rel_interval_join_busy_hours"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
