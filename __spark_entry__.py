@@ -2009,6 +2009,75 @@ WITH sh AS (
 
 
 @_q(
+    "pl_line_dedup",
+    """
+    WITH chunked AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(
+                       range(CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT)),
+                       i -> array_to_string(
+                           (string_split(text, ' '))[(i * 6 + 1):(i * 6 + 6)], ' ')),
+                   chr(10)) AS text
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM chunked
+    ),
+    counts AS (
+        SELECT line, COUNT(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line
+    ),
+    kept AS (
+        SELECT l.doc_id, l.pos, l.line
+        FROM lines l JOIN counts c ON c.line = l.line
+        WHERE c.n_docs < 2
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+    SELECT t.doc_id,
+           md5(COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '')) AS clean_hash,
+           CAST(COUNT(k.line) AS BIGINT) AS n_kept,
+           CAST(t.n_lines - COUNT(k.line) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN kept k ON k.doc_id = t.doc_id
+    GROUP BY t.doc_id, t.n_lines
+    ORDER BY t.doc_id
+    """,
+)
+def pl_line_dedup(spark, sf_dir):
+    """Line-level exact dedup (C4/RefinedWeb boilerplate-line removal,
+    pipeline/dedup.line_dedup): drop every line occurring in ≥2 distinct
+    docs, reassemble survivors in order. The corpus ships without
+    newlines, so the query first chunks each text into 6-word
+    pseudo-lines with pure expressions (split → transform/slice →
+    array_join) — the dedup plan (posexplode → line-hash count → join
+    back → ordered reassembly) is exactly what runs on real newline
+    corpora at 100 TB. Output carries md5(clean_text) so the full
+    reassembled text is verified without shipping it."""
+    docs = _read(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(arr) / F.lit(6.0)).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - F.lit(1)),
+                lambda i: F.array_join(F.slice(arr, i * F.lit(6) + F.lit(1), F.lit(6)), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = pl.line_dedup(chunked, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_hash"),
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -4172,6 +4241,8 @@ _PRIORITY = [
     "rel_events_rollup_multires",
     # round-4 new queries (never driver-checked)
     "an_personalized_pagerank",
+    "rel_interval_join_busy_hours",
+    "pl_line_dedup",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

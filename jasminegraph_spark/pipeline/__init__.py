@@ -6,6 +6,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
     minhash_lsh_candidates,
     jaccard_verified_dedup,
     dedup_corpus,
+    line_dedup,
     simhash_signatures,
     simhash_near_dup,
 )

@@ -368,3 +368,60 @@ def simhash_signatures(
         *[F.when(F.col(f"s{j}") >= 0, F.lit("1")).otherwise(F.lit("0")) for j in range(1, bits + 1)]
     )
     return summed.select("doc_id", bit_str.alias("simhash"))
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Line-level exact dedup (C4/RefinedWeb boilerplate removal): drop
+    every line that occurs in >= ``min_docs`` DISTINCT documents, then
+    reassemble each document's surviving lines in their original order.
+
+    Returns (id_col, clean_text, n_kept, n_removed) for EVERY input doc —
+    a document whose lines are all boilerplate survives with empty text,
+    so downstream length filters (not silent row loss) decide its fate.
+
+    Plan: posexplode (map-side) → per-line distinct-doc count (one
+    partial-aggregated shuffle on the line hash) → hash join back on the
+    line → per-doc reassembly groupBy. The join key is md5(line), so a
+    hot boilerplate line is ONE hot key (AQE skew-join territory), and
+    raw line text never shuffles twice. At 100 TB every stage partitions
+    by uniform hashes; nothing collects to the driver.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("line_h", F.md5(F.col("line")))
+    counts = keyed.groupBy("line_h").agg(
+        F.countDistinct(id_col).alias("n_docs")
+    )
+    kept = (
+        keyed.join(counts, "line_h")
+        .filter(F.col("n_docs") < F.lit(min_docs))
+        .select(id_col, "pos", "line")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+        )
+    )

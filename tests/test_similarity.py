@@ -226,3 +226,28 @@ def test_sq_constant_dimension_encodes_zero(spark):
     codes = {r["vec_id"]: r["code"] for r in sq_encode(df, mm).collect()}
     assert codes[1][0] == 0 and codes[2][0] == 0  # constant dim → 0, no div0
     assert codes[1][1] == 0 and codes[2][1] == 255
+
+
+def test_line_dedup_removes_boilerplate(spark):
+    """Lines occurring in >= 2 distinct docs vanish; unique lines survive
+    in original order; a doc of pure boilerplate survives as an empty row
+    (never silent row loss); repeats WITHIN one doc are not removed."""
+    from jasminegraph_spark.pipeline import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cookie notice\nreal content one\nall rights reserved"),
+            (2, "cookie notice\nreal content two\nall rights reserved"),
+            (3, "cookie notice\nall rights reserved"),
+            (4, "only unique text\nonly unique text"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, min_docs=2).collect()}
+    assert len(got) == 4
+    assert got[1]["clean_text"] == "real content one"
+    assert got[2]["clean_text"] == "real content two"
+    assert got[1]["n_kept"] == 1 and got[1]["n_removed"] == 2
+    assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0 and got[3]["n_removed"] == 2
+    # intra-doc repetition is a repetition signal, not cross-doc boilerplate
+    assert got[4]["clean_text"] == "only unique text\nonly unique text"
