@@ -3917,6 +3917,65 @@ def pl_kmv_distinct(spark, sf_dir):
 
 
 @_q(
+    "pl_temperature_mixture",
+    f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    f AS (
+        SELECT lang, n,
+               pow(CAST(n AS DOUBLE) / (SELECT MIN(n) FROM c), -0.5) AS keep_frac
+        FROM c
+    ),
+    kept AS (
+        SELECT d.lang
+        FROM documents d JOIN f ON d.lang = f.lang
+        WHERE CAST({_hex_to_num_sql("md5(text)")} AS DOUBLE)
+              / 281474976710656.0 < f.keep_frac
+    )
+    SELECT f.lang, CAST(f.n AS BIGINT) AS n_before,
+           CAST(COALESCE(k.cnt, 0) AS BIGINT) AS n_after,
+           ROUND(f.keep_frac, 6) AS keep_frac
+    FROM f LEFT JOIN (SELECT lang, COUNT(*) AS cnt FROM kept GROUP BY lang) k
+        ON k.lang = f.lang
+    ORDER BY f.lang
+    """,
+)
+def pl_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture resampling (pipeline/sampling.
+    temperature_mixture, α=0.5): flatten the language mix toward uniform
+    by keeping f_g=(n_g/n_min)^(α-1) of each language — the standard
+    multilingual p^α reweighting for training-data mixes. Selection is
+    the content-hash uniform (RNG-free, engine-portable); the only wide
+    op is the 5-row language count, broadcast back onto a map-side
+    filter."""
+    docs = _read(spark, sf_dir, "documents")
+    kept = pl.temperature_mixture(docs, "lang", alpha=0.5)
+    after = kept.groupBy("lang").agg(
+        F.count("*").alias("n_after"), F.max("__keep_frac").alias("kf")
+    )
+    before = docs.groupBy("lang").agg(F.count("*").alias("n_before"))
+    return (
+        before.join(after, "lang", "left")
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            F.round(
+                F.coalesce(
+                    "kf",
+                    F.pow(
+                        F.col("n_before")
+                        / F.min("n_before").over(Window.partitionBy()),
+                        F.lit(-0.5),
+                    ),
+                ),
+                6,
+            ).alias("keep_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "pl_weighted_sample",
     f"""
     WITH keyed AS (
@@ -4243,6 +4302,7 @@ _PRIORITY = [
     "an_personalized_pagerank",
     "rel_interval_join_busy_hours",
     "pl_line_dedup",
+    "pl_temperature_mixture",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

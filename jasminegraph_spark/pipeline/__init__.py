@@ -34,6 +34,7 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
     stratified_sample,
     kmv_distinct,
     weighted_sample,
+    temperature_mixture,
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,

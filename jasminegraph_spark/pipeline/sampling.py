@@ -14,7 +14,7 @@ the only wide op in the demo queries is the final per-split aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -121,4 +121,45 @@ def weighted_sample(
         .filter(F.col(weight_col) > 0)
         .orderBy(F.desc("sample_key"))
         .limit(k)
+    )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+    alpha: float = 0.5,
+    key_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture resampling (the multilingual/multi-domain
+    p^α trick): with corpus shares p_g, the target mixture is
+    q_g ∝ p_g^α (α<1 flattens toward uniform, α=1 is a no-op). Realized
+    by per-row filtering without replacement, so keep fractions are
+    f_g = (n_g / n_min)^(α-1), normalized to 1 on the SMALLEST domain —
+    rare domains keep everything, dominant domains downsample.
+
+    Selection is the same content-hash uniform as stratified_sample
+    (u = md5-prefix / 16^12 < f_g): deterministic, RNG-free, stable under
+    repartitioning. Plan: one #domains-row aggregate (a global window
+    over that tiny frame, never over rows) broadcast-joined back, then a
+    map-side filter — at 100 TB the only wide op is the domain count.
+
+    Returns the kept rows with ``__keep_frac`` attached.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy()  # #domains rows only — never row-level
+    fracs = counts.select(
+        group_col,
+        F.col("__n"),
+        F.pow(F.col("__n") / F.min("__n").over(w), F.lit(alpha - 1.0)).alias(
+            "__keep_frac"
+        ),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    return (
+        df.join(F.broadcast(fracs.drop("__n")), group_col)
+        .filter(u < F.col("__keep_frac"))
     )

@@ -150,3 +150,23 @@ def test_weighted_sample_deterministic(spark):
         r["doc_id"] for r in weighted_sample(df.repartition(17), "w", k=10).collect()
     )
     assert a == b
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    """α=0.5 keeps everything in the smallest domain, downsamples the
+    dominant one by ≈ sqrt(n_min/n_max), and α=1 is a no-op."""
+    from jasminegraph_spark.pipeline import temperature_mixture
+
+    rows = [(i, "big", f"text-{i}") for i in range(400)] + [
+        (1000 + i, "small", f"rare-{i}") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain", "text"])
+    kept = temperature_mixture(df, "domain", alpha=0.5)
+    counts = {r["domain"]: r["n"] for r in kept.groupBy("domain").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert counts["small"] == 25  # smallest domain never downsampled
+    expect_big = 400 * (400 / 25) ** -0.5  # = 100
+    assert abs(counts["big"] - expect_big) < 30  # hash-uniform tolerance
+    noop = temperature_mixture(df, "domain", alpha=1.0)
+    assert noop.count() == 425
