@@ -2961,6 +2961,51 @@ def _kcore_oracle(k: int = 8, iterations: int = 30) -> str:
     return sql
 
 
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel: per round, triangle support from the
+    materialized current edge set (the MATERIALIZED hint is load-bearing:
+    DuckDB otherwise inlines each cur{i} into its three join arms,
+    re-evaluating the whole peel chain 3^rounds times)."""
+    sql = CO_ORDER_CTE.replace(
+        "WITH co_edges AS (", "WITH co_edges AS MATERIALIZED ("
+    ) + """
+    , cur0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM co_edges)
+    """
+    for i in range(rounds):
+        sql += f"""
+    , tri{i} AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM cur{i} e1 JOIN cur{i} e2 ON e2.a = e1.b
+        JOIN cur{i} e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    supp{i} AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS support FROM (
+            SELECT x AS a, y AS b FROM tri{i}
+            UNION ALL SELECT x, z FROM tri{i}
+            UNION ALL SELECT y, z FROM tri{i}
+        ) GROUP BY a, b
+    ),
+    cur{i + 1} AS MATERIALIZED (
+        SELECT s.a, s.b, s.support FROM supp{i} s
+        JOIN cur{i} c ON c.a = s.a AND c.b = s.b
+        WHERE s.support >= {k - 2}
+    )"""
+    sql += f"\n    SELECT a, b, support FROM cur{rounds}"
+    return sql
+
+
+@_q("an_k_truss", _ktruss_oracle(5, 3))
+def an_k_truss(spark, sf_dir):
+    """k-truss decomposition (k=5, 3 peel rounds) of the co-order graph
+    (analytics/graph_algs.k_truss) — cohesion mining one notch stronger
+    than k-core: every surviving edge sits in >= 3 triangles of the
+    surviving subgraph. Per round one wedge join + two hash aggregations
+    (the `trian` plan shape); the oracle unrolls the identical peel."""
+    from jasminegraph_spark.analytics import k_truss
+
+    return k_truss(co_order_edges(spark, sf_dir), k=5, max_iterations=3)
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4303,6 +4348,7 @@ _PRIORITY = [
     "rel_interval_join_busy_hours",
     "pl_line_dedup",
     "pl_temperature_mixture",
+    "an_k_truss",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

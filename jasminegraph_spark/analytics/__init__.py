@@ -10,6 +10,8 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     egonet,
     clustering_coefficient,
     degree_assortativity,
+    edge_support,
+    k_truss,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
 from jasminegraph_spark.analytics.linkpred import (  # noqa: F401

@@ -136,9 +136,8 @@ def pagerank(
     # contribution edges carry out_deg along; persisted once, reused each iter
     contrib_base = e.join(out_deg, "src").persist()
     if sources is not None:
-        # restart mass concentrated on the seeds; seeds outside the vertex
-        # set still receive their share (standard PPR convention: p sums
-        # to 1 over S ∩ V here — S is validated below so p is proper)
+        # restart mass concentrated on the seeds (each gets 1/|S|); a
+        # seed absent from the vertex set simply contributes no mass
         restart = F.when(F.col("node").isin(sources), F.lit(1.0 / len(sources))).otherwise(
             F.lit(0.0)
         )
@@ -272,3 +271,61 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.format_string("%.6f", F.corr("deg_src", "deg_dst")).alias("assortativity"),
     )
     return finalize(out, und)
+
+
+def edge_support(und: DataFrame) -> DataFrame:
+    """Triangle support per canonical edge (a < b): each triangle
+    x<y<z raises support on its three edges. One wedge join + one
+    closing join + an explode-free 3-way unionAll aggregation."""
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(closing, ["x", "z"])
+    sides = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+        .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+    )
+    return sides.groupBy("a", "b").agg(F.count("*").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 10) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph where every edge sits
+    in >= k-2 triangles OF THE SUBGRAPH. Iterative peel — recompute
+    support on the surviving edges, drop light edges, until fixpoint (or
+    the round budget; the peel is idempotent past convergence, so a
+    fixed-round oracle matches a converged run).
+
+    Cohesion mining one notch stronger than k-core (every truss edge is
+    embedded in k-2 local triangles, not just incident to k neighbors).
+    Per round: one wedge join bounded by Σ min-endpoint-degree + two hash
+    aggregations — same shape as `trian`, so the same skew armor applies;
+    lineage is truncated per round and ONE count per round decides
+    convergence. Returns the surviving canonical edges with their final
+    support."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3 (k-2 >= 1 triangle per edge)")
+    cur = canonical_undirected(edges).persist()
+    n_cur = cur.count()
+    dropped = [cur]
+    for _ in range(max_iterations):
+        supp = edge_support(cur.select("a", "b"))
+        keep = (
+            cur.select("a", "b")
+            .join(supp, ["a", "b"])
+            .filter(F.col("support") >= F.lit(k - 2))
+            .transform(checkpoint)
+            .persist()
+        )
+        n_keep = keep.count()
+        dropped.append(keep)
+        if n_keep == n_cur:
+            cur = keep
+            break
+        cur, n_cur = keep, n_keep
+        if n_keep == 0:
+            break
+    out = cur.select("a", "b", "support")
+    for df in dropped[:-1]:
+        df.unpersist()
+    return finalize(out, dropped[-1])

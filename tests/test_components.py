@@ -237,3 +237,23 @@ def test_interval_join_semantics(spark):
         if s <= t < e
     }
     assert got == brute
+
+
+def test_k_truss_peels_to_the_clique(spark):
+    """k=4 truss of a 5-clique plus an attached triangle = exactly the
+    clique (each clique edge has 3 supporting triangles; the triangle's
+    edges have only 1 and peel off), with support recomputed on the
+    survivor subgraph."""
+    from itertools import combinations
+
+    from jasminegraph_spark.analytics import k_truss
+
+    clique = list(combinations(range(5), 2))
+    extra = [(4, 10), (3, 10)]  # triangle (3,4,10) hangs off the clique
+    edges = spark.createDataFrame(clique + extra, ["src", "dst"])
+    got = {(r["a"], r["b"]): r["support"] for r in k_truss(edges, k=4).collect()}
+    assert set(got) == set(clique)
+    assert all(s == 3 for s in got.values())
+    # k=3 keeps the hanging triangle too
+    got3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
+    assert got3 == set(clique) | {(4, 10), (3, 10), (3, 4)}
