@@ -1602,6 +1602,76 @@ def st_session_window_counts(spark, sf_dir):
 
 
 @_q(
+    "st_stream_stream_join",
+    """
+    WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM c JOIN p ON p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id ORDER BY c.user_id
+    """,
+)
+def st_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM inner join (§2.6): clicks and purchases replayed as
+    two streams off the same source; each click pairs with the same
+    user's purchases within the following hour. Both sides are
+    watermarked and the join carries the time-range — the pair Spark
+    needs to derive a state TTL and evict buffered rows (unbounded
+    buffers otherwise). availableNow replay through a memory sink, then
+    a batch per-user count; the oracle is the equivalent batch range
+    join."""
+    import os
+    import tempfile
+    import uuid
+
+    from jasminegraph_spark.streaming.windows import stream_stream_interval_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="jgs_ssj_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    file_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(file_schema).parquet(stream_dir)
+    ts_t = file_schema["ts"].dataType.simpleString()
+    if ts_t == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif ts_t == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = stream.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts")
+    )
+    joined = stream_stream_interval_join(clicks, purchases, within="1 hour")
+    name = f"st_ssj_{uuid.uuid4().hex[:8]}"
+    # state-store instances scale with shuffle partitions (4 stores per
+    # partition for a stream-stream join); at driver-test scale 8
+    # partitions cut ~30 s of store setup/commit overhead vs 32 — on a
+    # real cluster this knob stays at the session default
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -4349,6 +4419,7 @@ _PRIORITY = [
     "pl_line_dedup",
     "pl_temperature_mixture",
     "an_k_truss",
+    "st_stream_stream_join",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

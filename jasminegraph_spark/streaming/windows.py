@@ -161,3 +161,36 @@ def stateful_user_counter(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_time: str = "ts",
+    right_time: str = "r_ts",
+    within: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join: each left event pairs with every right
+    event for the same key within [left_time, left_time + within].
+
+    Both sides carry a watermark and the join condition carries the time
+    range — that pair is what lets Structured Streaming BOUND the join
+    state: a buffered left row can be evicted once the right watermark
+    passes left_time + within (Spark derives the state TTL from the
+    range; without it, both sides buffer forever). This is the streaming
+    twin of operators/temporal.interval_join — micro-batch state keyed
+    by (key, time-bucket) instead of an exploded bucket join.
+
+    ``right`` must already expose its event time as ``right_time``
+    (rename before calling) so the joined schema never collides.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (F.col(right_time) >= F.col(left_time))
+        & (F.col(right_time) <= F.col(left_time) + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond).drop(r[key])

@@ -433,3 +433,51 @@ def test_stateful_user_counter_times_out(spark, tmp_path):
     assert got.get(1) == (2, 5.0)
     assert got.get(2) == (1, 1.0)
     assert 9 not in got  # still live at end-of-stream
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join replayed with availableNow equals the
+    batch range join: inclusive bounds on both ends, no pairs across
+    users, purchases before the click never match."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.streaming.windows import stream_stream_interval_join
+
+    base = dt.datetime(2024, 1, 1)
+    m = lambda k: base + dt.timedelta(minutes=k)
+    clicks_rows = [(1, m(0)), (1, m(90)), (2, m(0))]
+    buys_rows = [
+        (1, m(30)),   # in window of click@0
+        (1, m(60)),   # boundary: exactly +1h of click@0 (inclusive) and in click@90? no, before it
+        (1, m(100)),  # in window of click@90
+        (2, m(200)),  # outside any window for user 2
+        (3, m(10)),   # no clicks for user 3
+    ]
+    src_c = str(tmp_path / "clicks"); src_p = str(tmp_path / "purchases")
+    cdf = spark.createDataFrame(clicks_rows, "user_id: long, ts: timestamp")
+    pdf = spark.createDataFrame(buys_rows, "user_id: long, r_ts: timestamp")
+    cdf.write.mode("overwrite").parquet(src_c)
+    pdf.write.mode("overwrite").parquet(src_p)
+    cs = spark.readStream.schema(cdf.schema).parquet(src_c)
+    ps = spark.readStream.schema(pdf.schema).parquet(src_p)
+    joined = stream_stream_interval_join(cs, ps, within="1 hour", watermark="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["user_id"], r["ts"], r["r_ts"]) for r in spark.table("t_ssj").collect()}
+    batch = {
+        (cu, ct, pt)
+        for cu, ct in clicks_rows
+        for pu, pt in buys_rows
+        if cu == pu and ct <= pt <= ct + dt.timedelta(hours=1)
+    }
+    assert got == batch
+    assert (1, m(0), m(60)) in got  # inclusive upper bound
+    assert not any(u == 3 for u, _, _ in got)
