@@ -4407,13 +4407,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # round-4 fixes: the 4 red r03 rows (2 hash-canonicalization fixes, 2
-    # read_events timestamp-dtype regressions) must re-verify first
+    # r04 sweep order: (1) the 4 red r03 rows (2 hash fixes landed,
+    # 2 read_events dtype regressions fixed) re-verify first; (2) every
+    # query with NO driver row in r01-r03 (round-4 additions); (3) the
+    # 37 queries whose newest driver row is r01. Audit script:
+    # recompute from CORRECTNESS_r0*.json per round.
+    # --- red r03 rows ---
     "an_closeness_centrality",
     "pl_hash_split",
     "rel_asof_last_purchase",
     "rel_events_rollup_multires",
-    # round-4 new queries (never driver-checked)
+    # --- never driver-checked ---
     "an_personalized_pagerank",
     "rel_interval_join_busy_hours",
     "pl_line_dedup",
@@ -4429,8 +4433,6 @@ _PRIORITY = [
     "an_label_propagation",
     "rel_q14_promo_revenue_share",
     "rel_q18_large_volume_customer",
-    # round-4 continuation: relational breadth (semi/anti/outer-join and
-    # correlated-subquery shapes), corpus scrubbing, graph statistics
     "rel_q4_order_priority",
     "rel_q10_returned_items",
     "rel_q13_customer_distribution",
@@ -4464,9 +4466,7 @@ _PRIORITY = [
     "cypher_union_text",
     "st_session_window_counts",
     "pl_repetition_scores",
-    # 38 queries whose last driver row is r01 while code paths changed since
-    # (shared shingle materialization, cache finalize, session tweaks):
-    # rotate them through the ~50-query window so every row is ≤1 round old
+    # --- stalest (last row r01) ---
     "an_triangle_count",
     "an_pagerank",
     "an_top_k_pagerank",
