@@ -24,8 +24,10 @@ from jasminegraph_spark import pipeline as pl
 from jasminegraph_spark.operators.predicates import coerced_compare, prop
 from jasminegraph_spark.projection import (
     CO_ORDER_CTE,
+    CO_ORDER_W_CTE,
     TPCH_GRAPH_CTE,
     co_order_edges,
+    co_order_weighted_edges,
     tpch_graph,
 )
 
@@ -3076,6 +3078,48 @@ def an_k_truss(spark, sf_dir):
     return k_truss(co_order_edges(spark, sf_dir), k=5, max_iterations=3)
 
 
+def _wsp_oracle(iterations: int, source: int) -> str:
+    """Unrolled Bellman-Ford over the weighted co-order graph (w = 1 /
+    n_shared_orders). Each candidate distance is a sum along one concrete
+    path — the identical float computation tree in both engines — so MIN
+    picks the same value; output rounded to 6dp."""
+    sql = CO_ORDER_W_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src, dst, weight FROM co_w
+        UNION ALL SELECT dst, src, weight FROM co_w
+    ),
+    d0 AS (SELECT CAST(%d AS BIGINT) AS node, CAST(0.0 AS DOUBLE) AS distance)
+    """ % source
+    for i in range(iterations):
+        sql += f"""
+    , d{i + 1} AS MATERIALIZED (
+        SELECT node, MIN(distance) AS distance FROM (
+            SELECT node, distance FROM d{i}
+            UNION ALL
+            SELECT a.dst AS node, d.distance + a.weight AS distance
+            FROM adj a JOIN d{i} d ON d.node = a.src
+        ) GROUP BY node
+    )"""
+    sql += f"\n    SELECT node, ROUND(distance, 6) AS distance FROM d{iterations}"
+    return sql
+
+
+@_q("an_weighted_shortest_paths", _wsp_oracle(4, 1))
+def an_weighted_shortest_paths(spark, sf_dir):
+    """Weighted single-source shortest paths (Bellman-Ford, 4 relaxation
+    rounds) from part 1 over the co-order graph weighted by
+    1/n_shared_orders — "how tightly is every part coupled to part 1".
+    One distance-table join + min-aggregation per round (broadcast under
+    the size guard, co-partitioned beyond); the oracle unrolls the same
+    recurrence."""
+    from jasminegraph_spark.analytics import weighted_shortest_paths
+
+    d = weighted_shortest_paths(
+        co_order_weighted_edges(spark, sf_dir), 1, iterations=4, undirected=True
+    )
+    return d.select("node", F.round("distance", 6).alias("distance"))
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4424,6 +4468,7 @@ _PRIORITY = [
     "pl_temperature_mixture",
     "an_k_truss",
     "st_stream_stream_join",
+    "an_weighted_shortest_paths",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

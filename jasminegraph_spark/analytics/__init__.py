@@ -33,4 +33,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     multi_source_bfs,
     closeness_centrality,
     harmonic_centrality,
+    weighted_shortest_paths,
 )

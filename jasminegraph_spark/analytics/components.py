@@ -403,3 +403,68 @@ def harmonic_centrality(
     return counts.groupBy("source").agg(
         F.sum("n").alias("n_reached"), fold.alias("harmonic")
     )
+
+
+def weighted_shortest_paths(
+    edges: DataFrame,
+    source,
+    weight_col: str = "weight",
+    iterations: int = 10,
+    undirected: bool = True,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Single-source WEIGHTED shortest paths, Bellman-Ford style:
+
+        d_{k+1}(v) = min(d_k(v), min_{(u,v)} d_k(u) + w(u,v))
+
+    Returns (node, distance) for every node reached within ``iterations``
+    relaxation rounds (paths of <= ``iterations`` edges — the fixed round
+    budget is what makes the recurrence unrollable as an oracle; a
+    converged run is a fixpoint of the same recurrence).
+
+    Dijkstra's priority queue is inherently sequential; Bellmann-Ford's
+    round = ONE equi-join of the distance table against the edge list +
+    one min-aggregation, which is exactly Spark's sweet spot. The
+    distance table (<= |V| rows) carries the broadcast hint below the
+    threshold so the persisted edge frame never re-shuffles per round
+    (same guard as pagerank); lineage truncates every round.
+
+    Negative weights are rejected: with them, ``iterations`` bounds the
+    path length but intermediate distances could drop below any floor
+    (cycle detection is a different operator).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    if undirected:
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+    # parallel edges: keep the cheapest (min is the only one that can win)
+    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("weighted_shortest_paths requires non-negative weights")
+    spark = e.sparkSession
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", e.schema["src"].dataType),
+            T.StructField("distance", T.DoubleType()),
+        ]
+    )
+    dist = spark.createDataFrame([(source, 0.0)], schema)
+    n_rows = 1
+    for _ in range(iterations):
+        d = F.broadcast(dist) if n_rows <= broadcast_threshold else dist
+        relaxed = (
+            e.join(d, e.src == d.node)
+            .select(F.col("dst").alias("node"), (F.col("distance") + F.col("w")).alias("distance"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("distance").alias("distance"))
+            .transform(checkpoint)
+        )
+        n_rows = dist.count()
+    return finalize(dist, e)

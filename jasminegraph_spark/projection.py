@@ -233,12 +233,45 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
     return out
 
 
+def co_order_weighted_edges(spark: SparkSession, sf_dir: str):
+    """Weighted analytics graph: same part co-order pairs, with
+    w = 1 / n_shared_orders — strongly co-ordered parts are "close".
+    One pair-explosion + one groupBy (count = multiplicity); the pair
+    space is the same as co_order_edges, so the same scale notes apply.
+    Not memoized: only the weighted-SSSP query reads it, exactly once."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    g = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    pairs = g.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return pairs.groupBy("src", "dst").agg(
+        (F.lit(1.0) / F.count("*")).alias("weight")
+    )
+
+
 # co-order graph as a DuckDB CTE (mirrors co_order_edges)
 CO_ORDER_CTE = """
 WITH co_edges AS (
     SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
     FROM lineitem l1 JOIN lineitem l2
       ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+)
+"""
+
+
+# weighted co-order graph CTE (mirrors co_order_weighted_edges)
+CO_ORDER_W_CTE = """
+WITH co_w AS MATERIALIZED (
+    SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+           CAST(1.0 AS DOUBLE) / COUNT(DISTINCT l1.l_orderkey) AS weight
+    FROM lineitem l1 JOIN lineitem l2
+      ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    GROUP BY l1.l_partkey, l2.l_partkey
 )
 """
 

@@ -257,3 +257,25 @@ def test_k_truss_peels_to_the_clique(spark):
     # k=3 keeps the hanging triangle too
     got3 = {(r["a"], r["b"]) for r in k_truss(edges, k=3).collect()}
     assert got3 == set(clique) | {(4, 10), (3, 10), (3, 4)}
+
+
+def test_weighted_shortest_paths_known_graph(spark):
+    """Bellman-Ford on a weighted diamond: the 2-hop cheap route beats
+    the 1-hop expensive edge; unreachable nodes are absent; negative
+    weights are rejected."""
+    import pytest
+
+    from jasminegraph_spark.analytics import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 1.0), (8, 9, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    got = {
+        r["node"]: r["distance"]
+        for r in weighted_shortest_paths(edges, 1, iterations=6).collect()
+    }
+    assert got == {1: 0.0, 3: 1.0, 2: 2.0, 4: 3.0}  # 1→3→2 beats 1→2
+    with pytest.raises(ValueError):
+        bad = spark.createDataFrame([(1, 2, -1.0)], ["src", "dst", "weight"])
+        weighted_shortest_paths(bad, 1)
