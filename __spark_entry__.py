@@ -2150,6 +2150,43 @@ def pl_line_dedup(spark, sf_dir):
 
 
 @_q(
+    "pl_unigram_logprob",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    total AS (SELECT COUNT(*) AS n FROM toks),
+    freqs AS (
+        SELECT tok, ln(CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM total)) AS lp
+        FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(f.lp), 6) AS avg_logprob
+    FROM toks t JOIN freqs f ON f.tok = t.tok
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """,
+)
+def pl_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring (pipeline/text.unigram_logprob):
+    mean unigram log-probability of each doc under the corpus's own
+    unigram distribution — the cheap KenLM-style quality filter. Two
+    passes (corpus frequency table, then a re-join + per-doc average);
+    the frequency table broadcasts at scale. Every in-corpus token is in
+    the vocab here (vocab << vocab_max), so the OOV floor path is
+    exercised in pytest instead."""
+    docs = _read(spark, sf_dir, "documents")
+    out = pl.unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    ).orderBy("doc_id")
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -4469,6 +4506,7 @@ _PRIORITY = [
     "an_k_truss",
     "st_stream_stream_join",
     "an_weighted_shortest_paths",
+    "pl_unigram_logprob",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

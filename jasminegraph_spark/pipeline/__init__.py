@@ -38,6 +38,7 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,
+    unigram_logprob,
     language_id,
     quality_scores,
     doc_fingerprint,

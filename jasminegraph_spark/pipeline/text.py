@@ -186,3 +186,46 @@ def repetition_scores(
         .agg((F.max("c").cast("double") / F.sum("c")).alias("top_token_frac"))
     )
     return base.join(top, "doc_id")
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_max: int = 1_000_000,
+) -> DataFrame:
+    """Perplexity-proxy quality score WITHOUT a model: the mean unigram
+    log-probability of a document under the corpus's own unigram
+    distribution (the KenLM-style filter's cheap cousin — documents of
+    rare/garbled tokens score very negative, formulaic ones score high).
+
+    Two passes: (1) token explode → corpus frequency table (bounded at
+    ``vocab_max`` rows by frequency rank so the table stays joinable at
+    any corpus size — out-of-vocab tokens fall back to probability
+    1/total, i.e. the floor of the kept table); (2) re-join doc tokens to
+    frequencies, average ln p per doc. The frequency table is tiny next
+    to the corpus — Spark broadcasts it under AQE; the heavy side touches
+    one explode + one hash join + one doc-keyed aggregation.
+
+    Returns (doc_id, n_tokens, avg_logprob).
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freqs = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(vocab_max)
+    )
+    total = toks.count()
+    logp = freqs.select("tok", F.log(F.col("n") / F.lit(float(total))).alias("lp"))
+    floor = F.log(F.lit(1.0 / float(total)))
+    return (
+        toks.join(logp, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg(F.coalesce("lp", floor)).alias("avg_logprob"),
+        )
+    )

@@ -170,3 +170,27 @@ def test_temperature_mixture_flattens_distribution(spark):
     assert abs(counts["big"] - expect_big) < 30  # hash-uniform tolerance
     noop = temperature_mixture(df, "domain", alpha=1.0)
     assert noop.count() == 425
+
+
+def test_unigram_logprob_orders_quality(spark):
+    """Docs of common tokens outscore docs of rare tokens; OOV tokens
+    (beyond vocab_max) fall back to the 1/total floor."""
+    import math
+
+    from jasminegraph_spark.pipeline import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),           # only common tokens
+            (2, "the zyzzyva"),               # one common + one rare
+            (3, "zyzzyva"),                   # rare only
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"] > got[3]["avg_logprob"]
+    total = 7
+    assert abs(got[1]["avg_logprob"] - math.log(5 / total)) < 1e-9
+    # vocab_max=1 keeps only 'the'; both rare tokens take the 1/total floor
+    capped = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_max=1).collect()}
+    assert abs(capped[3]["avg_logprob"] - math.log(1 / total)) < 1e-9
