@@ -3157,6 +3157,42 @@ def an_weighted_shortest_paths(spark, sf_dir):
     return d.select("node", F.round("distance", 6).alias("distance"))
 
 
+def _walks_oracle(length: int, seeds: tuple) -> str:
+    """Unrolled hash-deterministic random walks: per step, min_by over
+    the md5 of (walk, step, candidate) — the same uniform choice the
+    DataFrame job makes, so the whole walk corpus matches row-for-row."""
+    vals = ", ".join(f"(CAST({s} AS BIGINT))" for s in seeds)
+    sql = CO_ORDER_CTE + f"""
+    , adj AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    w0 AS (SELECT col0 AS source, col0 AS node FROM (VALUES {vals}))
+    """
+    for t in range(length):
+        sql += f"""
+    , w{t + 1} AS MATERIALIZED (
+        SELECT w.source,
+               min_by(a.dst, md5(CAST(w.source AS VARCHAR) || ':{t}:' ||
+                      CAST(a.dst AS VARCHAR))) AS node
+        FROM w{t} w JOIN adj a ON a.src = w.node
+        GROUP BY w.source
+    )"""
+    parts = [f"SELECT source, {t} AS step, node FROM w{t}" for t in range(length + 1)]
+    sql += " " + " UNION ALL ".join(parts)
+    return sql
+
+
+@_q("an_random_walks", _walks_oracle(5, (1, 2, 3, 4, 5)))
+def an_random_walks(spark, sf_dir):
+    """DeepWalk-style walk corpus (analytics/graph_algs.random_walks):
+    5-step walks from parts 1-5 over the co-order graph with RNG-free
+    hash-argmin transitions — the embedding-trainer input pipeline
+    (reference GraphSAGE samples neighborhoods the same shape). The
+    whole corpus is deterministic, so the oracle replays it exactly."""
+    from jasminegraph_spark.analytics import random_walks
+
+    return random_walks(co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], length=5)
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4507,6 +4543,7 @@ _PRIORITY = [
     "st_stream_stream_join",
     "an_weighted_shortest_paths",
     "pl_unigram_logprob",
+    "an_random_walks",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

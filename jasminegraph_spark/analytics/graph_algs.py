@@ -329,3 +329,62 @@ def k_truss(edges: DataFrame, k: int = 4, max_iterations: int = 10) -> DataFrame
     for df in dropped[:-1]:
         df.unpersist()
     return finalize(out, dropped[-1])
+
+
+def random_walks(
+    edges: DataFrame,
+    sources: list,
+    length: int = 5,
+    undirected: bool = True,
+) -> DataFrame:
+    """DeepWalk/node2vec-style walk corpus generation with RNG-FREE
+    transitions: at step t, walk s moves from its node to the neighbor u
+    minimizing md5(s || ':' || t || ':' || u). The minimum of a uniform
+    hash over the neighbor set IS a uniform random choice — but one that
+    is a pure function of (walk, step, candidate), so any engine, run, or
+    partitioning generates the identical corpus (and the whole walk
+    table is oracle-checkable, unlike seeded-RNG walkers whose output
+    depends on task scheduling).
+
+    Feeds embedding trainers (the reference's GraphSAGE neighborhood
+    sampling has the same shape). Per step: ONE join of the |S|-row walk
+    head table against adjacency + one argmin aggregation keyed by walk —
+    at 1000 executors the adjacency stays put and the tiny head table
+    moves. A walk strands only at a dead end (no out-neighbors), where it
+    simply stops extending.
+
+    Returns (source, step, node) — step 0 is the source itself.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    spark = e.sparkSession
+    from pyspark.sql import types as T
+
+    src_type = e.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("source", src_type),
+            T.StructField("node", src_type),
+            T.StructField("step", T.IntegerType()),
+        ]
+    )
+    cur = spark.createDataFrame([(s, s, 0) for s in sources], schema)
+    walks = [cur]
+    for t in range(length):
+        h = F.md5(F.concat_ws(":", F.col("source"), F.lit(t), F.col("dst")))
+        nxt = (
+            F.broadcast(cur.select("source", "node"))
+            .join(e, F.col("node") == F.col("src"))
+            .groupBy("source")
+            .agg(F.min(F.struct(h.alias("h"), F.col("dst").alias("n"))).alias("m"))
+            .select("source", F.col("m.n").alias("node"), F.lit(t + 1).alias("step"))
+            .transform(checkpoint)
+        )
+        walks.append(nxt)
+        cur = nxt
+    out = walks[0]
+    for w in walks[1:]:
+        out = out.unionByName(w)
+    return finalize(out, e)

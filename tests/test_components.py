@@ -279,3 +279,42 @@ def test_weighted_shortest_paths_known_graph(spark):
     with pytest.raises(ValueError):
         bad = spark.createDataFrame([(1, 2, -1.0)], ["src", "dst", "weight"])
         weighted_shortest_paths(bad, 1)
+
+
+def test_random_walks_deterministic_and_adjacent(spark):
+    """Walks take only existing edges, are identical across reruns, and a
+    dead-end (directed sink) stops extending instead of erroring."""
+    from jasminegraph_spark.analytics import random_walks
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (9, 10)], ["src", "dst"]
+    )
+    out1 = sorted(
+        (r["source"], r["step"], r["node"])
+        for r in random_walks(edges, [1, 9], length=4).collect()
+    )
+    out2 = sorted(
+        (r["source"], r["step"], r["node"])
+        for r in random_walks(edges, [1, 9], length=4).collect()
+    )
+    assert out1 == out2  # pure function of the graph
+    adj = {(1, 2), (2, 3), (3, 1), (3, 4), (9, 10)}
+    adj |= {(b, a) for a, b in adj}
+    by_walk = {}
+    for s, t, n in out1:
+        by_walk.setdefault(s, {})[t] = n
+    for s, steps in by_walk.items():
+        assert steps[0] == s
+        for t in range(1, max(steps) + 1):
+            assert (steps[t - 1], steps[t]) in adj
+    # directed sink: node 4 has no out-edge in a directed walk
+    d = sorted(
+        (r["step"], r["node"])
+        for r in random_walks(
+            spark.createDataFrame([(1, 4)], ["src", "dst"]),
+            [4],
+            length=3,
+            undirected=False,
+        ).collect()
+    )
+    assert d == [(0, 4)]
