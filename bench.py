@@ -56,6 +56,12 @@ HEADLINE = [
     # round-4: link prediction enters the headline now that the wedge join
     # is degree-capped by default (was ~42 s uncapped at sf0.1, hidden)
     "an_link_prediction",
+    # round-4 continuation scale paths: bucketed range join (no BNLJ),
+    # line-level boilerplate dedup, corpus unigram scoring, Bellman-Ford
+    "rel_interval_join_busy_hours",
+    "pl_line_dedup",
+    "pl_unigram_logprob",
+    "an_weighted_shortest_paths",
 ]
 
 
