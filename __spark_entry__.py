@@ -3193,6 +3193,127 @@ def an_random_walks(spark, sf_dir):
 
     return random_walks(co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], length=5)
 
+@_q(
+    "an_eccentricity_sample",
+    CO_ORDER_CTE
+    + """
+    , edges AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    r0 AS (SELECT CAST(s AS BIGINT) AS source, CAST(s AS BIGINT) AS node, 0 AS d
+           FROM (VALUES (1), (2), (3), (4), (5)) t(s)),
+    r1 AS MATERIALIZED (SELECT DISTINCT r.source, e.dst AS node, 1 AS d
+           FROM edges e JOIN r0 r ON e.src = r.node),
+    r2 AS MATERIALIZED (SELECT DISTINCT r.source, e.dst AS node, 2 AS d
+           FROM edges e JOIN r1 r ON e.src = r.node),
+    r3 AS MATERIALIZED (SELECT DISTINCT r.source, e.dst AS node, 3 AS d
+           FROM edges e JOIN r2 r ON e.src = r.node),
+    r4 AS MATERIALIZED (SELECT DISTINCT r.source, e.dst AS node, 4 AS d
+           FROM edges e JOIN r3 r ON e.src = r.node),
+    reach AS (
+        SELECT * FROM r0 UNION ALL SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4
+    ),
+    dist AS (SELECT source, node, MIN(d) AS distance FROM reach GROUP BY source, node)
+    SELECT source,
+           CAST(MAX(distance) AS INT) AS eccentricity,
+           COUNT(*) AS n_reached,
+           printf('%.6f', AVG(CAST(distance AS DOUBLE))) AS avg_distance
+    FROM dist GROUP BY source ORDER BY source
+    """,
+)
+def an_eccentricity_sample(spark, sf_dir):
+    """Sampled eccentricities (graph diameter estimation): max/avg BFS
+    distance from sources 1-5 within 4 hops — max over the sample is the
+    standard diameter lower bound, avg is the mean-path-length estimate.
+    Rides the ONE multi-source BFS frame (no per-source jobs); %.6f
+    strings per the float-parity rule."""
+    from jasminegraph_spark.analytics import multi_source_bfs
+
+    d = multi_source_bfs(co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], max_hops=4)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.max("distance").cast("int").alias("eccentricity"),
+            F.count("*").alias("n_reached"),
+            F.format_string("%.6f", F.avg(F.col("distance").cast("double"))).alias(
+                "avg_distance"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@_q(
+    "an_local_clustering",
+    CO_ORDER_CTE
+    + """
+    , und AS MATERIALIZED (SELECT src AS a, dst AS b FROM co_edges),
+    tri AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1 JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tri_n AS (
+        SELECT v, COUNT(*) AS n_tri FROM (
+            SELECT x AS v FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY v
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS degree FROM (
+            SELECT a AS v FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY v
+    )
+    SELECT d.v AS node, d.degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+           printf('%.6f', CASE WHEN d.degree >= 2
+               THEN CAST(2.0 AS DOUBLE) * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1))
+               ELSE 0.0 END) AS lcc
+    FROM deg d LEFT JOIN tri_n t ON t.v = d.v
+    ORDER BY d.degree DESC, node LIMIT 100
+    """,
+)
+def an_local_clustering(spark, sf_dir):
+    """Per-node LOCAL clustering coefficient (2·tri(v) / deg(v)(deg(v)-1))
+    for the top-100 nodes by degree — the per-vertex refinement of
+    an_clustering_coefficient. Triangle incidence comes from the same
+    canonical wedge-join enumeration as `trian`; one explode-free 3-way
+    union aggregates per-vertex triangle counts."""
+    from jasminegraph_spark.analytics import triangle_list
+
+    und = co_order_edges(spark, sf_dir)
+    tri = triangle_list(und)
+    tri_n = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("src").alias("v"))
+        .unionAll(und.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    lcc = F.when(
+        F.col("degree") >= 2,
+        F.lit(2.0) * F.coalesce("n_tri", F.lit(0)) / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri_n, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.format_string("%.6f", lcc).alias("lcc"),
+        )
+        .orderBy(F.desc("degree"), F.asc("node"))
+        .limit(100)
+    )
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4544,6 +4665,8 @@ _PRIORITY = [
     "an_weighted_shortest_paths",
     "pl_unigram_logprob",
     "an_random_walks",
+    "an_eccentricity_sample",
+    "an_local_clustering",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",
