@@ -3884,6 +3884,34 @@ _ORACLES["cypher_list_predicates"] = """
        AND COUNT(*) <> 1
     ORDER BY name
 """
+def cypher_reduce(spark, sf_dir):
+    """reduce(acc = init, x IN list | expr) fold → aggregate() HOF
+    (JVM-side; init routed through array-concat type coercion). Folds
+    floor()ed order totals so the fold is integer-associative —
+    collect() order is nondeterministic, so a float fold would be
+    run-order-dependent on BOTH engines."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WITH c.name AS name, collect(o.totalprice) AS totals "
+        "WITH name, size(totals) AS n_orders, [t IN totals | floor(t)] AS itotals "
+        "RETURN name, n_orders, "
+        "reduce(acc = 0, t IN itotals | acc + t) AS folded_total "
+        "ORDER BY name",
+    )
+
+
+_QUERIES["cypher_reduce"] = cypher_reduce
+_ORACLES["cypher_reduce"] = """
+    SELECT c_name AS name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS folded_total
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_name
+    ORDER BY name
+"""
+
+
 _QUERIES["cypher_list_comprehension"] = cypher_list_comprehension
 _ORACLES["cypher_list_comprehension"] = """
     SELECT c_name AS name, COUNT(*) AS n_big,
@@ -4667,6 +4695,7 @@ _PRIORITY = [
     "an_random_walks",
     "an_eccentricity_sample",
     "an_local_clustering",
+    "cypher_reduce",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

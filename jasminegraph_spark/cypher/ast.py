@@ -176,6 +176,17 @@ class ListComprehension:
     map_expr: object | None = None
 
 
+@dataclass
+class Reduce:
+    """reduce(acc = init, x IN list | expr) — list fold."""
+
+    acc_var: str
+    init: object
+    var: str
+    list_expr: object
+    body: object
+
+
 # --- clauses ---------------------------------------------------------------
 
 

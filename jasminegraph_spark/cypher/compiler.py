@@ -48,6 +48,9 @@ class _Compiler:
         # named paths (MATCH p = ...): path var → {"node_vars": [...],
         # "n_rels": fixed rel count, "len_col": varlength column or None}
         self.paths: dict[str, dict] = {}
+        # WITH aliases known to be list-valued (collect() / comprehension
+        # / split()) — lets size() and friends dispatch correctly later
+        self.list_vars: set[str] = set()
 
     def fresh(self, prefix: str) -> str:
         return f"__{prefix}{next(self._anon)}"
@@ -257,6 +260,33 @@ class _Compiler:
             return F.col(e.var)
         if isinstance(e, ast.Literal):
             return F.lit(e.value)
+        if isinstance(e, ast.Reduce):
+            # reduce(acc = init, x IN l | expr) → aggregate(l, init, merge):
+            # a JVM-side fold inside codegen, like the other list HOFs.
+            # aggregate() requires the merge's return type to EQUAL the
+            # accumulator type (init 0 [int] + bigint elements fails
+            # analysis) — Cypher is dynamically typed there. Route the
+            # init through concat(array(init), l): array concat computes
+            # the least-common element type, and its head is the init
+            # value coerced to it.
+            lst = self.expr(e.list_expr)
+            init = F.element_at(F.concat(F.array(self.expr(e.init)), lst), 1)
+
+            def merge(acc: Column, x: Column) -> Column:
+                prev_a = self.lambda_vars.get(e.acc_var)
+                prev_x = self.lambda_vars.get(e.var)
+                self.lambda_vars[e.acc_var] = acc
+                self.lambda_vars[e.var] = x
+                try:
+                    return self.expr(e.body)
+                finally:
+                    for name, prev in ((e.acc_var, prev_a), (e.var, prev_x)):
+                        if prev is None:
+                            del self.lambda_vars[name]
+                        else:
+                            self.lambda_vars[name] = prev
+
+            return F.aggregate(lst, init, merge)
         if isinstance(e, ast.ListComprehension):
             # [x IN l WHERE p | m] → transform(filter(l, p), m): stays
             # JVM-side inside whole-stage codegen (no Python UDF)
@@ -291,6 +321,19 @@ class _Compiler:
             return {"+": _op.add, "-": _op.sub, "*": _op.mul,
                     "/": _op.truediv, "%": _op.mod}[e.op](l, r)
         raise CypherCompileError(f"cannot compile value expression {e!r}")
+
+    def _is_list_expr(self, a0) -> bool:
+        """Compile-time "is this expression list-valued": literal lists,
+        comprehensions, reduce-over..., split(), nodes(), collect()
+        aggregates, and WITH aliases previously bound to any of those."""
+        return (
+            isinstance(a0, ast.ListComprehension)
+            or (isinstance(a0, ast.Literal) and isinstance(a0.value, list))
+            or (isinstance(a0, ast.ScalarFunc) and a0.func == "split")
+            or (isinstance(a0, ast.PathFunc) and a0.func == "nodes")
+            or (isinstance(a0, ast.Aggregate) and a0.func == "collect")
+            or (isinstance(a0, ast.VarRef) and a0.var in self.list_vars)
+        )
 
     def _scalar(self, e: "ast.ScalarFunc") -> Column:
         """openCypher scalar functions → Catalyst built-ins, 1:1 (no UDFs).
@@ -332,13 +375,7 @@ class _Compiler:
             # compile-time dispatch: list-shaped args use array size,
             # string properties use length
             a0 = e.args[0]
-            list_shaped = (
-                isinstance(a0, ast.ListComprehension)
-                or (isinstance(a0, ast.Literal) and isinstance(a0.value, list))
-                or (isinstance(a0, ast.ScalarFunc) and a0.func == "split")
-                or (isinstance(a0, ast.PathFunc) and a0.func == "nodes")
-            )
-            return F.size(args[0]) if list_shaped else F.length(args[0])
+            return F.size(args[0]) if self._is_list_expr(a0) else F.length(args[0])
         if f == "coalesce":
             if not args:
                 raise CypherCompileError("coalesce() needs at least one arg")
@@ -650,13 +687,19 @@ class _Compiler:
             out = df.select(*[self._with_col(it).alias(n) for n, it in zip(names, wc.items)])
         # rebind variable scopes
         new_nodes, new_rels = set(), set()
+        new_lists: set[str] = set()
         for n, it in zip(names, wc.items):
             if isinstance(it.expr, ast.VarRef):
                 if it.expr.var in self.node_vars:
                     new_nodes.add(n)
                 elif it.expr.var in self.rel_vars:
                     new_rels.add(n)
+                elif it.expr.var in self.list_vars:
+                    new_lists.add(n)
+            elif self._is_list_expr(it.expr):
+                new_lists.add(n)
         self.node_vars, self.rel_vars = new_nodes, new_rels
+        self.list_vars = new_lists
         if wc.distinct:
             out = ops.distinct(out)
         if wc.order_by:

@@ -577,6 +577,21 @@ class _Parser:
                 var = self.expect("WORD")
                 self.expect("PUNCT", ")")
                 return PathFunc(word, var)
+            if word == "reduce" and self.peek() == ("PUNCT", "("):
+                from jasminegraph_spark.cypher.ast import Reduce
+
+                self.next()
+                acc = self.expect("WORD")
+                self.expect("OP", "=")
+                init = self.parse_value()
+                self.expect("PUNCT", ",")
+                lvar = self.expect("WORD")
+                self.expect("KW", "IN")
+                lst = self.parse_value()
+                self.expect("PUNCT", "|")
+                body = self.parse_value()
+                self.expect("PUNCT", ")")
+                return Reduce(acc, init, lvar, lst, body)
             if word in ("keys", "properties") and self.peek() == ("PUNCT", "("):
                 self.next()
                 var = self.expect("WORD")

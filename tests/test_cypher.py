@@ -759,3 +759,26 @@ def test_keys_and_properties_functions(social):
     )
     assert out[0]["ks"] == ["age", "name", "occupation"]
     assert out[0]["ps"]["name"] == "Dave" and out[0]["ps"]["age"] == "25"
+
+
+def test_reduce_fold(social):
+    """reduce(acc = init, x IN list | expr) compiles to the JVM-side
+    aggregate() HOF: sums, products, and use over collected lists."""
+    out = cypher_query(
+        social,
+        "UNWIND [0] AS z RETURN reduce(acc = 0, x IN [1, 2, 3, 4] | acc + x) AS s",
+    )
+    assert [r["s"] for r in out.collect()] == [10]
+    out = cypher_query(
+        social,
+        "UNWIND [0] AS z RETURN reduce(acc = 1, x IN [2, 3, 4] | acc * x) AS p",
+    )
+    assert [r["p"] for r in out.collect()] == [24]
+    # fold over a collect()ed list from the graph: sum of Alice's friend ids
+    out = cypher_query(
+        social,
+        "MATCH (p:Person {name:'Alice'})-[:FRIENDS]-(q:Person) "
+        "WITH p.name AS name, collect(id(q)) AS fids "
+        "RETURN name, reduce(acc = 0, f IN fids | acc + f) AS fid_sum",
+    )
+    assert [(r["name"], r["fid_sum"]) for r in out.collect()] == [("Alice", 10)]
