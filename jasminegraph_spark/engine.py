@@ -226,6 +226,32 @@ class JasmineEngine:
             self.catalog.get(graph_name).edges, sources, max_hops=max_hops
         )
 
+    def personalized_pagerank(
+        self, graph_name: str, sources: list, alpha: float = 0.85, iterations: int = 10
+    ) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.personalized_pagerank(
+            g.edges, sources, alpha=alpha, iterations=iterations,
+            undirected=not g.is_directed,
+        )
+
+    def k_truss(self, graph_name: str, k: int = 4) -> DataFrame:
+        return an.k_truss(self.catalog.get(graph_name).edges, k)
+
+    def weighted_shortest_paths(
+        self, graph_name: str, source, weight_col: str = "weight", iterations: int = 10
+    ) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.weighted_shortest_paths(
+            g.edges, source, weight_col=weight_col, iterations=iterations,
+            undirected=not g.is_directed,
+        )
+
+    def random_walks(self, graph_name: str, sources: list, length: int = 5) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.random_walks(g.edges, sources, length=length,
+                               undirected=not g.is_directed)
+
     def clustering_coefficient(self, graph_name: str) -> DataFrame:
         return an.clustering_coefficient(self.catalog.get(graph_name).edges)
 

@@ -204,3 +204,26 @@ def test_cli_adstrmk_drains_stream_with_triangles(tmp_path):
     assert out.returncode == 0, out.stderr[-500:]
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res == {"streamed": "sg", "edges": 6, "triangles": 2}
+
+
+def test_continuation_analytics_verbs(ingested):
+    """Round-4 continuation verbs on the facade: PPR stays within the
+    seed's triangle, k-truss keeps the triangles at k=3, random walks
+    stay 5 steps long, weighted SSSP distances are hop sums."""
+    # edge-list reader keeps vertex ids as strings
+    ppr = {r["node"]: r["rank"] for r in
+           ingested.personalized_pagerank("pg", ["0"], iterations=8).collect()}
+    assert ppr["0"] > 0 and ppr["1"] > 0 and ppr.get("10", 0.0) == 0.0
+    truss = {(r["a"], r["b"]) for r in ingested.k_truss("pg", k=3).collect()}
+    assert ("0", "1") in truss and len(truss) == 12
+    walks = ingested.random_walks("pg", ["0", "10"], length=5).collect()
+    assert len(walks) == 12  # 2 walks x 6 positions (step 0..5)
+    import pyspark.sql.functions as F
+
+    g = ingested.catalog.get("pg")
+    weighted = g.edges.withColumn("weight", F.lit(2.0))
+    from jasminegraph_spark.analytics import weighted_shortest_paths
+
+    d = {r["node"]: r["distance"] for r in
+         weighted_shortest_paths(weighted, "0", iterations=4).collect()}
+    assert d["0"] == 0.0 and d["1"] == 2.0 and d["2"] == 2.0
