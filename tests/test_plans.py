@@ -349,3 +349,36 @@ def test_interval_join_is_bucketed_equi_join(q):
     plan = _plan(q("rel_interval_join_busy_hours"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_no_nested_loop(q):
+    """Line dedup joins on the line hash — any BNLJ/cartesian means the
+    boilerplate-count join degenerated."""
+    plan = _plan(q("pl_line_dedup"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_map_side_only(q):
+    """Chunking must be one scan: split → sequence → slice → explode,
+    with NO shuffle before the (test-only) final sort."""
+    plan = _plan(q("pl_chunk_documents"))
+    before_sort = plan.split("Sort", 1)[0]
+    assert "Exchange hashpartitioning" not in before_sort
+    assert "Generate explode" in plan
+
+
+def test_temperature_mixture_broadcasts_fractions(q):
+    """The per-domain keep-fraction table (5 rows) must broadcast back
+    onto the corpus — a shuffle join would move the whole corpus for a
+    handful of fractions."""
+    plan = _plan(q("pl_temperature_mixture"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_weighted_sssp_stays_equi_join(q):
+    """Bellman-Ford rounds are equi-joins on src — no per-row inequality
+    anywhere."""
+    plan = _plan(q("an_weighted_shortest_paths"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
