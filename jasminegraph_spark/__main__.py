@@ -50,6 +50,10 @@ def main(argv=None) -> int:
     p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
     p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
     p = sub.add_parser("graphstats");  p.add_argument("name")
+    p = sub.add_parser("ppr");         p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--alpha", type=float, default=0.85); p.add_argument("--iters", type=int, default=10); p.add_argument("--top", type=int, default=10)
+    p = sub.add_parser("ktruss");      p.add_argument("name"); p.add_argument("--k", type=int, default=4)
+    p = sub.add_parser("wsp");         p.add_argument("name"); p.add_argument("source"); p.add_argument("--iters", type=int, default=10)
+    p = sub.add_parser("walks");       p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--length", type=int, default=5)
     args = ap.parse_args(argv)
 
     import os
@@ -175,6 +179,30 @@ def main(argv=None) -> int:
                 "assortativity": asrt["assortativity"],
             }
         )
+    elif args.cmd == "ppr":
+        srcs = [s.strip() for s in args.sources.split(",") if s.strip()]
+        rows = (
+            eng.personalized_pagerank(
+                args.name, srcs, alpha=args.alpha, iterations=args.iters
+            )
+            .orderBy("rank", ascending=False)
+            .limit(args.top)
+            .collect()
+        )
+        for r in rows:
+            emit({"node": r["node"], "rank": r["rank"]})
+    elif args.cmd == "ktruss":
+        for r in eng.k_truss(args.name, args.k).collect():
+            emit({"a": r["a"], "b": r["b"], "support": r["support"]})
+    elif args.cmd == "wsp":
+        for r in eng.weighted_shortest_paths(
+            args.name, args.source, iterations=args.iters
+        ).collect():
+            emit({"node": r["node"], "distance": r["distance"]})
+    elif args.cmd == "walks":
+        srcs = [s.strip() for s in args.sources.split(",") if s.strip()]
+        for r in eng.random_walks(args.name, srcs, length=args.length).collect():
+            emit({"source": r["source"], "step": r["step"], "node": r["node"]})
     elif args.cmd == "constructkg":
         docs = (
             spark.read.parquet(args.path)

@@ -242,8 +242,15 @@ class JasmineEngine:
         self, graph_name: str, source, weight_col: str = "weight", iterations: int = 10
     ) -> DataFrame:
         g = self.catalog.get(graph_name)
+        e = g.edges
+        if weight_col not in e.columns:
+            # ingested graphs carry no weight column — unit weights turn
+            # this into hop-count distances (plain BFS semantics)
+            from pyspark.sql import functions as F
+
+            e = e.withColumn(weight_col, F.lit(1.0))
         return an.weighted_shortest_paths(
-            g.edges, source, weight_col=weight_col, iterations=iterations,
+            e, source, weight_col=weight_col, iterations=iterations,
             undirected=not g.is_directed,
         )
 

@@ -227,3 +227,31 @@ def test_continuation_analytics_verbs(ingested):
     d = {r["node"]: r["distance"] for r in
          weighted_shortest_paths(weighted, "0", iterations=4).collect()}
     assert d["0"] == 0.0 and d["1"] == 2.0 and d["2"] == 2.0
+
+
+def test_cli_continuation_verbs(tmp_path):
+    """ppr / ktruss / wsp / walks through the real CLI subprocess."""
+    import subprocess
+    import sys
+
+    (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n3 4\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return [json.loads(l) for l in out.stdout.strip().splitlines()]
+
+    run("adgr", "cg", str(tmp_path / "g.dl"))
+    ppr = run("ppr", "cg", "--sources", "1", "--iters", "4", "--top", "2")
+    assert len(ppr) == 2 and all(r["rank"] > 0 for r in ppr)
+    truss = run("ktruss", "cg", "--k", "3")
+    assert {(r["a"], r["b"]) for r in truss} == {("1", "2"), ("1", "3"), ("2", "3")}
+    wsp = run("wsp", "cg", "1", "--iters", "4")
+    dist = {r["node"]: r["distance"] for r in wsp}
+    assert dist["4"] == 2.0  # unit-weight fallback: hop counts
+    walks = run("walks", "cg", "--sources", "1", "--length", "3")
+    assert len(walks) == 4 and walks[0]["step"] == 0
