@@ -6,3 +6,4 @@ from jasminegraph_spark.sources.readers import (  # noqa: F401
     read_edge_list_with_attributes,
     EDGE_WIRE_SCHEMA,
 )
+from jasminegraph_spark.sources.layout import compact_parquet, zorder_by  # noqa: F401,E501

@@ -170,3 +170,62 @@ def test_read_documents_jsonl_explicit_id(spark, tmp_path):
     p.write_text('{"text": "abc", "lang": "en", "source": "s", "doc_id": 7}\n')
     r = read_documents_jsonl(spark, str(p), id_field="doc_id").first()
     assert r["doc_id"] == 7 and r["n_chars"] == 3
+
+
+def test_compact_parquet_hits_file_target(spark, tmp_path):
+    """200 tiny files compact to the size-targeted count; row set
+    unchanged."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.sources import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    spark.range(20000).withColumn("pad", F.md5(F.col("id").cast("string"))).repartition(
+        200
+    ).write.parquet(src)
+    report = compact_parquet(spark, src, dst, target_file_mb=1)
+    assert report["files_before"] == 200
+    assert report["files_after"] <= 4
+    assert spark.read.parquet(dst).count() == 20000
+
+
+def test_zorder_tightens_file_envelopes(spark, tmp_path):
+    """Z-ordering on (x, y) must make per-file min/max envelopes
+    selective on BOTH columns: for a point filter, the number of files
+    whose envelope contains it drops well below all-files."""
+    import itertools
+
+    from jasminegraph_spark.sources import zorder_by
+
+    rows = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, ["x", "y"]).repartition(8)
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    df.write.parquet(plain)
+    zorder_by(df, ["x", "y"], n_files=8).write.parquet(zed)
+
+    def hit_files(path, x, y):
+        import pyarrow.parquet as pq
+        import os as _os
+
+        hits, total = 0, 0
+        for root, _, files in _os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                total += 1
+                md = pq.read_metadata(_os.path.join(root, f))
+                lo_x = min(md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups))
+                hi_x = max(md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups))
+                lo_y = min(md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups))
+                hi_y = max(md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups))
+                if lo_x <= x <= hi_x and lo_y <= y <= hi_y:
+                    hits += 1
+        return hits, total
+
+    z_hits, z_total = hit_files(zed, 5, 60)
+    p_hits, p_total = hit_files(plain, 5, 60)
+    assert p_hits == p_total  # round-robin: every file spans everything
+    assert z_hits <= z_total // 2  # z-order: most files pruned
+    # row set unchanged
+    assert spark.read.parquet(zed).count() == 64 * 64
