@@ -78,3 +78,65 @@ def test_minhash_identical_texts_identical_signatures(spark, texts):
     for i, t in enumerate(texts):
         if len(t) >= 4:
             assert sig[i] == sig[100 + i]
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=20),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 150)), min_size=1, max_size=8
+    ),
+)
+def test_interval_join_matches_bruteforce(spark, points, spans):
+    """Bucketed interval join == brute-force range scan for arbitrary
+    points and [start, start+len) intervals, across bucket boundaries."""
+    from jasminegraph_spark.operators.temporal import interval_join
+
+    pdf = spark.createDataFrame(
+        [(i, float(t)) for i, t in enumerate(points)], ["pid", "ts"]
+    )
+    idf = spark.createDataFrame(
+        [(i, float(s), float(s + l)) for i, (s, l) in enumerate(spans)],
+        ["iid", "start", "end"],
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(pdf, idf, point_time="ts", bucket_seconds=64).collect()
+    }
+    want = {
+        (pi, ii)
+        for pi, t in enumerate(points)
+        for ii, (s, l) in enumerate(spans)
+        if s <= t < s + l
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=5),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_line_dedup_invariants(spark, doc_lines):
+    """For arbitrary corpora: kept+removed == total lines per doc; a kept
+    line never occurs in >= 2 distinct docs; clean text is exactly the
+    surviving lines in order."""
+    from jasminegraph_spark.pipeline import line_dedup
+
+    docs = [(i, "\n".join(lines)) for i, lines in enumerate(doc_lines)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df, min_docs=2).collect()}
+    from collections import Counter
+
+    doc_count = Counter()
+    for _, lines in enumerate(doc_lines):
+        for line in set(lines):
+            doc_count[line] += 1
+    for i, lines in enumerate(doc_lines):
+        r = out[i]
+        assert r["n_kept"] + r["n_removed"] == len(lines)
+        survivors = [l for l in lines if doc_count[l] < 2]
+        assert r["clean_text"] == "\n".join(survivors)
