@@ -3350,6 +3350,76 @@ def an_local_clustering(spark, sf_dir):
     )
 
 
+def _hits_oracle(iterations: int) -> str:
+    """Unrolled max-normalized HITS on the directed customer→part graph.
+    MAX rescaling (not L2) keeps every value an order-independent
+    function of the previous round — engine-reproducible."""
+    sql = """
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_partkey + 10000000 AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM cp
+              UNION SELECT DISTINCT dst FROM cp),
+    s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub,
+                  CAST(1.0 AS DOUBLE) AS authority FROM nodes)
+    """
+    for i in range(iterations):
+        sql += f"""
+    , ar{i} AS MATERIALIZED (
+        SELECT e.dst AS node, SUM(s.hub) AS a_raw
+        FROM cp e JOIN s{i} s ON s.node = e.src GROUP BY e.dst
+    ),
+    a{i} AS MATERIALIZED (
+        SELECT node, a_raw / (SELECT MAX(a_raw) FROM ar{i}) AS authority
+        FROM ar{i}
+    ),
+    hr{i} AS MATERIALIZED (
+        SELECT e.src AS node, SUM(a.authority) AS h_raw
+        FROM cp e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+    ),
+    h{i} AS MATERIALIZED (
+        SELECT node, h_raw / (SELECT MAX(h_raw) FROM hr{i}) AS hub
+        FROM hr{i}
+    ),
+    s{i + 1} AS MATERIALIZED (
+        SELECT n.node, COALESCE(h.hub, 0.0) AS hub,
+               COALESCE(a.authority, 0.0) AS authority
+        FROM nodes n LEFT JOIN h{i} h ON h.node = n.node
+        LEFT JOIN a{i} a ON a.node = n.node
+    )"""
+    sql += (
+        f"\n    SELECT node, ROUND(hub, 6) AS hub,"
+        f" ROUND(authority, 6) AS authority FROM s{iterations}"
+    )
+    return sql
+
+
+@_q("an_hits", _hits_oracle(3))
+def an_hits(spark, sf_dir):
+    """HITS hubs/authorities (3 max-normalized rounds) on the directed
+    customer→part purchase graph: authorities = widely-bought parts,
+    hubs = broad-basket customers. Part ids are offset by 10M so the two
+    node spaces never collide. Same broadcast-score loop family as
+    pagerank; oracle unrolls the identical recurrence."""
+    from jasminegraph_spark.analytics import hits
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_partkey") + F.lit(10_000_000)).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(cp, iterations=3)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4733,6 +4803,7 @@ _PRIORITY = [
     "an_local_clustering",
     "cypher_reduce",
     "pl_chunk_documents",
+    "an_hits",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

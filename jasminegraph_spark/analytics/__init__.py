@@ -13,6 +13,7 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     edge_support,
     k_truss,
     random_walks,
+    hits,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
 from jasminegraph_spark.analytics.linkpred import (  # noqa: F401

@@ -388,3 +388,60 @@ def random_walks(
     for w in walks[1:]:
         out = out.unionByName(w)
     return finalize(out, e)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities on a DIRECTED edge list: per round
+    auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), each vector
+    rescaled by its MAX. Max-normalization (a standard HITS variant) is
+    deliberate: an L2 norm is an order-dependent float sum that diverges
+    across engines in the last ulp, while max is order-independent — the
+    whole fixed-round recurrence stays engine-reproducible.
+
+    Per round: two equi-joins of the score tables against the persisted
+    edge list + two partial-agg shuffles + two 1-row max aggregates
+    (broadcast back — never a driver collect). Score tables are |V| rows
+    and carry the broadcast hint under the same size guard as pagerank.
+
+    Returns (node, hub, authority); nodes with no outgoing edges have
+    hub 0, no incoming edges authority 0.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
+    n_total = nodes.count()
+    brd = (lambda df: F.broadcast(df)) if n_total <= broadcast_threshold else (lambda df: df)
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+    for i in range(iterations):
+        auth_raw = (
+            e.join(brd(scores.select("node", "hub")), e.src == F.col("node"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_max = auth_raw.agg(F.max("a_raw").alias("m"))
+        auth = auth_raw.crossJoin(F.broadcast(a_max)).select(
+            "node", (F.col("a_raw") / F.col("m")).alias("authority")
+        )
+        hub_raw = (
+            e.join(brd(auth), e.dst == F.col("node"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        h_max = hub_raw.agg(F.max("h_raw").alias("m"))
+        hub = hub_raw.crossJoin(F.broadcast(h_max)).select(
+            "node", (F.col("h_raw") / F.col("m")).alias("hub")
+        )
+        scores = (
+            nodes.join(hub, "node", "left")
+            .join(auth, "node", "left")
+            .select(
+                "node",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .transform(checkpoint)
+        )
+    return finalize(scores, e, nodes)

@@ -318,3 +318,22 @@ def test_random_walks_deterministic_and_adjacent(spark):
         ).collect()
     )
     assert d == [(0, 4)]
+
+
+def test_hits_bipartite_known_structure(spark):
+    """Max-normalized HITS on a small bipartite graph: the part bought
+    by every customer is the top authority (1.0), the customer buying
+    everything is the top hub (1.0); sources have authority 0."""
+    from jasminegraph_spark.analytics import hits
+
+    edges = spark.createDataFrame(
+        # customers 1-3 → parts 11-13; 1 buys all, 11 bought by all
+        [(1, 11), (1, 12), (1, 13), (2, 11), (3, 11), (3, 12)],
+        ["src", "dst"],
+    )
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iterations=8).collect()}
+    assert got[11][1] == 1.0  # universal part = top authority
+    assert got[1][0] == 1.0   # universal buyer = top hub
+    assert got[11][0] == 0.0  # parts have no out-edges → hub 0
+    assert got[2][1] == 0.0   # customers have no in-edges → authority 0
+    assert got[2][0] < got[3][0] < got[1][0]  # hub order by basket breadth
