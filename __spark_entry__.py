@@ -2223,6 +2223,57 @@ def pl_chunk_documents(spark, sf_dir):
 
 
 @_q(
+    "pl_bm25_topk",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    lens AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    tf AS MATERIALIZED (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('merge', 'stream', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT d.tok,
+               ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+        FROM dfreq d, stats s
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               i.idf * (t.tf * CAST(2.2 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS sc
+        FROM tf t JOIN idf i ON i.tok = t.tok
+        JOIN lens l ON l.doc_id = t.doc_id, stats s
+    )
+    SELECT doc_id, COUNT(*) AS n_matched,
+           printf('%.6f', SUM(sc)) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY SUM(sc) DESC, doc_id LIMIT 20
+    """,
+)
+def pl_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (pipeline/text.bm25_topk) for the query
+    {merge, stream, window} — the lexical retrieval half of a RAG stack
+    next to the dense ANN family. Token explode is filtered to the query
+    terms at the scan; df/idf is a |terms|-row broadcast; top-20 is a
+    TakeOrdered. %.6f score strings per the float-parity rule."""
+    docs = _read(spark, sf_dir, "documents")
+    out = pl.bm25_topk(docs, ["merge", "stream", "window"], k=20)
+    return out.select(
+        "doc_id", "n_matched", F.format_string("%.6f", F.col("score")).alias("score")
+    )
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -4804,6 +4855,7 @@ _PRIORITY = [
     "cypher_reduce",
     "pl_chunk_documents",
     "an_hits",
+    "pl_bm25_topk",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -39,6 +39,7 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,
     unigram_logprob,
+    bm25_topk,
     language_id,
     quality_scores,
     doc_fingerprint,

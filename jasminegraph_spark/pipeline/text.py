@@ -229,3 +229,74 @@ def unigram_logprob(
             F.avg(F.coalesce("lp", floor)).alias("avg_logprob"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 keyword retrieval: rank documents for a bag of query terms —
+    the lexical half of a RAG retrieval stack (the dense half is the ANN
+    family in pipeline/similarity).
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avg|d|))
+        idf(t)   = ln( (N − df + 0.5) / (df + 0.5) + 1 )    (Lucene form)
+
+    Plan: one token explode filtered TO THE QUERY TERMS at the scan
+    (predicate pushdown keeps the explode output ∝ matches, not corpus
+    tokens), one (term, doc) tf aggregation, a |terms|-row df/idf table
+    broadcast back, a doc-length frame, and a per-doc sum + TakeOrdered
+    top-k. No full-corpus inverted index is materialized — at 100 TB
+    build the (term, doc, tf) table ONCE with the same first two stages
+    and reuse it across queries (it IS the inverted index).
+
+    Returns (id_col, n_matched, score) for the top k by (score, id).
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    toks = docs.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    lens = toks.groupBy(id_col).agg(F.count("*").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    qtoks = toks.filter(F.col("tok").isin(list(query_terms)))
+    tf = qtoks.groupBy(id_col, "tok").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.countDistinct(id_col).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        F.log(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "tok")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            F.col(id_col),
+            (
+                F.col("idf")
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("*").alias("n_matched"), F.sum("s").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

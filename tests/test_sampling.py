@@ -222,3 +222,33 @@ def test_chunk_documents_windows(spark):
     assert rows[(3, 0)] == ("x", 1)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 sanity on a crafted corpus: the doc containing BOTH query
+    terms outranks single-term docs; a rarer term outweighs a common
+    one; non-matching docs are absent; empty query raises."""
+    import pytest
+
+    from jasminegraph_spark.pipeline import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark engine spark engine plan"),
+            (2, "spark plan optimizer cost model"),
+            (3, "engine room crew deck sail"),
+            (4, "totally unrelated words here now"),
+            (5, "spark spark spark spark spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["spark", "engine"], k=10).collect()
+    ranks = [r["doc_id"] for r in out]
+    assert 4 not in ranks
+    assert ranks[0] == 1  # both terms, engine is rarer
+    both = {r["doc_id"]: r["n_matched"] for r in out}
+    assert both[1] == 2 and both[5] == 1
+    # engine (df=2) carries more idf than spark (df=3): doc 3 beats doc 2
+    assert ranks.index(3) < ranks.index(2)
+    with pytest.raises(ValueError):
+        bm25_topk(docs, [])
