@@ -2274,6 +2274,95 @@ def pl_bm25_topk(spark, sf_dir):
 
 
 @_q(
+    "pl_hybrid_rrf",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    lens AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    tf AS MATERIALIZED (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('merge', 'stream', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT d.tok,
+               ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+        FROM dfreq d, stats s
+    ),
+    bscored AS (
+        SELECT t.doc_id,
+               i.idf * (t.tf * CAST(2.2 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS sc
+        FROM tf t JOIN idf i ON i.tok = t.tok
+        JOIN lens l ON l.doc_id = t.doc_id, stats s
+    ),
+    lexagg AS (SELECT doc_id, SUM(sc) AS s FROM bscored GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+            FROM lexagg
+        ) WHERE rank <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+            FROM dscored
+        ) WHERE rank <= 50
+    ),
+    fused AS (
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS rr FROM lex
+        UNION ALL
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS rr FROM dense
+    )
+    SELECT doc_id, COUNT(*) AS n_lists, printf('%.6f', SUM(rr)) AS rrf_score
+    FROM fused GROUP BY doc_id
+    ORDER BY SUM(rr) DESC, doc_id LIMIT 10
+    """,
+)
+def pl_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval (pipeline/similarity.rrf_fuse): BM25 top-50 for
+    {merge, stream, window} fused with dense cosine top-50 around doc 0's
+    embedding via reciprocal-rank fusion (c=60) — the standard RAG
+    hybrid-search combiner, no score calibration needed. Both input
+    lists are bounded, so fusion cost is independent of corpus size."""
+    from pyspark.sql.window import Window as _W
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = pl.bm25_topk(docs, ["merge", "stream", "window"], k=50).withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("int"),
+    )
+    dense = pl.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    fused = pl.rrf_fuse([lex.select("doc_id", "rank"), dense], k=10)
+    return fused.select(
+        "doc_id",
+        "n_lists",
+        F.format_string("%.6f", F.col("rrf_score")).alias("rrf_score"),
+    )
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -4856,6 +4945,7 @@ _PRIORITY = [
     "pl_chunk_documents",
     "an_hits",
     "pl_bm25_topk",
+    "pl_hybrid_rrf",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

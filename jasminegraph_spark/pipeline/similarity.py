@@ -402,3 +402,39 @@ def sq_ann(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def rrf_fuse(
+    rankings: list,
+    id_col: str = "doc_id",
+    k: int = 20,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval lists (the standard hybrid-
+    search combiner: BM25 lexical + dense ANN, fused WITHOUT score
+    calibration): fused(d) = Σ_lists 1 / (c + rank_list(d)).
+
+    Each input must already carry an integer ``rank`` column (1-based,
+    deterministically tie-broken, as bm25_topk/cosine_topk emit or a
+    row_number produces). Inputs are top-N lists — bounded frames — so
+    the fusion is a union + one tiny groupBy + TakeOrdered regardless of
+    corpus size; RRF scores are sums of exact rationals of small ints,
+    so fusion is engine-reproducible wherever the input ranks are.
+
+    Returns (id_col, n_lists, rrf_score) for the fused top k.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    parts = [
+        r.select(F.col(id_col), (F.lit(1.0) / (F.lit(c) + F.col("rank"))).alias("rr"))
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(F.count("*").alias("n_lists"), F.sum("rr").alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -251,3 +251,22 @@ def test_line_dedup_removes_boilerplate(spark):
     assert got[3]["clean_text"] == "" and got[3]["n_kept"] == 0 and got[3]["n_removed"] == 2
     # intra-doc repetition is a repetition signal, not cross-doc boilerplate
     assert got[4]["clean_text"] == "only unique text\nonly unique text"
+
+
+def test_rrf_fuse_combines_rankings(spark):
+    """RRF: a doc ranked mid-list in BOTH inputs beats a doc top-ranked
+    in only one (1/(60+2)+1/(60+2) > 1/(60+1)); n_lists counts
+    memberships; empty input raises."""
+    import pytest
+
+    from jasminegraph_spark.pipeline import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], ["doc_id", "rank"])
+    b = spark.createDataFrame([(40, 1), (20, 2), (50, 3)], ["doc_id", "rank"])
+    out = rrf_fuse([a, b], k=10).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert out[0]["doc_id"] == 20 and by_id[20]["n_lists"] == 2
+    assert by_id[10]["n_lists"] == 1
+    assert abs(by_id[20]["rrf_score"] - 2 / 62) < 1e-12
+    with pytest.raises(ValueError):
+        rrf_fuse([])
