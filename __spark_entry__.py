@@ -2362,6 +2362,22 @@ def pl_hybrid_rrf(spark, sf_dir):
     )
 
 
+@_q("pl_pca_project")  # rows-only: eigendecomposition is not SQL-expressible
+def pl_pca_project(spark, sf_dir):
+    """PCA compression of the embedding corpus to 8 dims (pipeline/
+    similarity.pca_project): only the d² partial-Gram cells cross the
+    cluster (mapInPandas outer products → one groupBy), eigh runs on the
+    driver's d×d covariance, projection is a second expression-only
+    pass. Driver row is rows-only — the eigendecomposition has no DuckDB
+    twin; exact numpy parity is asserted in tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    projected, info = pl.pca_project(emb, n_components=8)
+    return projected.select(
+        "vec_id",
+        F.transform("pca", lambda x: F.round(x, 6)).alias("pca"),
+    ).orderBy("vec_id")
+
+
 @_q(
     "pl_exact_dedup",
     """
@@ -4946,6 +4962,7 @@ _PRIORITY = [
     "an_hits",
     "pl_bm25_topk",
     "pl_hybrid_rrf",
+    "pl_pca_project",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

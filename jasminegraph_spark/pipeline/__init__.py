@@ -13,6 +13,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
 from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     rrf_fuse,
+    pca_project,
     sign_lsh_buckets,
     banded_sign_buckets,
     embedding_near_dup,

@@ -438,3 +438,110 @@ def rrf_fuse(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    n_components: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """PCA dimension reduction for the embedding column (the standard
+    pre-ANN compression: project d-dim vectors onto the top-k principal
+    components; IVF/LSH then index the short vectors).
+
+    Distribution strategy: the ONLY thing that crosses the cluster is
+    the d×d Gram matrix — mapInPandas computes per-Arrow-batch partial
+    sums (numpy outer products, executor-side), emitting d² (i, j, s)
+    rows per batch; one groupBy reduces them and d² scalars reach the
+    driver (d=64 → 4096 rows, regardless of corpus size). numpy.eigh on
+    the d×d covariance is driver-side (microseconds); components are
+    sign-fixed (largest-|coefficient| entry made positive) so the basis
+    is deterministic. Projection is a second single pass.
+
+    Returns (projected_df, info): projected_df has (id_col, pca) with
+    the k-dim projected vector; info carries eigenvalues and the
+    explained-variance ratios.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    dim = len(src.select("v").first()["v"])
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("colsum", T.DoubleType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            g = x.T @ x
+            cs = x.sum(axis=0)
+            i, j = np.meshgrid(range(dim), range(dim), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": i.ravel(),
+                    "j": j.ravel(),
+                    "s": g.ravel(),
+                    "n": len(x),
+                    "colsum": np.where(i.ravel() == j.ravel(), cs[i.ravel()], 0.0),
+                }
+            )
+
+    parts = (
+        src.select("v")
+        .mapInPandas(partial_gram, schema=out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("colsum").alias("colsum"))
+        .collect()
+    )
+    # each batch stamps its row count on all d² cells, so after the
+    # (i, j) reduction every cell's n equals the total row count
+    n_rows = int(sum(r["n"] for r in parts) / (dim * dim))
+    gram = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in parts:
+        gram[r["i"], r["j"]] = r["s"]
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["colsum"]
+    mean /= n_rows
+    cov = gram / n_rows - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # (k, d)
+    evals_k = evals[order]
+    # deterministic sign: largest-|x| coefficient positive
+    for c in comps:
+        if c[np.argmax(np.abs(c))] < 0:
+            c *= -1
+    total_var = float(evals.sum())
+    info = {
+        "eigenvalues": [float(v) for v in evals_k],
+        "explained_ratio": [float(v / total_var) for v in evals_k],
+        "n_rows": n_rows,
+    }
+    comp_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in comps])
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with("v", mean_lit, lambda a, b: a - b)
+    proj = F.transform(
+        comp_lit,
+        lambda c: F.aggregate(
+            F.zip_with(centered, c, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    projected = src.select(F.col(id_col), proj.alias("pca"))
+    return projected, info

@@ -270,3 +270,36 @@ def test_rrf_fuse_combines_rankings(spark):
     assert abs(by_id[20]["rrf_score"] - 2 / 62) < 1e-12
     with pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed partial-Gram PCA == numpy PCA on the same data:
+    explained variance ratios match, projections match up to the fixed
+    sign, and the first component captures the dominant direction."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline import pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: variance concentrated in one known direction
+    base = rng.randn(200, 4) * np.array([10.0, 2.0, 0.5, 0.1])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    projected, info = pca_project(df, n_components=2)
+    assert info["n_rows"] == 200
+    # numpy reference
+    c = base - base.mean(axis=0)
+    cov = (c.T @ c) / 200
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    ref_ratio = evals[order] / evals.sum()
+    assert np.allclose(info["explained_ratio"], ref_ratio, atol=1e-9)
+    assert info["explained_ratio"][0] > 0.9  # dominant axis
+    got = {r["vec_id"]: np.array(r["pca"]) for r in projected.collect()}
+    comps = evecs[:, order].T.copy()
+    for comp in comps:
+        if comp[np.argmax(np.abs(comp))] < 0:
+            comp *= -1
+    ref = c @ comps.T
+    for i in range(200):
+        assert np.allclose(got[i], ref[i], atol=1e-9), i
