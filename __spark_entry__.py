@@ -3576,6 +3576,56 @@ def an_hits(spark, sf_dir):
     )
 
 
+@_q(
+    "an_square_count",
+    """
+    WITH cp AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    pairs AS MATERIALIZED (
+        SELECT w1.src AS a, w2.src AS b, COUNT(*) AS w
+        FROM cp w1 JOIN cp w2 ON w1.dst = w2.dst AND w1.src < w2.src
+        GROUP BY w1.src, w2.src
+    ),
+    sq AS (SELECT CAST(COALESCE(SUM(w * (w - 1) / 2), 0) AS BIGINT) AS n_squares
+           FROM pairs),
+    dsrc AS (SELECT src, COUNT(*) AS ds FROM cp GROUP BY src),
+    ddst AS (SELECT dst, COUNT(*) AS dd FROM cp GROUP BY dst),
+    l3 AS (
+        SELECT CAST(COALESCE(SUM((ds - 1) * (dd - 1)), 0) AS BIGINT) AS n_l3_paths
+        FROM cp e JOIN dsrc ON dsrc.src = e.src JOIN ddst ON ddst.dst = e.dst
+    )
+    SELECT sq.n_squares, l3.n_l3_paths,
+           printf('%.6f', CASE WHEN l3.n_l3_paths > 0
+               THEN CAST(4.0 AS DOUBLE) * sq.n_squares / l3.n_l3_paths
+               ELSE 0.0 END) AS robins_alexander
+    FROM sq, l3
+    """,
+)
+def an_square_count(spark, sf_dir):
+    """4-cycle census + Robins-Alexander bipartite clustering coefficient
+    (analytics/graph_algs.square_count) of the customer→part purchase
+    graph — the bipartite analogue of `trian` (bipartite graphs have no
+    triangles; squares are their smallest cycle). One wedge self-join on
+    the shared part + closed-form aggregation."""
+    from jasminegraph_spark.analytics import square_count
+
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+        .distinct()
+    )
+    out = square_count(cp)
+    return out.select(
+        "n_squares",
+        "n_l3_paths",
+        F.format_string("%.6f", F.col("robins_alexander")).alias("robins_alexander"),
+    )
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -4963,6 +5013,7 @@ _PRIORITY = [
     "pl_bm25_topk",
     "pl_hybrid_rrf",
     "pl_pca_project",
+    "an_square_count",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

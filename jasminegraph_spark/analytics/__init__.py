@@ -14,6 +14,7 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     k_truss,
     random_walks,
     hits,
+    square_count,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
 from jasminegraph_spark.analytics.linkpred import (  # noqa: F401

@@ -445,3 +445,59 @@ def hits(
             .transform(checkpoint)
         )
     return finalize(scores, e, nodes)
+
+
+def square_count(edges: DataFrame) -> DataFrame:
+    """4-cycle (square) census of a BIPARTITE src→dst edge list, plus the
+    Robins–Alexander bipartite clustering coefficient 4·C4 / L3 — the
+    bipartite analogue of the triangle-based clustering coefficient
+    (bipartite graphs have no triangles at all).
+
+        C4 = Σ_{src pairs} C(common_dsts, 2)  (each square counted once)
+        L3 = Σ_{(u,v)∈E} (deg(u) − 1)(deg(v) − 1)   (3-edge paths)
+
+    One wedge self-join keyed on the shared dst — fan-out Σ_d C(deg(d), 2)
+    — followed by a pair count and a closed-form aggregation. A hot dst
+    (a part in half the orders) makes its C(deg, 2) term explode; that is
+    the same hub hazard as the triangle wedge join, and the same armor
+    applies at scale (cap or salt the hottest dst keys; AQE splits the
+    moderate ones).
+
+    Returns one row (n_squares, n_l3_paths, robins_alexander).
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    w1 = e.select(F.col("src").alias("a"), "dst")
+    w2 = e.select(F.col("src").alias("b"), "dst")
+    pairs = (
+        w1.join(w2, "dst")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("w"))
+    )
+    sq = pairs.agg(
+        F.coalesce(F.sum(F.col("w") * (F.col("w") - 1) / 2), F.lit(0.0))
+        .cast("long")
+        .alias("n_squares")
+    )
+    dsrc = e.groupBy("src").agg(F.count("*").alias("ds"))
+    ddst = e.groupBy("dst").agg(F.count("*").alias("dd"))
+    l3 = (
+        e.join(dsrc, "src")
+        .join(ddst, "dst")
+        .agg(
+            F.coalesce(F.sum((F.col("ds") - 1) * (F.col("dd") - 1)), F.lit(0))
+            .cast("long")
+            .alias("n_l3_paths")
+        )
+    )
+    out = sq.crossJoin(l3).select(
+        "n_squares",
+        "n_l3_paths",
+        F.when(
+            F.col("n_l3_paths") > 0,
+            F.lit(4.0) * F.col("n_squares") / F.col("n_l3_paths"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("robins_alexander"),
+    )
+    return finalize(out, e)

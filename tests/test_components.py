@@ -337,3 +337,20 @@ def test_hits_bipartite_known_structure(spark):
     assert got[11][0] == 0.0  # parts have no out-edges → hub 0
     assert got[2][1] == 0.0   # customers have no in-edges → authority 0
     assert got[2][0] < got[3][0] < got[1][0]  # hub order by basket breadth
+
+
+def test_square_count_known_bipartite(spark):
+    """One complete K_{2,2} = exactly 1 square; adding a pendant edge
+    adds L3 paths but no squares; coefficient = 4·C4/L3."""
+    from jasminegraph_spark.analytics import square_count
+
+    k22 = [(1, 10), (1, 11), (2, 10), (2, 11)]
+    r = square_count(spark.createDataFrame(k22, ["src", "dst"])).first()
+    assert r["n_squares"] == 1
+    assert r["n_l3_paths"] == 4  # each of the 4 edges closes one 3-path
+    assert r["robins_alexander"] == 1.0
+    r2 = square_count(
+        spark.createDataFrame(k22 + [(3, 10)], ["src", "dst"])
+    ).first()
+    assert r2["n_squares"] == 1 and r2["n_l3_paths"] > 4
+    assert 0 < r2["robins_alexander"] < 1.0
