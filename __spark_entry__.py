@@ -3626,6 +3626,54 @@ def an_square_count(spark, sf_dir):
     )
 
 
+def _walk_pmi_oracle(length: int, seeds: tuple, window: int) -> str:
+    """The deterministic walk corpus (see _walks_oracle) re-counted into
+    windowed co-occurrence pairs + PMI."""
+    base = _walks_oracle(length, seeds)
+    head, final = base.rsplit(" SELECT source, 0 AS step, node FROM w0", 1)
+    walks_union = " SELECT source, 0 AS step, node FROM w0" + final
+    sql = head + f"""
+    , walks AS MATERIALIZED ({walks_union}),
+    pairs AS MATERIALIZED (
+        SELECT LEAST(x.node, y.node) AS a, GREATEST(x.node, y.node) AS b
+        FROM walks x JOIN walks y ON y.source = x.source
+        WHERE y.step > x.step AND y.step - x.step <= {window}
+    ),
+    cooc AS MATERIALIZED (
+        SELECT a, b, COUNT(*) AS n_cooc FROM pairs GROUP BY a, b
+    ),
+    nodec AS (
+        SELECT node, SUM(n_cooc) AS c_node FROM (
+            SELECT a AS node, n_cooc FROM cooc
+            UNION ALL SELECT b, n_cooc FROM cooc
+        ) GROUP BY node
+    ),
+    tot AS (SELECT SUM(n_cooc) AS t FROM cooc)
+    SELECT c.a, c.b, c.n_cooc,
+           printf('%.6f', ln(CAST(c.n_cooc AS DOUBLE) * tot.t
+                             / (na.c_node * nb.c_node))) AS pmi
+    FROM cooc c JOIN nodec na ON na.node = c.a
+    JOIN nodec nb ON nb.node = c.b, tot
+    ORDER BY c.a, c.b
+    """
+    return sql
+
+
+@_q("an_walk_pmi", _walk_pmi_oracle(5, (1, 2, 3, 4, 5), 2))
+def an_walk_pmi(spark, sf_dir):
+    """Skip-gram co-occurrence PMI over the deterministic walk corpus
+    (analytics/graph_algs.walk_cooccurrence_pmi ∘ random_walks) — the
+    counting half of DeepWalk feature learning, end-to-end a pure
+    function of the graph so the full feature table oracle-checks."""
+    from jasminegraph_spark.analytics import random_walks, walk_cooccurrence_pmi
+
+    walks = random_walks(co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], length=5)
+    out = walk_cooccurrence_pmi(walks, window=2)
+    return out.select(
+        "a", "b", "n_cooc", F.format_string("%.6f", F.col("pmi")).alias("pmi")
+    ).orderBy("a", "b")
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -5014,6 +5062,7 @@ _PRIORITY = [
     "pl_hybrid_rrf",
     "pl_pca_project",
     "an_square_count",
+    "an_walk_pmi",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

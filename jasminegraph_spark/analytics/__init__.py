@@ -15,6 +15,7 @@ from jasminegraph_spark.analytics.graph_algs import (  # noqa: F401
     random_walks,
     hits,
     square_count,
+    walk_cooccurrence_pmi,
 )
 from jasminegraph_spark.analytics.beam_search import semantic_beam_search  # noqa: F401
 from jasminegraph_spark.analytics.linkpred import (  # noqa: F401

@@ -501,3 +501,56 @@ def square_count(edges: DataFrame) -> DataFrame:
         .alias("robins_alexander"),
     )
     return finalize(out, e)
+
+
+def walk_cooccurrence_pmi(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence statistics over a walk corpus (the counting
+    half of DeepWalk/word2vec: walks → windowed pairs → PMI): nodes
+    co-occurring within ``window`` steps on the same walk form a pair;
+
+        pmi(a,b) = ln( c_ab · T / (c_a · c_b) )
+
+    with T the total pair count and c_x the per-node pair-slot count.
+    Composed with :func:`random_walks` the whole feature table is a pure
+    function of the graph. One self-join of the walk table keyed on the
+    walk id (walks are ``length``-row groups, so fan-out per walk is
+    O(length·window)), two small aggregations, one broadcast of the
+    1-row total. Returns (a, b, n_cooc, pmi).
+    """
+    w1 = walks.select(F.col("source").alias("wid"), F.col("step").alias("s1"), F.col("node").alias("a"))
+    w2 = walks.select(F.col("source").alias("wid"), F.col("step").alias("s2"), F.col("node").alias("b"))
+    pairs = (
+        w1.join(w2, "wid")
+        .filter(
+            (F.col("s2") > F.col("s1")) & (F.col("s2") - F.col("s1") <= F.lit(window))
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    cooc = pairs.groupBy("a", "b").agg(F.count("*").alias("n_cooc")).persist()
+    node_counts = (
+        cooc.select(F.col("a").alias("node"), "n_cooc")
+        .unionByName(cooc.select(F.col("b").alias("node"), "n_cooc"))
+        .groupBy("node")
+        .agg(F.sum("n_cooc").alias("c_node"))
+    )
+    total = cooc.agg(F.sum("n_cooc").alias("t"))
+    ca = node_counts.select(F.col("node").alias("a"), F.col("c_node").alias("c_a"))
+    cb = node_counts.select(F.col("node").alias("b"), F.col("c_node").alias("c_b"))
+    # node-count joins are left to AQE (the table is |nodes-in-walks|
+    # rows — small for seed sets, potentially |V| for full-corpus walks)
+    out = (
+        cooc.join(ca, "a")
+        .join(cb, "b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            "n_cooc",
+            F.log(
+                F.col("n_cooc").cast("double")
+                * F.col("t")
+                / (F.col("c_a") * F.col("c_b"))
+            ).alias("pmi"),
+        )
+    )
+    return finalize(out, cooc)

@@ -354,3 +354,24 @@ def test_square_count_known_bipartite(spark):
     ).first()
     assert r2["n_squares"] == 1 and r2["n_l3_paths"] > 4
     assert 0 < r2["robins_alexander"] < 1.0
+
+
+def test_walk_pmi_counting(spark):
+    """PMI counting on a hand-built walk corpus: window-2 pairs, PMI
+    formula exact."""
+    import math
+
+    from jasminegraph_spark.analytics import walk_cooccurrence_pmi
+
+    walks = spark.createDataFrame(
+        # one walk 1→2→3, one walk 1→2→4
+        [(1, 0, 1), (1, 1, 2), (1, 2, 3), (9, 0, 1), (9, 1, 2), (9, 2, 4)],
+        ["source", "step", "node"],
+    )
+    got = {(r["a"], r["b"]): r for r in walk_cooccurrence_pmi(walks, window=2).collect()}
+    # pairs per walk: (1,2), (1,3|4), (2,3|4) → 6 total, (1,2) twice
+    assert got[(1, 2)]["n_cooc"] == 2
+    assert got[(2, 3)]["n_cooc"] == 1
+    T = 6
+    c1, c2 = 4, 4  # node 1: 2×(1,2)+ (1,3)+(1,4); node 2 likewise
+    assert abs(got[(1, 2)]["pmi"] - math.log(2 * T / (c1 * c2))) < 1e-9
