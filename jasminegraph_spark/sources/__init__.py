@@ -7,3 +7,7 @@ from jasminegraph_spark.sources.readers import (  # noqa: F401
     EDGE_WIRE_SCHEMA,
 )
 from jasminegraph_spark.sources.layout import compact_parquet, zorder_by  # noqa: F401,E501
+from jasminegraph_spark.sources.sinks import (  # noqa: F401
+    assemble_graphml,
+    export_graphml,
+)

