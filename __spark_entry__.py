@@ -1674,6 +1674,63 @@ def st_stream_stream_join(spark, sf_dir):
 
 
 @_q(
+    "st_streaming_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st_streaming_dedup(spark, sf_dir):
+    """STATEFUL STREAMING DEDUP driver row (§2.6): the event stream
+    deduplicated per (user_id, event_type) with
+    dropDuplicatesWithinWatermark (streaming/windows.streaming_dedup
+    semantics — state evicted past the watermark horizon), replayed with
+    availableNow. A bounded replay keeps exactly the first row per key,
+    so per-type survivor counts equal the batch COUNT(DISTINCT user_id)
+    oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tempfile.mkdtemp(prefix="jgs_dedup_")
+    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+    file_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(file_schema).parquet(stream_dir)
+    ts_t = file_schema["ts"].dataType.simpleString()
+    if ts_t == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    elif ts_t == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_unique_users"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -5063,6 +5120,7 @@ _PRIORITY = [
     "pl_pca_project",
     "an_square_count",
     "an_walk_pmi",
+    "st_streaming_dedup",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",
