@@ -2436,6 +2436,53 @@ def pl_pca_project(spark, sf_dir):
 
 
 @_q(
+    "pl_embedding_hygiene",
+    """
+    WITH base AS MATERIALIZED (
+        SELECT vec_id, len(embedding) AS dim,
+               sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> x * x))) AS norm,
+               list_count(list_filter(CAST(embedding AS DOUBLE[]),
+                    x -> x IS NULL OR isnan(x) OR abs(x) > 1e308)) > 0 AS bad_vals
+        FROM embeddings
+    ),
+    med AS (SELECT quantile_cont(norm, 0.5) AS med FROM base WHERE NOT bad_vals),
+    madt AS (
+        SELECT quantile_cont(abs(b.norm - m.med), 0.5) AS mad, ANY_VALUE(m.med) AS med
+        FROM base b, med m WHERE NOT b.bad_vals
+    )
+    SELECT b.vec_id, CAST(b.dim AS INT) AS dim,
+           printf('%.6f', ROUND(b.norm, 6)) AS norm,
+           CASE WHEN b.dim <> 64 THEN 'bad_dim'
+                WHEN b.bad_vals THEN 'non_finite'
+                WHEN b.norm = 0 THEN 'zero_norm'
+                WHEN CASE WHEN m.mad > 0
+                          THEN abs(b.norm - m.med)
+                               / (CAST(1.4826 AS DOUBLE) * m.mad) > 4.0
+                          ELSE abs(b.norm - m.med)
+                               > CAST(0.01 AS DOUBLE) * m.med END
+                     THEN 'norm_outlier'
+                ELSE 'ok' END AS flag
+    FROM base b, madt m ORDER BY b.vec_id
+    """,
+)
+def pl_embedding_hygiene(spark, sf_dir):
+    """Vector-hygiene gate before ANN/index builds (pipeline/similarity.
+    embedding_hygiene): per-vector dimension/finite/zero-norm checks plus
+    a robust norm-outlier flag (4 MAD-z from the median norm). Map-side
+    expressions + one exact-percentile pass broadcast back; %.6f norms
+    per the float-parity rule."""
+    emb = _read(spark, sf_dir, "embeddings")
+    out = pl.embedding_hygiene(emb, expected_dim=64, norm_z_threshold=4.0)
+    return out.select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        F.format_string("%.6f", F.col("norm")).alias("norm"),
+        "flag",
+    ).orderBy("vec_id")
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -5121,6 +5168,7 @@ _PRIORITY = [
     "an_square_count",
     "an_walk_pmi",
     "st_streaming_dedup",
+    "pl_embedding_hygiene",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -14,6 +14,7 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     rrf_fuse,
     pca_project,
+    embedding_hygiene,
     sign_lsh_buckets,
     banded_sign_buckets,
     embedding_near_dup,

@@ -303,3 +303,23 @@ def test_pca_project_matches_numpy(spark):
     ref = c @ comps.T
     for i in range(200):
         assert np.allclose(got[i], ref[i], atol=1e-9), i
+
+
+def test_embedding_hygiene_flags(spark):
+    """Each failure mode gets its own flag; clean vectors pass."""
+    from jasminegraph_spark.pipeline import embedding_hygiene
+
+    rows = [(i, [1.0, 1.0, 1.0]) for i in range(20)]        # clean
+    rows += [
+        (100, [1.0, 1.0]),                                  # bad_dim
+        (101, [float("nan"), 1.0, 1.0]),                    # non_finite
+        (102, [0.0, 0.0, 0.0]),                             # zero_norm
+        (103, [1000.0, 1000.0, 1000.0]),                    # norm_outlier
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = {r["vec_id"]: r["flag"] for r in embedding_hygiene(df, expected_dim=3).collect()}
+    assert got[100] == "bad_dim"
+    assert got[101] == "non_finite"
+    assert got[102] == "zero_norm"
+    assert got[103] == "norm_outlier"
+    assert all(got[i] == "ok" for i in range(20))
