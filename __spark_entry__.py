@@ -3314,6 +3314,65 @@ def _lpa_oracle(iterations: int = 4) -> str:
     return sql
 
 
+def _modularity_oracle(iterations: int = 4) -> str:
+    """LPA communities (same unrolled recurrence as _lpa_oracle) scored
+    with Newman modularity over the canonical co-order edge set."""
+    base = _lpa_oracle(iterations)
+    head = base.rsplit("\n    SELECT CAST(sz AS BIGINT)", 1)[0]
+    return head + f"""
+    , und AS MATERIALIZED (SELECT src AS a, dst AS b FROM co_edges),
+    m AS (SELECT COUNT(*) AS m FROM und),
+    labeled AS (
+        SELECT la.community AS ca, lb.community AS cb
+        FROM und e JOIN l{iterations} la ON la.node = e.a
+        JOIN l{iterations} lb ON lb.node = e.b
+    ),
+    intra AS (
+        SELECT ca AS community, COUNT(*) AS e_c FROM labeled
+        WHERE ca = cb GROUP BY ca
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        ) GROUP BY node
+    ),
+    dc AS (
+        SELECT l.community, SUM(deg.d) AS d_c
+        FROM l{iterations} l JOIN deg ON deg.node = l.node
+        GROUP BY l.community
+    ),
+    per_c AS (
+        SELECT dc.community, COALESCE(intra.e_c, 0) AS e_c, dc.d_c
+        FROM dc LEFT JOIN intra ON intra.community = dc.community
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           printf('%.6f', SUM(e_c) / CAST(m.m AS DOUBLE)) AS intra_edge_fraction,
+           printf('%.6f', SUM(e_c / CAST(m.m AS DOUBLE)
+               - pow(d_c / (CAST(2.0 AS DOUBLE) * m.m), 2))) AS modularity
+    FROM per_c, m GROUP BY m.m
+    """
+
+
+@_q("an_modularity", _modularity_oracle(4))
+def an_modularity(spark, sf_dir):
+    """Newman modularity of the 4-round LPA partition on the co-order
+    graph (analytics/components.modularity ∘ label_propagation) — the
+    partition-quality score community detection is judged by. Oracle =
+    the LPA recurrence unrolled + the same Q aggregation."""
+    from jasminegraph_spark.analytics import label_propagation, modularity
+
+    e = co_order_edges(spark, sf_dir)
+    communities = label_propagation(e, iterations=4)
+    out = modularity(e, communities)
+    return out.select(
+        "n_communities",
+        F.format_string("%.6f", F.col("intra_edge_fraction")).alias(
+            "intra_edge_fraction"
+        ),
+        F.format_string("%.6f", F.col("modularity")).alias("modularity"),
+    )
+
+
 @_q("an_label_propagation", _lpa_oracle(4))
 def an_label_propagation(spark, sf_dir):
     """Community detection via synchronous label propagation (4 rounds,
@@ -5169,6 +5228,7 @@ _PRIORITY = [
     "an_walk_pmi",
     "st_streaming_dedup",
     "pl_embedding_hygiene",
+    "an_modularity",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

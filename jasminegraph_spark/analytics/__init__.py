@@ -38,4 +38,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     closeness_centrality,
     harmonic_centrality,
     weighted_shortest_paths,
+    modularity,
 )

@@ -468,3 +468,55 @@ def weighted_shortest_paths(
         )
         n_rows = dist.count()
     return finalize(dist, e)
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over an undirected
+    graph — the standard partition-quality score for label_propagation /
+    community_partition output:
+
+        Q = Σ_c [ e_c / m  −  (d_c / 2m)² ]
+
+    (e_c = intra-community edges, d_c = total degree in c, m = |E|).
+    One labels join onto the canonical edge list + two small per-
+    community aggregations; the scalar totals travel as broadcast 1-row
+    frames. Returns one row (n_communities, intra_edge_fraction,
+    modularity).
+
+    ``communities`` carries (node, community).
+    """
+    from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+
+    und = canonical_undirected(edges).persist()
+    la = communities.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = communities.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    labeled = und.join(la, "a").join(lb, "b")
+    m = und.count()
+    intra = labeled.filter(F.col("ca") == F.col("cb")).groupBy(
+        F.col("ca").alias("community")
+    ).agg(F.count("*").alias("e_c"))
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select("b"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    d_c = (
+        communities.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    per_c = d_c.join(intra, "community", "left").select(
+        "community",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    out = per_c.agg(
+        F.count("*").alias("n_communities"),
+        (F.sum("e_c") / F.lit(float(m))).alias("intra_edge_fraction"),
+        F.sum(
+            F.col("e_c") / F.lit(float(m))
+            - F.pow(F.col("d_c") / F.lit(2.0 * m), F.lit(2.0))
+        ).alias("modularity"),
+    )
+    return finalize(out, und)

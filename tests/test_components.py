@@ -375,3 +375,25 @@ def test_walk_pmi_counting(spark):
     T = 6
     c1, c2 = 4, 4  # node 1: 2×(1,2)+ (1,3)+(1,4); node 2 likewise
     assert abs(got[(1, 2)]["pmi"] - math.log(2 * T / (c1 * c2))) < 1e-9
+
+
+def test_modularity_known_partitions(spark):
+    """Two disjoint triangles: the natural partition scores Q = 1/2 and
+    beats both the all-in-one and the singleton partitions."""
+    from jasminegraph_spark.analytics import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)], ["src", "dst"]
+    )
+    natural = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        ["node", "community"],
+    )
+    lumped = spark.createDataFrame([(n, 1) for n in range(1, 7)], ["node", "community"])
+    singles = spark.createDataFrame([(n, n) for n in range(1, 7)], ["node", "community"])
+    q_nat = modularity(edges, natural).first()
+    q_lump = modularity(edges, lumped).first()["modularity"]
+    q_single = modularity(edges, singles).first()["modularity"]
+    assert abs(q_nat["modularity"] - 0.5) < 1e-9
+    assert q_nat["intra_edge_fraction"] == 1.0 and q_nat["n_communities"] == 2
+    assert q_nat["modularity"] > q_lump > q_single
