@@ -1731,6 +1731,73 @@ def st_streaming_dedup(spark, sf_dir):
 
 
 @_q(
+    "rel_scd2_user_state",
+    """
+    WITH changes AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type,
+               event_id
+        FROM events
+    ),
+    starts AS (
+        SELECT user_id, event_type, ts, event_id FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    versions AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM starts
+    )
+    SELECT user_id,
+           event_type AS state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(valid_to, '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    ORDER BY user_id, valid_from
+    """,
+)
+def rel_scd2_user_state(spark, sf_dir):
+    """Slowly-changing-dimension TYPE-2 build from the event stream: each
+    user's consecutive runs of the same event_type collapse into one
+    versioned row with [valid_from, valid_to) — LAG detects change
+    points, LEAD closes each version; the open version flags is_current.
+    One window partition per user (bounded state), no self-joins — the
+    standard dimension-history pattern a warehouse ingests nightly at
+    any scale."""
+    from pyspark.sql.window import Window as _W
+
+    ev = _read(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = starts.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+    return versions.select(
+        "user_id",
+        "state",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss"), F.lit("current")
+        ).alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -2480,6 +2547,43 @@ def pl_embedding_hygiene(spark, sf_dir):
         F.format_string("%.6f", F.col("norm")).alias("norm"),
         "flag",
     ).orderBy("vec_id")
+
+
+@_q(
+    "pl_vocab_coverage",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT tok FROM (
+            SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    total AS (SELECT COUNT(*) AS t FROM toks),
+    top AS (
+        SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+        FROM counts ORDER BY n DESC, tok ASC LIMIT 20
+    )
+    SELECT CAST(rank AS INT) AS rank, tok AS token, n AS n_occurrences,
+           printf('%.6f',
+               SUM(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+               / CAST(total.t AS DOUBLE)) AS cum_coverage
+    FROM top, total ORDER BY rank
+    """,
+)
+def pl_vocab_coverage(spark, sf_dir):
+    """Tokenizer-prep vocab coverage curve (pipeline/text.vocab_coverage):
+    top-20 tokens with cumulative corpus coverage — the report that sizes
+    a tokenizer vocabulary. The cumsum window runs over the top-V rows
+    only, never the corpus."""
+    docs = _read(spark, sf_dir, "documents")
+    out = pl.vocab_coverage(docs, top_v=20)
+    return out.select(
+        "rank",
+        "token",
+        "n_occurrences",
+        F.format_string("%.6f", F.col("cum_coverage")).alias("cum_coverage"),
+    ).orderBy("rank")
 
 
 @_q(
@@ -5229,6 +5333,8 @@ _PRIORITY = [
     "st_streaming_dedup",
     "pl_embedding_hygiene",
     "an_modularity",
+    "rel_scd2_user_state",
+    "pl_vocab_coverage",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

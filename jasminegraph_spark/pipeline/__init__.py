@@ -43,6 +43,7 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,
     unigram_logprob,
     bm25_topk,
+    vocab_coverage,
     language_id,
     quality_scores,
     doc_fingerprint,

