@@ -1798,6 +1798,58 @@ def rel_scd2_user_state(spark, sf_dir):
 
 
 @_q(
+    "rel_cdc_apply",
+    """
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, ROUND(value, 2) AS value
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    ORDER BY user_id
+    """,
+)
+def rel_cdc_apply(spark, sf_dir):
+    """CDC MERGE (operators/temporal.apply_cdc): the event stream as a
+    change feed onto a per-user state table — 'error' events are delete
+    tombstones, everything else upserts the event's value; latest change
+    per user wins. One change-stream window + one full-outer join, the
+    exact shuffle a Delta/Iceberg MERGE plans. The oracle is the merged
+    table's closed form: each user's latest event, dropped when it is a
+    tombstone."""
+    from pyspark.sql.window import Window as _W
+
+    from jasminegraph_spark.operators import apply_cdc
+
+    ev = _read(spark, sf_dir, "events")
+    # unique (user, ts) change rows: keep the max-event_id event so the
+    # merge tie-break is fully deterministic
+    w = _W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    changes = (
+        ev.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+            "value",
+        )
+    )
+    w2 = _W.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    snapshot = (
+        ev.withColumn("__r", F.row_number().over(w2))
+        .filter(F.col("__r") == 1)
+        .select("user_id", "value")
+    )
+    merged = apply_cdc(snapshot, changes, ["user_id"], ts_col="ts", op_col="op")
+    return merged.select("user_id", F.round("value", 2).alias("value")).orderBy(
+        "user_id"
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -5335,6 +5387,7 @@ _PRIORITY = [
     "an_modularity",
     "rel_scd2_user_state",
     "pl_vocab_coverage",
+    "rel_cdc_apply",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -20,4 +20,8 @@ from jasminegraph_spark.operators.cypher_ops import (  # noqa: F401
     create_elements,
 )
 from jasminegraph_spark.operators.predicates import prop, coerced_compare  # noqa: F401
-from jasminegraph_spark.operators.temporal import as_of_join  # noqa: F401
+from jasminegraph_spark.operators.temporal import (  # noqa: F401
+    apply_cdc,
+    as_of_join,
+    interval_join,
+)

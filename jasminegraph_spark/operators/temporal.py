@@ -146,3 +146,49 @@ def interval_join(
         (F.col(point_time) >= F.col(start_col)) & (F.col(point_time) < F.col(end_col))
     )
     return joined.drop("__bucket")
+
+
+def apply_cdc(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a change-data-capture stream to a snapshot — MERGE INTO
+    semantics without a transactional table format:
+
+      * per key, the LATEST change (by ``ts_col``, then ``op_col`` as a
+        deterministic tie-break) wins;
+      * op 'D' deletes the key; 'I'/'U' upsert the change's values;
+      * keys untouched by the stream keep their snapshot row.
+
+    One row_number window on the change stream (shuffle keyed on the
+    merge keys) + one full-outer join against the snapshot — exactly the
+    shuffle a Delta/Iceberg MERGE plans, so swapping a real table format
+    in later changes nothing upstream. Output schema = snapshot schema.
+    """
+    value_cols = [c for c in snapshot.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(ts_col), F.desc(op_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *key_cols,
+            F.col(op_col).alias("__op"),
+            *[F.col(c).alias(f"__c_{c}") for c in value_cols],
+        )
+    )
+    joined = snapshot.join(latest, key_cols, "full_outer")
+    merged = joined.filter(
+        F.col("__op").isNull() | (F.col("__op") != F.lit("D"))
+    ).select(
+        *key_cols,
+        *[
+            F.when(F.col("__op").isNotNull(), F.col(f"__c_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in value_cols
+        ],
+    )
+    return merged

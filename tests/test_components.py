@@ -397,3 +397,24 @@ def test_modularity_known_partitions(spark):
     assert abs(q_nat["modularity"] - 0.5) < 1e-9
     assert q_nat["intra_edge_fraction"] == 1.0 and q_nat["n_communities"] == 2
     assert q_nat["modularity"] > q_lump > q_single
+
+
+def test_apply_cdc_merge_semantics(spark):
+    """MERGE semantics: latest op per key wins, D deletes, I inserts new
+    keys, untouched snapshot rows survive."""
+    from jasminegraph_spark.operators import apply_cdc
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 5, "a2", 11),   # update k=1
+            (1, "U", 3, "aX", 99),   # older update — must lose
+            (2, "D", 7, None, None), # delete k=2
+            (4, "I", 2, "d", 40),    # insert new key
+        ],
+        ["k", "op", "ts", "name", "v"],
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in apply_cdc(snap, changes, ["k"]).collect()}
+    assert got == {1: ("a2", 11), 3: ("c", 30), 4: ("d", 40)}
