@@ -3993,6 +3993,56 @@ def an_walk_pmi(spark, sf_dir):
     ).orderBy("a", "b")
 
 
+def _smoothing_oracle(rounds: int, alpha: float) -> str:
+    """Unrolled feature propagation: part retailprice smoothed over the
+    co-order graph — identical recurrence, engine-portable after 6dp
+    rounding (per-round means are single divisions of partial sums)."""
+    sql = CO_ORDER_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    f0 AS MATERIALIZED (
+        SELECT p_partkey AS node, CAST(p_retailprice AS DOUBLE) AS f
+        FROM part WHERE p_partkey IN (SELECT DISTINCT src FROM adj)
+    )
+    """
+    for i in range(rounds):
+        sql += f"""
+    , nb{i} AS MATERIALIZED (
+        SELECT a.src AS node, AVG(f.f) AS nbr_mean
+        FROM adj a JOIN f{i} f ON f.node = a.dst GROUP BY a.src
+    ),
+    f{i + 1} AS MATERIALIZED (
+        SELECT f.node,
+               {alpha} * f.f + {1.0 - alpha} * COALESCE(nb.nbr_mean, f.f) AS f
+        FROM f{i} f LEFT JOIN nb{i} nb ON nb.node = f.node
+    )"""
+    sql += f"\n    SELECT node, ROUND(f, 6) AS f FROM f{rounds}"
+    return sql
+
+
+@_q("an_feature_smoothing", _smoothing_oracle(2, 0.5))
+def an_feature_smoothing(spark, sf_dir):
+    """GNN-style feature propagation (analytics/components.
+    feature_smoothing, 2 rounds, α=0.5): part retail prices smoothed
+    over the co-order graph — the mean-aggregation half of a graph
+    convolution, on the pagerank loop plan (broadcast feature table,
+    persisted adjacency). Oracle unrolls the same recurrence."""
+    from jasminegraph_spark.analytics import feature_smoothing
+
+    e = co_order_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    part = _read(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.col("p_retailprice").cast("double").alias("f"),
+    )
+    feats = part.join(nodes, "node")
+    out = feature_smoothing(e, feats, rounds=2, alpha=0.5)
+    return out.select("node", F.round("f", 6).alias("f"))
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -5388,6 +5438,7 @@ _PRIORITY = [
     "rel_scd2_user_state",
     "pl_vocab_coverage",
     "rel_cdc_apply",
+    "an_feature_smoothing",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -39,4 +39,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     harmonic_centrality,
     weighted_shortest_paths,
     modularity,
+    feature_smoothing,
 )

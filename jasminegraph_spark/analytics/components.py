@@ -520,3 +520,50 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         ).alias("modularity"),
     )
     return finalize(out, und)
+
+
+def feature_smoothing(
+    edges: DataFrame,
+    features: DataFrame,
+    rounds: int = 2,
+    alpha: float = 0.5,
+    undirected: bool = True,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """GNN-style feature propagation (the aggregation half of a graph
+    convolution, label-spreading's numeric twin):
+
+        f_{k+1}(v) = α·f_k(v) + (1-α)·mean_{u∈N(v)} f_k(u)
+
+    Isolated nodes keep their own value (the neighbor mean falls back to
+    f_k(v)). ``features`` carries (node, f). Per round: one join of the
+    feature table (broadcast under the size guard) against the persisted
+    adjacency + one mean aggregation — the pagerank loop shape, reused
+    for features instead of rank mass; lineage truncated per round.
+    Returns (node, f) after ``rounds`` rounds.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    f = features.select("node", F.col("f").cast("double").alias("f"))
+    n_nodes = f.count()
+    brd = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_threshold else (lambda df: df)
+    for _ in range(rounds):
+        nbr = (
+            e.join(brd(f), e.dst == f.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.avg("f").alias("nbr_mean"))
+        )
+        f = (
+            f.join(nbr, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(alpha) * F.col("f")
+                    + F.lit(1.0 - alpha) * F.coalesce("nbr_mean", F.col("f"))
+                ).alias("f"),
+            )
+            .transform(checkpoint)
+        )
+    return finalize(f, e)

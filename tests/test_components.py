@@ -418,3 +418,17 @@ def test_apply_cdc_merge_semantics(spark):
     )
     got = {r["k"]: (r["name"], r["v"]) for r in apply_cdc(snap, changes, ["k"]).collect()}
     assert got == {1: ("a2", 11), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_feature_smoothing_contracts_toward_neighbors(spark):
+    """On a 2-node edge with α=0.5, one round moves each value halfway
+    to its neighbor; isolated nodes keep their value exactly; many
+    rounds converge component-wise."""
+    from jasminegraph_spark.analytics import feature_smoothing
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    feats = spark.createDataFrame([(1, 0.0), (2, 10.0), (9, 7.0)], ["node", "f"])
+    one = {r["node"]: r["f"] for r in feature_smoothing(edges, feats, rounds=1).collect()}
+    assert one == {1: 5.0, 2: 5.0, 9: 7.0}
+    many = {r["node"]: r["f"] for r in feature_smoothing(edges, feats, rounds=6).collect()}
+    assert abs(many[1] - 5.0) < 1e-9 and abs(many[2] - 5.0) < 1e-9 and many[9] == 7.0
