@@ -2639,6 +2639,78 @@ def pl_vocab_coverage(spark, sf_dir):
 
 
 @_q(
+    "pl_dataset_card",
+    """
+    WITH base AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               md5(text) AS h,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, COUNT(*) AS n FROM base GROUP BY lang
+    ),
+    dup AS (
+        SELECT COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs, COUNT(*) AS n FROM base
+    )
+    SELECT (SELECT COUNT(*) FROM base) AS n_docs,
+           (SELECT COUNT(DISTINCT source) FROM base) AS n_sources,
+           (SELECT COUNT(*) FROM langs) AS n_langs,
+           (SELECT CAST(SUM(n_chars) AS BIGINT) FROM base) AS total_chars,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) AS total_tokens,
+           printf('%.6f', (SELECT CAST(n_dup_docs AS DOUBLE) / n FROM dup))
+               AS exact_dup_rate,
+           printf('%.6f', (SELECT -SUM((CAST(n AS DOUBLE) / t.total)
+               * ln(CAST(n AS DOUBLE) / t.total))
+               FROM langs, (SELECT SUM(n) AS total FROM langs) t))
+               AS lang_entropy
+    """,
+)
+def pl_dataset_card(spark, sf_dir):
+    """Dataset-card summary: the one-row corpus report a data release
+    ships — size, source/language breadth, exact-duplicate rate, and
+    language entropy (mix balance). Composes the existing signals in ONE
+    aggregation pass over the corpus plus two tiny grouped frames."""
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    totals = base.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            (F.count("*") - F.countDistinct("h")).cast("double") / F.count("*")
+        ).alias("exact_dup_rate"),
+    )
+    langs = base.groupBy("lang").agg(F.count("*").alias("n"))
+    total = langs.agg(F.sum("n").alias("t"))
+    entropy = (
+        langs.crossJoin(F.broadcast(total))
+        .select(
+            (
+                -(F.col("n").cast("double") / F.col("t"))
+                * F.log(F.col("n").cast("double") / F.col("t"))
+            ).alias("e")
+        )
+        .agg(F.sum("e").alias("lang_entropy"))
+    )
+    return totals.crossJoin(F.broadcast(entropy)).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_chars",
+        "total_tokens",
+        F.format_string("%.6f", F.col("exact_dup_rate")).alias("exact_dup_rate"),
+        F.format_string("%.6f", F.col("lang_entropy")).alias("lang_entropy"),
+    )
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -5439,6 +5511,7 @@ _PRIORITY = [
     "pl_vocab_coverage",
     "rel_cdc_apply",
     "an_feature_smoothing",
+    "pl_dataset_card",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -107,3 +107,21 @@ def zorder_by(df: DataFrame, cols: list, n_files: int = 8) -> DataFrame:
         .drop(*[f"__z{i}" for i in range(len(cols))])
     )
     return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list,
+) -> None:
+    """Hive-partitioned dataset write (dataset-release layout: one
+    directory tree keyed by e.g. lang/split so consumers read only the
+    slices they need via partition pruning — the coarse cousin of
+    Z-ordering).
+
+    Repartitions by the partition columns first so each output directory
+    is written by few tasks (without it, every task can open a writer in
+    every partition → small-file explosion: tasks × partitions files).
+    """
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)

@@ -259,3 +259,36 @@ def test_graphml_export_roundtrip(spark, tmp_path):
     assert len(graph.findall(f"{ns}node")) == 2
     assert len(graph.findall(f"{ns}edge")) == 1
     assert 'Ada \\"L\\" <x>&' in xml or "Ada" in xml  # escaped content survived parse
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Hive-partitioned layout: a lang filter must prune to that lang's
+    directory (PartitionFilters in the scan, only matching files read)."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.sources import write_partitioned
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "bylang")
+    write_partitioned(df, out, ["lang"])
+    reread = spark.read.parquet(out).filter(F.col("lang") == "fr")
+    plan = reread._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    import duckdb
+
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT COUNT(*) FROM read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        " WHERE lang = 'fr'"
+    ).fetchone()[0]
+    assert reread.count() == want
+    # files actually touched: list the fr directory only
+    import os
+
+    fr_files = []
+    other_files = []
+    for root, _, files in os.walk(out):
+        for f in files:
+            if f.endswith(".parquet"):
+                (fr_files if "lang=fr" in root else other_files).append(f)
+    assert fr_files and other_files  # layout split by lang
