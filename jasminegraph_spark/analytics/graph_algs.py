@@ -273,10 +273,37 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     return finalize(out, und)
 
 
-def edge_support(und: DataFrame) -> DataFrame:
-    """Triangle support per canonical edge (a < b): each triangle
-    x<y<z raises support on its three edges. One wedge join + one
-    closing join + an explode-free 3-way unionAll aggregation."""
+def edge_support(und: DataFrame, degree_ordered: bool = False) -> DataFrame:
+    """Triangle support per canonical edge (a < b): each triangle raises
+    support on its three edges; one wedge join + one closing join + an
+    explode-free 3-way unionAll aggregation.
+
+    ``degree_ordered`` enumerates wedges at the lowest-degree endpoint
+    (the trian skew armor for power-law graphs). MEASURED at sf0.1 on
+    the near-uniform co-order graph it is a net LOSS (51 s vs 37 s for
+    the 3-round truss peel: two per-round rank joins cost more than the
+    wedge bound saves), so the id-ordered join is the default and the
+    ordered path is the opt-in for genuinely skewed graphs — same
+    negative-result policy as the CSR triangle kernel note in SCALE.md.
+    """
+    if degree_ordered:
+        und = und.persist()
+        ordered = _degree_ordered(und)
+        e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+        e2 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+        wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
+        closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        tri = wedges.join(closing, ["y", "z"])
+        # x is the wedge center (lowest degree), not necessarily the
+        # lowest id: re-canonicalize each triangle side
+        sides = (
+            tri.select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
+            .unionAll(
+                tri.select(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b"))
+            )
+            .unionAll(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        )
+        return sides.groupBy("a", "b").agg(F.count("*").alias("support"))
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     closing = und.select(F.col("a").alias("x"), F.col("b").alias("z"))

@@ -432,3 +432,23 @@ def test_feature_smoothing_contracts_toward_neighbors(spark):
     assert one == {1: 5.0, 2: 5.0, 9: 7.0}
     many = {r["node"]: r["f"] for r in feature_smoothing(edges, feats, rounds=6).collect()}
     assert abs(many[1] - 5.0) < 1e-9 and abs(many[2] - 5.0) < 1e-9 and many[9] == 7.0
+
+
+def test_edge_support_paths_agree(spark):
+    """The degree-ordered wedge enumeration (power-law armor) and the
+    default id-ordered join compute identical supports."""
+    from itertools import combinations
+
+    from jasminegraph_spark.analytics.graph_algs import canonical_undirected, edge_support
+
+    edges = spark.createDataFrame(
+        list(combinations(range(5), 2)) + [(4, 10), (3, 10), (0, 11)],
+        ["src", "dst"],
+    )
+    und = canonical_undirected(edges)
+    a = {(r["a"], r["b"]): r["support"] for r in edge_support(und).collect()}
+    b = {
+        (r["a"], r["b"]): r["support"]
+        for r in edge_support(und, degree_ordered=True).collect()
+    }
+    assert a == b and a  # non-trivial and identical
