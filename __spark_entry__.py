@@ -2985,7 +2985,60 @@ def _simhash_near_dup_oracle(bits: int = 16, bands: int = 4, max_hamming: int = 
     """
 
 
+def _split_leakage_oracle() -> str:
+    base = _simhash_near_dup_oracle(16, 4, 3)
+    # wrap the near-dup final SELECT as a materialized CTE, then join the
+    # content-hash split assignment on both pair sides
+    marker = "    SELECT id_a, id_b, ("
+    assert marker in base
+    wrapped = base.replace(marker, "    , nd AS MATERIALIZED (\n    SELECT id_a, id_b, (", 1)
+    return wrapped + """
+    )
+    , splits AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+                    WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT LEAST(pa.split, pb.split) AS split_a,
+           GREATEST(pa.split, pb.split) AS split_b,
+           COUNT(*) AS n_leaked_pairs
+    FROM nd JOIN splits pa ON pa.doc_id = nd.id_a
+    JOIN splits pb ON pb.doc_id = nd.id_b
+    WHERE pa.split <> pb.split
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@_q("pl_split_leakage", _split_leakage_oracle())
+def pl_split_leakage(spark, sf_dir):
+    """Cross-split near-duplicate LEAKAGE detection (eval integrity): a
+    near-dup pair straddling train/val/test means the held-out metric is
+    contaminated from within the corpus itself — the internal sibling of
+    benchmark decontamination. Composes the pigeonhole-exact SimHash
+    near-dup pairs with the content-hash split; reports leaked-pair
+    counts per split pair."""
+    docs = _read(spark, sf_dir, "documents")
+    nd = pl.simhash_near_dup(docs, bits=16, k=8, bands=4, max_hamming=3)
+    splits = pl.hash_split(docs).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_l"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_r"))
+    return (
+        nd.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_l") != F.col("split_r"))
+        .groupBy(
+            F.least("split_l", "split_r").alias("split_a"),
+            F.greatest("split_l", "split_r").alias("split_b"),
+        )
+        .agg(F.count("*").alias("n_leaked_pairs"))
+        .orderBy("split_a", "split_b")
+    )
+
+
 @_q("pl_simhash_near_dup", _simhash_near_dup_oracle(16, 4, 3))
+
 def pl_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs: banded signature buckets → exact Hamming
     verify ≤ 3. bands > max_hamming gives the pigeonhole 100%-recall
@@ -4113,6 +4166,77 @@ def an_feature_smoothing(spark, sf_dir):
     feats = part.join(nodes, "node")
     out = feature_smoothing(e, feats, rounds=2, alpha=0.5)
     return out.select("node", F.round("f", 6).alias("f"))
+
+
+@_q(
+    "an_graph_diff",
+    """
+    WITH e_old AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderdate < DATE '1995-01-01'
+    ),
+    e_new AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+    ),
+    common AS (SELECT COUNT(*) AS c FROM e_old JOIN e_new USING (a, b))
+    SELECT (SELECT COUNT(*) FROM e_old) AS n_edges_old,
+           (SELECT COUNT(*) FROM e_new) AS n_edges_new,
+           (SELECT c FROM common) AS n_common,
+           (SELECT COUNT(*) FROM e_old) - (SELECT c FROM common) AS n_removed,
+           (SELECT COUNT(*) FROM e_new) - (SELECT c FROM common) AS n_added,
+           printf('%.6f', CAST((SELECT c FROM common) AS DOUBLE)
+               / ((SELECT COUNT(*) FROM e_old) + (SELECT COUNT(*) FROM e_new)
+                  - (SELECT c FROM common))) AS edge_jaccard
+    """,
+)
+def an_graph_diff(spark, sf_dir):
+    """Temporal graph diff: the co-order graph built from pre-1995 orders
+    vs the post-1995 graph — added/removed/persisted edge counts and the
+    edge-set Jaccard, the snapshot-evolution report a temporal graph
+    store serves. Two windowed projections + one equi-join for the
+    intersection (anti-join counts fall out arithmetically)."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+
+    def co_edges(df):
+        g = df.groupBy("l_orderkey").agg(
+            F.sort_array(F.collect_set("l_partkey")).alias("ps")
+        )
+        return (
+            g.select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ps, (x, i) -> "
+                        "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .distinct()
+        )
+
+    e_old = co_edges(j.filter(F.col("o_orderdate") < F.lit("1995-01-01"))).persist()
+    e_new = co_edges(j.filter(F.col("o_orderdate") >= F.lit("1995-01-01"))).persist()
+    n_old = e_old.count()
+    n_new = e_new.count()
+    n_common = e_old.join(e_new, ["a", "b"]).count()
+    jac = n_common / float(n_old + n_new - n_common)
+    out = spark.createDataFrame(
+        [(n_old, n_new, n_common, n_old - n_common, n_new - n_common, "%.6f" % jac)],
+        "n_edges_old: long, n_edges_new: long, n_common: long, "
+        "n_removed: long, n_added: long, edge_jaccard: string",
+    )
+    e_old.unpersist()
+    e_new.unpersist()
+    return out
 
 
 @_q("an_k_core", _kcore_oracle(80, 30))
@@ -5512,6 +5636,8 @@ _PRIORITY = [
     "rel_cdc_apply",
     "an_feature_smoothing",
     "pl_dataset_card",
+    "pl_split_leakage",
+    "an_graph_diff",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",
