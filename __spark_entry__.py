@@ -4239,6 +4239,61 @@ def an_graph_diff(spark, sf_dir):
     return out
 
 
+def _rmat_oracle(scale: int, n_edges: int) -> str:
+    """The R-MAT recursion replayed in SQL: same md5-uniform per
+    (edge, level), same quadrant thresholds, same bit assembly —
+    then the degree histogram of the generated graph."""
+    expr = "md5(CAST(i AS VARCHAR) || ':' || CAST(l AS VARCHAR))"
+    hexpr = "0"
+    for k in range(1, 13):  # same Horner form as _hex_to_num_sql (defined later)
+        hexpr = (
+            f"({hexpr} * 16 + (strpos('0123456789abcdef', substr({expr}, {k}, 1)) - 1))"
+        )
+    return f"""
+    WITH lv AS MATERIALIZED (
+        SELECT i, l,
+               CAST({hexpr} AS DOUBLE) / 281474976710656.0 AS u
+        FROM range({n_edges}) t(i), range({scale}) s(l)
+    ),
+    bits AS (
+        SELECT i,
+               SUM(CASE WHEN u >= 0.76 THEN CAST(pow(2, l) AS BIGINT) ELSE 0 END) AS src,
+               SUM(CASE WHEN (u >= 0.57 AND u < 0.76) OR u >= 0.95
+                        THEN CAST(pow(2, l) AS BIGINT) ELSE 0 END) AS dst
+        FROM lv GROUP BY i
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS degree FROM (
+            SELECT src AS v FROM bits UNION ALL SELECT dst FROM bits
+        ) GROUP BY v
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg
+    GROUP BY degree ORDER BY degree
+    """
+
+
+@_q("an_rmat_degree_dist", _rmat_oracle(8, 2048))
+def an_rmat_degree_dist(spark, sf_dir):
+    """Deterministic R-MAT generation (sources/generators.rmat_edges,
+    Graph500 quadrant recursion driven by content hashes instead of an
+    RNG): a (scale, n_edges) pair names ONE graph on any engine or
+    cluster size. 2^8 vertices / 2048 edges here; the driver row checks
+    the full degree histogram against the recursion replayed in SQL."""
+    from jasminegraph_spark.sources import rmat_edges
+
+    g = rmat_edges(spark, scale=8, n_edges=2048)
+    deg = (
+        g.select(F.col("src").alias("v"))
+        .unionAll(g.select(F.col("dst").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -5638,6 +5693,7 @@ _PRIORITY = [
     "pl_dataset_card",
     "pl_split_leakage",
     "an_graph_diff",
+    "an_rmat_degree_dist",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

@@ -15,3 +15,4 @@ from jasminegraph_spark.sources.sinks import (  # noqa: F401
     assemble_graphml,
     export_graphml,
 )
+from jasminegraph_spark.sources.generators import rmat_edges, uniform_edges  # noqa: F401,E501

@@ -292,3 +292,26 @@ def test_partitioned_write_prunes(spark, tmp_path):
             if f.endswith(".parquet"):
                 (fr_files if "lang=fr" in root else other_files).append(f)
     assert fr_files and other_files  # layout split by lang
+
+
+def test_rmat_generator_properties(spark):
+    """R-MAT: reruns are identical (hash-deterministic), ids stay in
+    [0, 2^scale), and the degree distribution is heavier-tailed than the
+    uniform generator's."""
+    from jasminegraph_spark.sources import rmat_edges, uniform_edges
+
+    g1 = rmat_edges(spark, scale=7, n_edges=1024).collect()
+    g2 = rmat_edges(spark, scale=7, n_edges=1024).collect()
+    assert sorted(map(tuple, g1)) == sorted(map(tuple, g2))
+    assert all(0 <= r["src"] < 128 and 0 <= r["dst"] < 128 for r in g1)
+    from collections import Counter
+
+    def maxdeg(rows):
+        c = Counter()
+        for r in rows:
+            c[r["src"]] += 1
+            c[r["dst"]] += 1
+        return max(c.values())
+
+    u = uniform_edges(spark, 128, 1024).collect()
+    assert maxdeg(g1) > maxdeg(u)  # power-law vs uniform tail
