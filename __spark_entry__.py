@@ -4294,6 +4294,45 @@ def an_rmat_degree_dist(spark, sf_dir):
         .orderBy("degree")
     )
 
+def _coreness_oracle(rounds: int) -> str:
+    """Unrolled h-index coreness iteration over the co-order graph."""
+    sql = CO_ORDER_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    c0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS core FROM adj GROUP BY src)
+    """
+    for t in range(rounds):
+        sql += f"""
+    , h{t} AS MATERIALIZED (
+        SELECT node, MAX(CASE WHEN v >= rn THEN rn ELSE 0 END) AS h FROM (
+            SELECT a.src AS node, c.core AS v,
+                   ROW_NUMBER() OVER (PARTITION BY a.src
+                                      ORDER BY c.core DESC) AS rn
+            FROM adj a JOIN c{t} c ON c.node = a.dst
+        ) GROUP BY node
+    ),
+    c{t + 1} AS MATERIALIZED (
+        SELECT c.node, LEAST(c.core, h.h) AS core
+        FROM c{t} c JOIN h{t} h ON h.node = c.node
+    )"""
+    sql += f"\n    SELECT node, CAST(core AS BIGINT) AS core FROM c{rounds}"
+    return sql
+
+
+@_q("an_core_numbers", _coreness_oracle(4))
+def an_core_numbers(spark, sf_dir):
+    """Full core decomposition in one job (analytics/components.
+    core_numbers, 4 h-index rounds): per-node core numbers via the
+    "coreness is a local h-index fixpoint" iteration — subsumes k_core(k)
+    for every k. Oracle unrolls the identical recurrence (ROW_NUMBER ties
+    are value-ties, so the h-index is tie-order-invariant)."""
+    from jasminegraph_spark.analytics import core_numbers
+
+    out = core_numbers(co_order_edges(spark, sf_dir), rounds=4)
+    return out.select("node", F.col("core").cast("long").alias("core"))
+
+
 @_q("an_k_core", _kcore_oracle(80, 30))
 def an_k_core(spark, sf_dir):
     """k-core decomposition (k=80) of the co-order graph — the reference
@@ -5694,6 +5733,7 @@ _PRIORITY = [
     "pl_split_leakage",
     "an_graph_diff",
     "an_rmat_degree_dist",
+    "an_core_numbers",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

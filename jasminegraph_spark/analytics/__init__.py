@@ -40,4 +40,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     weighted_shortest_paths,
     modularity,
     feature_smoothing,
+    core_numbers,
 )

@@ -567,3 +567,55 @@ def feature_smoothing(
             .transform(checkpoint)
         )
     return finalize(f, e)
+
+
+def core_numbers(
+    edges: DataFrame,
+    rounds: int = 8,
+    broadcast_threshold: int = 10_000_000,
+) -> DataFrame:
+    """Per-node CORE NUMBER (the k of the maximal k-core containing the
+    node) via the h-index iteration ("k-core decomposition is local"):
+
+        c_0(v)     = deg(v)
+        c_{t+1}(v) = min(c_t(v), h-index{ c_t(u) : u ∈ N(v) })
+
+    where h-index(S) = max h with h members of S >= h. The sequence is
+    monotone non-increasing and converges to the exact coreness; a fixed
+    round budget makes the recurrence oracle-unrollable, and past
+    convergence extra rounds are no-ops (same idempotence argument as
+    the k-truss peel). This subsumes k_core(k) for every k at once.
+
+    Per round: one adjacency join against the (broadcast-guarded) core
+    table + one per-node ranked window (partition = node, bounded by its
+    degree) + a min. Lineage truncates per round. Returns (node, core).
+    """
+    from pyspark.sql.window import Window
+
+    e = edges.select("src", "dst")
+    e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    core = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("core"))
+    n_nodes = core.count()
+    brd = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_threshold else (lambda df: df)
+    for _ in range(rounds):
+        nv = e.join(
+            brd(core.select(F.col("node").alias("dst"), F.col("core").alias("v"))),
+            "dst",
+        ).select(F.col("src").alias("node"), "v")
+        w = Window.partitionBy("node").orderBy(F.desc("v"))
+        h = (
+            nv.withColumn("rn", F.row_number().over(w))
+            .select(
+                "node",
+                F.when(F.col("v") >= F.col("rn"), F.col("rn")).otherwise(0).alias("hh"),
+            )
+            .groupBy("node")
+            .agg(F.max("hh").alias("h"))
+        )
+        core = (
+            core.join(h, "node")
+            .select("node", F.least("core", "h").alias("core"))
+            .transform(checkpoint)
+        )
+    return finalize(core, e)

@@ -452,3 +452,24 @@ def test_edge_support_paths_agree(spark):
         for r in edge_support(und, degree_ordered=True).collect()
     }
     assert a == b and a  # non-trivial and identical
+
+
+def test_core_numbers_exact_on_known_graph(spark):
+    """Converged h-index iteration equals exact coreness: a 4-clique
+    (core 3) with a path tail (core 1) and a triangle (core 2)."""
+    from itertools import combinations
+
+    from jasminegraph_spark.analytics import core_numbers, k_core
+
+    clique = list(combinations(range(4), 2))
+    tail = [(3, 10), (10, 11)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    edges = spark.createDataFrame(clique + tail + tri, ["src", "dst"])
+    got = {r["node"]: r["core"] for r in core_numbers(edges, rounds=10).collect()}
+    assert all(got[n] == 3 for n in range(4))
+    assert got[10] == 1 and got[11] == 1
+    assert all(got[n] == 2 for n in (20, 21, 22))
+    # consistency with the k_core peel: nodes of core >= 2 == k_core(2) nodes
+    kc = k_core(edges, k=2)
+    kc_nodes = {r["a"] for r in kc.collect()} | {r["b"] for r in kc.collect()}
+    assert {n for n, c in got.items() if c >= 2} == kc_nodes
