@@ -1850,6 +1850,67 @@ def rel_cdc_apply(spark, sf_dir):
 
 
 @_q(
+    "rel_event_funnel",
+    """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+           (SELECT COUNT(*) FROM s2) AS n_click_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after,
+           printf('%.6f', CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+               / (SELECT COUNT(*) FROM s1)) AS conversion
+    """,
+)
+def rel_event_funnel(spark, sf_dir):
+    """Ordered event funnel (signup → later click → later purchase): the
+    product-analytics conversion query. Each stage is one MIN-ts
+    aggregation semi-joined to the previous stage's completion time —
+    per-user state, no window over the whole stream, stages prune
+    monotonically. Conversion = stage-3 users / stage-1 users."""
+    ev = _read(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.count()
+    n2 = s2.count()
+    n3 = s3.count()
+    return spark.createDataFrame(
+        [(n1, n2, n3, "%.6f" % (n3 / float(n1)))],
+        "n_signup: long, n_click_after: long, n_purchase_after: long, conversion: string",
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -2708,6 +2769,44 @@ def pl_dataset_card(spark, sf_dir):
         F.format_string("%.6f", F.col("exact_dup_rate")).alias("exact_dup_rate"),
         F.format_string("%.6f", F.col("lang_entropy")).alias("lang_entropy"),
     )
+
+
+@_q(
+    "pl_sampled_quantiles",
+    """
+    WITH sample AS (
+        SELECT o_totalprice FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n_sampled,
+               quantile_cont(o_totalprice, 0.25) AS q0,
+               quantile_cont(o_totalprice, 0.5) AS q1,
+               quantile_cont(o_totalprice, 0.75) AS q2,
+               quantile_cont(o_totalprice, 0.9) AS q3
+        FROM sample
+    )
+    SELECT 0.25 AS quantile, ROUND(q0, 4) AS value, n_sampled FROM agg
+    UNION ALL SELECT 0.5, ROUND(q1, 4), n_sampled FROM agg
+    UNION ALL SELECT 0.75, ROUND(q2, 4), n_sampled FROM agg
+    UNION ALL SELECT 0.9, ROUND(q3, 4), n_sampled FROM agg
+    ORDER BY quantile
+    """,
+)
+def pl_sampled_quantiles(spark, sf_dir):
+    """Deterministic hash-sampled quantiles (pipeline/sampling.
+    sampled_quantiles, 10% sample keyed on o_orderkey): the 100 TB stats
+    pattern — a content-hash sample replaces the global sort AND stays a
+    pure function of the keys, so even the estimate oracle-checks
+    (Spark percentile() and DuckDB quantile_cont share the interpolated
+    definition)."""
+    o = _read(spark, sf_dir, "orders")
+    out = pl.sampled_quantiles(
+        o, "o_totalprice", key_col="o_orderkey", sample_frac=0.1
+    )
+    return out.select(
+        "quantile", F.round("value", 4).alias("value"), "n_sampled"
+    ).orderBy("quantile")
 
 
 @_q(
@@ -5734,6 +5833,8 @@ _PRIORITY = [
     "an_graph_diff",
     "an_rmat_degree_dist",
     "an_core_numbers",
+    "rel_event_funnel",
+    "pl_sampled_quantiles",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

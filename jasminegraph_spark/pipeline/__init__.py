@@ -38,6 +38,7 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
     kmv_distinct,
     weighted_sample,
     temperature_mixture,
+    sampled_quantiles,
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,

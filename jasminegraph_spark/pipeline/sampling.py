@@ -163,3 +163,43 @@ def temperature_mixture(
         df.join(F.broadcast(fracs.drop("__n")), group_col)
         .filter(u < F.col("__keep_frac"))
     )
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    fractions: list | None = None,
+    sample_frac: float = 0.1,
+) -> DataFrame:
+    """Quantile estimation from a DETERMINISTIC hash sample: keep rows
+    whose md5(key) prefix falls under ``sample_frac``, then exact
+    interpolated percentiles on the sample. The 100 TB stats pattern —
+    a full-column exact percentile needs a global sort, a hash sample
+    reads ~frac of the data and (unlike Spark's RNG sampling or
+    approx_percentile) is a pure function of the keys: reruns, engines
+    and partitionings produce the IDENTICAL estimate, so even the
+    sketch is oracle-checkable.
+
+    Returns one row per fraction: (quantile, value, n_sampled).
+    """
+    fractions = fractions or [0.25, 0.5, 0.75, 0.9]
+    prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    sample = df.filter(prefix < F.lit(_hex_threshold(sample_frac)))
+    rows = []
+    agg = sample.agg(
+        F.count("*").alias("n_sampled"),
+        *[
+            F.expr(f"percentile({value_col}, {q})").alias(f"q{i}")
+            for i, q in enumerate(fractions)
+        ],
+    )
+    out = None
+    for i, q in enumerate(fractions):
+        row = agg.select(
+            F.lit(q).alias("quantile"),
+            F.col(f"q{i}").alias("value"),
+            F.col("n_sampled"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

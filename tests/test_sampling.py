@@ -305,3 +305,19 @@ def test_scd2_semantics(spark):
     assert [(r["event_type"], r["vto"] is None) for r in versions if r["user_id"] == 2] == [
         ("click", True)
     ]
+
+
+def test_sampled_quantiles_deterministic_and_close(spark):
+    """The hash sample is rerun-stable and its quantiles track the full
+    data's within sampling error on a smooth distribution."""
+    from jasminegraph_spark.pipeline import sampled_quantiles
+
+    df = spark.range(10000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+    a = sampled_quantiles(df, "v", key_col="k", sample_frac=0.2).collect()
+    b = sampled_quantiles(df, "v", key_col="k", sample_frac=0.2).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    got = {r["quantile"]: r["value"] for r in a}
+    for q, v in got.items():
+        assert abs(v - q * 9999) < 400  # ~uniform: quantile ≈ q·max
+    n = a[0]["n_sampled"]
+    assert 1600 < n < 2400  # ≈ 20% of 10k
