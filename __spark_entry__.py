@@ -607,6 +607,52 @@ def an_top_k_pagerank(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(10)
 
 
+def _wpr_oracle(iterations: int, alpha: float) -> str:
+    """Unrolled WEIGHTED PageRank on the weighted co-order graph
+    (w = 1/n_shared_orders): mass splits ∝ w / Σ_out w."""
+    sql = CO_ORDER_W_CTE + f"""
+    , edges AS MATERIALIZED (
+        SELECT src, dst, weight FROM co_w
+        UNION ALL SELECT dst, src, weight FROM co_w
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src, SUM(weight) AS ow FROM edges GROUP BY src),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes)
+    """
+    for i in range(iterations):
+        sql += f"""
+    , pr{i + 1} AS MATERIALIZED (
+        SELECT n.node,
+               (1 - {alpha}) / (SELECT n FROM nn)
+               + {alpha} * COALESCE(m.mass, 0.0) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node, SUM(p.rank * e.weight / o.ow) AS mass
+            FROM edges e JOIN pr{i} p ON p.node = e.src
+            JOIN outw o ON o.src = e.src
+            GROUP BY e.dst
+        ) m ON m.node = n.node
+    )"""
+    sql += f"\n    SELECT node, ROUND(rank, 6) AS rank FROM pr{iterations}"
+    return sql
+
+
+@_q("an_weighted_pagerank", _wpr_oracle(5, 0.85))
+def an_weighted_pagerank(spark, sf_dir):
+    """WEIGHTED `pgrnk` (same loop, mass ∝ edge weight / out-weight) on
+    the co-order graph weighted by 1/n_shared_orders — strongly
+    co-ordered parts pull more rank. Oracle unrolls the weighted
+    recurrence."""
+    ranks = an.pagerank(
+        co_order_weighted_edges(spark, sf_dir),
+        alpha=0.85,
+        iterations=5,
+        undirected=True,
+        weight_col="weight",
+    )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _ppr_oracle(iterations: int, alpha: float, seeds: tuple) -> str:
     """Unrolled personalized PageRank: the _pagerank_oracle recurrence with
     the restart vector concentrated on the seed set (1/|S| per seed)."""
@@ -5835,6 +5881,7 @@ _PRIORITY = [
     "an_core_numbers",
     "rel_event_funnel",
     "pl_sampled_quantiles",
+    "an_weighted_pagerank",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

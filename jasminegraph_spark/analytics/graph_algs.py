@@ -108,6 +108,7 @@ def pagerank(
     undirected: bool = False,
     broadcast_threshold: int = 10_000_000,
     sources: list | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """`pgrnk` (JasmineGraphInstanceService.cpp:1650-1816; defaults α=0.85,
     10 iterations — FrontEndProtocol.h:112-113).
@@ -125,14 +126,24 @@ def pagerank(
     "related nodes" recommendation. Same loop, same broadcast-vs-shuffle
     size guard; the restart vector is a literal IN expression (seeds are
     a short list, never a table), so the per-iteration plan is unchanged.
+
+    ``weight_col`` switches the mass split from uniform 1/out_deg to
+    edge-weight-proportional (weighted PageRank): contribution =
+    r_k(u)·w(u,v)/Σ_out w(u) — same loop, out-degree becomes out-weight.
     """
-    e = edges.select("src", "dst")
+    if weight_col is None:
+        e = edges.select("src", "dst", F.lit(1.0).alias("__w"))
+    else:
+        # weighted pgrnk: mass splits ∝ edge weight instead of 1/out_deg
+        e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("__w"))
     if undirected:
-        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "__w")
+        )
     e = e.distinct().persist()
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
     n_total = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    out_deg = e.groupBy("src").agg(F.sum("__w").alias("out_deg"))
     # contribution edges carry out_deg along; persisted once, reused each iter
     contrib_base = e.join(out_deg, "src").persist()
     if sources is not None:
@@ -152,7 +163,10 @@ def pagerank(
     for i in range(iterations):
         contribs = (
             contrib_base.join(brd(ranks), contrib_base["src"] == ranks["node"])
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("__w") / F.col("out_deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
         )

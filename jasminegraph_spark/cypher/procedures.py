@@ -17,11 +17,16 @@ from pyspark.sql import DataFrame
 
 from jasminegraph_spark.analytics import (
     connected_components,
+    core_numbers,
     degree_distribution,
     egonet,
+    hits,
     k_core,
+    k_truss,
     link_prediction,
     pagerank,
+    personalized_pagerank,
+    random_walks,
     shortest_paths,
     triangle_count_df,
     triangle_list,
@@ -54,6 +59,20 @@ PROCEDURES: dict[str, Callable[..., DataFrame]] = {
     "algo.linkPrediction": lambda g, top_k=50: link_prediction(g.edges, int(top_k)),
     # (a, b) — induced ego edges
     "algo.egonet": lambda g, vertex: egonet(g.edges, vertex),
+    # (node, rank) — seed-restart random walk (round-4 continuation)
+    "algo.personalizedPagerank": lambda g, *seeds: personalized_pagerank(
+        g.edges, list(seeds), undirected=not g.is_directed
+    ),
+    # (a, b, support) — surviving truss edges
+    "algo.ktruss": lambda g, k=4: k_truss(g.edges, int(k)),
+    # (node, core)
+    "algo.coreNumbers": lambda g, rounds=8: core_numbers(g.edges, int(rounds)),
+    # (node, hub, authority)
+    "algo.hits": lambda g, iterations=5: hits(g.edges, int(iterations)),
+    # (source, step, node)
+    "algo.randomWalks": lambda g, length, *seeds: random_walks(
+        g.edges, list(seeds), int(length), undirected=not g.is_directed
+    ),
 }
 
 

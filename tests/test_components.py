@@ -473,3 +473,27 @@ def test_core_numbers_exact_on_known_graph(spark):
     kc = k_core(edges, k=2)
     kc_nodes = {r["a"] for r in kc.collect()} | {r["b"] for r in kc.collect()}
     assert {n for n, c in got.items() if c >= 2} == kc_nodes
+
+
+def test_weighted_pagerank_favors_heavy_edges(spark):
+    """A star where one spoke has 10x weight: that spoke outranks the
+    others; with equal weights the weighted loop equals the classic."""
+    from jasminegraph_spark.analytics import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10.0), (0, 2, 1.0), (0, 3, 1.0)], ["src", "dst", "w"]
+    )
+    wr = {r["node"]: r["rank"] for r in pagerank(
+        edges, iterations=8, undirected=True, weight_col="w"
+    ).collect()}
+    assert wr[1] > wr[2] and abs(wr[2] - wr[3]) < 1e-12
+    flat = spark.createDataFrame(
+        [(0, 1, 2.0), (0, 2, 2.0), (0, 3, 2.0)], ["src", "dst", "w"]
+    )
+    a = {r["node"]: round(r["rank"], 9) for r in pagerank(
+        flat, iterations=6, undirected=True, weight_col="w"
+    ).collect()}
+    b = {r["node"]: round(r["rank"], 9) for r in pagerank(
+        flat.select("src", "dst"), iterations=6, undirected=True
+    ).collect()}
+    assert a == b

@@ -782,3 +782,19 @@ def test_reduce_fold(social):
         "RETURN name, reduce(acc = 0, f IN fids | acc + f) AS fid_sum",
     )
     assert [(r["name"], r["fid_sum"]) for r in out.collect()] == [("Alice", 10)]
+
+
+def test_call_continuation_procedures(social):
+    """The round-4 analytics are CALL-able and compose with Cypher
+    clauses: PPR ranks filter in-query, k-truss yields its edges."""
+    out = cypher_query(
+        social,
+        "CALL algo.personalizedPagerank('0') YIELD node, rank "
+        "WHERE rank > 0.0 RETURN count(node) AS n",
+    )
+    assert out.collect()[0]["n"] > 1  # seed's component got mass
+    out = cypher_query(
+        social,
+        "CALL algo.coreNumbers(6) YIELD node, core RETURN max(core) AS mx",
+    )
+    assert out.collect()[0]["mx"] >= 2  # the FRIENDS ring is a 2-core
