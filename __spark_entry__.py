@@ -2856,6 +2856,45 @@ def pl_sampled_quantiles(spark, sf_dir):
 
 
 @_q(
+    "pl_skew_report",
+    """
+    WITH counts AS (
+        SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (
+        SELECT SUM(n_rows) AS total, AVG(CAST(n_rows AS DOUBLE)) AS mean,
+               MAX(n_rows) AS mx
+        FROM counts
+    ),
+    top AS (
+        SELECT key, n_rows,
+               ROW_NUMBER() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+        FROM counts ORDER BY n_rows DESC, key ASC LIMIT 10
+    )
+    SELECT CAST(rank AS INT) AS rank, key, n_rows,
+           printf('%.6f', CAST(n_rows AS DOUBLE) / stats.total) AS share,
+           printf('%.6f', CAST(stats.mx AS DOUBLE) / stats.mean) AS max_mean_ratio
+    FROM top, stats ORDER BY rank
+    """,
+)
+def pl_skew_report(spark, sf_dir):
+    """Join-key skew diagnostics (pipeline/sampling.skew_report) for
+    lineitem.l_partkey — the pre-shuffle report that decides salting /
+    AQE-skew-join at 100 TB: top-10 heaviest keys, their share, and the
+    table's max/mean ratio."""
+    li = _read(spark, sf_dir, "lineitem")
+    out = pl.skew_report(li, "l_partkey", top_k=10)
+    return out.select(
+        "rank",
+        "key",
+        "n_rows",
+        F.format_string("%.6f", F.col("share")).alias("share"),
+        F.format_string("%.6f", F.col("max_mean_ratio")).alias("max_mean_ratio"),
+    ).orderBy("rank")
+
+
+@_q(
     "pl_exact_dedup",
     """
     SELECT md5(text) AS content_hash,
@@ -3777,6 +3816,35 @@ def _modularity_oracle(iterations: int = 4) -> str:
                - pow(d_c / (CAST(2.0 AS DOUBLE) * m.m), 2))) AS modularity
     FROM per_c, m GROUP BY m.m
     """
+
+
+def _coarsen_oracle(iterations: int = 4) -> str:
+    """LPA communities (unrolled) contracted to the supernode graph."""
+    base = _lpa_oracle(iterations)
+    head = base.rsplit("\n    SELECT CAST(sz AS BIGINT)", 1)[0]
+    return head + f"""
+    , und AS MATERIALIZED (SELECT src AS a, dst AS b FROM co_edges)
+    SELECT LEAST(la.community, lb.community) AS ca,
+           GREATEST(la.community, lb.community) AS cb,
+           COUNT(*) AS weight
+    FROM und e JOIN l{iterations} la ON la.node = e.a
+    JOIN l{iterations} lb ON lb.node = e.b
+    GROUP BY 1, 2 ORDER BY ca, cb
+    """
+
+
+@_q("an_coarsen", _coarsen_oracle(4))
+def an_coarsen(spark, sf_dir):
+    """Multilevel graph coarsening (analytics/components.coarsen ∘
+    label_propagation): contract LPA communities to supernodes with
+    weighted superedges — METIS's contraction step, the role the
+    reference delegates to offline partition files. Self rows carry the
+    intra-community edge mass."""
+    from jasminegraph_spark.analytics import coarsen, label_propagation
+
+    e = co_order_edges(spark, sf_dir)
+    communities = label_propagation(e, iterations=4)
+    return coarsen(e, communities).orderBy("ca", "cb")
 
 
 @_q("an_modularity", _modularity_oracle(4))
@@ -5882,6 +5950,8 @@ _PRIORITY = [
     "rel_event_funnel",
     "pl_sampled_quantiles",
     "an_weighted_pagerank",
+    "an_coarsen",
+    "pl_skew_report",
     "an_link_prediction_trained",
     "cy_write_roundtrip",
     "pl_ngram_jaccard_capped",

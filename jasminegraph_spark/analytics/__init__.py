@@ -41,4 +41,5 @@ from jasminegraph_spark.analytics.components import (  # noqa: F401
     modularity,
     feature_smoothing,
     core_numbers,
+    coarsen,
 )

@@ -619,3 +619,32 @@ def core_numbers(
             .transform(checkpoint)
         )
     return finalize(core, e)
+
+
+def coarsen(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Graph coarsening (the contraction step of multilevel partitioning,
+    METIS's core loop — the role the reference fills with offline METIS
+    partition files): contract each community to a supernode; parallel
+    edges between communities collapse into one weighted superedge
+    (weight = contracted edge count), intra-community edges become
+    supernode self-weight.
+
+    Two label joins + one groupBy — the coarsened graph is then small
+    enough to iterate expensive algorithms on, and uncoarsening maps the
+    results back through the same label table. Returns
+    (ca, cb, weight) with ca <= cb (self rows = internal edge counts).
+    """
+    from jasminegraph_spark.analytics.graph_algs import canonical_undirected
+
+    und = canonical_undirected(edges)
+    la = communities.select(F.col("node").alias("a"), F.col("community").alias("comm_a"))
+    lb = communities.select(F.col("node").alias("b"), F.col("community").alias("comm_b"))
+    return (
+        und.join(la, "a")
+        .join(lb, "b")
+        .groupBy(
+            F.least("comm_a", "comm_b").alias("ca"),
+            F.greatest("comm_a", "comm_b").alias("cb"),
+        )
+        .agg(F.count("*").alias("weight"))
+    )

@@ -39,6 +39,7 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
     weighted_sample,
     temperature_mixture,
     sampled_quantiles,
+    skew_report,
 )
 from jasminegraph_spark.pipeline.text import (  # noqa: F401
     token_counts,

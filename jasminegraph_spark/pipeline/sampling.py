@@ -203,3 +203,42 @@ def sampled_quantiles(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join-key skew diagnostics — the report that decides whether a key
+    needs salting/AQE-skew-join before a 100 TB shuffle: per-key counts
+    reduced to (top-k heaviest keys, their corpus share, and the
+    max/mean ratio). One partial-agg groupBy + a TakeOrdered; the
+    whole-table stats ride the same aggregate.
+
+    Returns top_k rows: (rank, key, n_rows, share, max_mean_ratio) —
+    the ratio column is constant (table-level) for convenience.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").alias("total"),
+        F.avg("n_rows").alias("mean"),
+        F.max("n_rows").alias("mx"),
+    )
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_k)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.row_number().over(w).cast("int").alias("rank"),
+            "key",
+            "n_rows",
+            (F.col("n_rows") / F.col("total")).alias("share"),
+            (F.col("mx") / F.col("mean")).alias("max_mean_ratio"),
+        )
+        .orderBy("rank")
+    )

@@ -497,3 +497,19 @@ def test_weighted_pagerank_favors_heavy_edges(spark):
         flat.select("src", "dst"), iterations=6, undirected=True
     ).collect()}
     assert a == b
+
+
+def test_coarsen_contracts_communities(spark):
+    """Two triangles bridged by one edge, labeled as two communities:
+    coarsening yields 2 self rows (weight 3) and 1 cross row (weight 1)."""
+    from jasminegraph_spark.analytics import coarsen
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)], ["src", "dst"]
+    )
+    communities = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)] + [(n, 2) for n in (4, 5, 6)],
+        ["node", "community"],
+    )
+    got = {(r["ca"], r["cb"]): r["weight"] for r in coarsen(edges, communities).collect()}
+    assert got == {(1, 1): 3, (2, 2): 3, (1, 2): 1}
