@@ -3895,6 +3895,19 @@ def an_connected_components(spark, sf_dir):
     return connected_components(co_order_edges(spark, sf_dir), max_iterations=20)
 
 
+@_q("an_wcc_alternating", _cc_oracle(20))
+def an_wcc_alternating(spark, sf_dir):
+    """Weakly connected components via alternating large-star/small-star
+    (Kiveris et al. SoCC'14) — the O(log n)-round scale path for
+    high-diameter graphs where hash-min propagation would need
+    diameter-many shuffle rounds. Same (node, component=min id) contract,
+    so the hash-min oracle is exact once both converge (the co-order
+    graph's diameter is far under both round budgets)."""
+    from jasminegraph_spark.analytics import connected_components_alternating
+
+    return connected_components_alternating(co_order_edges(spark, sf_dir))
+
+
 def _kcore_oracle(k: int = 8, iterations: int = 30) -> str:
     """Iterative min-degree peel unrolled as chained CTEs (same round
     budget as the DataFrame job — post-fixpoint rounds are identity)."""
@@ -5916,6 +5929,7 @@ _PRIORITY = [
     "rel_asof_last_purchase",
     "rel_events_rollup_multires",
     # --- never driver-checked ---
+    "an_wcc_alternating",
     "an_personalized_pagerank",
     "rel_interval_join_busy_hours",
     "pl_line_dedup",

@@ -31,6 +31,7 @@ from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
 from jasminegraph_spark.analytics.components import (  # noqa: F401
     betweenness_sampled,
     connected_components,
+    connected_components_alternating,
     k_core,
     label_propagation,
     shortest_paths,

@@ -44,6 +44,43 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
+def test_alternating_cc_matches_hashmin(spark):
+    """Alternating large-star/small-star must produce the identical
+    (node, component=min id) labeling as hash-min propagation on a mixed
+    multi-component graph."""
+    from jasminegraph_spark.analytics import connected_components_alternating
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # triangle
+        (10, 11), (11, 12), (12, 13),    # path
+        (20, 21),                        # pair
+        (7, 7),                          # self-loop (dropped)
+        (30, 31), (31, 30),              # duplicate both directions
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    base = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    alt = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df).collect()
+    }
+    assert alt == base
+
+
+def test_alternating_cc_high_diameter(spark):
+    """The reason this variant exists: a 120-hop chain converges in
+    O(log n) alternating rounds (12 here) where hash-min needs
+    diameter≈120 rounds. Every node must label to the chain head."""
+    from jasminegraph_spark.analytics import connected_components_alternating
+
+    chain = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df, max_iterations=12).collect()
+    }
+    assert got == {i: 0 for i in range(121)}
+
+
 def test_label_propagation_two_cliques(spark):
     from jasminegraph_spark.analytics import label_propagation
 
