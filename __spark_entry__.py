@@ -1957,6 +1957,39 @@ def rel_event_funnel(spark, sf_dir):
 
 
 @_q(
+    "rel_json_props_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(props ->> '$.k' AS BIGINT)) AS min_k,
+           MAX(CAST(props ->> '$.k' AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def rel_json_props_extract(spark, sf_dir):
+    """Semi-structured property extraction: parse the events.props JSON
+    column with an explicit schema (ONE typed from_json per row,
+    JVM-side/codegen — never a Python loop) and aggregate the extracted
+    field. The log-pipeline staple: at 100 TB the parse cost dominates, so
+    the schema is given up front (no schema inference pass) and the parse
+    feeds straight into a partial-agg groupBy."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "rel_events_hourly",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
@@ -2642,6 +2675,139 @@ def pl_hybrid_rrf(spark, sf_dir):
         "doc_id",
         "n_lists",
         F.format_string("%.6f", F.col("rrf_score")).alias("rrf_score"),
+    )
+
+
+@_q(
+    "pl_graphrag_retrieve",
+    """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
+    ),
+    lens AS MATERIALIZED (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens),
+    tf AS MATERIALIZED (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        WHERE tok IN ('merge', 'stream', 'window') GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    idf AS (
+        SELECT d.tok,
+               ln((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                  / (d.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+        FROM dfreq d, stats s
+    ),
+    bscored AS (
+        SELECT t.doc_id,
+               i.idf * (t.tf * CAST(2.2 AS DOUBLE))
+               / (t.tf + CAST(1.2 AS DOUBLE)
+                  * (CAST(0.25 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)) AS sc
+        FROM tf t JOIN idf i ON i.tok = t.tok
+        JOIN lens l ON l.doc_id = t.doc_id, stats s
+    ),
+    lexagg AS (SELECT doc_id, SUM(sc) AS s FROM bscored GROUP BY doc_id),
+    lex AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY s DESC, doc_id ASC) AS INT) AS rank
+            FROM lexagg
+        ) WHERE rank <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+        SELECT e.vec_id AS doc_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    dense AS (
+        SELECT doc_id, rank FROM (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (
+                ORDER BY cosine DESC, doc_id ASC) AS INT) AS rank
+            FROM dscored
+        ) WHERE rank <= 50
+    ),
+    fused AS (
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS rr FROM lex
+        UNION ALL
+        SELECT doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS rr FROM dense
+    ),
+    topd AS (
+        SELECT doc_id FROM fused GROUP BY doc_id
+        ORDER BY SUM(rr) DESC, doc_id LIMIT 10
+    ),
+    trip AS MATERIALIZED (
+        SELECT doc_id,
+               split_part(t, ' ', 1) AS s,
+               split_part(t, ' ', 2) AS p,
+               split_part(t, ' ', 3) AS o
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(text, '[a-z]+ [a-z]+ [a-z]+')) AS t
+            FROM documents
+        )
+    ),
+    seeds AS (
+        SELECT DISTINCT s AS entity FROM trip
+        WHERE doc_id IN (SELECT doc_id FROM topd)
+        UNION
+        SELECT DISTINCT o FROM trip
+        WHERE doc_id IN (SELECT doc_id FROM topd)
+    ),
+    kg AS (
+        SELECT s, p, o, COUNT(*) AS weight FROM trip
+        GROUP BY s, p, o HAVING COUNT(*) >= 2
+    )
+    SELECT s, p, o, CAST(weight AS BIGINT) AS weight FROM kg
+    WHERE s IN (SELECT entity FROM seeds)
+    ORDER BY weight DESC, s, p, o LIMIT 50
+    """,
+)
+def pl_graphrag_retrieve(spark, sf_dir):
+    """GraphRAG retrieval, end-to-end (the reference's graphRAG flagship,
+    tests/integration/graphRAG): hybrid BM25+dense retrieval (RRF) picks
+    the top-10 context documents; their KG triples seed an entity set;
+    the corpus knowledge graph (weight ≥ 2 evidence) expands one hop from
+    those seeds into the context subgraph a generator would be prompted
+    with.
+
+    Scale shape: retrieval lists are bounded (top-50 each) so fusion is
+    corpus-size-independent; the 10-doc seed and its entity set are tiny
+    and BROADCAST against the full triple table — the only corpus-scale
+    passes are the token/triple extractions, both single explode +
+    partial-agg groupBy pipelines."""
+    from pyspark.sql.window import Window as _W
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    lex = pl.bm25_topk(docs, ["merge", "stream", "window"], k=50).withColumn(
+        "rank",
+        F.row_number().over(_W.orderBy(F.desc("score"), F.asc("doc_id"))).cast("int"),
+    )
+    dense = pl.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    top_docs = pl.rrf_fuse(
+        [lex.select("doc_id", "rank"), dense], k=10
+    ).select("doc_id")
+    triples = pl.extract_triples(docs)
+    hits = triples.join(F.broadcast(top_docs), "doc_id")
+    seeds = (
+        hits.select(F.col("s").alias("entity"))
+        .union(hits.select(F.col("o").alias("entity")))
+        .distinct()
+    )
+    kg = pl.triple_weights(triples).filter(F.col("weight") >= 2)
+    return (
+        kg.join(F.broadcast(seeds.withColumnRenamed("entity", "s")), "s")
+        .select("s", "p", "o", F.col("weight").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), "s", "p", "o")
+        .limit(50)
     )
 
 
@@ -5930,6 +6096,8 @@ _PRIORITY = [
     "rel_events_rollup_multires",
     # --- never driver-checked ---
     "an_wcc_alternating",
+    "rel_json_props_extract",
+    "pl_graphrag_retrieve",
     "an_personalized_pagerank",
     "rel_interval_join_busy_hours",
     "pl_line_dedup",
