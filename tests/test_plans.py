@@ -382,3 +382,35 @@ def test_weighted_sssp_stays_equi_join(q):
     plan = _plan(q("an_weighted_shortest_paths"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_json_props_extract_prunes_to_two_columns(q):
+    """The JSON parse reads exactly (event_type, props) — nothing else of
+    the events table leaves the scan, and the parse stays a codegen
+    expression (no Python)."""
+    plan = _plan(q("rel_json_props_extract"))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" in read_schema and "event_type" in read_schema
+    assert "user_id" not in read_schema and "value" not in read_schema
+    assert "from_json" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_graphrag_seed_expansion_broadcasts(q):
+    """The 10-doc seed set and its entity set are tiny: both expansion
+    joins against corpus-scale frames must broadcast them. (The plan DOES
+    contain BroadcastNestedLoopJoin nodes — those are the intentional
+    1-row scalar crosses inside BM25 (corpus stats row) and cosine (the
+    single query vector), corpus × 1, not a scale risk; what must never
+    appear is an un-broadcast CartesianProduct.)"""
+    plan = _plan(q("pl_graphrag_retrieve"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_alternating_cc_rounds_are_aggregates_not_nested_loops(q):
+    """Every large-star/small-star round is groupBy-min + equi-join; a
+    nested-loop anywhere would break the O(log n)-round scale story."""
+    plan = _plan(q("an_wcc_alternating"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
