@@ -3423,6 +3423,64 @@ def pl_cosine_topk(spark, sf_dir):
 
 
 @_q(
+    "pl_knn_classify",
+    """
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS nbr_label,
+               ROUND(list_cosine_similarity(q.qv,
+                     CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id
+    ),
+    nn AS (
+        SELECT query_id, nbr_label FROM (
+            SELECT query_id, nbr_label, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    votes AS (
+        SELECT query_id, nbr_label, COUNT(*) AS n_votes
+        FROM nn GROUP BY query_id, nbr_label
+    ),
+    pred AS (
+        SELECT query_id, nbr_label AS pred_label FROM (
+            SELECT query_id, nbr_label, ROW_NUMBER() OVER (
+                PARTITION BY query_id
+                ORDER BY n_votes DESC, nbr_label ASC) AS rk
+            FROM votes
+        ) WHERE rk = 1
+    )
+    SELECT q.true_label, p.pred_label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred p JOIN q ON q.query_id = p.query_id
+    GROUP BY q.true_label, p.pred_label
+    ORDER BY true_label, pred_label
+    """,
+)
+def pl_knn_classify(spark, sf_dir):
+    """k-NN label classification over the embedding corpus (the labeled
+    application of the ANN stack): every 97th vector is a query; its
+    5 nearest cosine neighbors vote a label (tie → min). Output is the
+    confusion matrix (true_label, pred_label, n) — small, integral,
+    deterministic. Query set broadcast; corpus streamed once."""
+    emb = _read(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    pred = pl.knn_classify(emb, queries, k=5)
+    truth = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(truth, "query_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy("true_label", "pred_label")
+    )
+
+
+@_q(
     "pl_sq_ann",
     """
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -6098,6 +6156,7 @@ _PRIORITY = [
     "an_wcc_alternating",
     "rel_json_props_extract",
     "pl_graphrag_retrieve",
+    "pl_knn_classify",
     "an_personalized_pagerank",
     "rel_interval_join_busy_hours",
     "pl_line_dedup",

@@ -12,6 +12,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
 )
 from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
+    knn_classify,
     rrf_fuse,
     pca_project,
     embedding_hygiene,

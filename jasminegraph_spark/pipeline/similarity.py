@@ -65,6 +65,39 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_classify(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label prediction: each query vector takes the majority label
+    of its k nearest (cosine) corpus neighbors, ties broken by min label.
+    Returns (query_id, pred_label).
+
+    The labeled-ANN application of the similarity stack: neighbor search
+    is :func:`cosine_topk` (queries broadcast, corpus streamed once); the
+    |Q|·k neighbor frame is then tiny and is BROADCAST back onto the
+    corpus label table — the corpus is never shuffled."""
+    nn = cosine_topk(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        lab.join(F.broadcast(nn.select("query_id", "neighbor_id")), "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("nbr_label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("query_id", F.col("nbr_label").alias("pred_label"))
+    )
+
+
 def sign_lsh_buckets(
     embeddings: DataFrame, planes: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

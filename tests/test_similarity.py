@@ -323,3 +323,36 @@ def test_embedding_hygiene_flags(spark):
     assert got[102] == "zero_norm"
     assert got[103] == "norm_outlier"
     assert all(got[i] == "ok" for i in range(20))
+
+
+def test_knn_classify_majority_and_tie(spark):
+    """Majority label wins; a 2-2 vote tie (k=4) breaks to the min label;
+    the query's own row never votes."""
+    from jasminegraph_spark.pipeline import knn_classify
+
+    rows = [
+        # query 0 at the origin axis; 4 near neighbors: labels 1,1,2,2
+        (0, [1.0, 0.0, 0.0], 9),
+        (1, [0.99, 0.1, 0.0], 1),
+        (2, [0.98, 0.15, 0.0], 1),
+        (3, [0.97, 0.2, 0.0], 2),
+        (4, [0.96, 0.25, 0.0], 2),
+        # far away, opposite direction — must not be chosen at k=4
+        (5, [-1.0, 0.0, 0.0], 7),
+        # query 10: 3-of-4 majority for label 3
+        (10, [0.0, 1.0, 0.0], 9),
+        (11, [0.1, 0.99, 0.0], 3),
+        (12, [0.15, 0.98, 0.0], 3),
+        (13, [0.2, 0.97, 0.0], 3),
+        (14, [0.25, 0.96, 0.0], 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<double>, label: int"
+    )
+    queries = df.filter("vec_id IN (0, 10)")
+    got = {
+        r["query_id"]: r["pred_label"]
+        for r in knn_classify(df, queries, k=4).collect()
+    }
+    assert got[0] == 1    # 2-2 tie between labels 1 and 2 → min label
+    assert got[10] == 3   # 3-1 majority
