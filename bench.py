@@ -62,6 +62,11 @@ HEADLINE = [
     "pl_line_dedup",
     "pl_unigram_logprob",
     "an_weighted_shortest_paths",
+    # round-4 third continuation: composed GraphRAG retrieval (bounded
+    # hybrid lists + broadcast KG expansion) and k-NN label classification
+    # (broadcast queries over a streamed corpus)
+    "pl_graphrag_retrieve",
+    "pl_knn_classify",
 ]
 
 

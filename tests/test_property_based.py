@@ -64,6 +64,39 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == expected
 
 
+@settings(max_examples=6, deadline=None)
+@given(edge_lists)
+def test_alternating_cc_matches_union_find(spark, edges):
+    """Large-star/small-star must agree with union-find ground truth on
+    arbitrary small graphs (same min-id contract as hash-min)."""
+    from jasminegraph_spark.analytics import connected_components_alternating
+
+    und = _canon(edges)
+    if not und:
+        return
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in und:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for e in und for v in e}
+
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_alternating(df).collect()
+    }
+    assert got == expected
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.text(alphabet="abcd ", min_size=10, max_size=40), min_size=1, max_size=6))
 def test_minhash_identical_texts_identical_signatures(spark, texts):
