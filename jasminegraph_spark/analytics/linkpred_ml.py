@@ -128,16 +128,13 @@ FEATURE_COLS = ["cn", "aa", "jac"] + [
 ]
 
 
-def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: int = 25):
-    # 25 L-BFGS iterations: measured identical test AUC to 100 on the cora
-    # fixture (converges far earlier) at half the wall-clock
-    """Train the seeded logistic link classifier. Returns (model,
-    test_scored) where test_scored has (a, b, label, score, jac) for the
-    held-out pos/neg pairs — AUC-compare `score` (learned) against `jac`
-    (the raw heuristic on the same feature graph)."""
-    from pyspark.ml.classification import LogisticRegression
+def _prepare_examples(edges: DataFrame):
+    """Shared example-building pipeline for the global and federated
+    trainers: 3-way split, structural embeddings, balanced negatives,
+    assembled feature vectors. Returns (train_df, test_df, caches) with
+    train_df persisted and every cached intermediate in ``caches`` for
+    the caller's finalize()."""
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
 
     und = canonical_undirected(edges).persist()
     feat_graph, pos_train, pos_test = three_way_edge_split(und)
@@ -174,6 +171,21 @@ def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: in
     # overhead per iteration (at 100 TB the example frame is still ≪ |E|;
     # scale the partition count with its size, not the graph's)
     train_df = prep(labelled(pos_train, neg_train)).coalesce(8).persist()
+    test_df = prep(labelled(pos_test, neg_test))
+    return train_df, test_df, (und, feat_graph, emb, train_df)
+
+
+def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: int = 25):
+    # 25 L-BFGS iterations: measured identical test AUC to 100 on the cora
+    # fixture (converges far earlier) at half the wall-clock
+    """Train the seeded logistic link classifier. Returns (model,
+    test_scored) where test_scored has (a, b, label, score, jac) for the
+    held-out pos/neg pairs — AUC-compare `score` (learned) against `jac`
+    (the raw heuristic on the same feature graph)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    train_df, test_df, caches = _prepare_examples(edges)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -182,7 +194,6 @@ def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: in
         standardization=True,
     )
     model = lr.fit(train_df)
-    test_df = prep(labelled(pos_test, neg_test))
     get_p1 = F.element_at(vector_to_array(F.col("probability")), 2)  # P(label=1)
     scored = model.transform(test_df).select(
         "a",
@@ -191,7 +202,70 @@ def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: in
         get_p1.alias("score"),
         "jac",  # kept so callers can AUC-compare against the raw heuristic
     )
-    return model, finalize(scored, und, feat_graph, emb, train_df)
+    return model, finalize(scored, *caches)
+
+
+def federated_train_merge(
+    edges: DataFrame,
+    n_workers: int = 4,
+    reg_param: float = 0.01,
+    max_iter: int = 25,
+):
+    """The reference's federated `merge` verb (fl_server/fl_client: each
+    worker trains GraphSAGE on its partition, the server merges weights):
+    hash-partition the training examples into ``n_workers`` disjoint
+    shards, fit one seeded logistic head per shard — each fit sees ONLY
+    its shard, the federated setting — then FedAvg the coefficient
+    vectors (shard-size-weighted) into one merged model.
+
+    The merged model is served as a pure Catalyst sigmoid expression over
+    the raw feature columns (Spark ML returns coefficients on the
+    original scale even with standardization) — no model object, so the
+    merged weights travel as 16 literals, exactly like the reference
+    shipping merged weights back to workers.
+
+    Returns (coefficients, intercept, test_scored) with test_scored =
+    (a, b, label, score, jac). At cluster scale each shard fit is its own
+    distributed L-BFGS; the merge itself is O(n_features) on the driver.
+    """
+    from pyspark.ml.classification import LogisticRegression
+
+    train_df, test_df, caches = _prepare_examples(edges)
+    part = train_df.withColumn(
+        "_w", F.pmod(F.xxhash64("a", "b"), F.lit(n_workers))
+    ).persist()
+    lr = LogisticRegression(
+        featuresCol="features",
+        labelCol="label",
+        maxIter=max_iter,
+        regParam=reg_param,
+        standardization=True,
+    )
+    fits = []  # (shard_size, coefficient_array, intercept)
+    for w in range(n_workers):
+        shard = part.filter(F.col("_w") == w)
+        n = shard.count()
+        if n == 0:
+            continue
+        m = lr.fit(shard)
+        fits.append((n, m.coefficients.toArray(), float(m.intercept)))
+    total = sum(n for n, _, _ in fits)
+    coefficients = [
+        float(sum(n * c[i] for n, c, _ in fits)) / total
+        for i in range(len(FEATURE_COLS))
+    ]
+    intercept = float(sum(n * b for n, _, b in fits)) / total
+    z = F.lit(intercept)
+    for cname, cval in zip(FEATURE_COLS, coefficients):
+        z = z + F.lit(cval) * F.col(cname)
+    scored = test_df.select(
+        "a",
+        "b",
+        F.col("label").cast("int").alias("label"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+        "jac",
+    )
+    return coefficients, intercept, finalize(scored, *caches, part)
 
 
 def link_prediction_trained(edges: DataFrame, top_k: int = 100) -> DataFrame:

@@ -84,6 +84,35 @@ def test_trained_link_predictor_beats_jaccard_auc(spark):
     scored.unpersist()
 
 
+def test_federated_merge_matches_global_training(spark):
+    """The reference's `merge` verb analog: 4 disjoint-shard logistic
+    heads FedAvg'd into one model must (a) decisively beat the raw
+    Jaccard heuristic and (b) land within a few AUC points of the
+    globally trained model on the same cora fixture."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import (
+        auc,
+        federated_train_merge,
+        train_link_predictor,
+    )
+
+    raw = spark.read.csv(
+        "/root/reference/tests/integration/env_init/data/cora/cora.cites", sep="\t"
+    ).toDF("src", "dst")
+    edges = raw.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    coefficients, intercept, scored = federated_train_merge(edges, n_workers=4)
+    scored = scored.persist()
+    fed_auc = auc(scored)
+    jac_auc = auc(scored, "jac")
+    assert len(coefficients) == 15 and isinstance(intercept, float)
+    assert fed_auc > jac_auc + 0.05
+    assert fed_auc > 0.72
+    _, global_scored = train_link_predictor(edges)
+    assert abs(fed_auc - auc(global_scored)) < 0.05
+    scored.unpersist()
+
+
 def test_trained_predictor_query_shape(spark):
     from __spark_entry__ import an_link_prediction_trained
 
