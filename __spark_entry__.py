@@ -3972,6 +3972,26 @@ def an_link_prediction_trained(spark, sf_dir):
 _QUERIES["an_link_prediction_trained"] = an_link_prediction_trained
 
 
+def an_link_prediction_federated(spark, sf_dir):
+    """The reference's federated train→merge lifecycle (fl_client/
+    fl_server): 4 disjoint-shard logistic heads FedAvg'd into one model,
+    served as a Catalyst sigmoid over the pair features; top-100 held-out
+    pairs by merged score. Rows-only (training is not SQL-expressible);
+    the merged-vs-global AUC parity is asserted on the reference's cora
+    fixture in tests/test_linkpred_kg.py."""
+    from jasminegraph_spark.analytics import federated_train_merge
+
+    _, _, scored = federated_train_merge(co_order_edges(spark, sf_dir))
+    return (
+        scored.select("a", "b", "label", F.round("score", 4).alias("score_r"))
+        .orderBy(F.desc("score_r"), F.asc("a"), F.asc("b"))
+        .limit(100)
+    )
+
+
+_QUERIES["an_link_prediction_federated"] = an_link_prediction_federated
+
+
 def _lpa_oracle(iterations: int = 4) -> str:
     sql = (
         CO_ORDER_CTE
