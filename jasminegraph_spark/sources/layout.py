@@ -74,33 +74,52 @@ def _interleave_bits(cols: list, bits: int = _ZBITS):
     return z
 
 
+_ZQ_BITS = 8  # 256 quantile buckets per dim — tight file envelopes at any n_files ≪ 256
+
+
+def _bucket_search(c, bounds: list, lo: int, hi: int):
+    """Balanced binary-search WHEN-tree assigning ``c`` its bucket in
+    [lo, hi] given sorted split points ``bounds`` (bucket i holds values
+    in [bounds[i-1], bounds[i])). Each row evaluates only the tree DEPTH
+    (log2 #buckets ≈ 8) comparisons — pure codegen, no UDF, no sort."""
+    if lo == hi:
+        return F.lit(lo)
+    mid = (lo + hi) // 2
+    return F.when(c < F.lit(bounds[mid]), _bucket_search(c, bounds, lo, mid)).otherwise(
+        _bucket_search(c, bounds, mid + 1, hi)
+    )
+
+
 def zorder_by(df: DataFrame, cols: list, n_files: int = 8) -> DataFrame:
     """Cluster rows by the Z-order (Morton) curve over ``cols``.
 
-    Each column is rank-normalized to [0, 2^21) via percent_rank — rank
-    (not min/max scaling) makes the curve robust to skewed value
-    distributions — then bit-interleaved; repartitionByRange + in-
-    partition sort on the Z-value gives every output file a tight
-    min/max envelope on ALL the z-columns, so predicate pushdown prunes
-    files for conjunctive AND cross-column filters alike.
-
-    The percent_rank windows are per-column global sorts at test scale;
-    at cluster scale swap in approxQuantile-bucketed normalization (the
-    curve only needs ~2^21-granular ranks, not exact ones).
+    Each column is rank-normalized to [0, 2^8) buckets via ONE
+    ``approxQuantile`` pass (Greenwald-Khanna sketch: distributed,
+    single scan, nothing ever sorts globally) — rank (not min/max
+    scaling) makes the curve robust to skewed value distributions —
+    then mapped to its bucket with a log-depth comparison tree and
+    bit-interleaved; repartitionByRange + in-partition sort on the
+    Z-value gives every output file a tight min/max envelope on ALL the
+    z-columns, so predicate pushdown prunes files for conjunctive AND
+    cross-column filters alike. 256 buckets/dim bound every stage at
+    100 TB: the sketch is one pass, the bucket map is 8 comparisons per
+    row, and only the final per-file sort touches row order (and only
+    within output files).
     """
-    from pyspark.sql.window import Window
-
-    span = (1 << _ZBITS) - 1
+    n_buckets = 1 << _ZQ_BITS
+    probs = [i / n_buckets for i in range(1, n_buckets)]
     normed = []
     work = df
     for i, c in enumerate(cols):
-        w = Window.orderBy(F.col(c))
+        bounds = df.approxQuantile(c, probs, 1.0 / (4 * n_buckets))
         work = work.withColumn(
-            f"__z{i}",
-            (F.percent_rank().over(w) * F.lit(float(span))).cast("long"),
+            "__z%d" % i,
+            F.when(F.col(c).isNull(), F.lit(0)).otherwise(
+                _bucket_search(F.col(c), bounds, 0, n_buckets - 1)
+            ).cast("long"),
         )
         normed.append(F.col(f"__z{i}"))
-    work = work.withColumn("__zvalue", _interleave_bits(normed))
+    work = work.withColumn("__zvalue", _interleave_bits(normed, bits=_ZQ_BITS))
     out = (
         work.repartitionByRange(n_files, "__zvalue")
         .sortWithinPartitions("__zvalue")
