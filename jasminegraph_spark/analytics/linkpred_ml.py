@@ -54,12 +54,30 @@ def three_way_edge_split(
     return feature_graph, train_pos, test_pos
 
 
-def negative_edges(und: DataFrame, n_per_vertex: int = 1) -> DataFrame:
+def negative_edges(
+    und: DataFrame, n_per_vertex: int = 1, index_cap: int = 1 << 20
+) -> DataFrame:
     """Deterministic non-edges, ~``n_per_vertex``·|V| of them: index
     vertices 0..n-1 by id order, pair index i with
     (i·2654435761 + salt) mod n for salt = 1..n_per_vertex (a Knuth-hash
-    derangement family), canonicalize, and anti-join the real edge set."""
+    derangement family), canonicalize, and anti-join the real edge set.
+
+    The dense index needs a global row_number window (one partition), so
+    above ``index_cap`` vertices the universe is first thinned to ~cap by
+    a deterministic md5-stride filter — negatives drawn from a vertex
+    subsample are statistically equivalent for training, and the window
+    stays bounded at any graph size. Below the cap (every test SF)
+    behavior is bit-identical to the uncapped form."""
     verts = und.select(F.col("a").alias("v")).union(und.select("b")).distinct()
+    n_all = verts.count()
+    if n_all > index_cap:
+        stride = -(-n_all // index_cap)
+        verts = verts.filter(
+            F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % stride
+            == 0
+        )
     w = Window.orderBy("v")
     idx = verts.withColumn("i", F.row_number().over(w) - 1)
     n = idx.count()
