@@ -5758,6 +5758,51 @@ def src_jsonl_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "src_zorder_roundtrip",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id BETWEEN 100 AND 400 AND value BETWEEN 10 AND 90
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def src_zorder_roundtrip(spark, sf_dir):
+    """LAYOUT driver row (write-side clustering, previously pytest-only):
+    events are Z-order clustered on (user_id, value) — one approxQuantile
+    pass per column, log-depth bucket map, bit-interleave,
+    repartitionByRange + per-file sort (sources/layout.py zorder_by) —
+    written to parquet and read back; a conjunctive cross-column filter
+    aggregate must match the unclustered original exactly. Equality
+    proves the clustering rewrite lossless; the tight per-file min/max
+    envelopes it exists for are plan/stat-asserted in
+    tests/test_sources.py."""
+    import tempfile
+
+    from jasminegraph_spark.sources import zorder_by
+
+    ev = _read(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="jgs_zorder_")
+    zorder_by(ev, ["user_id", "value"], n_files=8).write.mode("overwrite").parquet(
+        out_dir
+    )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(
+            F.col("user_id").between(100, 400) & F.col("value").between(10, 90)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "pl_kmv_distinct",
     f"""
     WITH h AS (
@@ -6173,6 +6218,7 @@ _PRIORITY = [
     "rel_asof_last_purchase",
     "rel_events_rollup_multires",
     # --- never driver-checked ---
+    "src_zorder_roundtrip",
     "an_wcc_alternating",
     "rel_json_props_extract",
     "pl_graphrag_retrieve",
