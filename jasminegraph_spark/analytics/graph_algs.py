@@ -130,20 +130,36 @@ def pagerank(
     ``weight_col`` switches the mass split from uniform 1/out_deg to
     edge-weight-proportional (weighted PageRank): contribution =
     r_k(u)·w(u,v)/Σ_out w(u) — same loop, out-degree becomes out-weight.
+    Parallel (u, v) edges combine by weight SUM (a multigraph carries
+    their total mass); in the unweighted path distinct collapses them to
+    binary adjacency.
     """
-    if weight_col is None:
-        e = edges.select("src", "dst", F.lit(1.0).alias("__w"))
+    weighted = weight_col is not None
+    if not weighted:
+        # unweighted: 2-column distinct (binary adjacency) and a plain
+        # count out-degree — no weight column rides the per-iteration plan
+        e = edges.select("src", "dst")
+        if undirected:
+            e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        e = e.distinct().persist()
     else:
-        # weighted pgrnk: mass splits ∝ edge weight instead of 1/out_deg
+        # weighted pgrnk: mass splits ∝ edge weight instead of 1/out_deg.
+        # Parallel edges COMBINE by weight sum (groupBy, not distinct —
+        # distinct would keep two (u,v) rows with different weights and
+        # silently double-count their mass)
         e = edges.select("src", "dst", F.col(weight_col).cast("double").alias("__w"))
-    if undirected:
-        e = e.unionAll(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "__w")
-        )
-    e = e.distinct().persist()
+        if undirected:
+            e = e.unionAll(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "__w")
+            )
+        e = e.groupBy("src", "dst").agg(F.sum("__w").alias("__w")).persist()
     nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
     n_total = nodes.count()
-    out_deg = e.groupBy("src").agg(F.sum("__w").alias("out_deg"))
+    out_deg = (
+        e.groupBy("src").agg(F.sum("__w").alias("out_deg"))
+        if weighted
+        else e.groupBy("src").agg(F.count("*").cast("double").alias("out_deg"))
+    )
     # contribution edges carry out_deg along; persisted once, reused each iter
     contrib_base = e.join(out_deg, "src").persist()
     if sources is not None:
@@ -160,12 +176,17 @@ def pagerank(
     # iteration; past broadcast_threshold vertices fall back to a
     # co-partitioned shuffle join (exercised in tests via threshold=0)
     brd = (lambda df: F.broadcast(df)) if n_total <= broadcast_threshold else (lambda df: df)
+    contrib_expr = (
+        (F.col("rank") * F.col("__w") / F.col("out_deg"))
+        if weighted
+        else (F.col("rank") / F.col("out_deg"))
+    )
     for i in range(iterations):
         contribs = (
             contrib_base.join(brd(ranks), contrib_base["src"] == ranks["node"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") * F.col("__w") / F.col("out_deg")).alias("c"),
+                contrib_expr.alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("mass"))
