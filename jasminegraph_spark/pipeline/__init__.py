@@ -15,6 +15,7 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     knn_classify,
     rrf_fuse,
     pca_project,
+    pca_invariants,
     embedding_hygiene,
     sign_lsh_buckets,
     banded_sign_buckets,

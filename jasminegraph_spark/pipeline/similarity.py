@@ -473,6 +473,97 @@ def rrf_fuse(
     )
 
 
+def _covariance(src: DataFrame):
+    """Distributed covariance of an array<double> column ``v``: mapInPandas
+    computes per-Arrow-batch partial Gram sums (numpy outer products,
+    executor-side) emitting d² (i, j, s) cells per batch; one groupBy
+    reduces them and only d² scalars reach the driver (d=64 → 4096 rows,
+    regardless of corpus size). The dimension is inferred from the first
+    batch each task sees — no separate driver job. Returns
+    (cov ndarray d×d, mean ndarray d, n_rows, dim)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("j", T.IntegerType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("colsum", T.DoubleType()),
+        ]
+    )
+
+    def partial_gram(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.array(pdf["v"].tolist(), dtype=np.float64)
+            if x.size == 0:
+                continue
+            d = x.shape[1]
+            g = x.T @ x
+            cs = x.sum(axis=0)
+            i, j = np.meshgrid(range(d), range(d), indexing="ij")
+            yield pd.DataFrame(
+                {
+                    "i": i.ravel(),
+                    "j": j.ravel(),
+                    "s": g.ravel(),
+                    "n": len(x),
+                    "colsum": np.where(i.ravel() == j.ravel(), cs[i.ravel()], 0.0),
+                }
+            )
+
+    parts = (
+        src.select("v")
+        .mapInPandas(partial_gram, schema=out_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("colsum").alias("colsum"))
+        .collect()
+    )
+    if not parts:
+        raise ValueError("covariance of an empty embedding frame")
+    dim = max(r["i"] for r in parts) + 1
+    # each batch stamps its row count on all d² cells, so after the
+    # (i, j) reduction every cell's n equals the total row count
+    n_rows = int(sum(r["n"] for r in parts) / (dim * dim))
+    gram = np.zeros((dim, dim))
+    mean = np.zeros(dim)
+    for r in parts:
+        gram[r["i"], r["j"]] = r["s"]
+        if r["i"] == r["j"]:
+            mean[r["i"]] = r["colsum"]
+    mean /= n_rows
+    cov = gram / n_rows - np.outer(mean, mean)
+    return cov, mean, n_rows, dim
+
+
+def pca_invariants(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Oracle-checkable invariants of the PCA covariance pipeline: a 1-row
+    frame (n_rows, dim, trace) where trace = Σ eigenvalues of the
+    covariance — computed HERE from numpy.eigh over the distributed
+    partial-Gram covariance, while a SQL oracle computes the same number
+    directly as Σ_i var_pop(x_i) from the raw table. A hash match
+    validates the whole mapInPandas Gram reduction + mean centering +
+    eigendecomposition (trace is basis-invariant), giving the
+    non-SQL-expressible eigensolver a hard driver row."""
+    import numpy as np
+
+    src = embeddings.select(_as_double(vec_col).alias("v"))
+    cov, _, n_rows, dim = _covariance(src)
+    evals = np.linalg.eigvalsh(cov)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(n_rows, dim, round(float(evals.sum()), 6))],
+        "n_rows long, dim int, trace double",
+    )
+
+
 def pca_project(
     embeddings: DataFrame,
     n_components: int = 8,
@@ -497,60 +588,9 @@ def pca_project(
     explained-variance ratios.
     """
     import numpy as np
-    from pyspark.sql import types as T
 
-    spark = embeddings.sparkSession
     src = embeddings.select(F.col(id_col), _as_double(vec_col).alias("v"))
-    dim = len(src.select("v").first()["v"])
-
-    out_schema = T.StructType(
-        [
-            T.StructField("i", T.IntegerType()),
-            T.StructField("j", T.IntegerType()),
-            T.StructField("s", T.DoubleType()),
-            T.StructField("n", T.LongType()),
-            T.StructField("colsum", T.DoubleType()),
-        ]
-    )
-
-    def partial_gram(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            x = np.array(pdf["v"].tolist(), dtype=np.float64)
-            if x.size == 0:
-                continue
-            g = x.T @ x
-            cs = x.sum(axis=0)
-            i, j = np.meshgrid(range(dim), range(dim), indexing="ij")
-            yield pd.DataFrame(
-                {
-                    "i": i.ravel(),
-                    "j": j.ravel(),
-                    "s": g.ravel(),
-                    "n": len(x),
-                    "colsum": np.where(i.ravel() == j.ravel(), cs[i.ravel()], 0.0),
-                }
-            )
-
-    parts = (
-        src.select("v")
-        .mapInPandas(partial_gram, schema=out_schema)
-        .groupBy("i", "j")
-        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"), F.sum("colsum").alias("colsum"))
-        .collect()
-    )
-    # each batch stamps its row count on all d² cells, so after the
-    # (i, j) reduction every cell's n equals the total row count
-    n_rows = int(sum(r["n"] for r in parts) / (dim * dim))
-    gram = np.zeros((dim, dim))
-    mean = np.zeros(dim)
-    for r in parts:
-        gram[r["i"], r["j"]] = r["s"]
-        if r["i"] == r["j"]:
-            mean[r["i"]] = r["colsum"]
-    mean /= n_rows
-    cov = gram / n_rows - np.outer(mean, mean)
+    cov, mean, n_rows, dim = _covariance(src)
     evals, evecs = np.linalg.eigh(cov)
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T  # (k, d)
