@@ -26,6 +26,7 @@ from jasminegraph_spark.analytics.linkpred import (  # noqa: F401
 from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
     auc,
     federated_train_merge,
+    link_example_features,
     link_prediction_trained,
     train_link_predictor,
 )

@@ -78,9 +78,11 @@ def negative_edges(
             % stride
             == 0
         )
+        n = verts.count()  # thinning changed the universe — recount
+    else:
+        n = n_all  # no thinning: reuse the one count, skip a second job
     w = Window.orderBy("v")
     idx = verts.withColumn("i", F.row_number().over(w) - 1)
-    n = idx.count()
     partner = idx.withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(1, n_per_vertex + 1)]))
     ).withColumn("j", (F.col("i") * F.lit(2654435761) + F.col("salt")) % F.lit(n))
@@ -144,6 +146,89 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
 FEATURE_COLS = ["cn", "aa", "jac"] + [
     f"{p}_{f}" for f in _FEATS for p in ("d", "p", "s")
 ]
+
+
+def shard_id(n_workers: int):
+    """Deterministic federated shard assignment for a canonical pair
+    (a, b): the SECOND hex char of md5(a|b) mod n_workers (the first char
+    is already spent on the train/test splits). Engine-stable and
+    SQL-replicable — DuckDB computes the identical shard with
+    strpos('0123456789abcdef', ...) — so the shard layout itself is
+    oracle-checkable."""
+    return (
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(concat_ws('|', a, b)), 2, 1)) - 1"
+        )
+        % F.lit(n_workers)
+    ).cast("int")
+
+
+def link_example_features(
+    edges: DataFrame,
+    split: str = "test",
+    n_per_vertex: int = 1,
+    n_workers: int | None = None,
+) -> DataFrame:
+    """The deterministic, SQL-expressible slice of the train/predict/merge
+    lifecycle: the ``split`` example pairs (3-way md5 edge split +
+    hash-derangement negatives) with their neighborhood-overlap features
+    over the FEATURE graph — common-neighbor count, Jaccard, Adamic–Adar.
+    Everything upstream of the L-BFGS fit, so a DuckDB oracle can
+    hash-match the split boundaries, the negative sampling, and the
+    feature math; the fit itself keeps its AUC floor in pytest
+    (tests/test_linkpred_kg.py). With ``n_workers`` set, adds the
+    federated ``shard`` column (shard_id) the FedAvg trainer partitions
+    by. Returns (a, b, label, cn, jac, aa[, shard])."""
+    und = canonical_undirected(edges)
+    feat_graph, pos_train, pos_test = three_way_edge_split(und)
+    neg = negative_edges(und, n_per_vertex=n_per_vertex)
+    tagged = neg.withColumn("_h", F.substring(F.md5(F.concat_ws("|", "a", "b")), 1, 1))
+    neg_train = tagged.filter(F.col("_h") < "8").drop("_h")
+    neg_test = tagged.filter(F.col("_h") >= "8").drop("_h")
+    pos, negx = (pos_train, neg_train) if split == "train" else (pos_test, neg_test)
+    pairs = pos.withColumn("label", F.lit(1)).unionByName(
+        negx.withColumn("label", F.lit(0))
+    )
+    adj = feat_graph.select(F.col("a").alias("x"), F.col("b").alias("w")).unionAll(
+        feat_graph.select(F.col("b"), F.col("a"))
+    )
+    degw = adj.groupBy("w").agg(F.count("*").alias("dw"))
+    overlap = (
+        pairs.select("a", "b")
+        .join(adj.select(F.col("x").alias("a"), "w"), "a")
+        .join(adj.select(F.col("x").alias("b"), F.col("w")), ["b", "w"], "left_semi")
+        .join(degw, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
+        )
+    )
+    da = degw.select(F.col("w").alias("a"), F.col("dw").alias("deg_a"))
+    db = degw.select(F.col("w").alias("b"), F.col("dw").alias("deg_b"))
+    out = (
+        # inner degree joins: endpoints must sit in the feature graph —
+        # the same filter _pair_features applies via its inner emb join
+        pairs.join(da, "a")
+        .join(db, "b")
+        .join(overlap, ["a", "b"], "left")
+        .withColumn("cn", F.coalesce("cn", F.lit(0)).cast("long"))
+        .withColumn("aa", F.coalesce("aa", F.lit(0.0)))
+    )
+    res = out.select(
+        "a",
+        "b",
+        F.col("label").cast("int").alias("label"),
+        "cn",
+        F.round(
+            F.col("cn") / (F.col("deg_a") + F.col("deg_b") - F.col("cn")), 6
+        ).alias("jac"),
+        F.round("aa", 6).alias("aa"),
+    )
+    if n_workers:
+        res = res.withColumn("shard", shard_id(n_workers))
+    return res.orderBy("a", "b")
 
 
 def _prepare_examples(edges: DataFrame):
@@ -249,9 +334,7 @@ def federated_train_merge(
     from pyspark.ml.classification import LogisticRegression
 
     train_df, test_df, caches = _prepare_examples(edges)
-    part = train_df.withColumn(
-        "_w", F.pmod(F.xxhash64("a", "b"), F.lit(n_workers))
-    ).persist()
+    part = train_df.withColumn("_w", shard_id(n_workers)).persist()
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -267,6 +350,11 @@ def federated_train_merge(
             continue
         m = lr.fit(shard)
         fits.append((n, m.coefficients.toArray(), float(m.intercept)))
+    if not fits:
+        raise ValueError(
+            "federated_train_merge: every shard is empty (no training "
+            "examples — trivial or empty edge input)"
+        )
     total = sum(n for n, _, _ in fits)
     coefficients = [
         float(sum(n * c[i] for n, c, _ in fits)) / total

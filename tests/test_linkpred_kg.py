@@ -114,9 +114,25 @@ def test_federated_merge_matches_global_training(spark):
 
 
 def test_trained_predictor_query_shape(spark):
+    # the driver row is now the oracle-checkable example feature table
+    # (split + negatives + cn/jac/aa) — the deterministic slice of the
+    # lifecycle; the fit itself is covered by the AUC tests above
     from __spark_entry__ import an_link_prediction_trained
 
-    top = an_link_prediction_trained(spark, "/root/testdata/sf0.001")
+    feats = an_link_prediction_trained(spark, "/root/testdata/sf0.001")
+    rows = feats.collect()
+    assert feats.columns == ["a", "b", "label", "cn", "jac", "aa"]
+    assert {r["label"] for r in rows} == {0, 1}
+    assert any(r["cn"] > 0 for r in rows)
+
+
+def test_trained_predictor_topk_shape(spark):
+    from jasminegraph_spark.analytics import link_prediction_trained
+    from jasminegraph_spark.projection import co_order_edges
+
+    top = link_prediction_trained(
+        co_order_edges(spark, "/root/testdata/sf0.001"), top_k=100
+    )
     rows = top.collect()
     assert top.columns == ["a", "b", "label", "score_r"]
     assert len(rows) == 100
@@ -217,7 +233,13 @@ def test_constructkg_against_reference_gold(spark):
     assert recovered(gold["qa_pair"]["key_terms"])
 
 
-def test_llm_extractor_is_gated(spark):
+def test_llm_extractor_unreachable_endpoint_fails_loudly(spark):
+    # the seam is a real HTTP-batch operator now (r5) — full e2e coverage
+    # incl. retry/backoff lives in tests/test_llm_extractor.py; here:
+    # an unreachable endpoint must surface after retries, not hang or
+    # silently drop documents
     docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
-    with pytest.raises(NotImplementedError):
-        llm_extractor(docs, "http://localhost:11434")
+    with pytest.raises(Exception):
+        llm_extractor(
+            docs, "http://127.0.0.1:9", max_retries=1, timeout=2.0
+        ).collect()
