@@ -141,8 +141,13 @@ def connected_components_alternating(
             break
         prev_sig = sig
     # fixpoint: cur is a star forest (u → component min). Roots only ever
-    # appear on the right; they are their own component.
-    labels = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # appear on the right; they are their own component. The groupBy-min
+    # is an identity at the fixpoint (one row per u) but guarantees the
+    # one-label-per-node contract even if max_iterations exhausted before
+    # convergence, where cur need not be a star forest yet.
+    labels = cur.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("component")
+    )
     roots = (
         cur.select(F.col("v").alias("node"))
         .distinct()

@@ -10,6 +10,7 @@ from jasminegraph_spark.sources.layout import (  # noqa: F401
     compact_parquet,
     write_partitioned,
     zorder_by,
+    zorder_prune_stats,
 )
 from jasminegraph_spark.sources.sinks import (  # noqa: F401
     assemble_graphml,

@@ -231,6 +231,72 @@ def test_zorder_tightens_file_envelopes(spark, tmp_path):
     assert spark.read.parquet(zed).count() == 64 * 64
 
 
+def test_zorder_non_numeric_and_null_columns(spark, tmp_path):
+    """r5 robustness (ADVICE): z-order keys may be strings, dates or
+    timestamps (order-preserving numeric surrogates feed the quantile
+    sketch), an all-null column degrades to bucket 0 instead of crashing
+    the bucket search, and unsupported types fail loudly."""
+    import datetime
+
+    import pytest as _pytest
+
+    from jasminegraph_spark.sources import zorder_by
+
+    rows = [
+        (
+            f"user{i:03d}",
+            datetime.date(2024, 1 + i % 12, 1 + i % 28),
+            datetime.datetime(2024, 1, 1, i % 24),
+            None,
+            i,
+        )
+        for i in range(256)
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, d date, ts timestamp, dead string, v long"
+    ).repartition(8)
+    out = str(tmp_path / "z_str")
+    zorder_by(df, ["name", "d", "ts", "dead"], n_files=4).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 256
+    assert sorted(c for c in back.columns) == ["d", "dead", "name", "ts", "v"]
+    # string clustering is real: most files' name-envelopes miss a probe
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    hit, total = 0, 0
+    for root, _, files in _os.walk(out):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.read_metadata(_os.path.join(root, f))
+            st = md.row_group(0).column(0).statistics
+            if st.min <= "user005" <= st.max:
+                hit += 1
+    assert hit < total
+    # unsupported type (array) raises a descriptive error
+    arr = spark.createDataFrame([([1, 2],)], "a array<int>")
+    with _pytest.raises(ValueError, match="unsupported column type"):
+        zorder_by(arr, ["a"])
+
+
+def test_alternating_wcc_one_label_per_node_even_unconverged(spark):
+    """r5 contract fix (ADVICE): exhausting max_iterations before the
+    star-forest fixpoint must still yield exactly one (node, component)
+    row per node (groupBy-min finalization), matching hash-min's shape."""
+    from jasminegraph_spark.analytics import connected_components_alternating
+
+    # a long chain needs several alternating rounds; 1 round is not enough
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["src", "dst"]
+    )
+    out = connected_components_alternating(chain, max_iterations=1).collect()
+    nodes = [r["node"] for r in out]
+    assert len(nodes) == len(set(nodes)) == 41  # one row per node, all nodes
+
+
 def test_graphml_export_roundtrip(spark, tmp_path):
     """Distributed GraphML export assembles into valid XML: node/edge
     counts survive, special characters are escaped, directedness is
