@@ -12,8 +12,10 @@ project nodes/edges DataFrames.
 The LLM call itself is an external service; here the extractor is
 pluggable. The default is a deterministic regex tuple extractor (greedy
 non-overlapping token triples) so the whole pipeline is testable and
-oracle-checkable; `llm_extractor` shows the real-call seam and raises
-until an endpoint is wired in.
+oracle-checkable; `llm_extractor` is the real-call seam — an
+executor-side HTTP-batch mapInPandas stage with retries, exercised in
+tests against a local deterministic fake endpoint (no LLM runtime ships
+in this container).
 
 Scale notes: extraction is embarrassingly parallel over documents (no
 shuffle until the triple aggregation); the aggregation is one partial-
@@ -116,13 +118,87 @@ def extract_entity_triples(documents: DataFrame) -> DataFrame:
     )
 
 
-def llm_extractor(documents: DataFrame, endpoint: str) -> DataFrame:
-    """Seam for the reference's Ollama/vLLM tuple streamers: a mapInPandas
-    stage that batches chunk texts to an LLM endpoint and yields the same
-    (doc_id, s, p, o) schema as :func:`extract_triples`. No LLM runtime in
-    this environment — deliberately unimplemented."""
-    raise NotImplementedError(
-        "LLM tuple extraction requires an external endpoint "
-        "(reference: OllamaTupleStreamer.cpp / VLLMTupleStreamer.cpp); "
-        "use extract_triples() for the deterministic path"
+def llm_extractor(
+    documents: DataFrame,
+    endpoint: str,
+    batch_size: int = 32,
+    max_retries: int = 3,
+    timeout: float = 30.0,
+) -> DataFrame:
+    """The reference's Ollama/vLLM tuple-streamer seam
+    (knowledgegraph/construction/OllamaTupleStreamer.cpp,
+    VLLMTupleStreamer.cpp, Pipeline.cpp) as a REAL distributed operator:
+    a mapInPandas stage that POSTs document batches to an HTTP endpoint
+    and yields the same (doc_id, s, p, o) schema as
+    :func:`extract_triples`.
+
+    Wire contract (JSON over POST, model-agnostic — an Ollama/vLLM
+    adapter is one handler away):
+      request : {"documents": [{"doc_id": <int>, "text": <str>}, ...]}
+      response: {"triples":   [{"doc_id": <int>, "s": <str>,
+                                "p": <str>, "o": <str>}, ...]}
+
+    Scale shape: requests are issued EXECUTOR-side, one batch of
+    ``batch_size`` documents per call (bounded payloads, no driver
+    fan-in); transient failures retry ``max_retries`` times with
+    exponential backoff, then surface — a poisoned batch fails its task,
+    not the cluster. No LLM runs in this container; the operator is
+    exercised end-to-end in tests/test_llm_extractor.py against a local
+    deterministic fake server (including a flaky-first-attempt retry
+    path), so the batching, retry, and schema contract are all real."""
+    import pandas as pd
+
+    def fn(batches):
+        import json as _json
+        import time
+        import urllib.request
+
+        def call(payload: dict) -> dict:
+            data = _json.dumps(payload).encode()
+            for attempt in range(max_retries):
+                req = urllib.request.Request(
+                    endpoint,
+                    data=data,
+                    headers={"Content-Type": "application/json"},
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as resp:
+                        return _json.loads(resp.read().decode())
+                except Exception:
+                    if attempt == max_retries - 1:
+                        raise
+                    time.sleep(min(2.0**attempt * 0.1, 5.0))
+
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="object"),
+                "p": pd.Series([], dtype="object"),
+                "o": pd.Series([], dtype="object"),
+            }
+        )
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                payload = {
+                    "documents": [
+                        {"doc_id": int(d), "text": str(t)}
+                        for d, t in zip(chunk["doc_id"], chunk["text"])
+                    ]
+                }
+                trips = call(payload).get("triples", [])
+                if not trips:
+                    yield empty
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_id": [int(t["doc_id"]) for t in trips],
+                        "s": [t["s"] for t in trips],
+                        "p": [t["p"] for t in trips],
+                        "o": [t["o"] for t in trips],
+                    }
+                )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        fn, "doc_id long, s string, p string, o string"
     )
