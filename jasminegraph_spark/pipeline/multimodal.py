@@ -45,6 +45,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("body_sum", T.LongType(), True),  # Σ payload bytes — oracle checksum
         T.StructField("byte_hist", T.ArrayType(T.DoubleType()), True),
     ]
 )
@@ -133,6 +134,7 @@ def decode_media(media: DataFrame, hist_bins: int = 16) -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_bytes": len(body),
+                        "body_sum": int(arr.sum()),
                         "byte_hist": (hist / total).round(6).tolist(),
                     }
                 )
