@@ -67,6 +67,12 @@ HEADLINE = [
     # (broadcast queries over a streamed corpus)
     "pl_graphrag_retrieve",
     "pl_knn_classify",
+    # round-5: the bucketed-storage claim, measured — identical traversal
+    # aggregate over plain parquet (full two-sided exchange) vs
+    # bucketed+sorted tables (exchange-free bucket-local SMJ). The
+    # bucketed build is memoized, so its warm number is the join alone.
+    "src_unbucketed_expand",
+    "src_bucketed_expand",
 ]
 
 
