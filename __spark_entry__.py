@@ -4119,6 +4119,85 @@ def _link_examples_oracle(split: str, n_workers: int | None = None) -> str:
     )
 
 
+_SAGE_L2_COLS = ["f1", "f2", "f3", "f4", "l1_f1", "l1_f2", "l1_f3", "l1_f4"]
+_SAGE_ORACLE = (
+    CO_ORDER_CTE
+    + """
+    , adj AS MATERIALIZED (
+        SELECT src AS v, dst AS w FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+    ),
+    deg AS MATERIALIZED (SELECT v, CAST(COUNT(*) AS DOUBLE) AS f1 FROM adj GROUP BY v),
+    h0 AS MATERIALIZED (
+        SELECT d.v, d.f1, n.f2, n.f3, n.f4
+        FROM deg d JOIN (
+            SELECT a.v, CAST(SUM(dn.f1) AS DOUBLE) AS f2,
+                   CAST(MAX(dn.f1) AS DOUBLE) AS f3,
+                   CAST(MIN(dn.f1) AS DOUBLE) AS f4
+            FROM adj a JOIN deg dn ON dn.v = a.w GROUP BY a.v
+        ) n ON n.v = d.v
+    ),
+    h1 AS MATERIALIZED (
+        SELECT h.v, h.f1, h.f2, h.f3, h.f4,
+               m.l1_f1, m.l1_f2, m.l1_f3, m.l1_f4
+        FROM h0 h JOIN (
+            SELECT a.v, AVG(hw.f1) AS l1_f1, AVG(hw.f2) AS l1_f2,
+                   AVG(hw.f3) AS l1_f3, AVG(hw.f4) AS l1_f4
+            FROM adj a JOIN h0 hw ON hw.v = a.w GROUP BY a.v
+        ) m ON m.v = h.v
+    ),
+    h2 AS (
+        SELECT h.v, h.f1, h.f2, h.f3, h.f4,
+               h.l1_f1, h.l1_f2, h.l1_f3, h.l1_f4,
+"""
+    + ",\n".join(
+        f"               m.l2_{c}" for c in _SAGE_L2_COLS
+    )
+    + """
+        FROM h1 h JOIN (
+            SELECT a.v,
+"""
+    + ",\n".join(
+        f"                   AVG(hw.{c}) AS l2_{c}" for c in _SAGE_L2_COLS
+    )
+    + """
+            FROM adj a JOIN h1 hw ON hw.v = a.w GROUP BY a.v
+        ) m ON m.v = h.v
+    )
+    SELECT v,
+"""
+    + ",\n".join(
+        f"           ROUND({c}, 4) AS {c}"
+        for c in _SAGE_L2_COLS + [f"l2_{c}" for c in _SAGE_L2_COLS]
+    )
+    + """
+    FROM h2 WHERE v <= 200 ORDER BY v
+    """
+)
+
+
+@_q("an_sage_embeddings", _SAGE_ORACLE)
+def an_sage_embeddings(spark, sf_dir):
+    """The GraphSAGE-class encoder itself under the driver's hash check
+    (reference src_python/models/supervised.py:41-212 trains a 2-layer
+    GraphSAGE; linkpred.sage_embeddings is its deterministic mean-
+    aggregator form — hᵏ⁺¹ = [hᵏ ‖ mean_nbr hᵏ] with the linear
+    transforms folded into the trained head). The oracle recomputes both
+    layers as nested join+AVG CTEs; rows are the v ≤ 200 slice (16
+    feature columns each, rounded 4dp — layer-1 values are exact
+    integer-sum means, only layer-2 carries float summation, far inside
+    the rounding margin)."""
+    from jasminegraph_spark.analytics import sage_embeddings
+
+    emb = sage_embeddings(co_order_edges(spark, sf_dir), layers=2)
+    num = [c for c in emb.columns if c != "v"]
+    return (
+        emb.filter(F.col("v") <= 200)
+        .select("v", *[F.round(c, 4).alias(c) for c in num])
+        .orderBy("v")
+    )
+
+
 @_q("an_link_prediction_trained", _link_examples_oracle("test"))
 def an_link_prediction_trained(spark, sf_dir):
     """The train/predict lifecycle's driver contract (supervised.py:41-212's
@@ -6568,6 +6647,7 @@ _PRIORITY = [
     "src_bucketed_expand",
     "src_unbucketed_expand",
     "st_incremental_triangles",
+    "an_sage_embeddings",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
     "an_pagerank",
     "pl_minhash_lsh",

@@ -22,6 +22,7 @@ from jasminegraph_spark.analytics.linkpred import (  # noqa: F401
     link_prediction,
     link_prediction_embedding,
     node_embeddings,
+    sage_embeddings,
 )
 from jasminegraph_spark.analytics.linkpred_ml import (  # noqa: F401
     auc,

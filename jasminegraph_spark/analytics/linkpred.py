@@ -364,6 +364,47 @@ def node_embeddings(edges: DataFrame) -> DataFrame:
     )
 
 
+def sage_embeddings(edges: DataFrame, layers: int = 2) -> DataFrame:
+    """Mean-aggregator GraphSAGE encoder (Hamilton et al., NeurIPS 2017)
+    in its deterministic, weight-free form — the closest Spark-native
+    analogue of the reference's 2-layer GraphSAGE
+    (src_python/models/supervised.py:41-212):
+
+      h⁰(v)   = the structural degree profile (node_embeddings)
+      hᵏ⁺¹(v) = [ hᵏ(v) ‖ mean_{u∈N(v)} hᵏ(u) ]
+
+    — exactly SAGE-mean's aggregate-and-concat per layer, with the
+    per-layer linear transform Wᵏ and nonlinearity DEFERRED to the
+    trained head (the logistic fit consumes the concatenated multi-hop
+    features, so the W of a linear SAGE folds into the head's
+    coefficients; what is lost vs TensorFlow is only the inter-layer
+    nonlinearity). Two layers see the 2-hop neighborhood, like the
+    reference's [10, 5] fan-out sampler — except exact means instead of
+    sampled neighborhoods, which Spark gets for free as a groupBy.
+
+    Cost: one adjacency join + groupBy-avg per layer over 2|E| rows —
+    the same shuffle class as one PageRank iteration; column count
+    doubles per layer (4 → 8 → 16). Deterministic and SQL-expressible,
+    so driver rows can oracle-check it. Returns (v, f1..f4,
+    l1_* , l2_* ...) with f1 = degree preserved for the Jaccard head."""
+    und = canonical_undirected(edges)
+    adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        und.select(F.col("b").alias("v"), F.col("a").alias("w"))
+    )
+    cur = node_embeddings(edges)
+    for k in range(1, layers + 1):
+        feats = [c for c in cur.columns if c != "v"]
+        nbr = (
+            adj.join(
+                cur.select(F.col("v").alias("w"), *feats), "w"
+            )
+            .groupBy("v")
+            .agg(*[F.avg(c).alias(f"l{k}_{c}") for c in feats])
+        )
+        cur = cur.join(nbr, "v")
+    return cur
+
+
 def link_prediction_embedding(
     edges: DataFrame,
     top_k: int = 50,

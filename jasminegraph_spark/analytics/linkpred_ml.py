@@ -103,7 +103,11 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
     """Pair features over the FEATURE graph only: neighborhood overlap
     (common-neighbor count, Jaccard, Adamic–Adar) plus the symmetric
     embedding combinations — order-invariant, so the a<b canonicalization
-    never changes the vector."""
+    never changes the vector. The embedding columns are whatever ``emb``
+    carries beyond v (4 structural for the flat encoder, 16 multi-hop
+    for the 2-layer SAGE encoder); f1 (= degree) must be among them for
+    the Jaccard ratio."""
+    feats = [c for c in emb.columns if c != "v"]
     adj = feat_graph.select(F.col("a").alias("x"), F.col("b").alias("w")).unionAll(
         feat_graph.select(F.col("b"), F.col("a"))
     )
@@ -121,8 +125,8 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
             F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
         )
     )
-    ea = emb.select(F.col("v").alias("a"), *[F.col(f).alias(f"a_{f}") for f in _FEATS])
-    eb = emb.select(F.col("v").alias("b"), *[F.col(f).alias(f"b_{f}") for f in _FEATS])
+    ea = emb.select(F.col("v").alias("a"), *[F.col(f).alias(f"a_{f}") for f in feats])
+    eb = emb.select(F.col("v").alias("b"), *[F.col(f).alias(f"b_{f}") for f in feats])
     out = (
         pairs.join(ea, "a")
         .join(eb, "b")
@@ -136,7 +140,7 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
         # f1 is the vertex degree in the feature graph → Jaccard ratio
         (F.col("cn") / (F.col("a_f1") + F.col("b_f1") - F.col("cn"))).alias("jac"),
     ]
-    for f in _FEATS:
+    for f in feats:
         cols.append(F.abs(F.col(f"a_{f}") - F.col(f"b_{f}")).alias(f"d_{f}"))
         cols.append((F.col(f"a_{f}") * F.col(f"b_{f}")).alias(f"p_{f}"))
         cols.append((F.col(f"a_{f}") + F.col(f"b_{f}")).alias(f"s_{f}"))
@@ -146,6 +150,13 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
 FEATURE_COLS = ["cn", "aa", "jac"] + [
     f"{p}_{f}" for f in _FEATS for p in ("d", "p", "s")
 ]
+
+
+def pair_feature_cols(emb: DataFrame) -> list:
+    """Feature-column names _pair_features emits for this embedding frame
+    (FEATURE_COLS is the flat-encoder special case)."""
+    feats = [c for c in emb.columns if c != "v"]
+    return ["cn", "aa", "jac"] + [f"{p}_{f}" for f in feats for p in ("d", "p", "s")]
 
 
 def shard_id(n_workers: int):
@@ -231,18 +242,24 @@ def link_example_features(
     return res.orderBy("a", "b")
 
 
-def _prepare_examples(edges: DataFrame):
+def _prepare_examples(edges: DataFrame, encoder: str = "flat"):
     """Shared example-building pipeline for the global and federated
-    trainers: 3-way split, structural embeddings, balanced negatives,
+    trainers: 3-way split, node embeddings (``encoder``: 'flat' = the
+    1-hop structural degree profile, 'sage' = the 2-layer mean-aggregator
+    GraphSAGE encoder — both computed on the FEATURE graph only, so no
+    example edge leaks into its own representation), balanced negatives,
     assembled feature vectors. Returns (train_df, test_df, caches) with
     train_df persisted and every cached intermediate in ``caches`` for
     the caller's finalize()."""
     from pyspark.ml.feature import VectorAssembler
 
+    from jasminegraph_spark.analytics.linkpred import sage_embeddings
+
     und = canonical_undirected(edges).persist()
     feat_graph, pos_train, pos_test = three_way_edge_split(und)
     feat_graph = feat_graph.persist()
-    emb = node_embeddings(
+    encode = {"flat": node_embeddings, "sage": sage_embeddings}[encoder]
+    emb = encode(
         feat_graph.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     ).persist()
     # class balance: roughly one negative per positive (the negatives are
@@ -261,7 +278,7 @@ def _prepare_examples(edges: DataFrame):
             negf.withColumn("label", F.lit(0.0))
         )
 
-    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    asm = VectorAssembler(inputCols=pair_feature_cols(emb), outputCol="features")
 
     def prep(pairs):
         joined = _pair_features(pairs.select("a", "b"), emb, feat_graph).join(
@@ -278,17 +295,25 @@ def _prepare_examples(edges: DataFrame):
     return train_df, test_df, (und, feat_graph, emb, train_df)
 
 
-def train_link_predictor(edges: DataFrame, reg_param: float = 0.01, max_iter: int = 25):
+def train_link_predictor(
+    edges: DataFrame,
+    reg_param: float = 0.01,
+    max_iter: int = 25,
+    encoder: str = "flat",
+):
     # 25 L-BFGS iterations: measured identical test AUC to 100 on the cora
     # fixture (converges far earlier) at half the wall-clock
     """Train the seeded logistic link classifier. Returns (model,
     test_scored) where test_scored has (a, b, label, score, jac) for the
     held-out pos/neg pairs — AUC-compare `score` (learned) against `jac`
-    (the raw heuristic on the same feature graph)."""
+    (the raw heuristic on the same feature graph). ``encoder='sage'``
+    swaps the 1-hop structural profile for the 2-layer mean-aggregator
+    GraphSAGE representation (linkpred.sage_embeddings) — the reference's
+    model family, trained through the same deterministic head."""
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.functions import vector_to_array
 
-    train_df, test_df, caches = _prepare_examples(edges)
+    train_df, test_df, caches = _prepare_examples(edges, encoder=encoder)
     lr = LogisticRegression(
         featuresCol="features",
         labelCol="label",
@@ -313,6 +338,7 @@ def federated_train_merge(
     n_workers: int = 4,
     reg_param: float = 0.01,
     max_iter: int = 25,
+    encoder: str = "flat",
 ):
     """The reference's federated `merge` verb (fl_server/fl_client: each
     worker trains GraphSAGE on its partition, the server merges weights):
@@ -333,7 +359,8 @@ def federated_train_merge(
     """
     from pyspark.ml.classification import LogisticRegression
 
-    train_df, test_df, caches = _prepare_examples(edges)
+    train_df, test_df, caches = _prepare_examples(edges, encoder=encoder)
+    fcols = pair_feature_cols(caches[2])  # caches = (und, feat_graph, emb, ...)
     part = train_df.withColumn("_w", shard_id(n_workers)).persist()
     lr = LogisticRegression(
         featuresCol="features",
@@ -358,11 +385,11 @@ def federated_train_merge(
     total = sum(n for n, _, _ in fits)
     coefficients = [
         float(sum(n * c[i] for n, c, _ in fits)) / total
-        for i in range(len(FEATURE_COLS))
+        for i in range(len(fcols))
     ]
     intercept = float(sum(n * b for n, _, b in fits)) / total
     z = F.lit(intercept)
-    for cname, cval in zip(FEATURE_COLS, coefficients):
+    for cname, cval in zip(fcols, coefficients):
         z = z + F.lit(cval) * F.col(cname)
     scored = test_df.select(
         "a",

@@ -84,6 +84,45 @@ def test_trained_link_predictor_beats_jaccard_auc(spark):
     scored.unpersist()
 
 
+def test_sage_encoder_beats_flat_features(spark):
+    """The 2-layer mean-aggregator SAGE encoder (the reference's model
+    family, linkpred.sage_embeddings) must improve held-out AUC over the
+    1-hop structural profile through the identical trained head on the
+    reference's own cora fixture (measured: 0.779 vs 0.763)."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import auc, train_link_predictor
+
+    raw = spark.read.csv(
+        "/root/reference/tests/integration/env_init/data/cora/cora.cites", sep="\t"
+    ).toDF("src", "dst")
+    edges = raw.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    _, flat = train_link_predictor(edges)
+    flat_auc = auc(flat.persist())
+    _, sage = train_link_predictor(edges, encoder="sage")
+    sage_auc = auc(sage.persist())
+    assert sage_auc > flat_auc
+    assert sage_auc > 0.77
+    flat.unpersist(), sage.unpersist()
+
+
+def test_sage_embedding_shape_and_layer0_identity(spark):
+    from jasminegraph_spark.analytics import node_embeddings, sage_embeddings
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], ["src", "dst"]
+    )
+    emb = sage_embeddings(edges, layers=2)
+    # 4 base + 4 layer-1 + 8 layer-2 columns, v first
+    assert len(emb.columns) == 17
+    base = {r["v"]: (r["f1"], r["f2"]) for r in node_embeddings(edges).collect()}
+    got = {r["v"]: (r["f1"], r["f2"]) for r in emb.collect()}
+    assert got == base  # layer-0 slice is untouched by deeper layers
+    # layer-1 mean of degrees around node 2 (nbrs 1, 3 → degrees 3, 3)
+    row = {r["v"]: r for r in emb.collect()}[2]
+    assert row["l1_f1"] == 3.0
+
+
 def test_federated_merge_matches_global_training(spark):
     """The reference's `merge` verb analog: 4 disjoint-shard logistic
     heads FedAvg'd into one model must (a) decisively beat the raw
