@@ -1738,42 +1738,49 @@ def st_streaming_dedup(spark, sf_dir):
     import tempfile
     import uuid
 
+    import shutil
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     stream_dir = tempfile.mkdtemp(prefix="jgs_dedup_")
-    os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
-    file_schema = spark.read.parquet(path).schema
-    stream = spark.readStream.schema(file_schema).parquet(stream_dir)
-    ts_t = file_schema["ts"].dataType.simpleString()
-    if ts_t == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
-    elif ts_t == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
-        ["user_id", "event_type"]
-    )
-    name = f"st_dedup_{uuid.uuid4().hex[:8]}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+        os.symlink(os.path.abspath(path), os.path.join(stream_dir, "events.parquet"))
+        file_schema = spark.read.parquet(path).schema
+        stream = spark.readStream.schema(file_schema).parquet(stream_dir)
+        ts_t = file_schema["ts"].dataType.simpleString()
+        if ts_t == "bigint":
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            )
+        elif ts_t == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
         )
-        q.awaitTermination()
+        name = f"st_dedup_{uuid.uuid4().hex[:8]}"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        return (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n_unique_users"))
+            .orderBy("event_type")
+        )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return (
-        spark.table(name)
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n_unique_users"))
-        .orderBy("event_type")
-    )
+        # the memory-sink table is fully materialized by awaitTermination,
+        # so the scratch symlink dir can go immediately
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
 
 def _strian_prefix_count(bound: str | None) -> str:

@@ -6,10 +6,11 @@ measures the SAME operator code paths at 100-1000x that edge count using
 the deterministic R-MAT generator (Graph500 shape: power-law hubs, the
 adversarial degree distribution for wedge-style joins). Usage:
 
-    python scripts/stress_scale.py [scale] [edge_factor]
+    python scripts/stress_scale.py [scale] [edge_factor] [step,step,...]
 
-Defaults: scale=21 (2M vertices), edge_factor=16 (32M generated edges).
-Prints one JSON line per step so runs can be pasted into SCALE.md.
+Defaults: scale=21 (2M vertices), edge_factor=16 (32M generated edges),
+all steps. Prints one JSON line per step so runs can be pasted into
+SCALE.md.
 """
 
 from __future__ import annotations
@@ -48,8 +49,12 @@ def step(name: str, fn):
 def main() -> None:
     scale = int(sys.argv[1]) if len(sys.argv) > 1 else 21
     edge_factor = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     spark = get_spark("stress-scale")
     path = f"/tmp/rmat_s{scale}_ef{edge_factor}.parquet"
+
+    def want(name: str) -> bool:
+        return only is None or name in only
 
     def gen():
         if not os.path.isdir(path):
@@ -60,35 +65,67 @@ def main() -> None:
     step(f"generate rmat scale={scale} ef={edge_factor}", gen)
     edges = spark.read.parquet(path)
 
-    step(
-        "wcc_alternating",
-        lambda: {
-            "components": connected_components_alternating(edges)
-            .agg(F.countDistinct("component"))
-            .collect()[0][0]
-        },
-    )
-    step(
-        "pagerank_10iter",
-        lambda: {
-            "top_rank": round(
-                pagerank(edges, iterations=10)
-                .agg(F.max("rank"))
-                .collect()[0][0],
-                6,
-            )
-        },
-    )
-    step(
-        "k_core_k4",
-        lambda: {"core_edges": k_core(edges, k=4).count()},
-    )
-    step(
-        "triangle_count",
-        lambda: {
-            "triangles": triangle_count_df(edges).collect()[0][0]
-        },
-    )
+    if want("wcc_alternating"):
+        step(
+            "wcc_alternating",
+            lambda: {
+                "components": connected_components_alternating(edges)
+                .agg(F.countDistinct("component"))
+                .collect()[0][0]
+            },
+        )
+    if want("pagerank_10iter"):
+        step(
+            "pagerank_10iter",
+            lambda: {
+                "top_rank": round(
+                    pagerank(edges, iterations=10)
+                    .agg(F.max("rank"))
+                    .collect()[0][0],
+                    6,
+                )
+            },
+        )
+    if want("k_core_k4"):
+        step(
+            "k_core_k4",
+            lambda: {"core_edges": k_core(edges, k=4).count()},
+        )
+    if want("triangle_count"):
+        step(
+            "triangle_count",
+            lambda: {
+                "triangles": triangle_count_df(edges).collect()[0][0]
+            },
+        )
+    if want("sage_embeddings"):
+        # round-5: the 2-layer mean-aggregator SAGE encoder — two
+        # adjacency join+groupBy-avg rounds over 2|E| rows; power-law
+        # hubs stress the groupBy exactly like a PageRank iteration
+        from jasminegraph_spark.analytics.linkpred import sage_embeddings
+
+        def run_sage():
+            emb = sage_embeddings(edges, layers=2)
+            row = emb.agg(
+                F.count("*").alias("n"), F.max("l2_l1_f1").alias("mx")
+            ).collect()[0]
+            return {"vertices": row["n"], "max_l2_l1_f1": round(row["mx"], 2)}
+
+        step("sage_embeddings_2layer", run_sage)
+    if want("link_example_features"):
+        # round-5: the SQL-expressible train/test example surface — the
+        # overlap (common-neighbor) join fans out by pair-endpoint
+        # degree, the same hub hazard class as the wedge join
+        from jasminegraph_spark.analytics.linkpred_ml import link_example_features
+
+        def run_lef():
+            feats = link_example_features(edges, split="test")
+            row = feats.agg(
+                F.count("*").alias("n"), F.sum("cn").alias("cn_sum")
+            ).collect()[0]
+            return {"examples": row["n"], "cn_sum": int(row["cn_sum"])}
+
+        step("link_example_features", run_lef)
     if os.environ.get("STRESS_KEEP") != "1":
         shutil.rmtree(path, ignore_errors=True)
 
