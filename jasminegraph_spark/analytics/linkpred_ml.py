@@ -99,6 +99,39 @@ def negative_edges(
     return paired.join(und, ["a", "b"], "left_anti")
 
 
+def _overlap_cn_aa(pairs_deg: DataFrame, adj: DataFrame, degw: DataFrame) -> DataFrame:
+    """Common-neighbor count + Adamic–Adar for candidate pairs, enumerated
+    from the LOWER-degree endpoint of each pair — the same degree-ordered
+    armor as the triangle wedge join. Joining always on ``a`` fans out by
+    deg(a), which on a power-law graph is a 10^5-degree hub often enough
+    to spill unboundedly (observed: scale-21 R-MAT filled the disk);
+    min(deg_a, deg_b) is small for the hub–leaf pairs that dominate.
+    ``pairs_deg`` must carry (a, b, deg_a, deg_b); cn/aa are symmetric in
+    the endpoints, so orientation never changes a value. Returns
+    (a, b, cn, aa) for pairs with ≥1 common neighbor."""
+    lo_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") <= F.col("b"))
+    )
+    oriented = pairs_deg.select(
+        "a",
+        "b",
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+    return (
+        oriented.join(adj.select(F.col("x").alias("lo"), "w"), "lo")
+        .join(adj.select(F.col("x").alias("hi"), F.col("w")), ["hi", "w"], "left_semi")
+        .join(degw, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            # Adamic–Adar: Σ 1/log deg(v) over common neighbors (deg-1
+            # vertices get a tiny epsilon so log never hits 0)
+            F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
+        )
+    )
+
+
 def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> DataFrame:
     """Pair features over the FEATURE graph only: neighborhood overlap
     (common-neighbor count, Jaccard, Adamic–Adar) plus the symmetric
@@ -112,19 +145,12 @@ def _pair_features(pairs: DataFrame, emb: DataFrame, feat_graph: DataFrame) -> D
         feat_graph.select(F.col("b"), F.col("a"))
     )
     degw = adj.groupBy("w").agg(F.count("*").alias("dw"))
-    overlap = (
+    pairs_deg = (
         pairs.select("a", "b")
-        .join(adj.select(F.col("x").alias("a"), "w"), "a")
-        .join(adj.select(F.col("x").alias("b"), F.col("w")), ["b", "w"], "left_semi")
-        .join(degw, "w")
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").alias("cn"),
-            # Adamic–Adar: Σ 1/log deg(v) over common neighbors (deg-1
-            # vertices get a tiny epsilon so log never hits 0)
-            F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
-        )
+        .join(degw.select(F.col("w").alias("a"), F.col("dw").alias("deg_a")), "a")
+        .join(degw.select(F.col("w").alias("b"), F.col("dw").alias("deg_b")), "b")
     )
+    overlap = _overlap_cn_aa(pairs_deg, adj, degw)
     ea = emb.select(F.col("v").alias("a"), *[F.col(f).alias(f"a_{f}") for f in feats])
     eb = emb.select(F.col("v").alias("b"), *[F.col(f).alias(f"b_{f}") for f in feats])
     out = (
@@ -205,25 +231,14 @@ def link_example_features(
         feat_graph.select(F.col("b"), F.col("a"))
     )
     degw = adj.groupBy("w").agg(F.count("*").alias("dw"))
-    overlap = (
-        pairs.select("a", "b")
-        .join(adj.select(F.col("x").alias("a"), "w"), "a")
-        .join(adj.select(F.col("x").alias("b"), F.col("w")), ["b", "w"], "left_semi")
-        .join(degw, "w")
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").alias("cn"),
-            F.sum(1.0 / F.log(F.col("dw") + F.lit(1e-9))).alias("aa"),
-        )
-    )
     da = degw.select(F.col("w").alias("a"), F.col("dw").alias("deg_a"))
     db = degw.select(F.col("w").alias("b"), F.col("dw").alias("deg_b"))
+    # inner degree joins: endpoints must sit in the feature graph —
+    # the same filter _pair_features applies via its inner emb join
+    pairs_deg = pairs.join(da, "a").join(db, "b")
+    overlap = _overlap_cn_aa(pairs_deg, adj, degw)
     out = (
-        # inner degree joins: endpoints must sit in the feature graph —
-        # the same filter _pair_features applies via its inner emb join
-        pairs.join(da, "a")
-        .join(db, "b")
-        .join(overlap, ["a", "b"], "left")
+        pairs_deg.join(overlap, ["a", "b"], "left")
         .withColumn("cn", F.coalesce("cn", F.lit(0)).cast("long"))
         .withColumn("aa", F.coalesce("aa", F.lit(0.0)))
     )

@@ -207,6 +207,30 @@ class JasmineEngine:
 
         return link_prediction(self.catalog.get(graph_name).edges, top_k=top_k, **kw)
 
+    def train_model(self, graph_name: str, encoder: str = "flat", **kw):
+        """Reference `train` verb (FrontEnd.cpp:321): fit the seeded
+        logistic link classifier on the graph's deterministic example
+        split. ``encoder='sage'`` uses the 2-layer mean-aggregator
+        GraphSAGE representation (the reference's model family). Returns
+        (model, test_scored) — score/AUC the held-out pairs from
+        test_scored."""
+        from jasminegraph_spark.analytics.linkpred_ml import train_link_predictor
+
+        return train_link_predictor(
+            self.catalog.get(graph_name).edges, encoder=encoder, **kw
+        )
+
+    def merge_models(self, graph_name: str, n_workers: int = 4, **kw):
+        """Reference `merge` verb (FrontEnd.cpp:319, fl_server weight
+        merge): train one head per disjoint md5 shard and FedAvg the
+        coefficients. Returns (coefficients, intercept, test_scored) —
+        the merged model is served as a Catalyst sigmoid expression."""
+        from jasminegraph_spark.analytics.linkpred_ml import federated_train_merge
+
+        return federated_train_merge(
+            self.catalog.get(graph_name).edges, n_workers=n_workers, **kw
+        )
+
     def construct_kg(self, name: str, documents: DataFrame) -> PropertyGraph:
         """Reference `constructkg` (FrontEnd.cpp:270): documents → triple
         extraction → property graph, registered in the catalog."""

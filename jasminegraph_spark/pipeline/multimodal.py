@@ -3,10 +3,13 @@
 The engine treats media as ``binary`` payloads + typed metadata and runs
 decode / feature-extract / resize / frame-sample as Arrow-batched Pandas
 UDFs over mapInPandas — the Spark-side contract (schema, partitioning, UDF
-signature, batch shape) is real and tested; the codec step is STUBBED
-(this container has no image/audio libraries): decoders parse a small
-deterministic fake header, and the real-codec path raises
-NotImplementedError behind an import-try (see _try_real_decode).
+signature, batch shape) is real and tested. Decode handles THREE
+containers for real, no codec library required: the JGMM deterministic
+fake (tests/fixtures), uncompressed BMP (8-bit gray / 24-bit BGR → luma),
+and PCM WAV (8/16-bit, chunk-walked) — both genuine byte-layout formats
+parsed with struct+numpy. COMPRESSED codecs (PNG/JPEG/FLAC/MP3) are the
+stubbed seam: this container ships no image/audio libraries, so that path
+raises NotImplementedError behind an import-try (see _try_real_decode).
 
 Scale notes: payloads stay in executors end-to-end (no driver collect);
 mapInPandas streams Arrow batches, so peak memory is one batch of decoded
@@ -59,8 +62,82 @@ def encode_fake_payload(kind: str, width: int, height: int, seed: int = 0) -> by
     return MAGIC + kind[:1].encode() + struct.pack("<II", width, height) + b"\x00\x00\x00" + body
 
 
+def _decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL decoder for uncompressed BMP (BITMAPINFOHEADER, 8-bit gray or
+    24-bit BGR, compression 0) — a byte-layout format, no codec library
+    needed. Returns (width, height, row-major grayscale bytes); 24-bit
+    pixels collapse to the integer luma (r+g+b)//3. Rows are 4-byte
+    aligned bottom-up per the spec."""
+    import numpy as np
+
+    if len(payload) < 54:
+        raise ValueError("BMP too short")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (8, 24):
+        raise NotImplementedError(
+            f"BMP variant not supported without a codec library "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    flipped = height > 0  # positive height → bottom-up row order
+    height = abs(height)
+    row_bytes = (width * (bpp // 8) + 3) & ~3
+    arr = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * height, offset=data_off
+    ).reshape(height, row_bytes)
+    if bpp == 8:
+        img = arr[:, :width]
+    else:
+        bgr = arr[:, : width * 3].reshape(height, width, 3).astype(np.uint16)
+        img = ((bgr[:, :, 0] + bgr[:, :, 1] + bgr[:, :, 2]) // 3).astype(np.uint8)
+    if flipped:
+        img = img[::-1]
+    return width, height, img.tobytes()
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL decoder for PCM WAV (RIFF/WAVE, format 1, 8- or 16-bit) — a
+    chunked byte-layout format, no codec library needed. Returns
+    (n_samples_per_channel, n_channels, byte view of the samples);
+    16-bit samples fold to unsigned upper bytes so the histogram
+    features stay uint8-shaped."""
+    import numpy as np
+
+    if payload[8:12] != b"WAVE":
+        raise ValueError("not a WAVE file")
+    pos, n_channels, bits, data = 12, None, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, n_channels = struct.unpack_from("<HH", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits not in (8, 16):
+                raise NotImplementedError(
+                    f"non-PCM or deep WAV needs a codec library (fmt={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if n_channels is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if bits == 8:
+        samples = np.frombuffer(data, dtype=np.uint8)
+    else:
+        # int16 → biased uint8 view (upper byte + 128): keeps downstream
+        # histogram features in the same uint8 space as images
+        s16 = np.frombuffer(data, dtype="<i2")
+        samples = ((s16.astype(np.int32) >> 8) + 128).astype(np.uint8)
+    n_frames = len(samples) // n_channels
+    return n_frames, n_channels, samples[: n_frames * n_channels].tobytes()
+
+
 def _try_real_decode(kind: str, payload: bytes):
-    """Real-codec path — gated on libraries this container doesn't ship."""
+    """Compressed-codec path — gated on libraries this container doesn't
+    ship (PNG/JPEG/FLAC/MP3 need PIL/soundfile). Uncompressed BMP/WAV
+    decode for real in _decode_one without any library."""
     try:
         if kind == "image":
             from PIL import Image  # noqa: F401
@@ -68,16 +145,23 @@ def _try_real_decode(kind: str, payload: bytes):
             import soundfile  # noqa: F401
     except ImportError:
         return None
-    raise NotImplementedError("real codec decode not implemented in this environment")
+    raise NotImplementedError("compressed codec decode not implemented in this environment")
 
 
 def _decode_one(payload: bytes, kind: str = "image") -> tuple[int, int, bytes]:
     if payload is not None and payload[:4] == MAGIC:
         width, height = struct.unpack("<II", payload[5:13])
         return width, height, payload[16:]
-    # non-JGMM container → the real-codec path (stubbed in this env)
+    if payload is not None and payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload is not None and payload[:4] == b"RIFF":
+        return _decode_wav(payload)
+    # other containers → the compressed-codec path (stubbed in this env)
     _try_real_decode(kind, payload)
-    raise ValueError("unknown media container (expected JGMM fake header)")
+    raise ValueError(
+        "unknown media container (JGMM fake, uncompressed BMP, and PCM WAV decode here; "
+        "compressed formats need a codec library)"
+    )
 
 
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:

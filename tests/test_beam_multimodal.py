@@ -49,6 +49,96 @@ def test_decode_rejects_unknown_container(spark):
         decode_media(bad).collect()
 
 
+def _make_bmp8(rows_topdown):
+    """Genuine uncompressed 8-bit grayscale BMP bytes (palette + bottom-up
+    4-byte-aligned rows), built from the spec with struct only."""
+    import struct as st
+
+    h, w = len(rows_topdown), len(rows_topdown[0])
+    row_bytes = (w + 3) & ~3
+    data_off = 14 + 40 + 256 * 4
+    pixels = b"".join(
+        bytes(row) + b"\x00" * (row_bytes - w) for row in reversed(rows_topdown)
+    )
+    hdr = b"BM" + st.pack("<IHHI", data_off + len(pixels), 0, 0, data_off)
+    info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(pixels), 2835, 2835, 256, 0)
+    palette = b"".join(st.pack("<BBBB", i, i, i, 0) for i in range(256))
+    return hdr + info + palette + pixels
+
+
+def _make_bmp24(rows_topdown_rgb):
+    import struct as st
+
+    h, w = len(rows_topdown_rgb), len(rows_topdown_rgb[0])
+    row_bytes = (w * 3 + 3) & ~3
+    pixels = b"".join(
+        b"".join(bytes((b_, g, r)) for (r, g, b_) in row)
+        + b"\x00" * (row_bytes - w * 3)
+        for row in reversed(rows_topdown_rgb)
+    )
+    hdr = b"BM" + st.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    info = st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0)
+    return hdr + info + pixels
+
+
+def _make_wav16(samples, channels=1, rate=8000):
+    import struct as st
+
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + st.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + st.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_decode_real_bmp8(spark):
+    rows = [[10, 20, 30], [40, 50, 60]]  # 3x2, odd width exercises padding
+    media = spark.createDataFrame(
+        [(1, "image", _make_bmp8(rows), {})], MEDIA_SCHEMA
+    )
+    out = decode_media(media).collect()[0]
+    assert (out["width"], out["height"], out["n_bytes"]) == (3, 2, 6)
+    assert out["body_sum"] == 10 + 20 + 30 + 40 + 50 + 60
+
+
+def test_decode_real_bmp24_luma(spark):
+    rows = [[(30, 60, 90), (255, 0, 0)]]  # luma: 60 and 85
+    media = spark.createDataFrame(
+        [(2, "image", _make_bmp24(rows), {})], MEDIA_SCHEMA
+    )
+    out = decode_media(media).collect()[0]
+    assert (out["width"], out["height"]) == (2, 1)
+    assert out["body_sum"] == 60 + 85
+
+
+def test_decode_real_wav16(spark):
+    # int16 samples fold to biased upper bytes: -32768→0, 0→128, 32512→255
+    media = spark.createDataFrame(
+        [(3, "audio", _make_wav16([-32768, 0, 32512, 256]), {})], MEDIA_SCHEMA
+    )
+    out = decode_media(media).collect()[0]
+    assert (out["width"], out["height"]) == (4, 1)  # frames, channels
+    assert out["body_sum"] == 0 + 128 + 255 + 129
+
+
+def test_decode_compressed_bmp_still_gated(spark):
+    import struct as st
+
+    # a BMP header claiming RLE8 compression must hit the codec seam
+    info = st.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 1, 0, 0, 0, 0, 0)
+    payload = b"BM" + st.pack("<IHHI", 54, 0, 0, 54) + info + b"\x00" * 16
+    media = spark.createDataFrame([(4, "image", payload, {})], MEDIA_SCHEMA)
+    with pytest.raises(Exception, match="not supported|NotImplemented"):
+        decode_media(media).collect()
+
+
 def test_beam_search_on_grid(spark):
     # path graph 0-1-2-...-9; embeddings = 2D points on a line so that
     # cosine to the query [1, 0.1] ranks nodes deterministically

@@ -48,6 +48,26 @@ def test_cypher_and_rows_protocol(ingested):
     assert ingested.perf.estimate("pg", "cypher") is not None
 
 
+def test_train_and_merge_verbs(engine, tmp_path):
+    """The reference's train / merge FrontEnd verbs through the facade:
+    fit the seeded link classifier on a two-community graph, then the
+    federated shard-train → FedAvg merge."""
+    import itertools
+
+    lines = [f"{a} {b}" for a, b in itertools.combinations(range(30), 2)]
+    lines += [f"{a} {b}" for a, b in itertools.combinations(range(100, 130), 2)]
+    p = tmp_path / "cl.dl"
+    p.write_text("\n".join(lines) + "\n")
+    engine.add_graph("cl", str(p))
+    model, scored = engine.train_model("cl")
+    assert {"a", "b", "label", "score", "jac"} <= set(scored.columns)
+    assert scored.count() > 0
+    coeffs, intercept, fscored = engine.merge_models("cl", n_workers=2)
+    assert len(coeffs) == 15 and isinstance(intercept, float)
+    assert fscored.count() > 0
+    engine.remove_graph("cl")
+
+
 def test_write_and_export_roundtrip(ingested, tmp_path):
     stats = ingested.cypher_write(
         "pg", "CREATE (x:Extra {id: 'x1', kind: 'probe'})"
