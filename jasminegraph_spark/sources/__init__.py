@@ -16,4 +16,8 @@ from jasminegraph_spark.sources.sinks import (  # noqa: F401
     assemble_graphml,
     export_graphml,
 )
-from jasminegraph_spark.sources.generators import rmat_edges, uniform_edges  # noqa: F401,E501
+from jasminegraph_spark.sources.generators import (  # noqa: F401
+    rmat_edges,
+    synthetic_documents,
+    uniform_edges,
+)

@@ -69,3 +69,35 @@ def uniform_edges(
         F.floor(u1 * n_vertices).cast("long").alias("src"),
         F.floor(u2 * n_vertices).cast("long").alias("dst"),
     )
+
+
+def synthetic_documents(
+    spark: SparkSession,
+    n_docs: int,
+    words_per_doc: int = 40,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic hash-driven document corpus for text/dedup stress at
+    any scale (the parquet testdata tops out at sf0.1): doc i's words are
+    md5-derived from its SEED id, and every doc with i % 10 == 9 reuses
+    the seed of its decade base (i-9) plus one appended marker word —
+    planting exactly one KNOWN near-duplicate pair per complete decade
+    (~10% of the corpus), so LSH/dedup recall has exact ground truth at
+    10^6+ docs. Pure Catalyst (range + sequence/transform + md5): no RNG
+    state, no Python, embarrassingly parallel like a real ingest."""
+    base = spark.range(n_docs).withColumnRenamed("id", id_col)
+    seed = (
+        F.when(F.col(id_col) % 10 == 9, F.col(id_col) - 9)
+        .otherwise(F.col(id_col))
+        .cast("string")
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.substring(F.md5(F.concat_ws("-", seed, i.cast("string"))), 1, 6),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        F.col(id_col) % 10 == 9,
+        F.concat(text, F.lit(" zz"), F.col(id_col).cast("string")),
+    ).otherwise(text)
+    return base.select(F.col(id_col), text.alias("text"))

@@ -126,6 +126,30 @@ def main() -> None:
             return {"examples": row["n"], "cn_sum": int(row["cn_sum"])}
 
         step("link_example_features", run_lef)
+    if want("lsh_dedup"):
+        # round-5: the LLM-pipeline flagship at scale — MinHash-LSH +
+        # exact-verify dedup over 2^scale synthetic docs with one planted
+        # near-duplicate pair per decade; recall is exact ground truth
+        from jasminegraph_spark.pipeline.dedup import jaccard_verified_dedup
+        from jasminegraph_spark.sources.generators import synthetic_documents
+
+        def run_dedup():
+            n = 1 << scale
+            docs = synthetic_documents(spark, n).persist()
+            pairs = jaccard_verified_dedup(docs, threshold=0.8)
+            recalled = pairs.filter(
+                (F.col("id_a") % 10 == 0) & (F.col("id_b") == F.col("id_a") + 9)
+            ).count()
+            planted = len(range(9, n, 10))  # every doc with id % 10 == 9
+            docs.unpersist()
+            return {
+                "docs": n,
+                "planted": planted,
+                "recalled": recalled,
+                "recall": round(recalled / planted, 4),
+            }
+
+        step("lsh_dedup_planted_recall", run_dedup)
     if os.environ.get("STRESS_KEEP") != "1":
         shutil.rmtree(path, ignore_errors=True)
 

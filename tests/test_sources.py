@@ -297,6 +297,24 @@ def test_alternating_wcc_one_label_per_node_even_unconverged(spark):
     assert len(nodes) == len(set(nodes)) == 41  # one row per node, all nodes
 
 
+def test_synthetic_documents_planted_near_dups(spark):
+    """The stress corpus generator: deterministic, and every doc with
+    id % 10 == 9 is a one-marker-word near-duplicate of its decade base."""
+    from jasminegraph_spark.sources import synthetic_documents
+
+    docs = {r["doc_id"]: r["text"] for r in synthetic_documents(spark, 40).collect()}
+    assert len(docs) == 40
+    for b in (0, 10, 20, 30):
+        base, nd = docs[b], docs[b + 9]
+        assert nd.startswith(base) and nd == base + f" zz{b + 9}"
+    # non-planted docs are pairwise distinct
+    others = [t for i, t in docs.items() if i % 10 != 9]
+    assert len(set(others)) == len(others)
+    # deterministic across invocations
+    again = {r["doc_id"]: r["text"] for r in synthetic_documents(spark, 40).collect()}
+    assert again == docs
+
+
 def test_graphml_export_roundtrip(spark, tmp_path):
     """Distributed GraphML export assembles into valid XML: node/edge
     counts survive, special characters are escaped, directedness is
