@@ -6180,14 +6180,33 @@ def src_bucketed_expand(spark, sf_dir):
     per (session, sf_dir) so the bench's warm pass times the join, not
     the one-off write — exactly the amortization a real deployment gets
     from writing the table bucketed once and traversing it many times."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
     from jasminegraph_spark.graph import GraphCatalog
 
     key = (id(spark), sf_dir)
     if key not in _BUCKETED_MEMO:
-        cat = GraphCatalog(spark)
-        g = tpch_graph(spark, sf_dir, name="tpchbkt")
-        cat.save_bucketed(g, buckets=8)
-        _BUCKETED_MEMO[key] = cat.load_bucketed("tpchbkt")
+        # bucketed saveAsTable writes managed tables under the session
+        # warehouse = the DRIVER's cwd by default, which may not be
+        # writable here — park this row's tables in an explicit
+        # tmp-located database instead (cleaned at interpreter exit,
+        # after every lazy reader is done with the files)
+        dbdir = tempfile.mkdtemp(prefix="jgs_bktwh_")
+        atexit.register(shutil.rmtree, dbdir, ignore_errors=True)
+        db = f"jgs_bkt_{uuid.uuid4().hex[:8]}"
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{dbdir}'")
+        prev_db = spark.catalog.currentDatabase()
+        spark.catalog.setCurrentDatabase(db)
+        try:
+            cat = GraphCatalog(spark)
+            g = tpch_graph(spark, sf_dir, name="tpchbkt")
+            cat.save_bucketed(g, buckets=8)
+            _BUCKETED_MEMO[key] = cat.load_bucketed("tpchbkt")
+        finally:
+            spark.catalog.setCurrentDatabase(prev_db)
     gb = _BUCKETED_MEMO[key]
     return _expand_agg(gb.nodes, gb.edges, spark)
 
