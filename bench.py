@@ -73,6 +73,9 @@ HEADLINE = [
     # bucketed build is memoized, so its warm number is the join alone.
     "src_unbucketed_expand",
     "src_bucketed_expand",
+    # round-5: the 2-layer SAGE encoder (two adjacency join+groupBy-avg
+    # rounds — the model-family flagship, PageRank-iteration cost class)
+    "an_sage_embeddings",
 ]
 
 

@@ -173,3 +173,81 @@ def test_line_dedup_invariants(spark, doc_lines):
         assert r["n_kept"] + r["n_removed"] == len(lines)
         survivors = [l for l in lines if doc_count[l] < 2]
         assert r["clean_text"] == "\n".join(survivors)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists)
+def test_sage_embeddings_match_bruteforce(spark, edges):
+    """The 2-layer mean-aggregator SAGE encoder must equal a brute-force
+    Python computation of h^{k+1} = [h^k || mean_nbr h^k] on arbitrary
+    small graphs."""
+    from jasminegraph_spark.analytics import sage_embeddings
+
+    und = _canon(edges)
+    if not und:
+        return
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    h = {
+        v: [
+            float(deg[v]),
+            float(sum(deg[w] for w in ns)),
+            float(max(deg[w] for w in ns)),
+            float(min(deg[w] for w in ns)),
+        ]
+        for v, ns in adj.items()
+    }
+    for _ in range(2):
+        nxt = {}
+        for v, ns in adj.items():
+            means = [sum(h[w][i] for w in ns) / len(ns) for i in range(len(h[v]))]
+            nxt[v] = h[v] + means
+        h = nxt
+
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    emb = sage_embeddings(df, layers=2)
+    cols = [c for c in emb.columns if c != "v"]
+    got = {r["v"]: [r[c] for c in cols] for r in emb.collect()}
+    assert set(got) == set(h)
+    for v in h:
+        assert all(abs(x - y) < 1e-9 for x, y in zip(got[v], h[v])), v
+
+
+@settings(max_examples=6, deadline=None)
+@given(edge_lists)
+def test_link_example_features_match_bruteforce(spark, edges):
+    """The deterministic example surface: for every returned pair, cn is
+    the true common-neighbor count in the feature graph, jac its exact
+    Jaccard (cn / |N(a) ∪ N(b)|), and aa the exact Adamic–Adar sum —
+    validating the degree-oriented overlap join never changes a value."""
+    import hashlib
+    import math
+
+    from jasminegraph_spark.analytics import link_example_features
+
+    und = _canon(edges)
+    if len(und) < 3:
+        return
+    fg = {
+        (a, b)
+        for a, b in und
+        if hashlib.md5(f"{a}|{b}".encode()).hexdigest()[0] >= "6"
+    }
+    adj = {}
+    for a, b in fg:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    rows = link_example_features(df, split="test").collect()
+    for r in rows:
+        na, nb = adj.get(r["a"]), adj.get(r["b"])
+        assert na is not None and nb is not None  # inner degree joins
+        cn = len(na & nb)
+        assert r["cn"] == cn
+        assert abs(r["jac"] - round(cn / len(na | nb), 6)) < 1e-9
+        aa = sum(1.0 / math.log(len(adj[w]) + 1e-9) for w in na & nb)
+        assert abs(r["aa"] - round(aa, 6)) < 1e-9
