@@ -6133,40 +6133,82 @@ _EXPAND_AGG_ORACLE = (
 )
 
 
-def _expand_agg(nodes, edges, spark):
+def _expand_agg(nodes, edges):
     """Shared traversal-hop aggregate for the bucketed/unbucketed pair:
     expand every edge to its source node and count hops per (label, type).
-    Broadcast is disabled while the plan is built so the join exercises
-    the at-scale exchange path — with bucketed storage the exchange
-    disappears entirely (asserted in tests/test_plans.py)."""
-    n = nodes.select(F.col("id"), F.col("label"))
+    The MERGE hint pins sort-merge join at EXECUTION time (a session-conf
+    toggle restored after plan construction does not survive to physical
+    planning) so both variants exercise the at-scale exchange path — with
+    bucketed storage the exchange disappears entirely (asserted in
+    tests/test_plans.py)."""
+    n = nodes.select(F.col("id"), F.col("label")).hint("merge")
     e = edges.select(F.col("src"), F.col("type"))
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        out = (
-            e.join(n, e.src == n.id)
-            .groupBy(F.col("label").alias("src_label"), F.col("type").alias("rel_type"))
-            .agg(F.count("*").alias("n_hops"))
-            .orderBy("src_label", "rel_type")
+    return (
+        e.join(n, e.src == n.id)
+        .groupBy(F.col("label").alias("src_label"), F.col("type").alias("rel_type"))
+        .agg(F.count("*").alias("n_hops"))
+        .orderBy("src_label", "rel_type")
+    )
+
+
+_EXPAND_STORE_MEMO: dict = {}
+
+
+def _materialized_expand_graph(spark, sf_dir, bucketed: bool):
+    """Materialize the tpch property graph ONCE per (session, sf_dir,
+    layout) — plain parquet vs bucketed+sorted tables — so the pair's
+    bench delta isolates the STORAGE LAYOUT: identical materialized
+    bytes, identical sort-merge join, only the bucket co-location
+    differs. (Reading the projection lazily on one side would conflate
+    projection cost with layout.) Tables live in an explicit tmp-located
+    database/dir: the session warehouse is the invoking process's cwd,
+    which is not guaranteed writable; scratch is removed at interpreter
+    exit, after every lazy reader is done with the files."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from jasminegraph_spark.graph import GraphCatalog, PropertyGraph
+
+    key = (id(spark), sf_dir, bucketed)
+    if key in _EXPAND_STORE_MEMO:
+        return _EXPAND_STORE_MEMO[key]
+    scratch = tempfile.mkdtemp(prefix="jgs_expwh_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    g = tpch_graph(spark, sf_dir, name="tpchbkt")
+    if bucketed:
+        db = f"jgs_bkt_{uuid.uuid4().hex[:8]}"
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{scratch}'")
+        prev_db = spark.catalog.currentDatabase()
+        spark.catalog.setCurrentDatabase(db)
+        try:
+            cat = GraphCatalog(spark)
+            cat.save_bucketed(g, buckets=8)
+            _EXPAND_STORE_MEMO[key] = cat.load_bucketed("tpchbkt")
+        finally:
+            spark.catalog.setCurrentDatabase(prev_db)
+    else:
+        g.nodes.write.mode("overwrite").parquet(f"{scratch}/nodes")
+        g.edges.write.mode("overwrite").parquet(f"{scratch}/edges")
+        _EXPAND_STORE_MEMO[key] = PropertyGraph(
+            nodes=spark.read.parquet(f"{scratch}/nodes"),
+            edges=spark.read.parquet(f"{scratch}/edges"),
+            name="tpchplain",
         )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    return out
+    return _EXPAND_STORE_MEMO[key]
 
 
 @_q("src_unbucketed_expand", _EXPAND_AGG_ORACLE)
 def src_unbucketed_expand(spark, sf_dir):
     """Baseline half of the bucketed-storage pair (SCALE.md's headline
     claim, previously plan-asserted only): the expansion join over plain
-    parquet pays a full hash exchange of BOTH sides before the sort-merge
-    join. Same aggregate, same oracle as src_bucketed_expand — the bench
-    delta between the two is the measured cost bucketing removes."""
-    g = _g(spark, sf_dir)
-    return _expand_agg(g.nodes, g.edges, spark)
-
-
-_BUCKETED_MEMO: dict = {}
+    materialized parquet pays a full hash exchange + sort of BOTH sides
+    before the sort-merge join. Same materialized bytes, same aggregate,
+    same oracle as src_bucketed_expand — the bench delta between the two
+    is exactly the exchange+sort that bucketing removes."""
+    g = _materialized_expand_graph(spark, sf_dir, bucketed=False)
+    return _expand_agg(g.nodes, g.edges)
 
 
 @_q("src_bucketed_expand", _EXPAND_AGG_ORACLE)
@@ -6174,41 +6216,15 @@ def src_bucketed_expand(spark, sf_dir):
     """Bucketed half of the pair: nodes bucketed+sorted by id, edges by
     src (GraphCatalog.save_bucketed — the layout the reference
     approximates with its k-way partitioner + per-partition adjacency
-    files, graph.py:163). The same expansion join then reads both sides
-    bucket-locally: NO exchange in the plan (tests/test_plans.py
-    test_bucketed_graph_expand_avoids_shuffle). Table build is memoized
-    per (session, sf_dir) so the bench's warm pass times the join, not
-    the one-off write — exactly the amortization a real deployment gets
-    from writing the table bucketed once and traversing it many times."""
-    import atexit
-    import shutil
-    import tempfile
-    import uuid
-
-    from jasminegraph_spark.graph import GraphCatalog
-
-    key = (id(spark), sf_dir)
-    if key not in _BUCKETED_MEMO:
-        # bucketed saveAsTable writes managed tables under the session
-        # warehouse = the DRIVER's cwd by default, which may not be
-        # writable here — park this row's tables in an explicit
-        # tmp-located database instead (cleaned at interpreter exit,
-        # after every lazy reader is done with the files)
-        dbdir = tempfile.mkdtemp(prefix="jgs_bktwh_")
-        atexit.register(shutil.rmtree, dbdir, ignore_errors=True)
-        db = f"jgs_bkt_{uuid.uuid4().hex[:8]}"
-        spark.sql(f"CREATE DATABASE {db} LOCATION '{dbdir}'")
-        prev_db = spark.catalog.currentDatabase()
-        spark.catalog.setCurrentDatabase(db)
-        try:
-            cat = GraphCatalog(spark)
-            g = tpch_graph(spark, sf_dir, name="tpchbkt")
-            cat.save_bucketed(g, buckets=8)
-            _BUCKETED_MEMO[key] = cat.load_bucketed("tpchbkt")
-        finally:
-            spark.catalog.setCurrentDatabase(prev_db)
-    gb = _BUCKETED_MEMO[key]
-    return _expand_agg(gb.nodes, gb.edges, spark)
+    files, graph.py:163). The same MERGE-hinted expansion join then reads
+    both sides bucket-locally: NO exchange in the plan
+    (tests/test_plans.py test_bucketed_graph_expand_avoids_shuffle).
+    The build is memoized per (session, sf_dir) so the bench's warm pass
+    times the join, not the one-off write — the amortization a real
+    deployment gets from writing bucketed once and traversing many
+    times."""
+    g = _materialized_expand_graph(spark, sf_dir, bucketed=True)
+    return _expand_agg(g.nodes, g.edges)
 
 
 @_q(
