@@ -53,6 +53,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("ppr");         p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--alpha", type=float, default=0.85); p.add_argument("--iters", type=int, default=10); p.add_argument("--top", type=int, default=10)
     p = sub.add_parser("ktruss");      p.add_argument("name"); p.add_argument("--k", type=int, default=4)
     p = sub.add_parser("wsp");         p.add_argument("name"); p.add_argument("source"); p.add_argument("--iters", type=int, default=10)
+    p = sub.add_parser("train");       p.add_argument("name"); p.add_argument("--encoder", default="flat", choices=["flat", "sage"])
+    p = sub.add_parser("merge");       p.add_argument("name"); p.add_argument("--workers", type=int, default=4); p.add_argument("--encoder", default="flat", choices=["flat", "sage"])
     p = sub.add_parser("walks");       p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--length", type=int, default=5)
     args = ap.parse_args(argv)
 
@@ -134,6 +136,43 @@ def main(argv=None) -> int:
                     "jaccard": r["jaccard"],
                 }
             )
+    elif args.cmd == "train":
+        # reference `train` (FrontEnd.cpp:321): fit the link classifier,
+        # report held-out AUC vs the raw Jaccard heuristic
+        from jasminegraph_spark.analytics.linkpred_ml import auc
+
+        _, scored = eng.train_model(args.name, encoder=args.encoder)
+        scored = scored.persist()
+        emit(
+            {
+                "trained": args.name,
+                "encoder": args.encoder,
+                "test_auc": round(auc(scored), 4),
+                "jaccard_auc": round(auc(scored, "jac"), 4),
+                "n_test_examples": scored.count(),
+            }
+        )
+        scored.unpersist()
+    elif args.cmd == "merge":
+        # reference `merge` (FrontEnd.cpp:319): disjoint-shard heads
+        # FedAvg'd; report the merged model's held-out AUC
+        from jasminegraph_spark.analytics.linkpred_ml import auc
+
+        coeffs, intercept, scored = eng.merge_models(
+            args.name, n_workers=args.workers, encoder=args.encoder
+        )
+        scored = scored.persist()
+        emit(
+            {
+                "merged": args.name,
+                "workers": args.workers,
+                "encoder": args.encoder,
+                "n_coefficients": len(coeffs),
+                "intercept": round(intercept, 6),
+                "test_auc": round(auc(scored), 4),
+            }
+        )
+        scored.unpersist()
     elif args.cmd == "adstrmk":
         # drain-mode `adstrmk`: availableNow trigger consumes everything
         # currently in the directory then completes (the reference's

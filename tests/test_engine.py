@@ -164,6 +164,33 @@ def test_cli_predict_and_constructkg(tmp_path):
     assert kg == {"constructed": "kg", "vertices": 4, "edges": 2}
 
 
+def test_cli_train_and_merge(tmp_path):
+    """CLI verbs for the reference's train and merge commands."""
+    import itertools
+    import subprocess
+    import sys
+
+    lines = [f"{a} {b}" for a, b in itertools.combinations(range(30), 2)]
+    lines += [f"{a} {b}" for a, b in itertools.combinations(range(100, 130), 2)]
+    (tmp_path / "cl.dl").write_text("\n".join(lines) + "\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+
+    run("adgr", "cl", str(tmp_path / "cl.dl"))
+    (tr,) = run("train", "cl")
+    assert tr["trained"] == "cl" and tr["n_test_examples"] > 0
+    assert 0.0 <= tr["test_auc"] <= 1.0
+    (mg,) = run("merge", "cl", "--workers", "2")
+    assert mg["n_coefficients"] == 15 and 0.0 <= mg["test_auc"] <= 1.0
+
+
 def test_cli_wcc_kcore_partition(tmp_path):
     """CLI verbs for components, k-core, and explicit partitioning."""
     import subprocess
