@@ -94,6 +94,7 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     for name in HEADLINE:
         # first run pays whole-stage-codegen (Janino) compilation — constant
         # JVM warmup, not data cost; steady state is the engine comparison.
@@ -101,8 +102,15 @@ def main() -> None:
         for _ in range(warmup):
             cold[name] = round(run_once(name), 3)
             spark.catalog.clearCache()
-        timings[name] = round(run_once(name), 3)
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(max(1, runs)):
+            # warm number = MIN of the timed runs: single warm samples on a
+            # shared box jitter ±20% (GC, page cache); the minimum is the
+            # standard low-noise estimator of the engine's actual cost
+            sec = run_once(name)
+            spark.catalog.clearCache()
+            best = sec if best is None else min(best, sec)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
 
     # per-query ledger (PerfCatalog = the reference's perfdb): every run
