@@ -255,7 +255,15 @@ class DeleteClause:
 
 @dataclass
 class MergeClause:
-    pattern: object = None  # single-node PathPattern
+    pattern: object = None  # single-node or (a)-[:T]->(b) PathPattern
+
+
+@dataclass
+class CreateRelClause:
+    """MATCH-bound relationship creation: MATCH ... CREATE (a)-[:T]->(b)
+    where a and b are node variables bound by the MATCH part."""
+
+    pattern: object = None  # 2-node / 1-rel PathPattern
 
 
 @dataclass

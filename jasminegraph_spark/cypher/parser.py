@@ -202,11 +202,18 @@ class _Parser:
                 q.clauses.append(wc)
             else:
                 break
-        # write clauses (SET / [DETACH] DELETE after MATCH; MERGE standalone)
+        # write clauses (SET / [DETACH] DELETE / CREATE after MATCH;
+        # MERGE standalone)
         if self.accept("KW", "MERGE"):
             from jasminegraph_spark.cypher.ast import MergeClause
 
             q.write_clause = MergeClause(pattern=self.parse_path())
+            self.expect("EOF")
+            return q
+        if q.clauses and self.accept("KW", "CREATE"):
+            from jasminegraph_spark.cypher.ast import CreateRelClause
+
+            q.write_clause = CreateRelClause(pattern=self.parse_path())
             self.expect("EOF")
             return q
         if self.accept("KW", "SET"):

@@ -41,9 +41,15 @@ def _replace(df: DataFrame, path: str) -> None:
 
 
 def _load(spark: SparkSession, graph_path: str, is_directed: bool) -> PropertyGraph:
+    from jasminegraph_spark.graph import EDGE_SCHEMA
+
+    if os.path.isdir(f"{graph_path}/edges"):
+        edges = spark.read.parquet(f"{graph_path}/edges")
+    else:  # a CREATE of nodes only never writes the edges dir
+        edges = spark.createDataFrame([], EDGE_SCHEMA)
     return PropertyGraph(
         nodes=spark.read.parquet(f"{graph_path}/nodes"),
-        edges=spark.read.parquet(f"{graph_path}/edges"),
+        edges=edges,
         is_directed=is_directed,
     )
 
@@ -83,6 +89,8 @@ def cypher_write(
         raise CypherCompileError("write clause requires a MATCH part")
 
     wc = q.write_clause
+    if isinstance(wc, ast.CreateRelClause):
+        return _create_rel(spark, graph_path, g, df, comp, wc)
     if isinstance(wc, ast.SetClause):
         stats = {"nodes_set": 0}
         for item in wc.items:
@@ -156,10 +164,107 @@ def cypher_write(
     raise CypherCompileError(f"unsupported write clause {wc!r}")
 
 
+def _create_rel(spark, graph_path: str, g, df, comp, wc) -> dict:
+    """MATCH ... CREATE (a)-[:T {..}]->(b): one new relationship per
+    DISTINCT matched (a, b) endpoint pair (the distinct is a determinism
+    guard — re-running the same statement is idempotent because edge ids
+    are content-derived and pre-existing ids are skipped, unlike
+    openCypher's per-row unconditional CREATE; documented divergence)."""
+    p = wc.pattern
+    if len(p.nodes) != 2 or len(p.rels) != 1:
+        raise CypherCompileError(
+            "MATCH ... CREATE supports a single (a)-[:T]->(b) relationship pattern"
+        )
+    a, b = p.nodes[0].var, p.nodes[1].var
+    rel = p.rels[0]
+    for v in (a, b):
+        if v not in comp.node_vars:
+            raise CypherCompileError(f"CREATE endpoint {v} is not a bound node variable")
+    if rel.direction == "in":
+        a, b = b, a
+    rtype = rel.types[0] if rel.types else None
+    props = {k: str(v) for k, v in rel.props.items()}
+    prop_col = (
+        F.create_map(*[x for kv in props.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+        if props
+        else F.create_map().cast("map<string,string>")
+    )
+    pairs = df.select(
+        F.col(f"{a}.id").alias("src"), F.col(f"{b}.id").alias("dst")
+    ).distinct()
+    new_edges = pairs.select(
+        F.concat(
+            F.col("src"), F.lit("->"), F.col("dst"), F.lit(f":{rtype if rtype else 0}")
+        ).alias("id"),
+        "src",
+        "dst",
+        F.lit(rtype).alias("type"),
+        prop_col.alias("properties"),
+    )
+    fresh = new_edges.join(g.edges.select("id"), "id", "left_anti")
+    n = fresh.count()
+    if n:
+        fresh.write.mode("append").parquet(f"{graph_path}/edges")
+    return {"edges_created": n}
+
+
+def _node_cond(node: ast.NodePattern):
+    cond = F.lit(True)
+    if node.labels:
+        cond = cond & (F.col("label") == node.labels[0])
+    for k, v in node.props.items():
+        cond = cond & (F.col("properties")[k] == str(v))
+    return cond
+
+
+def _merge_endpoint(spark, graph_path: str, g: PropertyGraph, node: ast.NodePattern):
+    """Resolve a MERGE endpoint: the MIN matching node id (deterministic
+    when the label+props match several), creating the node when nothing
+    matches. Returns (node_id, n_created, refreshed_graph)."""
+    row = g.nodes.filter(_node_cond(node)).agg(F.min("id").alias("id")).first()
+    if row and row["id"] is not None:
+        return row["id"], 0, g
+    create_text = "CREATE (" + (node.var or "n")
+    if node.labels:
+        create_text += ":" + node.labels[0]
+    if node.props:
+        create_text += " {" + ", ".join(f"{k}: '{v}'" for k, v in node.props.items()) + "}"
+    create_text += ")"
+    nodes, _ = cypher_create(spark, create_text)
+    nodes.write.mode("append").parquet(f"{graph_path}/nodes")
+    nid = nodes.first()["id"]
+    return nid, 1, _load(spark, graph_path, g.is_directed)
+
+
 def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dict:
     pattern = mc.pattern
+    if len(pattern.nodes) == 2 and len(pattern.rels) == 1:
+        # relationship upsert: MERGE (a ..)-[:T]->(b ..) — resolve/create
+        # both endpoints, then create the typed edge iff absent
+        rel = pattern.rels[0]
+        na, nb = pattern.nodes
+        if rel.direction == "in":
+            na, nb = nb, na
+        rtype = rel.types[0] if rel.types else None
+        sa, ca, g = _merge_endpoint(spark, graph_path, g, na)
+        sb, cb, g = _merge_endpoint(spark, graph_path, g, nb)
+        cond = (F.col("src") == sa) & (F.col("dst") == sb)
+        if rtype:
+            cond = cond & (F.col("type") == rtype)
+        if g.edges.filter(cond).take(1):
+            return {"nodes_created": ca + cb, "edges_created": 0, "matched": True}
+        props = {k: str(v) for k, v in rel.props.items()}
+        rid = f"{sa}->{sb}:{rtype if rtype else 0}"
+        from jasminegraph_spark.graph import EDGE_SCHEMA
+
+        spark.createDataFrame([(rid, sa, sb, rtype, props)], EDGE_SCHEMA).write.mode(
+            "append"
+        ).parquet(f"{graph_path}/edges")
+        return {"nodes_created": ca + cb, "edges_created": 1, "matched": False}
     if len(pattern.nodes) != 1:
-        raise CypherCompileError("MERGE supports single-node patterns")
+        raise CypherCompileError(
+            "MERGE supports single-node and (a)-[:T]->(b) relationship patterns"
+        )
     node = pattern.nodes[0]
     cond = F.lit(True)
     if node.labels:

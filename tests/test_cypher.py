@@ -798,3 +798,70 @@ def test_call_continuation_procedures(social):
         "CALL algo.coreNumbers(6) YIELD node, core RETURN max(core) AS mx",
     )
     assert out.collect()[0]["mx"] >= 2  # the FRIENDS ring is a 2-core
+
+
+def test_match_create_relationship(spark, tmp_path):
+    """r5: MATCH-bound relationship creation — one edge per distinct
+    matched endpoint pair, idempotent on re-run (content-derived ids)."""
+    from jasminegraph_spark.cypher.write import cypher_write
+    from jasminegraph_spark.graph import GraphCatalog
+
+    gp = str(tmp_path / "rg")
+    cypher_write(
+        spark,
+        gp,
+        "CREATE (a:City {id: 'c1', name: 'Ank'}), (b:City {id: 'c2', name: 'Bos'}),"
+        " (c:Person {id: 'p1', home: 'c1'})",
+    )
+    stats = cypher_write(
+        spark, gp, "MATCH (p:Person), (c:City {name: 'Ank'}) CREATE (p)-[:LIVES_IN]->(c)"
+    )
+    assert stats == {"edges_created": 1}
+    g = GraphCatalog(spark).load("rg", str(tmp_path), is_directed=True)
+    (e,) = g.edges.collect()
+    assert (e["src"], e["dst"], e["type"]) == ("p1", "c1", "LIVES_IN")
+    # idempotent: same statement creates nothing new
+    again = cypher_write(
+        spark, gp, "MATCH (p:Person), (c:City {name: 'Ank'}) CREATE (p)-[:LIVES_IN]->(c)"
+    )
+    assert again == {"edges_created": 0}
+    # reversed arrow binds src/dst the other way
+    rev = cypher_write(
+        spark, gp, "MATCH (p:Person), (c:City {name: 'Bos'}) CREATE (p)<-[:HOSTS]-(c)"
+    )
+    assert rev == {"edges_created": 1}
+    g = GraphCatalog(spark).load("rg", str(tmp_path), is_directed=True)
+    hosts = [r for r in g.edges.collect() if r["type"] == "HOSTS"]
+    assert [(hosts[0]["src"], hosts[0]["dst"])] == [("c2", "p1")]
+    # unbound endpoint fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a bound node"):
+        cypher_write(spark, gp, "MATCH (p:Person) CREATE (p)-[:X]->(q)")
+
+
+def test_merge_relationship_upsert(spark, tmp_path):
+    """r5: MERGE (a ..)-[:T]->(b ..) — resolves or creates both endpoints,
+    then creates the typed edge iff absent."""
+    from jasminegraph_spark.cypher.write import cypher_write
+    from jasminegraph_spark.graph import GraphCatalog
+
+    gp = str(tmp_path / "mg")
+    cypher_write(spark, gp, "CREATE (a:User {id: 'u1', name: 'Ann'})")
+    # endpoint b missing → created; edge created
+    s1 = cypher_write(
+        spark, gp, "MERGE (a:User {name: 'Ann'})-[:FOLLOWS]->(b:User {name: 'Ben'})"
+    )
+    assert s1["nodes_created"] == 1 and s1["edges_created"] == 1 and not s1["matched"]
+    # everything exists → full no-op
+    s2 = cypher_write(
+        spark, gp, "MERGE (a:User {name: 'Ann'})-[:FOLLOWS]->(b:User {name: 'Ben'})"
+    )
+    assert s2 == {"nodes_created": 0, "edges_created": 0, "matched": True}
+    # same endpoints, different type → new edge only
+    s3 = cypher_write(
+        spark, gp, "MERGE (a:User {name: 'Ann'})-[:BLOCKS]->(b:User {name: 'Ben'})"
+    )
+    assert s3["nodes_created"] == 0 and s3["edges_created"] == 1
+    g = GraphCatalog(spark).load("mg", str(tmp_path), is_directed=True)
+    assert g.edges.count() == 2 and g.nodes.count() == 2
