@@ -1548,6 +1548,7 @@ def st_windowed_event_counts(spark, sf_dir):
     semantics (StreamHandler.cpp); this is the windowed surface a real
     pipeline needs."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1578,6 +1579,8 @@ def st_windowed_event_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # memory sink is fully materialized — drop the scratch symlink dir now
+    shutil.rmtree(stream_dir, ignore_errors=True)
     return (
         spark.table(name)
         .select(
@@ -1613,6 +1616,7 @@ def st_session_window_counts(spark, sf_dir):
     exactly gap-after the last starts a new session). Completes §2.6
     with dynamic-gap windows next to the tumbling st_ row."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1641,6 +1645,7 @@ def st_session_window_counts(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    shutil.rmtree(stream_dir, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -1670,6 +1675,7 @@ def st_stream_stream_join(spark, sf_dir):
     a batch per-user count; the oracle is the equivalent batch range
     join."""
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -1711,6 +1717,7 @@ def st_stream_stream_join(spark, sf_dir):
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return (
         spark.table(name)
         .groupBy("user_id")
