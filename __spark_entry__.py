@@ -4403,6 +4403,67 @@ def an_wcc_alternating(spark, sf_dir):
     return connected_components_alternating(co_order_edges(spark, sf_dir))
 
 
+_SCC_ORACLE = """
+    WITH RECURSIVE g AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT l_orderkey % 400 AS src,
+                   (l_partkey * 31 + l_suppkey) % 400 AS dst
+            FROM lineitem
+        )
+        WHERE src != dst
+          AND substring(md5(concat(src, '-', dst)), 1, 1) = '0'
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM g
+              UNION SELECT DISTINCT dst FROM g),
+    reach AS (
+        SELECT src AS s, dst AS d FROM g
+        UNION
+        SELECT r.s, g.dst FROM reach r JOIN g ON g.src = r.d
+    ),
+    mutual AS (
+        SELECT r1.s AS v, r1.d AS u
+        FROM reach r1 JOIN reach r2 ON r2.s = r1.d AND r2.d = r1.s
+    )
+    SELECT CAST(n.node AS BIGINT) AS node,
+           CAST(LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS BIGINT) AS component
+    FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+    GROUP BY n.node ORDER BY node
+"""
+
+
+@_q("an_scc", _SCC_ORACLE)
+def an_scc(spark, sf_dir):
+    """Strongly connected components (components.strongly_connected_
+    components — trim + FW/BW min-pivot settling, Salihoglu & Widom
+    VLDB'14 family) on a DIRECTED cyclic graph hashed out of lineitem:
+    node space fixed at 400 ids (l_orderkey%400 → (31·l_partkey +
+    l_suppkey)%400), thinned to 1/16 density by an md5 edge filter both
+    engines compute identically. The fixed id space bounds the DuckDB
+    transitive-closure oracle (≤400² reach pairs) at EVERY scale factor
+    while the Spark side still scans the full lineitem table. Oracle:
+    reach = recursive closure, v ∈ SCC(min u: v↔u mutual reach)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    g = (
+        li.select(
+            (F.col("l_orderkey") % 400).cast("long").alias("src"),
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey")) % 400)
+            .cast("long")
+            .alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .filter(F.substring(F.md5(F.concat_ws("-", "src", "dst")), 1, 1) == "0")
+    )
+    from jasminegraph_spark.analytics import strongly_connected_components
+
+    return (
+        strongly_connected_components(g, max_outer=30)
+        .select(F.col("node").cast("long"), F.col("component").cast("long"))
+        .orderBy("node")
+    )
+
+
 def _kcore_oracle(k: int = 8, iterations: int = 30) -> str:
     """Iterative min-degree peel unrolled as chained CTEs (same round
     budget as the DataFrame job — post-fixpoint rounds are identity)."""
@@ -6697,6 +6758,7 @@ _PRIORITY = [
     "src_unbucketed_expand",
     "st_incremental_triangles",
     "an_sage_embeddings",
+    "an_scc",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
     "an_pagerank",
     "pl_minhash_lsh",

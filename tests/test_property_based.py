@@ -251,3 +251,69 @@ def test_link_example_features_match_bruteforce(spark, edges):
         assert abs(r["jac"] - round(cn / len(na | nb), 6)) < 1e-9
         aa = sum(1.0 / math.log(len(adj[w]) + 1e-9) for w in na & nb)
         assert abs(r["aa"] - round(aa, 6)) < 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists)
+def test_scc_matches_tarjan(spark, edges):
+    """strongly_connected_components ≡ Tarjan (iterative, pure Python)
+    on arbitrary small digraphs, including DAG chains (trim path) and
+    dense cyclic cores (pivot path)."""
+    from jasminegraph_spark.analytics import strongly_connected_components
+
+    dedges = sorted({(a, b) for a, b in edges if a != b})
+    if not dedges:
+        return
+    verts = sorted({v for e in dedges for v in e})
+    adj = {v: [] for v in verts}
+    for a, b in dedges:
+        adj[a].append(b)
+
+    # iterative Tarjan
+    index, low, onstack, comp = {}, {}, {}, {}
+    stack, counter = [], [0]
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack[v] = True
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif onstack.get(w):
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    onstack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+
+    df = spark.createDataFrame(dedges, ["src", "dst"])
+    got = {
+        (r["node"], r["component"])
+        for r in strongly_connected_components(df).collect()
+    }
+    assert got == set(comp.items())
