@@ -243,7 +243,28 @@ class SetItem:
 
 
 @dataclass
+class SetLabelItem:
+    """SET n:Label — single-label graph model, so this RELABELS the node
+    (openCypher adds to a label set; documented divergence)."""
+
+    var: str
+    label: str
+
+
+@dataclass
 class SetClause:
+    items: list = field(default_factory=list)  # SetItem | SetLabelItem
+
+
+@dataclass
+class RemoveItem:
+    var: str
+    key: str | None = None  # REMOVE n.prop
+    label: str | None = None  # REMOVE n:Label (label → NULL when it matches)
+
+
+@dataclass
+class RemoveClause:
     items: list = field(default_factory=list)
 
 

@@ -56,7 +56,7 @@ _KEYWORDS = {
     "MATCH", "CREATE", "WHERE", "RETURN", "DISTINCT", "ORDER", "BY", "ASC", "ASCENDING",
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
-    "OPTIONAL", "UNWIND", "SET", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "OPTIONAL", "UNWIND", "SET", "REMOVE", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
     "CALL", "YIELD", "UNION", "ALL",
 }
 
@@ -217,18 +217,37 @@ class _Parser:
             self.expect("EOF")
             return q
         if self.accept("KW", "SET"):
-            from jasminegraph_spark.cypher.ast import SetClause, SetItem
+            from jasminegraph_spark.cypher.ast import SetClause, SetItem, SetLabelItem
 
             sc = SetClause()
             while True:
                 var = self.expect("WORD")
-                self.expect("PUNCT", ".")
-                key = self.name()
-                self.expect("OP", "=")
-                sc.items.append(SetItem(var, key, self.parse_literal().value))
+                if self.accept("PUNCT", ":"):
+                    sc.items.append(SetLabelItem(var, self.name()))
+                else:
+                    self.expect("PUNCT", ".")
+                    key = self.name()
+                    self.expect("OP", "=")
+                    sc.items.append(SetItem(var, key, self.parse_literal().value))
                 if not self.accept("PUNCT", ","):
                     break
             q.write_clause = sc
+            self.expect("EOF")
+            return q
+        if self.accept("KW", "REMOVE"):
+            from jasminegraph_spark.cypher.ast import RemoveClause, RemoveItem
+
+            rc = RemoveClause()
+            while True:
+                var = self.expect("WORD")
+                if self.accept("PUNCT", ":"):
+                    rc.items.append(RemoveItem(var, label=self.name()))
+                else:
+                    self.expect("PUNCT", ".")
+                    rc.items.append(RemoveItem(var, key=self.name()))
+                if not self.accept("PUNCT", ","):
+                    break
+            q.write_clause = rc
             self.expect("EOF")
             return q
         detach = bool(self.accept("KW", "DETACH"))

@@ -87,6 +87,13 @@ def cypher_write(
             raise CypherCompileError("write queries support plain MATCH clauses only")
     if df is None:
         raise CypherCompileError("write clause requires a MATCH part")
+    # materialize the match BEFORE any mutation: _replace rewrites the
+    # parquet files the lazy match plan still references, so a second
+    # SET/REMOVE item (or the node phase of a DELETE after its edge
+    # phase) would otherwise re-scan deleted files
+    from jasminegraph_spark.cache import checkpoint
+
+    df = checkpoint(df)
 
     wc = q.write_clause
     if isinstance(wc, ast.CreateRelClause):
@@ -98,19 +105,71 @@ def cypher_write(
                 raise CypherCompileError(f"SET target {item.var} is not a node variable")
             ids = df.select(F.col(f"{item.var}.id").alias("__id")).distinct()
             stats["nodes_set"] = ids.count()
-            updated = g.nodes.join(ids, g.nodes.id == F.col("__id"), "left").select(
-                "id",
-                "label",
-                F.when(
-                    F.col("__id").isNotNull(),
-                    F.map_concat(
-                        F.map_filter("properties", lambda k, v: k != F.lit(item.key)),
-                        F.create_map(F.lit(item.key), F.lit(str(item.value))),
-                    ),
+            if isinstance(item, ast.SetLabelItem):
+                # single-label model: SET n:Label RELABELS the matched
+                # nodes (openCypher would add to a label set — divergence
+                # documented on the AST node)
+                updated = g.nodes.join(ids, g.nodes.id == F.col("__id"), "left").select(
+                    "id",
+                    F.when(F.col("__id").isNotNull(), F.lit(item.label))
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                    "properties",
                 )
-                .otherwise(F.col("properties"))
-                .alias("properties"),
-            )
+            else:
+                updated = g.nodes.join(ids, g.nodes.id == F.col("__id"), "left").select(
+                    "id",
+                    "label",
+                    F.when(
+                        F.col("__id").isNotNull(),
+                        F.map_concat(
+                            F.map_filter(
+                                "properties", lambda k, v: k != F.lit(item.key)
+                            ),
+                            F.create_map(F.lit(item.key), F.lit(str(item.value))),
+                        ),
+                    )
+                    .otherwise(F.col("properties"))
+                    .alias("properties"),
+                )
+            _replace(updated, f"{graph_path}/nodes")
+            g = _load(spark, graph_path, is_directed)
+        return stats
+
+    if isinstance(wc, ast.RemoveClause):
+        stats = {"nodes_updated": 0}
+        for item in wc.items:
+            if item.var not in comp.node_vars:
+                raise CypherCompileError(
+                    f"REMOVE target {item.var} is not a node variable"
+                )
+            ids = df.select(F.col(f"{item.var}.id").alias("__id")).distinct()
+            stats["nodes_updated"] = ids.count()
+            joined = g.nodes.join(ids, g.nodes.id == F.col("__id"), "left")
+            if item.key is not None:
+                updated = joined.select(
+                    "id",
+                    "label",
+                    F.when(
+                        F.col("__id").isNotNull(),
+                        F.map_filter("properties", lambda k, v: k != F.lit(item.key)),
+                    )
+                    .otherwise(F.col("properties"))
+                    .alias("properties"),
+                )
+            else:
+                # REMOVE n:Label — clears the label where it matches
+                # (single-label model twin of openCypher's set removal)
+                updated = joined.select(
+                    "id",
+                    F.when(
+                        F.col("__id").isNotNull() & (F.col("label") == item.label),
+                        F.lit(None).cast("string"),
+                    )
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                    "properties",
+                )
             _replace(updated, f"{graph_path}/nodes")
             g = _load(spark, graph_path, is_directed)
         return stats

@@ -865,3 +865,44 @@ def test_merge_relationship_upsert(spark, tmp_path):
     assert s3["nodes_created"] == 0 and s3["edges_created"] == 1
     g = GraphCatalog(spark).load("mg", str(tmp_path), is_directed=True)
     assert g.edges.count() == 2 and g.nodes.count() == 2
+
+
+def test_set_label_and_remove(spark, tmp_path):
+    """SET n:Label relabels matched nodes; REMOVE n.prop drops the
+    property; REMOVE n:Label nulls a matching label (single-label model
+    — divergences documented on the AST nodes)."""
+    from jasminegraph_spark.cypher.write import cypher_write
+
+    gp = str(tmp_path / "sl")
+
+    def nodes():
+        return spark.read.parquet(f"{gp}/nodes")
+    cypher_write(
+        spark,
+        gp,
+        "CREATE (a:Draft {id: 'd1', rank: '3'}), (b:Draft {id: 'd2'}),"
+        " (c:Final {id: 'f1', rank: '9'})",
+    )
+    s = cypher_write(spark, gp, "MATCH (n:Draft) SET n:Archived")
+    assert s == {"nodes_set": 2}
+    labels = {r["id"]: r["label"] for r in nodes().collect()}
+    assert labels == {"d1": "Archived", "d2": "Archived", "f1": "Final"}
+
+    r = cypher_write(spark, gp, "MATCH (n) WHERE n.rank = '3' REMOVE n.rank")
+    assert r == {"nodes_updated": 1}
+    props = {r["id"]: dict(r["properties"]) for r in nodes().collect()}
+    assert "rank" not in props["d1"] and props["f1"]["rank"] == "9"
+
+    r2 = cypher_write(spark, gp, "MATCH (n:Final) REMOVE n:Final")
+    assert r2 == {"nodes_updated": 1}
+    labels = {r["id"]: r["label"] for r in nodes().collect()}
+    assert labels["f1"] is None and labels["d1"] == "Archived"
+
+    # mixed SET list: property + label in one clause
+    m = cypher_write(
+        spark, gp, "MATCH (n:Archived) SET n.state = 'cold', n:Frozen"
+    )
+    assert m == {"nodes_set": 2}
+    rows = {r["id"]: r for r in nodes().collect()}
+    assert rows["d1"]["label"] == "Frozen"
+    assert dict(rows["d2"]["properties"])["state"] == "cold"
