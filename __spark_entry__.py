@@ -6137,6 +6137,76 @@ def src_jsonl_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "src_graphml_roundtrip",
+    """
+    SELECT 'Nation' AS kind, COUNT(*) AS n,
+           CAST(SUM(length(n_name)) AS BIGINT) AS name_chars FROM nation
+    UNION ALL
+    SELECT 'Supplier', COUNT(*), CAST(SUM(length(s_name)) AS BIGINT) FROM supplier
+    UNION ALL
+    SELECT 'rel:LOCATED_IN', COUNT(*), CAST(0 AS BIGINT) FROM supplier
+    ORDER BY kind
+    """,
+)
+def src_graphml_roundtrip(spark, sf_dir):
+    """SOURCES driver row for the GraphML interchange pair: the
+    supplier→nation property graph exports through export_graphml
+    (distributed XML fragments, Catalyst-side escaping) and comes back
+    through read_graphml (distributed regexp parse + entity unescape —
+    r5's import twin); label counts AND property payload sizes (name
+    chars, read back out of the roundtripped properties map) must equal
+    the original tables. Equality proves the export/import pair lossless
+    including the escape/unescape chain."""
+    import shutil
+    import tempfile
+
+    from jasminegraph_spark.graph import PropertyGraph
+    from jasminegraph_spark.sources import export_graphml, read_graphml
+
+    sup = _read(spark, sf_dir, "supplier")
+    nat = _read(spark, sf_dir, "nation")
+    nodes = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("id"),
+        F.lit("Supplier").alias("label"),
+        F.create_map(F.lit("name"), F.col("s_name")).alias("properties"),
+    ).unionAll(
+        nat.select(
+            F.concat(F.lit("n"), F.col("n_nationkey")),
+            F.lit("Nation"),
+            F.create_map(F.lit("name"), F.col("n_name")),
+        )
+    )
+    edges = sup.select(
+        F.concat(F.lit("s"), F.col("s_suppkey"), F.lit("->n"), F.col("s_nationkey")).alias(
+            "id"
+        ),
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        F.lit("LOCATED_IN").alias("type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="jgs_graphml_")
+    try:
+        export_graphml(
+            PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name="supnat"),
+            out_dir,
+        )
+        back = read_graphml(spark, out_dir)
+        node_agg = back.nodes.groupBy(F.col("label").alias("kind")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.length(F.col("properties")["name"])).cast("long").alias("name_chars"),
+        )
+        edge_agg = back.edges.groupBy(
+            F.concat(F.lit("rel:"), F.col("type")).alias("kind")
+        ).agg(F.count("*").alias("n"), F.lit(0).cast("long").alias("name_chars"))
+        agg = node_agg.unionAll(edge_agg).orderBy("kind")
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)
+
+
+@_q(
     "src_zorder_roundtrip",
     """
     SELECT event_type, COUNT(*) AS n_events,
@@ -6759,6 +6829,7 @@ _PRIORITY = [
     "st_incremental_triangles",
     "an_sage_embeddings",
     "an_scc",
+    "src_graphml_roundtrip",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
     "an_pagerank",
     "pl_minhash_lsh",

@@ -4,6 +4,7 @@ from jasminegraph_spark.sources.readers import (  # noqa: F401
     read_property_graph_jsonl,
     read_rdf_triples,
     read_edge_list_with_attributes,
+    read_graphml,
     EDGE_WIRE_SCHEMA,
 )
 from jasminegraph_spark.sources.layout import (  # noqa: F401

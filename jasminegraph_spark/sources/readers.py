@@ -238,3 +238,63 @@ def read_documents_jsonl(
         F.col("source"),
         F.length(txt).cast("long").alias("n_chars"),
     )
+
+
+def read_graphml(
+    spark: SparkSession, path: str, name: str = "graph"
+) -> PropertyGraph:
+    """GraphML import — the inverse of sinks.export_graphml, completing
+    the roundtrip with the Gephi/NetworkX/igraph interchange format the
+    export targets (reference ingest family, SURVEY §2.4).
+
+    Distributed parse: the XML is read as a text source (header,
+    node/edge part-files, footer all under ``path``; a single flat
+    .graphml file works identically) and each element is decomposed with
+    regexp_extract + entity unescape + from_json — Catalyst expressions
+    end to end, no driver-side XML tree at any size. Constraint: one
+    element per line (what export_graphml, NetworkX's writer, and
+    Gephi's default layout emit); true multi-line XML needs a dedicated
+    datasource and is out of scope.
+
+    Directionality is auto-detected from the <graph edgedefault=...>
+    header element."""
+
+    def unesc(c):
+        out = c
+        # reverse of export's escape chain; &amp; LAST so it can't
+        # re-introduce entities
+        for raw, rep in (("&quot;", '"'), ("&gt;", ">"), ("&lt;", "<"), ("&amp;", "&")):
+            out = F.replace(out, F.lit(raw), F.lit(rep))
+        return out
+
+    def data_key(key: str):
+        return F.nullif(
+            unesc(F.regexp_extract("value", f'<data key="{key}">(.*?)</data>', 1)),
+            F.lit(""),
+        )
+
+    raw = spark.read.option("recursiveFileLookup", "true").text(path)
+    header = (
+        raw.filter(F.col("value").contains("<graph "))
+        .select(F.regexp_extract("value", 'edgedefault="([^"]*)"', 1).alias("d"))
+        .first()
+    )
+    is_directed = bool(header) and header["d"] == "directed"
+    nodes = raw.filter(F.col("value").contains("<node ")).select(
+        unesc(F.regexp_extract("value", '<node id="([^"]*)"', 1)).alias("id"),
+        data_key("label").alias("label"),
+        F.from_json(data_key("props"), "map<string,string>").alias("properties"),
+    )
+    edges = raw.filter(F.col("value").contains("<edge ")).select(
+        unesc(F.regexp_extract("value", '<edge source="([^"]*)"', 1)).alias("src"),
+        unesc(F.regexp_extract("value", 'target="([^"]*)"', 1)).alias("dst"),
+        data_key("type").alias("type"),
+    )
+    edges = edges.select(
+        F.concat_ws("->", "src", "dst").alias("id"),
+        "src",
+        "dst",
+        "type",
+        F.lit(None).cast("map<string,string>").alias("properties"),
+    )
+    return PropertyGraph(nodes=nodes, edges=edges, is_directed=is_directed, name=name)

@@ -399,3 +399,46 @@ def test_rmat_generator_properties(spark):
 
     u = uniform_edges(spark, 128, 1024).collect()
     assert maxdeg(g1) > maxdeg(u)  # power-law vs uniform tail
+
+
+def test_graphml_import_roundtrip(spark, tmp_path):
+    """read_graphml is export_graphml's exact inverse: node ids, labels,
+    properties (incl. XML-escaped special characters), edge endpoints,
+    types, and directedness all survive the export → import cycle."""
+    from jasminegraph_spark.graph import PropertyGraph
+    from jasminegraph_spark.sources import export_graphml, read_graphml
+
+    nodes = spark.createDataFrame(
+        [
+            ("1", "Person", {"name": 'Ada "L" <x>&', "k&": "<v>"}),
+            ("2", "Person", {"name": "Bob"}),
+            ("3", None, None),
+        ],
+        "id: string, label: string, properties: map<string,string>",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "1", "2", "KNOWS", {}), ("e2", "2", "3", None, None)],
+        "id: string, src: string, dst: string, type: string, properties: map<string,string>",
+    )
+    g = PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name="t")
+    out = str(tmp_path / "gml")
+    export_graphml(g, out)
+    back = read_graphml(spark, out)
+    assert back.is_directed
+    got_nodes = {
+        r["id"]: (r["label"], dict(r["properties"]) if r["properties"] else None)
+        for r in back.nodes.collect()
+    }
+    assert got_nodes == {
+        "1": ("Person", {"name": 'Ada "L" <x>&', "k&": "<v>"}),
+        "2": ("Person", {"name": "Bob"}),
+        "3": (None, None),
+    }
+    got_edges = {(r["src"], r["dst"], r["type"]) for r in back.edges.collect()}
+    assert got_edges == {("1", "2", "KNOWS"), ("2", "3", None)}
+
+    # undirected graphs re-import undirected
+    g2 = PropertyGraph(nodes=nodes, edges=edges, is_directed=False, name="u")
+    out2 = str(tmp_path / "gml2")
+    export_graphml(g2, out2)
+    assert not read_graphml(spark, out2).is_directed
