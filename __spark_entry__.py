@@ -5963,6 +5963,56 @@ def pl_repetition_scores(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(lower(text), '\\b{w}\\b') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+@_q(
+    "pl_gopher_rules",
+    f"""
+    WITH base AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+               length(regexp_replace(trim(text), '\\s', '', 'g')) AS word_chars,
+               len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha_words,
+               len(string_split(text, chr(10))) AS n_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   ln -> ltrim(ln) LIKE '-%' OR ltrim(ln) LIKE '*%'
+                      OR ltrim(ln) LIKE '•%')) AS n_bullet_lines,
+               len(list_filter(string_split(text, chr(10)),
+                   ln -> rtrim(ln) LIKE '%...' OR rtrim(ln) LIKE '%…'))
+                   AS n_ellipsis_lines,
+               CAST((length(text) - length(replace(text, '#', '')))
+                  + (length(text) - length(replace(text, '…', ''))) AS INT)
+                   AS n_symbols,
+               CAST({_GOPHER_STOP_SQL} AS INT) AS n_stop_hits
+        FROM documents WHERE length(trim(text)) > 0
+    )
+    SELECT *,
+           CAST((n_words BETWEEN 50 AND 100000
+                 AND word_chars >= 3 * n_words AND word_chars <= 10 * n_words
+                 AND 10 * n_symbols <= n_words
+                 AND 10 * n_bullet_lines <= 9 * n_lines
+                 AND 10 * n_ellipsis_lines <= 3 * n_lines
+                 AND 5 * n_alpha_words >= 4 * n_words
+                 AND n_stop_hits >= 2) AS INT) AS passes
+    FROM base ORDER BY doc_id
+    """,
+)
+def pl_gopher_rules(spark, sf_dir):
+    """The FULL Gopher/MassiveText document rule filter (pipeline/
+    text.gopher_rules — word-count/mean-word-length bounds, symbol
+    ratio, bullet/ellipsis line fractions, alphabetic-word share,
+    stopword containment; Rae et al. 2021 App. A), next to the
+    repetition signals already shipped. Every signal is an exact
+    integer and `passes` is cross-multiplied integer arithmetic, so
+    the whole rule set hash-matches the SQL twin."""
+    return pl.gopher_rules(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 @_q(
     "pl_pii_redact",
     """
@@ -6830,6 +6880,7 @@ _PRIORITY = [
     "an_sage_embeddings",
     "an_scc",
     "src_graphml_roundtrip",
+    "pl_gopher_rules",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
     "an_pagerank",
     "pl_minhash_lsh",

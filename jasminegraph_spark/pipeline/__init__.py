@@ -53,6 +53,7 @@ from jasminegraph_spark.pipeline.text import (  # noqa: F401
     doc_fingerprint,
     embed_text,
     repetition_scores,
+    gopher_rules,
 )
 from jasminegraph_spark.pipeline.packing import (  # noqa: F401
     chunk_documents,

@@ -340,3 +340,81 @@ def vocab_coverage(
         F.col("n").alias("n_occurrences"),
         (F.sum("n").over(w) / F.lit(float(total))).alias("cum_coverage"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: tuple = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """The full Gopher/MassiveText document-level rule filter (Rae et
+    al. 2021, Appendix A) — the canonical pre-training quality gate,
+    completing the repetition_scores signals:
+
+     * word count in [50, 100k]; mean word length in [3, 10] chars
+     * symbol-to-word ratio ('#'/'…') <= 0.1
+     * <= 90% of lines bullet-started; <= 30% ellipsis-ended
+     * >= 80% of words contain an alphabetic character
+     * >= 2 of 8 canonical English stopwords present
+
+    Every signal ships as an EXACT INTEGER COUNT and `passes` is derived
+    with cross-multiplied integer comparisons (no division) — the frame
+    is bit-identical across engines, so the whole rule set is
+    hash-checkable against a SQL twin. One narrow projection, zero
+    shuffles; Catalyst expressions only."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    lines = F.split(t, r"\n")
+    n_words = F.size(toks)
+    word_chars = F.length(F.regexp_replace(F.trim(t), r"\s", ""))
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]")))
+    n_lines = F.size(lines)
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.ltrim(ln).startswith("-")
+            | F.ltrim(ln).startswith("*")
+            | F.ltrim(ln).startswith("\u2022"),
+        )
+    )
+    n_ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...") | F.rtrim(ln).endswith("\u2026"),
+        )
+    )
+    n_symbols = (F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))) + (
+        F.length(t) - F.length(F.replace(t, F.lit("\u2026"), F.lit("")))
+    )
+    low = F.lower(t)
+    n_stop = sum(
+        F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in stopwords
+    )
+    base = docs.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_lines.alias("n_lines"),
+        n_bullet.alias("n_bullet_lines"),
+        n_ellipsis.alias("n_ellipsis_lines"),
+        n_symbols.cast("int").alias("n_symbols"),
+        n_stop.cast("int").alias("n_stop_hits"),
+    )
+    w, wc = F.col("n_words"), F.col("word_chars")
+    passes = (
+        w.between(50, 100_000)
+        & (wc >= 3 * w)
+        & (wc <= 10 * w)
+        & (10 * F.col("n_symbols") <= w)
+        & (10 * F.col("n_bullet_lines") <= 9 * F.col("n_lines"))
+        & (10 * F.col("n_ellipsis_lines") <= 3 * F.col("n_lines"))
+        & (5 * F.col("n_alpha_words") >= 4 * w)
+        & (F.col("n_stop_hits") >= 2)
+    )
+    return base.withColumn("passes", passes.cast("int"))

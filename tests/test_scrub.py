@@ -162,3 +162,38 @@ def test_repetition_scores_flags_loops(spark):
     assert out[1]["top_token_frac"] == 1.0
     assert out[2]["dup_bigram_frac"] == 0.0
     assert abs(out[2]["top_token_frac"] - 1 / 6) < 1e-9
+
+
+def test_gopher_rules(spark):
+    """Every Gopher rule trips on a targeted fixture and the composite
+    `passes` flag is exact-integer arithmetic (no float thresholds)."""
+    from jasminegraph_spark.pipeline import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and runs away "
+        "with great speed to be sure of it all " * 3
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # passes every rule
+            (2, "the and of it"),  # < 50 words
+            (3, ("#" * 40) + " " + good),  # symbol ratio > 0.1
+            (4, "\n".join("- bullet line the and of" for _ in range(20))),  # 100% bullets
+            (5, good.replace(" ", "... \n", 40)),  # ellipsis-ended lines
+            (6, " ".join("12345" for _ in range(80)) + " the and"),  # alpha < 80%
+            (7, "zzz qqq " * 40),  # no stopwords
+            (8, " ".join("a" for _ in range(80)) + " the and of"),  # mean len < 3
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert out[1]["passes"] == 1
+    for bad in (2, 3, 4, 5, 6, 7, 8):
+        assert out[bad]["passes"] == 0, bad
+    # signal spot checks
+    assert out[2]["n_words"] == 4 and out[2]["n_stop_hits"] >= 2
+    assert out[3]["n_symbols"] == 40
+    assert out[4]["n_bullet_lines"] == out[4]["n_lines"] == 20
+    assert out[5]["n_ellipsis_lines"] == 40
+    assert out[6]["n_alpha_words"] == 2
+    assert out[7]["n_stop_hits"] == 0
