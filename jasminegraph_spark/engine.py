@@ -35,10 +35,16 @@ from jasminegraph_spark.perf import PerfCatalog
 from jasminegraph_spark.sources import (
     read_edge_list,
     read_edge_list_with_attributes,
+    read_graphml,
     read_property_graph_jsonl,
     read_rdf_triples,
 )
-from jasminegraph_spark.sources.sinks import export_edge_list, export_wire_jsonl, reference_rows
+from jasminegraph_spark.sources.sinks import (
+    export_edge_list,
+    export_graphml,
+    export_wire_jsonl,
+    reference_rows,
+)
 from jasminegraph_spark.streaming import EdgeStreamIngest, StreamRegistry
 
 
@@ -197,6 +203,9 @@ class JasmineEngine:
     def connected_components(self, graph_name: str) -> DataFrame:
         return an.connected_components(self.catalog.get(graph_name).edges)
 
+    def strongly_connected_components(self, graph_name: str) -> DataFrame:
+        return an.strongly_connected_components(self.catalog.get(graph_name).edges)
+
     def predict_links(self, graph_name: str, top_k: int = 50, **kw) -> DataFrame:
         """Reference `train`/`predict` surface (FrontEnd.cpp:321,333):
         link prediction. The federated-GraphSAGE trainer is replaced by the
@@ -340,5 +349,11 @@ class JasmineEngine:
         g = self.catalog.get(graph_name)
         if fmt == "wire":
             export_wire_jsonl(g, path)
+        elif fmt == "graphml":
+            export_graphml(g, path)
         else:
             export_edge_list(g, path)
+
+    def add_graphml_graph(self, name: str, path: str) -> PropertyGraph:
+        """GraphML import (directedness auto-detected from the header)."""
+        return self._register(read_graphml(self.spark, path, name))

@@ -302,3 +302,30 @@ def test_cli_continuation_verbs(tmp_path):
     assert dist["4"] == 2.0  # unit-weight fallback: hop counts
     walks = run("walks", "cg", "--sources", "1", "--length", "3")
     assert len(walks) == 4 and walks[0]["step"] == 0
+
+
+def test_engine_scc_and_graphml_lifecycle(spark, tmp_path):
+    """Engine verbs for the r5 additions: SCC on a registered graph and
+    the GraphML export → add_graphml_graph import cycle."""
+    from jasminegraph_spark.engine import JasmineEngine
+
+    eng = JasmineEngine(spark)
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "1"), ("3", "4")], ["src", "dst"]
+    )
+    p = str(tmp_path / "edges.txt")
+    with open(p, "w") as f:
+        for r in edges.collect():
+            f.write(f"{r['src']} {r['dst']}\n")
+    eng.add_graph("cyc", p, is_directed=True)
+    scc = {
+        (r["node"], r["component"])
+        for r in eng.strongly_connected_components("cyc").collect()
+    }
+    assert scc == {("1", "1"), ("2", "1"), ("3", "1"), ("4", "4")}
+
+    out = str(tmp_path / "gml")
+    eng.export_graph("cyc", out, fmt="graphml")
+    back = eng.add_graphml_graph("cyc2", out)
+    assert back.is_directed
+    assert eng.vertex_count("cyc2") == 4 and eng.edge_count("cyc2") == 4
