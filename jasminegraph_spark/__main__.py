@@ -27,9 +27,9 @@ def main(argv=None) -> int:
     ap.add_argument("--cpus", default="4")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("adgr");        p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("adgr");        p.add_argument("name"); p.add_argument("path"); p.add_argument("--directed", action="store_true")
     p = sub.add_parser("adrdf");       p.add_argument("name"); p.add_argument("path")
-    p = sub.add_parser("adjson");      p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("adjson");      p.add_argument("name"); p.add_argument("path"); p.add_argument("--directed", action="store_true")
     p = sub.add_parser("cypher");      p.add_argument("name"); p.add_argument("query")
     p = sub.add_parser("cypher-write"); p.add_argument("name"); p.add_argument("query")
     p = sub.add_parser("trian");       p.add_argument("name")
@@ -41,11 +41,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("ecnt");        p.add_argument("name")
     sub.add_parser("lst")
     p = sub.add_parser("rmgr");        p.add_argument("name")
-    p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path")
+    p = sub.add_parser("sdhdfs");      p.add_argument("name"); p.add_argument("path"); p.add_argument("--fmt", default="wire", choices=["wire", "edges", "graphml"])
+    p = sub.add_parser("adgraphml");   p.add_argument("name"); p.add_argument("path")
     p = sub.add_parser("predict");     p.add_argument("name"); p.add_argument("--top", type=int, default=20)
     p = sub.add_parser("constructkg"); p.add_argument("name"); p.add_argument("path", help="parquet/jsonl of (doc_id, text)")
     p = sub.add_parser("adstrmk");     p.add_argument("name"); p.add_argument("source_dir", help="directory of edge-JSON line files (Kafka stand-in)"); p.add_argument("--strian", action="store_true", help="also maintain the incremental triangle count")
     p = sub.add_parser("wcc");         p.add_argument("name")
+    p = sub.add_parser("scc");         p.add_argument("name")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
     p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
     p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
@@ -85,13 +87,13 @@ def main(argv=None) -> int:
         print(json.dumps(obj, default=str))
 
     if args.cmd == "adgr":
-        g = eng.add_graph(args.name, args.path)
+        g = eng.add_graph(args.name, args.path, is_directed=args.directed)
         emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
     elif args.cmd == "adrdf":
         g = eng.add_rdf_graph(args.name, args.path)
         emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
     elif args.cmd == "adjson":
-        g = eng.add_json_graph(args.name, args.path)
+        g = eng.add_json_graph(args.name, args.path, is_directed=args.directed)
         emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
     elif args.cmd == "cypher":
         for row in eng.cypher_rows(args.name, args.query):
@@ -124,8 +126,11 @@ def main(argv=None) -> int:
         eng.remove_graph(args.name)
         emit({"removed": args.name})
     elif args.cmd == "sdhdfs":
-        eng.export_graph(args.name, args.path)
-        emit({"exported": args.name, "path": args.path})
+        eng.export_graph(args.name, args.path, fmt=args.fmt)
+        emit({"exported": args.name, "path": args.path, "fmt": args.fmt})
+    elif args.cmd == "adgraphml":
+        g = eng.add_graphml_graph(args.name, args.path)
+        emit({"added": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
     elif args.cmd == "predict":
         for r in eng.predict_links(args.name, top_k=args.top).collect():
             emit(
@@ -196,6 +201,9 @@ def main(argv=None) -> int:
             emit({"streamed": args.name, "edges": ingest.total_edges()})
     elif args.cmd == "wcc":
         for r in eng.connected_components(args.name).collect():
+            emit({"node": r["node"], "component": r["component"]})
+    elif args.cmd == "scc":
+        for r in eng.strongly_connected_components(args.name).collect():
             emit({"node": r["node"], "component": r["component"]})
     elif args.cmd == "kcore":
         for r in eng.k_core(args.name, args.k).collect():
