@@ -2472,6 +2472,62 @@ WITH sh AS (
 """
 
 
+_SUBSTR_K, _SUBSTR_MIN_SPAN, _SUBSTR_CAP = 8, 10, 256
+
+
+@_q(
+    "pl_substring_spans",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i:i+{_SUBSTR_K - 1}], ' ')) AS h
+        FROM toks, UNNEST(range(1, len(t) - {_SUBSTR_K} + 2)) AS u(i)
+        WHERE len(t) >= {_SUBSTR_K}
+    ),
+    rare AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) <= {_SUBSTR_CAP}),
+    shc AS (SELECT sh.* FROM sh JOIN rare USING (h)),
+    p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.pos - b.pos AS off, a.pos AS pos_a
+        FROM shc a JOIN shc b USING (h) WHERE a.doc_id < b.doc_id
+    ),
+    r AS (
+        SELECT id_a, id_b, off,
+               pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY id_a, id_b, off ORDER BY pos_a) AS grp
+        FROM p
+    ),
+    runs AS (
+        SELECT id_a, id_b, off, grp, COUNT(*) + {_SUBSTR_K - 1} AS span
+        FROM r GROUP BY id_a, id_b, off, grp
+    )
+    SELECT id_a, id_b, CAST(MAX(span) AS INT) AS max_span_tokens,
+           COUNT(*) AS n_spans
+    FROM runs WHERE span >= {_SUBSTR_MIN_SPAN}
+    GROUP BY id_a, id_b ORDER BY id_a, id_b
+    """,
+)
+def pl_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (pipeline/dedup.substring_
+    duplicate_spans — the Lee et al. ACL'22 exact-substring criterion,
+    re-expressed as positional-shingle hash join + islands-trick run
+    recovery instead of the paper's single-machine suffix array).
+    Frequency-capped shingles bound the join; the oracle runs the
+    identical construction in SQL, so span lengths and counts
+    hash-match exactly."""
+    out = pl.substring_duplicate_spans(
+        _read(spark, sf_dir, "documents"),
+        k=_SUBSTR_K,
+        min_span=_SUBSTR_MIN_SPAN,
+        max_shingle_frequency=_SUBSTR_CAP,
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 @_q(
     "pl_line_dedup",
     """
@@ -6881,6 +6937,7 @@ _PRIORITY = [
     "an_scc",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
+    "pl_substring_spans",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
     "an_pagerank",
     "pl_minhash_lsh",

@@ -9,6 +9,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
     line_dedup,
     simhash_signatures,
     simhash_near_dup,
+    substring_duplicate_spans,
 )
 from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,

@@ -425,3 +425,78 @@ def line_dedup(
             (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
         )
     )
+
+
+def substring_duplicate_spans(
+    docs: DataFrame,
+    k: int = 8,
+    min_span: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_frequency: int = 64,
+) -> DataFrame:
+    """Exact-substring duplicate detection (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    exact-substring criterion their 50-token suffix-array pass
+    implements): document pairs sharing a VERBATIM token span of
+    >= min_span tokens, with the longest such span per pair.
+
+    The paper builds one giant suffix array — a single-machine
+    structure. The Spark shape: positional token k-shingles hash-joined,
+    then per (pair, position-offset) a shared span of L >= k tokens is
+    exactly a run of L-k+1 consecutive shingle matches — recovered with
+    one window (pos − row_number run grouping, the islands trick), so
+    span length needs no iterative extension. Shingles hotter than
+    ``max_shingle_frequency`` total occurrences (boilerplate) are
+    dropped BEFORE the self-join — candidates scale as cap × shingle
+    volume, never all-pairs (same skew bound as ngram_jaccard_pairs);
+    window partitions are (pair, offset), bounded by document length.
+
+    Returns (id_a, id_b, max_span_tokens, n_spans) with id_a < id_b,
+    n_spans = number of distinct maximal shared runs >= min_span.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), F.lit(0)).alias(
+            "t"
+        ),
+    ).filter(F.size("t") >= k)
+    sh = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {k - 1}),"
+                f" i -> struct(i AS pos, md5(concat_ws(' ', slice(t, i, {k}))) AS h))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    rare = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") <= max_shingle_frequency)
+        .select("h")
+    )
+    sh = sh.join(rare, "h", "left_semi")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pos_a"), "h")
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pos_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("pos_a") - F.col("pos_b")).alias("off"), "pos_a")
+    )
+    w = Window.partitionBy("id_a", "id_b", "off").orderBy("pos_a")
+    runs = (
+        pairs.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "off", "grp")
+        .agg((F.count("*") + F.lit(k - 1)).alias("span"))
+    )
+    return (
+        runs.filter(F.col("span") >= min_span)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("span").cast("int").alias("max_span_tokens"),
+            F.count("*").alias("n_spans"),
+        )
+    )

@@ -356,3 +356,36 @@ def test_knn_classify_majority_and_tie(spark):
     }
     assert got[0] == 1    # 2-2 tie between labels 1 and 2 → min label
     assert got[10] == 3   # 3-1 majority
+
+
+def test_substring_duplicate_spans(spark):
+    """Exact-substring span detection: span lengths are exact, multiple
+    occurrences count as separate spans, capped shingles drop boilerplate
+    pairs, and non-overlapping docs never pair."""
+    from jasminegraph_spark.pipeline import substring_duplicate_spans
+
+    common = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + common + " gamma delta"),
+            (2, "x1 x2 x3 " + common + " y1 y2"),
+            (3, "totally different content here with nothing shared at all ok"),
+            (4, common + " tail " + common),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): (r["max_span_tokens"], r["n_spans"])
+        for r in substring_duplicate_spans(docs, k=8, min_span=10).collect()
+    }
+    assert out == {(1, 2): (20, 1), (1, 4): (20, 2), (2, 4): (20, 2)}
+
+    # min_span above the shared span length → no pairs
+    assert not substring_duplicate_spans(docs, k=8, min_span=21).take(1)
+
+    # boilerplate cap: the shared span appears in 3 docs (5 shingle
+    # occurrences of its middle shingles incl. doc 4's two copies); a cap
+    # of 1 drops every shared shingle → no pairs survive
+    assert not substring_duplicate_spans(
+        docs, k=8, min_span=10, max_shingle_frequency=1
+    ).take(1)
