@@ -4459,6 +4459,70 @@ def an_wcc_alternating(spark, sf_dir):
     return connected_components_alternating(co_order_edges(spark, sf_dir))
 
 
+def _msf_oracle(iterations: int = 20) -> str:
+    """Structural MSF oracle: Borůvka's forest must connect EXACTLY the
+    weakly-connected components of the co-order graph (hash-min unrolled,
+    same recurrence as _cc_oracle) with precisely n−1 tree edges each —
+    spanning + acyclic + no cross-component edges, all hash-checked. The
+    edge WEIGHTS are Kruskal-property-tested (tests/test_property_based
+    .test_msf_matches_kruskal); total weight has no SQL twin."""
+    sql = CO_ORDER_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+        UNION ALL SELECT DISTINCT src, src FROM co_edges
+        UNION ALL SELECT DISTINCT dst, dst FROM co_edges
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS component FROM adj)
+    """
+    for i in range(iterations):
+        sql += f"""
+    , l{i + 1} AS (
+        SELECT a.u AS node, MIN(l.component) AS component
+        FROM adj a JOIN l{i} l ON l.node = a.v GROUP BY a.u
+    )"""
+    sql += f"""
+    SELECT component, COUNT(*) AS n_nodes,
+           COUNT(*) - 1 AS n_tree_edges
+    FROM l{iterations} GROUP BY component ORDER BY component"""
+    return sql
+
+
+@_q("an_msf", _msf_oracle(20))
+def an_msf(spark, sf_dir):
+    """Minimum spanning forest (components.minimum_spanning_forest —
+    distributed Borůvka, O(log n) rounds, unique MSF under the
+    (weight, a, b) total order) on the weighted co-order graph
+    (w = 1/n_shared_orders). The driver frame re-derives components
+    FROM THE FOREST EDGES and reports per-component (n_nodes,
+    n_tree_edges) — hash-matching the WCC oracle proves the forest
+    spans every component exactly, acyclically, with no
+    cross-component edge."""
+    from jasminegraph_spark.analytics import (
+        connected_components_alternating,
+        minimum_spanning_forest,
+    )
+    from jasminegraph_spark.projection import co_order_weighted_edges
+
+    forest = minimum_spanning_forest(co_order_weighted_edges(spark, sf_dir))
+    # the forest is a TREE per component — diameter far beyond a hash-min
+    # round budget; large-star/small-star converges in O(log n) regardless
+    comp = connected_components_alternating(
+        forest.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    sizes = comp.groupBy("component").agg(F.count("*").alias("n_nodes"))
+    ecnt = (
+        forest.join(comp.withColumnRenamed("node", "a"), "a")
+        .groupBy("component")
+        .agg(F.count("*").alias("n_tree_edges"))
+    )
+    return (
+        sizes.join(ecnt, "component")
+        .select("component", "n_nodes", "n_tree_edges")
+        .orderBy("component")
+    )
+
+
 _SCC_ORACLE = """
     WITH RECURSIVE g AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM (
@@ -6935,6 +6999,7 @@ _PRIORITY = [
     "st_incremental_triangles",
     "an_sage_embeddings",
     "an_scc",
+    "an_msf",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",

@@ -62,3 +62,39 @@ def finalize(result: DataFrame, *cached: DataFrame) -> DataFrame:
     for df in cached:
         df.unpersist()
     return out
+
+
+def checkpoint_fresh_stats(df: DataFrame, eager: bool = True) -> DataFrame:
+    """checkpoint() variant that also RESETS plan statistics.
+
+    Spark 4's Dataset.checkpoint copies the source plan's statistics
+    into the new LogicalRDD (LogicalRDD.rewriteStatsAndConstraints). In
+    an iterative algorithm whose per-round plan JOINS the previous
+    round's checkpoint several times, sizeInBytes therefore compounds
+    as s_n ≈ s_{n-1}^k — the BigInteger doubles in bit-length every
+    generation, and after ~30 chained checkpoints the stats visitors
+    dominate planning (measured in minimum_spanning_forest: 300 s
+    driver stalls on 1-row frames, then driver OOM inside
+    BigInteger.multiply). Re-wrapping the SAME checkpointed
+    RDD[InternalRow] through SparkSession.internalCreateDataFrame
+    (package-private in Scala ⇒ public in bytecode, reachable via
+    py4j) drops the inherited stats, so every generation restarts from
+    the default estimate and the chain stays O(1) per round. Falls back
+    to the plain checkpoint if the internal API is unavailable.
+
+    Deep-loop operators (tens of checkpoint generations with joins —
+    minimum_spanning_forest today) should use this; shallow loops keep
+    plain checkpoint() so their measured join plans are untouched.
+    """
+    ck = checkpoint(df, eager=eager)
+    try:
+        from pyspark.sql import DataFrame as _DF
+
+        jdf = ck._jdf
+        qe = jdf.queryExecution()
+        new_jdf = ck.sparkSession._jsparkSession.internalCreateDataFrame(
+            qe.toRdd(), qe.analyzed().schema(), False
+        )
+        return _DF(new_jdf, ck.sparkSession)
+    except Exception:  # Connect sessions / future internal-API changes
+        return ck

@@ -317,3 +317,54 @@ def test_scc_matches_tarjan(spark, edges):
         for r in strongly_connected_components(df).collect()
     }
     assert got == set(comp.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10), st.integers(0, 10), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_msf_matches_kruskal(spark, wedges):
+    """minimum_spanning_forest ≡ Kruskal under the same (w, a, b) total
+    order on arbitrary small weighted graphs (multi-component,
+    duplicate weights, parallel edges)."""
+    from jasminegraph_spark.analytics import minimum_spanning_forest
+
+    canon = {}
+    for x, y, w in wedges:
+        if x == y:
+            continue
+        a, b = min(x, y), max(x, y)
+        wf = float(w)
+        if (a, b) not in canon or wf < canon[(a, b)]:
+            canon[(a, b)] = wf
+    if not canon:
+        return
+
+    # Kruskal with union-find, edges ordered by (w, a, b)
+    parent = {}
+
+    def find(v):
+        while parent.setdefault(v, v) != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    expected = set()
+    for (a, b), w in sorted(canon.items(), key=lambda t: (t[1], t[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            expected.add((a, b, w))
+
+    df = spark.createDataFrame(
+        [(a, b, w) for (a, b), w in canon.items()], ["src", "dst", "weight"]
+    )
+    got = {
+        (r["a"], r["b"], r["weight"])
+        for r in minimum_spanning_forest(df).collect()
+    }
+    assert got == expected
