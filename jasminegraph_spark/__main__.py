@@ -48,6 +48,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("adstrmk");     p.add_argument("name"); p.add_argument("source_dir", help="directory of edge-JSON line files (Kafka stand-in)"); p.add_argument("--strian", action="store_true", help="also maintain the incremental triangle count")
     p = sub.add_parser("wcc");         p.add_argument("name")
     p = sub.add_parser("scc");         p.add_argument("name")
+    p = sub.add_parser("msf");         p.add_argument("name"); p.add_argument("--weight-col", default="weight")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
     p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
     p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
@@ -205,6 +206,9 @@ def main(argv=None) -> int:
     elif args.cmd == "scc":
         for r in eng.strongly_connected_components(args.name).collect():
             emit({"node": r["node"], "component": r["component"]})
+    elif args.cmd == "msf":
+        for r in eng.minimum_spanning_forest(args.name, args.weight_col).collect():
+            emit({"a": r["a"], "b": r["b"], "weight": r["weight"]})
     elif args.cmd == "kcore":
         for r in eng.k_core(args.name, args.k).collect():
             emit({"a": r["a"], "b": r["b"]})

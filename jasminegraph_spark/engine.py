@@ -206,6 +206,24 @@ class JasmineEngine:
     def strongly_connected_components(self, graph_name: str) -> DataFrame:
         return an.strongly_connected_components(self.catalog.get(graph_name).edges)
 
+    def minimum_spanning_forest(self, graph_name: str, weight_col: str = "weight") -> DataFrame:
+        from pyspark.sql import functions as F
+
+        edges = self.catalog.get(graph_name).edges
+        if weight_col not in edges.columns:
+            # property graphs carry weights in the properties map; absent
+            # both, fall back to unit weights (spanning forest)
+            if "properties" in edges.columns:
+                edges = edges.withColumn(
+                    weight_col,
+                    F.coalesce(
+                        F.col("properties")[weight_col].cast("double"), F.lit(1.0)
+                    ),
+                )
+            else:
+                edges = edges.withColumn(weight_col, F.lit(1.0))
+        return an.minimum_spanning_forest(edges, weight_col=weight_col)
+
     def predict_links(self, graph_name: str, top_k: int = 50, **kw) -> DataFrame:
         """Reference `train`/`predict` surface (FrontEnd.cpp:321,333):
         link prediction. The federated-GraphSAGE trainer is replaced by the

@@ -329,3 +329,18 @@ def test_engine_scc_and_graphml_lifecycle(spark, tmp_path):
     back = eng.add_graphml_graph("cyc2", out)
     assert back.is_directed
     assert eng.vertex_count("cyc2") == 4 and eng.edge_count("cyc2") == 4
+
+
+def test_engine_msf(spark, tmp_path):
+    """Engine MSF verb: unit weights fall back when the edge list has no
+    weight column; forest spans with n-1 edges."""
+    from jasminegraph_spark.engine import JasmineEngine
+
+    eng = JasmineEngine(spark)
+    p = str(tmp_path / "e.txt")
+    with open(p, "w") as f:
+        f.write("1 2\n2 3\n3 1\n4 5\n")
+    eng.add_graph("g", p)
+    forest = eng.minimum_spanning_forest("g").collect()
+    assert len(forest) == 3  # {1,2,3} tree (2 edges) + {4,5} (1 edge)
+    assert all(r["weight"] == 1.0 for r in forest)
