@@ -76,6 +76,13 @@ HEADLINE = [
     # round-5: the 2-layer SAGE encoder (two adjacency join+groupBy-avg
     # rounds — the model-family flagship, PageRank-iteration cost class)
     "an_sage_embeddings",
+    # round-5 continuation: SCC (trim + FW/BW min-pivot) and exact-
+    # substring spans (positional-shingle join + islands run recovery).
+    # MSF is excluded — dozens of tiny driver-bound jobs make it a
+    # latency measure, not a throughput one; its sf0.1 number (31 s cold
+    # incl. forest-derived WCC) is recorded in SCALE.md instead.
+    "an_scc",
+    "pl_substring_spans",
 ]
 
 
