@@ -4523,6 +4523,55 @@ def an_msf(spark, sf_dir):
     )
 
 
+def _mis_oracle(rounds: int = 20) -> str:
+    """Luby MIS unrolled round-for-round: md5 priorities make the
+    algorithm deterministic, so the SQL twin reproduces the exact set
+    (post-fixpoint rounds are identity on an empty remainder)."""
+    sql = CO_ORDER_CTE + """
+    , adj AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM co_edges
+        UNION ALL SELECT dst, src FROM co_edges
+    ),
+    r0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM adj)
+    """
+    for i in range(rounds):
+        sql += f"""
+    , nm{i} AS MATERIALIZED (
+        SELECT a.u, MIN(md5(CAST(a.v AS VARCHAR))) AS m
+        FROM adj a
+        JOIN r{i} x ON x.node = a.u
+        JOIN r{i} y ON y.node = a.v
+        GROUP BY a.u
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT r.node FROM r{i} r LEFT JOIN nm{i} n ON n.u = r.node
+        WHERE md5(CAST(r.node AS VARCHAR)) < COALESCE(n.m, 'g')
+    ),
+    r{i + 1} AS MATERIALIZED (
+        SELECT r.node FROM r{i} r
+        WHERE r.node NOT IN (SELECT node FROM w{i})
+          AND r.node NOT IN (
+              SELECT a.u FROM adj a JOIN w{i} w ON w.node = a.v)
+    )"""
+    union = " UNION ALL ".join(f"SELECT node FROM w{i}" for i in range(rounds))
+    sql += f"\n    SELECT CAST(node AS BIGINT) AS node FROM ({union}) ORDER BY node"
+    return sql
+
+
+@_q("an_mis", _mis_oracle(20))
+def an_mis(spark, sf_dir):
+    """Maximal independent set (components.maximal_independent_set —
+    Luby SIAM'86, the classic O(log n)-round parallel MIS primitive)
+    on the co-order graph, made deterministic with md5 node priorities
+    so the exact set hash-matches the round-unrolled SQL twin.
+    Independence/maximality/determinism are property-tested on
+    arbitrary graphs (tests/test_property_based.py)."""
+    from jasminegraph_spark.analytics import maximal_independent_set
+
+    mis = maximal_independent_set(co_order_edges(spark, sf_dir))
+    return mis.select(F.col("node").cast("long")).orderBy("node")
+
+
 _SCC_ORACLE = """
     WITH RECURSIVE g AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM (
@@ -7001,6 +7050,7 @@ _PRIORITY = [
     "an_sage_embeddings",
     "an_scc",
     "an_msf",
+    "an_mis",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",

@@ -991,3 +991,62 @@ def minimum_spanning_forest(
     for part in forest_parts[1:]:
         out = out.unionAll(part)
     return checkpoint_fresh_stats(out)
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Maximal independent set via Luby's algorithm (Luby, SIAM J.
+    Comput. 1986 — THE classic O(log n)-round parallel MIS primitive,
+    the basis of distributed coloring/scheduling), made DETERMINISTIC:
+    node priority = md5 of the node id, so both engines and every
+    run/partitioning pick the identical set (md5 keys also make the
+    "random" priorities skew-free). Returns the MIS as (node,) rows —
+    no two adjacent, every excluded node has a selected neighbor.
+
+    Round: a node joins the MIS when its priority beats the minimum
+    priority of its REMAINING neighbors (isolated remainders always
+    join); winners and their neighbors leave. Each round is one
+    partial-agg groupBy-min + two anti-joins over the shrinking
+    adjacency — expected O(log n) rounds, lineage truncated per round.
+    """
+    und = canonical_undirected(edges)
+    adj = (
+        und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .transform(checkpoint)
+    )
+    prio = lambda c: F.md5(F.col(c).cast("string"))  # noqa: E731
+    remaining = adj.select(F.col("u").alias("node")).distinct().transform(checkpoint)
+    mis_parts: list[DataFrame] = []
+    for _ in range(max_rounds):
+        if not remaining.take(1):
+            break
+        radj = (
+            adj.join(remaining.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(remaining.withColumnRenamed("node", "v"), "v", "left_semi")
+            .transform(checkpoint)
+        )
+        nbr_min = radj.groupBy("u").agg(F.min(prio("v")).alias("m"))
+        winners = (
+            remaining.join(nbr_min, remaining.node == nbr_min.u, "left")
+            .filter(prio("node") < F.coalesce(F.col("m"), F.lit("g")))  # hex < 'g'
+            .select("node")
+            .transform(checkpoint)
+        )
+        mis_parts.append(winners)
+        losers = (
+            radj.join(winners.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select(F.col("u").alias("node"))
+            .distinct()
+        )
+        remaining = (
+            remaining.join(winners, "node", "left_anti")
+            .join(losers, "node", "left_anti")
+            .transform(checkpoint)
+        )
+    out = mis_parts[0]
+    for part in mis_parts[1:]:
+        out = out.unionAll(part)
+    return checkpoint(out)

@@ -368,3 +368,28 @@ def test_msf_matches_kruskal(spark, wedges):
         for r in minimum_spanning_forest(df).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(edge_lists)
+def test_mis_independent_maximal_deterministic(spark, edges):
+    """Luby MIS invariants on arbitrary small graphs: independence (no
+    edge inside the set), maximality (every outside node has a selected
+    neighbor), and determinism (md5 priorities ⇒ identical set on
+    re-run)."""
+    from jasminegraph_spark.analytics import maximal_independent_set
+
+    und = _canon(edges)
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    mis = {r["node"] for r in maximal_independent_set(df).collect()}
+    assert all((min(a, b), max(a, b)) not in und for a in mis for b in mis if a != b)
+    nodes = {v for e in und for v in e}
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    assert all(v in mis or (adj[v] & mis) for v in nodes)
+    again = {r["node"] for r in maximal_independent_set(df).collect()}
+    assert again == mis
