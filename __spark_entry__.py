@@ -6614,6 +6614,60 @@ def pl_kmv_distinct(spark, sf_dir):
 
 
 @_q(
+    "pl_kmv_merge_rollup",
+    f"""
+    WITH cust AS (
+        SELECT n_regionkey AS region, c_custkey
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ),
+    h AS (
+        SELECT DISTINCT region,
+            CAST({_hex_to_num_sql("md5(CAST(c_custkey AS VARCHAR))")} AS DOUBLE)
+            / 281474976710656.0 AS h
+        FROM cust
+    ),
+    kept AS (
+        SELECT region, h,
+               ROW_NUMBER() OVER (PARTITION BY region ORDER BY h) AS rn
+        FROM h WHERE h > 0
+    )
+    SELECT CAST(region AS BIGINT) AS region,
+           COUNT(*) AS n_kept,
+           printf('%.6f', (COUNT(*) - 1) / MAX(h)) AS est_distinct,
+           string_agg(printf('%.6f', h), '|' ORDER BY h) AS sketch
+    FROM kept WHERE rn <= 64
+    GROUP BY region ORDER BY region
+    """,
+)
+def pl_kmv_merge_rollup(spark, sf_dir):
+    """MERGEABLE KMV rollup (pipeline/sampling.kmv_sketch_by +
+    kmv_merge_sketches): per-NATION customer-cardinality sketches are
+    built first, then MERGED to region level — union-of-k-mins is
+    lossless for k-min sketches, so the oracle computes the region
+    sketch directly from raw customers and the merged sketch must
+    hash-match value for value (the map-side-combine contract a
+    1000-executor rollup relies on: k doubles per split cross the
+    shuffle, never raw keys)."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _read(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    df = cust.join(nat, cust.c_nationkey == nat.n_nationkey).select(
+        F.col("c_custkey").alias("val"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("n_regionkey").alias("region"),
+    )
+    per_nation = pl.kmv_sketch_by(df, "val", ["nation", "region"], k=64)
+    merged = pl.kmv_merge_sketches(per_nation, ["region"], k=64)
+    return merged.select(
+        F.col("region").cast("long"),
+        "n_kept",
+        F.format_string("%.6f", F.col("est_distinct")).alias("est_distinct"),
+        F.concat_ws(
+            "|", F.transform("sketch", lambda x: F.format_string("%.6f", x))
+        ).alias("sketch"),
+    ).orderBy("region")
+
+
+@_q(
     "pl_temperature_mixture",
     f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -7051,6 +7105,7 @@ _PRIORITY = [
     "an_scc",
     "an_msf",
     "an_mis",
+    "pl_kmv_merge_rollup",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",

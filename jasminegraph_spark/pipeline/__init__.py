@@ -39,6 +39,8 @@ from jasminegraph_spark.pipeline.sampling import (  # noqa: F401
     hash_split,
     stratified_sample,
     kmv_distinct,
+    kmv_sketch_by,
+    kmv_merge_sketches,
     weighted_sample,
     temperature_mixture,
     sampled_quantiles,

@@ -242,3 +242,68 @@ def skew_report(
         )
         .orderBy("rank")
     )
+
+
+def _kmv_hash(col: str):
+    # 12 hex chars = 48 bits, normalized to (0,1] — same construction as
+    # kmv_distinct so the two sketches interoperate
+    return (
+        F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+
+
+def kmv_sketch_by(
+    df: DataFrame, col: str, group_cols: list, k: int = 64
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch — the MERGEABLE form of
+    kmv_distinct (one fixed-size sketch per group instead of one global
+    estimate). Returns (group…, sketch array<double> ascending ≤k,
+    n_kept, est_distinct).
+
+    Keeping the k smallest distinct hashes per group is exact under
+    merge: every one of a superset's k smallest hashes is within its
+    own subset's k smallest, so union-of-sketches → k-min reproduces
+    the sketch a direct pass over the union would build. That is the
+    map-side-combine contract a 1000-executor rollup needs: per-split
+    sketches (k doubles each) travel the shuffle, never the raw values.
+    One distinct + one bounded per-group top-k (window row_number over
+    the DISTINCT hash set, spill-safe) — no driver state.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        df.select(*group_cols, _kmv_hash(col).alias("h"))
+        .filter(F.col("h") > 0)
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch"),
+        F.count("*").alias("n_kept"),
+        ((F.count("*") - 1) / F.max("h")).alias("est_distinct"),
+    )
+
+
+def kmv_merge_sketches(
+    sketches: DataFrame, group_cols: list, k: int = 64
+) -> DataFrame:
+    """Merge KMV sketches to a coarser grouping (e.g. nation → region):
+    explode the fixed-size sketch arrays, distinct, and re-select the k
+    smallest per new group — exactly the sketch of the merged value
+    sets (see kmv_sketch_by). Input rows are sketches, so the merge
+    moves O(groups × k) doubles regardless of raw cardinality."""
+    from pyspark.sql import Window
+
+    ex = (
+        sketches.select(*group_cols, F.explode("sketch").alias("h")).distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    kept = ex.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    return kept.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("h")).alias("sketch"),
+        F.count("*").alias("n_kept"),
+        ((F.count("*") - 1) / F.max("h")).alias("est_distinct"),
+    )

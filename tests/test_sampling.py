@@ -321,3 +321,24 @@ def test_sampled_quantiles_deterministic_and_close(spark):
         assert abs(v - q * 9999) < 400  # ~uniform: quantile ≈ q·max
     n = a[0]["n_sampled"]
     assert 1600 < n < 2400  # ≈ 20% of 10k
+
+
+def test_kmv_sketch_merge_exact(spark):
+    """Merging per-nation KMV sketches reproduces EXACTLY the sketch a
+    direct pass over the merged values builds (union-of-k-mins is
+    lossless for k-min sketches), and estimates are within KMV error."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.pipeline import kmv_merge_sketches, kmv_sketch_by
+
+    rows = [(f"n{i % 5}", f"r{i % 2}", i) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["nation", "region", "val"])
+    per_nation = kmv_sketch_by(df, "val", ["nation", "region"], k=32)
+    merged = kmv_merge_sketches(per_nation, ["region"], k=32)
+    direct = kmv_sketch_by(df, "val", ["region"], k=32)
+    m = {r["region"]: list(r["sketch"]) for r in merged.collect()}
+    d = {r["region"]: list(r["sketch"]) for r in direct.collect()}
+    assert m == d  # merge is exact, not approximate
+    for r in direct.collect():
+        true = 1000  # each region holds 1000 distinct vals
+        assert abs(r["est_distinct"] - true) / true < 0.5  # k=32 → ~18% σ
