@@ -6667,6 +6667,65 @@ def pl_kmv_merge_rollup(spark, sf_dir):
     ).orderBy("region")
 
 
+def _bpe_oracle(n_merges: int = 8) -> str:
+    """Sennrich BPE unrolled merge-for-merge: the double-space boundary
+    encoding makes plain left-to-right replace() reproduce greedy merge
+    application identically in both engines (see pipeline/bpe.py)."""
+    sql = """
+    WITH w0 AS MATERIALIZED (
+        SELECT '  ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || '  ' AS ws,
+               COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+              FROM documents) t
+        GROUP BY w
+    )
+    """
+    for i in range(n_merges):
+        sql += f"""
+    , m{i} AS MATERIALIZED (
+        SELECT l, r, freq FROM (
+            SELECT sp[j] AS l, sp[j + 1] AS r, CAST(SUM(cnt) AS BIGINT) AS freq
+            FROM (SELECT string_split(trim(ws), '  ') AS sp, cnt FROM w{i}),
+                 UNNEST(range(1, len(sp))) AS u(j)
+            GROUP BY 1, 2
+        ) ORDER BY freq DESC, l, r LIMIT 1
+    ),
+    w{i + 1} AS MATERIALIZED (
+        SELECT replace(ws,
+                   ' ' || (SELECT l FROM m{i}) || '  ' || (SELECT r FROM m{i}) || ' ',
+                   ' ' || (SELECT l || r FROM m{i}) || ' ') AS ws, cnt
+        FROM w{i}
+    )"""
+    union = " UNION ALL ".join(
+        f"SELECT {i + 1} AS merge_rank, l AS lhs, r AS rhs, freq FROM m{i}"
+        for i in range(n_merges)
+    )
+    sql += f"\n    SELECT * FROM ({union}) ORDER BY merge_rank"
+    return sql
+
+
+@_q("pl_bpe_merges", _bpe_oracle(8))
+def pl_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (pipeline/bpe.bpe_train —
+    Sennrich ACL'16 re-expressed Spark-first: corpus → (distinct word,
+    freq) table, pair counts = one explode + partial-agg groupBy per
+    round, merge application = one string replace over the double-space
+    symbol encoding whose boundary invariant makes left-to-right
+    replacement EXACTLY greedy BPE). Deterministic tie-break
+    (freq desc, pair asc) ⇒ the merge table hash-matches the
+    merge-for-merge unrolled SQL twin; parity with a literal Python
+    Sennrich loop is pytest-asserted."""
+    from jasminegraph_spark.pipeline.bpe import bpe_train
+
+    m = bpe_train(_read(spark, sf_dir, "documents"), n_merges=8)
+    return m.select(
+        F.col("rank").cast("int").alias("merge_rank"),
+        F.col("left").alias("lhs"),
+        F.col("right").alias("rhs"),
+        "freq",
+    ).orderBy("merge_rank")
+
+
 @_q(
     "pl_temperature_mixture",
     f"""
@@ -7106,6 +7165,7 @@ _PRIORITY = [
     "an_msf",
     "an_mis",
     "pl_kmv_merge_rollup",
+    "pl_bpe_merges",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",
