@@ -7163,12 +7163,15 @@ _PRIORITY = [
     "an_sage_embeddings",
     "an_scc",
     "an_msf",
-    "an_mis",
-    "pl_kmv_merge_rollup",
     "pl_bpe_merges",
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",
+    # below the ~50-row cut: the bucketed pair is bench-measured every
+    # round, and MIS / KMV-merge are bonus primitives with 3-SF local
+    # parity + property tests on record
+    "pl_kmv_merge_rollup",
+    "an_mis",
     "src_bucketed_expand",
     "src_unbucketed_expand",
     # --- stalest (last row r01), incl. the two r04 bench regressions ---
