@@ -3586,6 +3586,43 @@ def pl_cosine_topk(spark, sf_dir):
 
 
 @_q(
+    "pl_triplet_mining",
+    """
+    WITH a AS (SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS a_label
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+        SELECT a.anchor_id, a.a_label, e.label AS n_label, e.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(a.qv, CAST(e.embedding AS DOUBLE[])), 6)
+                   AS cos
+        FROM embeddings e, a WHERE e.vec_id <> a.anchor_id
+    )
+    , ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY anchor_id, (a_label = n_label)
+            ORDER BY cos DESC, neighbor_id DESC) AS rn
+        FROM scored
+    )
+    SELECT anchor_id,
+           MAX(CASE WHEN a_label = n_label AND rn = 1 THEN neighbor_id END) AS pos_id,
+           MAX(CASE WHEN a_label = n_label AND rn = 1 THEN cos END) AS pos_cos,
+           MAX(CASE WHEN a_label <> n_label AND rn = 1 THEN neighbor_id END) AS neg_id,
+           MAX(CASE WHEN a_label <> n_label AND rn = 1 THEN cos END) AS neg_cos
+    FROM ranked GROUP BY anchor_id ORDER BY anchor_id
+    """,
+)
+def pl_triplet_mining(spark, sf_dir):
+    """Contrastive triplet mining (pipeline/similarity.mine_triplets):
+    hardest positive + hardest negative per anchor — the FaceNet-style
+    training-pair generator for embedding models, broadcast-anchor /
+    streamed-corpus (cosine_topk plan family). Struct-max argmax ties
+    (rounded cosine, then id) mirror the oracle's arg_max pair key."""
+    emb = _read(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 40)
+    return pl.mine_triplets(emb, anchors).orderBy("anchor_id")
+
+
+@_q(
     "pl_knn_classify",
     """
     WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
@@ -7167,6 +7204,7 @@ _PRIORITY = [
     "src_graphml_roundtrip",
     "pl_gopher_rules",
     "pl_substring_spans",
+    "pl_triplet_mining",
     # below the ~50-row cut: the bucketed pair is bench-measured every
     # round, and MIS / KMV-merge are bonus primitives with 3-SF local
     # parity + property tests on record

@@ -14,6 +14,7 @@ from jasminegraph_spark.pipeline.dedup import (  # noqa: F401
 from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     cosine_topk,
     knn_classify,
+    mine_triplets,
     rrf_fuse,
     pca_project,
     pca_invariants,

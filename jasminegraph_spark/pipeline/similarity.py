@@ -686,3 +686,60 @@ def embedding_hygiene(
         .otherwise("ok")
     )
     return out.select(id_col, "dim", F.round("norm", 6).alias("norm"), flag.alias("flag"))
+
+
+def mine_triplets(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive triplet mining — for each anchor, the HARDEST POSITIVE
+    (most-cosine-similar corpus vector with the SAME label, excluding the
+    anchor itself) and the HARDEST NEGATIVE (most-similar vector with a
+    DIFFERENT label). The (anchor, positive, negative) triples are what
+    embedding-model contrastive training consumes; "hardest" examples
+    carry the most gradient signal (FaceNet-style semi-hard mining's
+    exact upper bound).
+
+    Anchors broadcast, corpus streamed once (same plan family as
+    cosine_topk — no corpus shuffle); per-anchor argmax via struct max
+    (cosine, id), deterministic on ties. For corpus-scale anchor sets,
+    feed IVF/LSH candidates in as ``embeddings`` — this operator is the
+    exact scorer. Returns (anchor_id, pos_id, pos_cos, neg_id, neg_cos)
+    with cosines rounded %.6f-stable.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        _as_double(vec_col).alias("qv"),
+        F.col(label_col).alias("a_label"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cv"),
+        F.col(label_col).alias("n_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_id") != F.col("neighbor_id"))
+        .select(
+            "anchor_id",
+            "a_label",
+            "n_label",
+            "neighbor_id",
+            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias("cos"),
+        )
+    )
+    pick = F.struct("cos", "neighbor_id")
+    agg = scored.groupBy("anchor_id").agg(
+        F.max(F.when(F.col("a_label") == F.col("n_label"), pick)).alias("pos"),
+        F.max(F.when(F.col("a_label") != F.col("n_label"), pick)).alias("neg"),
+    )
+    return agg.select(
+        "anchor_id",
+        F.col("pos.neighbor_id").alias("pos_id"),
+        F.col("pos.cos").alias("pos_cos"),
+        F.col("neg.neighbor_id").alias("neg_id"),
+        F.col("neg.cos").alias("neg_cos"),
+    )

@@ -389,3 +389,37 @@ def test_substring_duplicate_spans(spark):
     assert not substring_duplicate_spans(
         docs, k=8, min_span=10, max_shingle_frequency=1
     ).take(1)
+
+
+def test_mine_triplets(spark):
+    """Hardest positive shares the label, hardest negative doesn't; both
+    are the true argmax cosine; anchors never pick themselves."""
+    import math
+
+    from jasminegraph_spark.pipeline import mine_triplets
+
+    vecs = {
+        1: ([1.0, 0.0], "a"),
+        2: ([0.9, 0.1], "a"),
+        3: ([0.0, 1.0], "a"),
+        4: ([0.95, 0.05], "b"),
+        5: ([-1.0, 0.0], "b"),
+    }
+    df = spark.createDataFrame(
+        [(i, v, l) for i, (v, l) in vecs.items()],
+        "vec_id: long, embedding: array<double>, label: string",
+    )
+    out = {
+        r["anchor_id"]: r
+        for r in mine_triplets(df, df.filter("vec_id = 1")).collect()
+    }
+    r = out[1]
+
+    def cos(x, y):
+        d = sum(a * b for a, b in zip(x, y))
+        return d / math.sqrt(sum(a * a for a in x)) / math.sqrt(sum(b * b for b in y))
+
+    # hardest positive for 1 is 2 (same label, cos≈0.994) not 3 (orthogonal)
+    assert r["pos_id"] == 2 and abs(r["pos_cos"] - round(cos([1, 0], [0.9, 0.1]), 6)) < 1e-9
+    # hardest negative is 4 (label b, cos≈0.998), not the opposite vector 5
+    assert r["neg_id"] == 4 and abs(r["neg_cos"] - round(cos([1, 0], [0.95, 0.05]), 6)) < 1e-9
