@@ -5919,6 +5919,38 @@ _ORACLES["cypher_reduce"] = """
 """
 
 
+def cypher_pattern_comprehension(spark, sf_dir):
+    """Pattern comprehension [(c)-[:T]->(o) WHERE p | expr] — one list
+    per row over the matches of an anchored subpattern (compiled as
+    distinct-anchor expansion + sorted collect_list + left join with
+    empty-list coalesce; cypher/compiler.py
+    materialize_pattern_comprehensions). size() and an integer reduce()
+    fold keep the driver frame scalar."""
+    return _cy(
+        spark,
+        sf_dir,
+        "MATCH (c:Customer) "
+        "RETURN c.name AS name, "
+        "size([(c)-[:PLACED]->(o) | o.totalprice]) AS n_orders, "
+        "reduce(acc = 0, t IN [(c)-[:PLACED]->(o) "
+        "WHERE o.totalprice > 200000.0 | floor(o.totalprice)] | acc + t) "
+        "AS big_floor_sum "
+        "ORDER BY name",
+    )
+
+
+_QUERIES["cypher_pattern_comprehension"] = cypher_pattern_comprehension
+_ORACLES["cypher_pattern_comprehension"] = """
+    SELECT c_name AS name,
+           CAST(COUNT(o_orderkey) AS INT) AS n_orders,
+           CAST(COALESCE(SUM(CASE WHEN o_totalprice > 200000.0
+                    THEN CAST(FLOOR(o_totalprice) AS BIGINT) END), 0) AS BIGINT)
+               AS big_floor_sum
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_name ORDER BY name
+"""
+
+
 _QUERIES["cypher_list_comprehension"] = cypher_list_comprehension
 _ORACLES["cypher_list_comprehension"] = """
     SELECT c_name AS name, COUNT(*) AS n_big,

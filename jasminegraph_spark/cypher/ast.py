@@ -177,6 +177,19 @@ class ListComprehension:
 
 
 @dataclass
+class PatternComprehension:
+    """[(a)-[:T]->(b) WHERE pred | expr] — one list per row collecting
+    ``expr`` over every match of the pattern anchored at a bound
+    variable (compiled as an anchored subpattern + collect_list join;
+    the list is sorted for determinism — openCypher leaves the order
+    unspecified)."""
+
+    pattern: object
+    where: object | None = None
+    map_expr: object | None = None
+
+
+@dataclass
 class Reduce:
     """reduce(acc = init, x IN list | expr) — list fold."""
 

@@ -228,6 +228,13 @@ class _Compiler:
 
     # ---------------- expressions ----------------
     def expr(self, e) -> Column:
+        if isinstance(e, ast.PatternComprehension):
+            col = getattr(self, "_pc_cols", {}).get(id(e))
+            if col is None:
+                raise CypherCompileError(
+                    "pattern comprehension outside RETURN/WITH projection"
+                )
+            return F.col(col)
         if isinstance(e, ast.PropRef):
             return F.col(f"{e.var}.properties")[e.key]
         if isinstance(e, ast.IdFunc):
@@ -328,6 +335,7 @@ class _Compiler:
         aggregates, and WITH aliases previously bound to any of those."""
         return (
             isinstance(a0, ast.ListComprehension)
+            or isinstance(a0, ast.PatternComprehension)
             or (isinstance(a0, ast.Literal) and isinstance(a0.value, list))
             or (isinstance(a0, ast.ScalarFunc) and a0.func == "split")
             or (isinstance(a0, ast.PathFunc) and a0.func == "nodes")
@@ -523,7 +531,70 @@ class _Compiler:
             )
         return "expr"
 
+    def _find_pattern_comprehensions(self, e, found: list) -> None:
+        import dataclasses
+
+        if isinstance(e, ast.PatternComprehension):
+            found.append(e)
+            return
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                for item in v if isinstance(v, (list, tuple)) else [v]:
+                    self._find_pattern_comprehensions(item, found)
+
+    def materialize_pattern_comprehensions(
+        self, df: DataFrame, q: ast.Query
+    ) -> DataFrame:
+        """One derived column per pattern comprehension in the RETURN
+        items: compile the subpattern anchored at its (bound) first
+        variable over the DISTINCT anchors, evaluate the projection in
+        the subpattern's scope, collect_list per anchor (sorted — the
+        deterministic choice openCypher leaves open), LEFT JOIN back and
+        coalesce no-match rows to the empty list."""
+        found: list = []
+        for it in q.return_items:
+            self._find_pattern_comprehensions(it.expr, found)
+        if not found:
+            return df
+        self._pc_cols = getattr(self, "_pc_cols", {})
+        for i, pc in enumerate(found):
+            anchor = pc.pattern.nodes[0].var
+            if anchor is None or anchor not in self.node_vars:
+                raise CypherCompileError(
+                    "pattern comprehension must start at a bound variable"
+                )
+            start = (
+                df.select(F.col(anchor))
+                .withColumn("__aid", F.col(f"{anchor}.id"))
+                .dropDuplicates(["__aid"])
+                .drop("__aid")
+            )
+            saved_nodes, saved_rels = set(self.node_vars), set(self.rel_vars)
+            sub = self.compile_pattern(pc.pattern, start)
+            if pc.where is not None:
+                sub = ops.filter_rows(sub, self.predicate(pc.where))
+            name = f"__pc{len(self._pc_cols)}"
+            proj = sub.select(
+                F.col(f"{anchor}.id").alias("__aid"),
+                self.expr(pc.map_expr).alias("__v"),
+            )
+            self.node_vars, self.rel_vars = saved_nodes, saved_rels
+            lists = proj.groupBy("__aid").agg(
+                F.sort_array(F.collect_list("__v")).alias(name)
+            )
+            df = df.join(lists, F.col(f"{anchor}.id") == F.col("__aid"), "left").drop(
+                "__aid"
+            )
+            dtype = dict(df.dtypes)[name]
+            df = df.withColumn(
+                name, F.coalesce(F.col(name), F.expr(f"cast(array() as {dtype})"))
+            )
+            self._pc_cols[id(pc)] = name
+        return df
+
     def compile_return(self, df: DataFrame, q: ast.Query) -> DataFrame:
+        df = self.materialize_pattern_comprehensions(df, q)
         aggs = [
             (i, it) for i, it in enumerate(q.return_items) if isinstance(it.expr, ast.Aggregate)
         ]

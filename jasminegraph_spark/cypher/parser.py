@@ -538,6 +538,19 @@ class _Parser:
         if self.peek() == ("PUNCT", "["):
             from jasminegraph_spark.cypher.ast import ListComprehension
 
+            # pattern comprehension [(a)-[:T]->(b) WHERE ... | expr]
+            if self.peek(1) == ("PUNCT", "("):
+                from jasminegraph_spark.cypher.ast import PatternComprehension
+
+                self.next()
+                pat = self.parse_path()
+                where = None
+                if self.accept("KW", "WHERE"):
+                    where = self.parse_or()
+                self.expect("PUNCT", "|")
+                map_expr = self.parse_value()
+                self.expect("PUNCT", "]")
+                return PatternComprehension(pat, where, map_expr)
             # comprehension [x IN list ...] vs literal list [1, 2, 3]
             if (
                 self.peek(1)[0] == "WORD"

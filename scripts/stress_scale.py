@@ -150,6 +150,40 @@ def main() -> None:
             }
 
         step("lsh_dedup_planted_recall", run_dedup)
+    if want("scc"):
+        # round-5 continuation: directed SCC (trim + FW/BW min-pivot) —
+        # R-MAT is directed with a giant cyclic core plus a power-law
+        # periphery, the shape the trim phase exists for
+        from jasminegraph_spark.analytics.components import (
+            strongly_connected_components,
+        )
+
+        step(
+            "scc",
+            lambda: {
+                "components": strongly_connected_components(edges, max_outer=40)
+                .agg(F.countDistinct("component"))
+                .collect()[0][0]
+            },
+        )
+    if want("msf"):
+        # round-5 continuation: Borůvka MSF with contraction; md5-derived
+        # deterministic weights, fresh-stats checkpoints (SCALE.md §Graph
+        # analytics — the chained-checkpoint stats hazard)
+        from jasminegraph_spark.analytics.components import minimum_spanning_forest
+
+        wedges = edges.withColumn(
+            "weight",
+            F.conv(
+                F.substring(F.md5(F.concat_ws("-", "src", "dst")), 1, 12), 16, 10
+            ).cast("double"),
+        )
+        step("msf", lambda: {"tree_edges": minimum_spanning_forest(wedges).count()})
+    if want("mis"):
+        # round-5 continuation: deterministic Luby MIS (md5 priorities)
+        from jasminegraph_spark.analytics.components import maximal_independent_set
+
+        step("mis", lambda: {"mis_size": maximal_independent_set(edges).count()})
     if os.environ.get("STRESS_KEEP") != "1":
         shutil.rmtree(path, ignore_errors=True)
 

@@ -906,3 +906,26 @@ def test_set_label_and_remove(spark, tmp_path):
     rows = {r["id"]: r for r in nodes().collect()}
     assert rows["d1"]["label"] == "Frozen"
     assert dict(rows["d2"]["properties"])["state"] == "cold"
+
+
+def test_pattern_comprehension(social):
+    """[(a)-[:T]->(b) WHERE p | expr] — one sorted list per row; no-match
+    rows get []; nests under size()/reduce()."""
+    out = {
+        r["name"]: r["friends"]
+        for r in cypher_query(
+            social,
+            "MATCH (p:Person) RETURN p.name AS name,"
+            " [(p)-[:FRIENDS]->(f) | f.name] AS friends ORDER BY name",
+        ).collect()
+    }
+    # every Person row is present, values are sorted lists (possibly [])
+    assert all(isinstance(v, list) and v == sorted(v) for v in out.values())
+    assert any(len(v) > 0 for v in out.values())
+
+    sized = cypher_query(
+        social,
+        "MATCH (p:Person) RETURN p.name AS name,"
+        " size([(p)-[:FRIENDS]->(f) | f.name]) AS n ORDER BY name",
+    ).collect()
+    assert all(r["n"] == len(out[r["name"]]) for r in sized)
