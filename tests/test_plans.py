@@ -414,3 +414,37 @@ def test_alternating_cc_rounds_are_aggregates_not_nested_loops(q):
     plan = _plan(q("an_wcc_alternating"))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_no_nested_loop(q):
+    """Exact-substring span candidates come from the capped shingle
+    hash join; an all-pairs nested loop anywhere kills the scale story."""
+    plan = _plan(q("pl_substring_spans"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_single_scan_no_shuffle(q):
+    """The full Gopher rule set is one narrow projection: exactly one
+    scan of documents, no Exchange (signals are per-row expressions)."""
+    plan = _plan(q("pl_gopher_rules"))
+    assert plan.count("Scan parquet") == 1
+    body = plan.split("ReadSchema:")[0]
+    # the only exchange allowed is the final orderBy's range partitioning
+    assert body.count("Exchange hashpartitioning") == 0
+
+
+def test_triplet_mining_broadcasts_anchors(q):
+    """Anchors broadcast over the streamed corpus (cosine_topk plan
+    family) — the corpus must never shuffle for the cross score."""
+    plan = _plan(q("pl_triplet_mining"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side: single scan of embeddings feeding the join directly
+    assert plan.count("Scan parquet") >= 1
+
+
+def test_scc_rounds_are_equi_joins(q):
+    """Trim anti-joins + hash-min propagation: every SCC round is an
+    equi-join/aggregate — no cartesian anywhere."""
+    plan = _plan(q("an_scc"))
+    assert "CartesianProduct" not in plan
