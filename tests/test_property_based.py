@@ -393,3 +393,89 @@ def test_mis_independent_maximal_deterministic(spark, edges):
     assert all(v in mis or (adj[v] & mis) for v in nodes)
     again = {r["node"] for r in maximal_independent_set(df).collect()}
     assert again == mis
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=6), min_size=2, max_size=12
+    )
+)
+def test_bpe_train_matches_sennrich_on_random_corpora(spark, words):
+    """The double-space boundary-invariant replace scheme ≡ a literal
+    Sennrich merge loop on arbitrary corpora — including runs (aaa…)
+    where a single-space encoding provably diverges."""
+    from collections import Counter
+
+    from jasminegraph_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    wc = Counter(tuple(w) for w in words)
+    expected = []
+    for _ in range(4):
+        pairs = Counter()
+        for syms, c in wc.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (l, r), freq = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((l, r, freq))
+        nw = Counter()
+        for syms, c in wc.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nw[tuple(out)] += c
+        wc = nw
+    got = [
+        (r["left"], r["right"], r["freq"])
+        for r in bpe_train(docs, n_merges=4).orderBy("rank").collect()
+    ]
+    assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("xyz"), min_size=4, max_size=14),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_substring_spans_match_bruteforce(spark, token_docs):
+    """Longest-shared-span recovery ≡ brute-force longest common token
+    substring on arbitrary small corpora (k=3, min_span=3)."""
+    from jasminegraph_spark.pipeline import substring_duplicate_spans
+
+    texts = [" ".join(toks) for toks in token_docs]
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+
+    def spans(a, b):
+        best = 0
+        for i in range(len(a)):
+            for j in range(len(b)):
+                m = 0
+                while i + m < len(a) and j + m < len(b) and a[i + m] == b[j + m]:
+                    m += 1
+                best = max(best, m)
+        return best
+
+    expected = {}
+    for i in range(len(token_docs)):
+        for j in range(i + 1, len(token_docs)):
+            s = spans(token_docs[i], token_docs[j])
+            if s >= 3:
+                expected[(i, j)] = s
+    got = {
+        (r["id_a"], r["id_b"]): r["max_span_tokens"]
+        for r in substring_duplicate_spans(
+            docs, k=3, min_span=3, max_shingle_frequency=10_000
+        ).collect()
+    }
+    assert got == expected
