@@ -45,6 +45,16 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
+    """DuckDB expression: first ``digits`` hex chars of ``expr`` as a
+    number (Horner on strpos) — mirrors Spark's conv(substring(...),16,10).
+    48 bits < 53, so the double is exact and bit-identical cross-engine."""
+    out = "0"
+    for i in range(1, digits + 1):
+        out = f"({out} * 16 + (strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1))"
+    return out
+
+
 def _read(spark, sf_dir, name):
     if name == "events":
         from jasminegraph_spark.session import read_events
@@ -4817,6 +4827,67 @@ def an_random_walks(spark, sf_dir):
 
     return random_walks(co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], length=5)
 
+def _node2vec_oracle(length: int, seeds: tuple, p: float, q: float) -> str:
+    """Unrolled node2vec: per step the Efraimidis–Spirakis key
+    ln(u)/α(prev, cand) argmax — same α rules and md5-derived u as the
+    DataFrame job, so the biased corpus matches row-for-row."""
+    vals = ", ".join(f"(CAST({s} AS BIGINT))" for s in seeds)
+    u_expr = (
+        "(CAST("
+        + _hex_to_num_sql(
+            "md5(CAST(w.source AS VARCHAR) || ':{t}:' || CAST(a.dst AS VARCHAR))"
+        )
+        + " AS DOUBLE) + 1.0) / 281474976710656.0"
+    )
+    sql = CO_ORDER_CTE + f"""
+    , adj AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    w0 AS (SELECT col0 AS source, col0 AS node,
+                  CAST(NULL AS BIGINT) AS prev FROM (VALUES {vals}))
+    """
+    for t in range(length):
+        ut = u_expr.replace("{t}", str(t))
+        sql += f"""
+    , c{t} AS MATERIALIZED (
+        SELECT w.source, w.node, a.dst AS cand,
+               ln({ut}) /
+               (CASE WHEN w.prev IS NULL THEN 1.0
+                     WHEN a.dst = w.prev THEN {1.0 / p!r}
+                     WHEN b.src IS NOT NULL THEN 1.0
+                     ELSE {1.0 / q!r} END) AS k
+        FROM w{t} w
+        JOIN adj a ON a.src = w.node
+        LEFT JOIN adj b ON b.src = w.prev AND b.dst = a.dst
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT source, cand AS node, node AS prev FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY k DESC, cand DESC) AS rn
+            FROM c{t}
+        ) WHERE rn = 1
+    )"""
+    parts = [f"SELECT source, {t} AS step, node FROM w{t}" for t in range(length + 1)]
+    sql += " " + " UNION ALL ".join(parts)
+    return sql
+
+
+@_q("an_node2vec_walks", _node2vec_oracle(4, (1, 2, 3, 4, 5), 2.0, 0.5))
+def an_node2vec_walks(spark, sf_dir):
+    """node2vec biased walk corpus (graph_algs.node2vec_walks — Grover &
+    Leskovec KDD'16 with RNG-free Efraimidis–Spirakis transitions):
+    return bias 1/p, distance-1 bias 1, explore bias 1/q, selected by
+    deterministic weighted argmax so the exact biased corpus is a pure
+    function of the graph. Oracle unrolls the identical recurrence;
+    parity with a literal Python node2vec step is property-tested on
+    arbitrary graphs."""
+    from jasminegraph_spark.analytics import node2vec_walks
+
+    return node2vec_walks(
+        co_order_edges(spark, sf_dir), [1, 2, 3, 4, 5], length=4, p=2.0, q=0.5
+    )
+
+
 @_q(
     "an_eccentricity_sample",
     CO_ORDER_CTE
@@ -6373,14 +6444,6 @@ def pl_tfidf_keywords(spark, sf_dir):
     ).orderBy("doc_id", "rank")
 
 
-def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
-    """DuckDB expression: first ``digits`` hex chars of ``expr`` as a
-    number (Horner on strpos) — mirrors Spark's conv(substring(...),16,10).
-    48 bits < 53, so the double is exact and bit-identical cross-engine."""
-    out = "0"
-    for i in range(1, digits + 1):
-        out = f"({out} * 16 + (strpos('0123456789abcdef', substr({expr}, {i}, 1)) - 1))"
-    return out
 
 
 @_q(

@@ -616,3 +616,95 @@ def walk_cooccurrence_pmi(walks: DataFrame, window: int = 2) -> DataFrame:
         )
     )
     return finalize(out, cooc)
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    sources: list,
+    length: int = 5,
+    p: float = 2.0,
+    q: float = 0.5,
+    undirected: bool = True,
+) -> DataFrame:
+    """node2vec 2nd-order biased walks (Grover & Leskovec, KDD 2016)
+    with RNG-FREE weighted transitions: candidate u from node v with
+    previous node t gets search bias α = 1/p if u == t (return),
+    1 if (t, u) is an edge (stay near), else 1/q (explore) — and the
+    walk picks argmax over Efraimidis–Spirakis keys ln(h)/α, where h is
+    the (0,1] md5 hash of (walk, step, candidate). The E-S key makes the
+    deterministic hash choice EXACTLY a weighted random choice, so the
+    whole biased corpus is a pure function of the graph — identical from
+    any engine/run/partitioning and oracle-checkable, unlike seeded-RNG
+    node2vec whose output depends on task scheduling.
+
+    Per step: one broadcast join of the |S|-row head table against
+    adjacency for candidates, one LEFT probe of the (prev, candidate)
+    pair against the edge set for the distance-1 test, one argmax
+    aggregation — the adjacency never moves. Returns
+    (source, step, node); step 0 is the source.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    spark = e.sparkSession
+    from pyspark.sql import types as T
+
+    src_type = e.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("source", src_type),
+            T.StructField("node", src_type),
+            T.StructField("prev", src_type),
+        ]
+    )
+    cur = spark.createDataFrame([(s, s, None) for s in sources], schema)
+    out_rows = [
+        cur.select("source", F.lit(0).alias("step"), F.col("node"))
+    ]
+    back = e.select(F.col("src").alias("prev"), F.col("dst").alias("cand"), F.lit(1).alias("__near"))
+    for t in range(length):
+        cand = (
+            F.broadcast(cur)
+            .join(e, F.col("node") == F.col("src"))
+            .select("source", "node", "prev", F.col("dst").alias("cand"))
+        )
+        cand = cand.join(back, ["prev", "cand"], "left")
+        alpha = (
+            F.when(F.col("prev").isNull(), F.lit(1.0))
+            .when(F.col("cand") == F.col("prev"), F.lit(1.0 / p))
+            .when(F.col("__near").isNotNull(), F.lit(1.0))
+            .otherwise(F.lit(1.0 / q))
+        )
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("source"), F.lit(t), F.col("cand"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float(16**12))
+        key = F.log(u) / alpha
+        nxt = (
+            cand.groupBy("source")
+            .agg(
+                F.max(F.struct(key.alias("k"), F.col("cand").alias("n"))).alias("m"),
+                F.min("node").alias("prev_node"),
+            )
+            .select(
+                "source",
+                F.col("m.n").alias("node"),
+                F.col("prev_node").alias("prev"),
+            )
+            .transform(checkpoint)
+        )
+        out_rows.append(nxt.select("source", F.lit(t + 1).alias("step"), "node"))
+        cur = nxt
+    out = out_rows[0]
+    for w in out_rows[1:]:
+        out = out.unionByName(w)
+    return finalize(out, e)

@@ -479,3 +479,59 @@ def test_substring_spans_match_bruteforce(spark, token_docs):
         ).collect()
     }
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists)
+def test_node2vec_walks_match_reference(spark, edges):
+    """The E-S-keyed biased transition ≡ a literal Python node2vec step
+    (same α rules, same md5 keys) on arbitrary small graphs."""
+    import hashlib
+    import math
+
+    from jasminegraph_spark.analytics import node2vec_walks
+
+    und = _canon(edges)
+    if not und:
+        return
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    sources = sorted(adj)[:3]
+    P, Q, LEN = 2.0, 0.5, 4
+
+    def u_of(s, t, c):
+        h = hashlib.md5(f"{s}:{t}:{c}".encode()).hexdigest()[:12]
+        return (int(h, 16) + 1.0) / float(16**12)
+
+    expected = []
+    for s in sources:
+        node, prev = s, None
+        expected.append((s, 0, s))
+        for t in range(LEN):
+            cands = adj.get(node, set())
+            if not cands:
+                break
+            best = None
+            for c in sorted(cands):
+                if prev is None:
+                    alpha = 1.0
+                elif c == prev:
+                    alpha = 1.0 / P
+                elif c in adj.get(prev, set()):
+                    alpha = 1.0
+                else:
+                    alpha = 1.0 / Q
+                key = (math.log(u_of(s, t, c)) / alpha, c)
+                if best is None or key > best:
+                    best = key
+            prev, node = node, best[1]
+            expected.append((s, t + 1, node))
+
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    got = sorted(
+        (r["source"], r["step"], r["node"])
+        for r in node2vec_walks(df, sources, length=LEN, p=P, q=Q).collect()
+    )
+    assert got == sorted(expected)
