@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("wsp");         p.add_argument("name"); p.add_argument("source"); p.add_argument("--iters", type=int, default=10)
     p = sub.add_parser("train");       p.add_argument("name"); p.add_argument("--encoder", default="flat", choices=["flat", "sage"])
     p = sub.add_parser("merge");       p.add_argument("name"); p.add_argument("--workers", type=int, default=4); p.add_argument("--encoder", default="flat", choices=["flat", "sage"])
-    p = sub.add_parser("walks");       p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--length", type=int, default=5)
+    p = sub.add_parser("walks");       p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--length", type=int, default=5); p.add_argument("--node2vec", action="store_true"); p.add_argument("--p", type=float, default=2.0); p.add_argument("--q", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     import os
@@ -252,7 +252,13 @@ def main(argv=None) -> int:
             emit({"node": r["node"], "distance": r["distance"]})
     elif args.cmd == "walks":
         srcs = [s.strip() for s in args.sources.split(",") if s.strip()]
-        for r in eng.random_walks(args.name, srcs, length=args.length).collect():
+        if args.node2vec:
+            walks = eng.node2vec_walks(
+                args.name, srcs, length=args.length, p=args.p, q=args.q
+            )
+        else:
+            walks = eng.random_walks(args.name, srcs, length=args.length)
+        for r in walks.collect():
             emit({"source": r["source"], "step": r["step"], "node": r["node"]})
     elif args.cmd == "constructkg":
         docs = (

@@ -310,6 +310,14 @@ class JasmineEngine:
         return an.random_walks(g.edges, sources, length=length,
                                undirected=not g.is_directed)
 
+    def node2vec_walks(
+        self, graph_name: str, sources: list, length: int = 5,
+        p: float = 2.0, q: float = 0.5,
+    ) -> DataFrame:
+        g = self.catalog.get(graph_name)
+        return an.node2vec_walks(g.edges, sources, length=length, p=p, q=q,
+                                 undirected=not g.is_directed)
+
     def clustering_coefficient(self, graph_name: str) -> DataFrame:
         return an.clustering_coefficient(self.catalog.get(graph_name).edges)
 
