@@ -550,3 +550,23 @@ def test_coarsen_contracts_communities(spark):
     )
     got = {(r["ca"], r["cb"]): r["weight"] for r in coarsen(edges, communities).collect()}
     assert got == {(1, 1): 3, (2, 2): 3, (1, 2): 1}
+
+
+def test_node2vec_feeds_pmi(spark):
+    """The biased walk corpus has the same (source, step, node) shape as
+    random_walks, so the skip-gram PMI counter composes unchanged — the
+    full node2vec feature pipeline (biased walks → windowed PMI) as a
+    pure function of the graph."""
+    from jasminegraph_spark.analytics import node2vec_walks, walk_cooccurrence_pmi
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    walks = node2vec_walks(df, [1, 2, 3], length=4, p=2.0, q=0.5)
+    pmi = walk_cooccurrence_pmi(walks, window=2)
+    rows = pmi.collect()
+    assert rows, "biased corpus must produce co-occurrence pairs"
+    # deterministic composition end to end
+    again = walk_cooccurrence_pmi(
+        node2vec_walks(df, [1, 2, 3], length=4, p=2.0, q=0.5), window=2
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
