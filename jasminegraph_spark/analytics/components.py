@@ -742,8 +742,14 @@ def _directed_hashmin(
     """Hash-min propagation along directed adjacency (u, v): converges to
     lab(u) = min node id in {u} ∪ {all v transitively reachable via adj}.
     Same partial-aggregated groupBy round as connected_components; rounds
-    bounded by the longest shortest-path to each node's minimum."""
+    bounded by the longest shortest-path to each node's minimum.
+
+    Raises RuntimeError if ``max_iterations`` exhausts while labels are
+    still changing — a partial fwd/bwd minimum would otherwise settle
+    wrong SCCs upstream (e.g. a directed cycle longer than ~2× the budget
+    silently decomposing into split components)."""
     labels = nodes.withColumn("lab", F.col("node"))
+    changed = 0
     for _ in range(max_iterations):
         nbr_min = (
             adj.join(labels, adj.v == labels.node)
@@ -764,6 +770,14 @@ def _directed_hashmin(
         labels = cand.select("node", "lab")
         if changed == 0:
             break
+    else:
+        if changed:
+            raise RuntimeError(
+                f"directed hash-min did not converge within "
+                f"max_propagation={max_iterations} rounds ({changed} labels "
+                "still changing); raise max_propagation — settling on a "
+                "partial minimum would produce wrong SCCs"
+            )
     return labels
 
 
@@ -868,6 +882,8 @@ def strongly_connected_components(
                 f"SCC did not converge within max_outer={max_outer} rounds; "
                 "raise max_outer (condensation depth exceeds the budget)"
             )
+    if not settled_parts:  # empty edge frame → no nodes, correctly-typed empty
+        return nodes.select("node", F.col("node").alias("component")).limit(0)
     out = settled_parts[0]
     for part in settled_parts[1:]:
         out = out.unionAll(part)
@@ -1020,8 +1036,10 @@ def maximal_independent_set(
     prio = lambda c: F.md5(F.col(c).cast("string"))  # noqa: E731
     remaining = adj.select(F.col("u").alias("node")).distinct().transform(checkpoint)
     mis_parts: list[DataFrame] = []
+    exhausted = True
     for _ in range(max_rounds):
         if not remaining.take(1):
+            exhausted = False
             break
         radj = (
             adj.join(remaining.withColumnRenamed("node", "u"), "u", "left_semi")
@@ -1046,6 +1064,14 @@ def maximal_independent_set(
             .join(losers, "node", "left_anti")
             .transform(checkpoint)
         )
+    if exhausted and remaining.take(1):
+        raise RuntimeError(
+            f"MIS did not cover all nodes within max_rounds={max_rounds}; "
+            "raise max_rounds — returning now would yield a non-MAXIMAL "
+            "independent set"
+        )
+    if not mis_parts:  # empty edge frame → no nodes, correctly-typed empty
+        return remaining.limit(0)
     out = mis_parts[0]
     for part in mis_parts[1:]:
         out = out.unionAll(part)

@@ -276,6 +276,27 @@ def _node_cond(node: ast.NodePattern):
     return cond
 
 
+def _create_merge_node(spark, graph_path: str, node: ast.NodePattern) -> str:
+    """Create a node for a MERGE miss by constructing the row DIRECTLY
+    with the same content-hash id scheme cypher_create uses
+    (compiler.py:874-882) — no generated-CREATE-text round-trip, so
+    property values containing quotes/braces cannot inject into or break
+    the statement. Returns the new node id."""
+    import hashlib
+
+    from jasminegraph_spark.graph import NODE_SCHEMA
+
+    props = {k: str(v) for k, v in node.props.items()}
+    nid = props.get("id")
+    if nid is None:
+        basis = f"{sorted(node.labels)}|{sorted(props.items())}"
+        nid = hashlib.md5(basis.encode()).hexdigest()[:16]
+    spark.createDataFrame(
+        [(nid, node.labels[0] if node.labels else None, props)], NODE_SCHEMA
+    ).write.mode("append").parquet(f"{graph_path}/nodes")
+    return nid
+
+
 def _merge_endpoint(spark, graph_path: str, g: PropertyGraph, node: ast.NodePattern):
     """Resolve a MERGE endpoint: the MIN matching node id (deterministic
     when the label+props match several), creating the node when nothing
@@ -283,15 +304,7 @@ def _merge_endpoint(spark, graph_path: str, g: PropertyGraph, node: ast.NodePatt
     row = g.nodes.filter(_node_cond(node)).agg(F.min("id").alias("id")).first()
     if row and row["id"] is not None:
         return row["id"], 0, g
-    create_text = "CREATE (" + (node.var or "n")
-    if node.labels:
-        create_text += ":" + node.labels[0]
-    if node.props:
-        create_text += " {" + ", ".join(f"{k}: '{v}'" for k, v in node.props.items()) + "}"
-    create_text += ")"
-    nodes, _ = cypher_create(spark, create_text)
-    nodes.write.mode("append").parquet(f"{graph_path}/nodes")
-    nid = nodes.first()["id"]
+    nid = _create_merge_node(spark, graph_path, node)
     return nid, 1, _load(spark, graph_path, g.is_directed)
 
 
@@ -332,12 +345,5 @@ def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dic
         cond = cond & (F.col("properties")[k] == str(v))
     if g.nodes.filter(cond).take(1):
         return {"nodes_created": 0, "matched": True}
-    create_text = "CREATE (" + (node.var or "n")
-    if node.labels:
-        create_text += ":" + node.labels[0]
-    if node.props:
-        create_text += " {" + ", ".join(f"{k}: '{v}'" for k, v in node.props.items()) + "}"
-    create_text += ")"
-    nodes, _ = cypher_create(spark, create_text)
-    nodes.write.mode("append").parquet(f"{graph_path}/nodes")
+    _create_merge_node(spark, graph_path, node)
     return {"nodes_created": 1, "matched": False}

@@ -268,8 +268,18 @@ def kmv_sketch_by(
     the sketch a direct pass over the union would build. That is the
     map-side-combine contract a 1000-executor rollup needs: per-split
     sketches (k doubles each) travel the shuffle, never the raw values.
-    One distinct + one bounded per-group top-k (window row_number over
-    the DISTINCT hash set, spill-safe) — no driver state.
+
+    The per-group top-k is TWO-STAGE so no sort ever sees a whole
+    group's hash set (a group with 10⁹ distinct values would otherwise
+    pay a full per-group sort to keep 64 of them): stage 1 keeps the k
+    smallest within (group, spark_partition_id()) — each window
+    partition is bounded by one task's slice of one group — and stage 2
+    re-selects the k smallest of the ≤ k×P survivors per group. Each of
+    a group's k smallest hashes is among the k smallest of its own
+    partition's subset, so the result is identical to the single-stage
+    build (hash-asserted in tests). est_distinct uses the (k−1)/h_k
+    estimator only when the sketch is SATURATED; an unsaturated sketch
+    holds every distinct hash, so n_kept is exact and is returned as-is.
     """
     from pyspark.sql import Window
 
@@ -278,12 +288,21 @@ def kmv_sketch_by(
         .filter(F.col("h") > 0)
         .distinct()
     )
+    w1 = Window.partitionBy(*group_cols, "__pid").orderBy("h")
+    pre = (
+        pairs.withColumn("__pid", F.spark_partition_id())
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn", "__pid")
+    )
     w = Window.partitionBy(*group_cols).orderBy("h")
-    kept = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    kept = pre.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
     return kept.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("h")).alias("sketch"),
         F.count("*").alias("n_kept"),
-        ((F.count("*") - 1) / F.max("h")).alias("est_distinct"),
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise((F.count("*") - 1) / F.max("h"))
+        .alias("est_distinct"),
     )
 
 
@@ -294,7 +313,9 @@ def kmv_merge_sketches(
     explode the fixed-size sketch arrays, distinct, and re-select the k
     smallest per new group — exactly the sketch of the merged value
     sets (see kmv_sketch_by). Input rows are sketches, so the merge
-    moves O(groups × k) doubles regardless of raw cardinality."""
+    moves O(groups × k) doubles regardless of raw cardinality.
+    est_distinct mirrors kmv_sketch_by: exact n_kept below saturation,
+    (k−1)/h_k once the sketch is full."""
     from pyspark.sql import Window
 
     ex = (
@@ -305,5 +326,7 @@ def kmv_merge_sketches(
     return kept.groupBy(*group_cols).agg(
         F.sort_array(F.collect_list("h")).alias("sketch"),
         F.count("*").alias("n_kept"),
-        ((F.count("*") - 1) / F.max("h")).alias("est_distinct"),
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise((F.count("*") - 1) / F.max("h"))
+        .alias("est_distinct"),
     )

@@ -570,3 +570,51 @@ def test_node2vec_feeds_pmi(spark):
         node2vec_walks(df, [1, 2, 3], length=4, p=2.0, q=0.5), window=2
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# --- r6 convergence/empty-input guards (ADVICE r5) ---
+
+
+def test_scc_empty_edge_frame_returns_typed_empty(spark):
+    from jasminegraph_spark.analytics.components import strongly_connected_components
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = strongly_connected_components(e)
+    assert out.columns == ["node", "component"]
+    assert out.count() == 0
+
+
+def test_mis_empty_edge_frame_returns_typed_empty(spark):
+    from jasminegraph_spark.analytics.components import maximal_independent_set
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = maximal_independent_set(e)
+    assert out.count() == 0
+
+
+def test_scc_long_cycle_raises_instead_of_partial(spark):
+    """A directed cycle longer than the propagation budget must RAISE,
+    not silently decompose into split SCCs (ADVICE r5 #1)."""
+    import pytest
+
+    from jasminegraph_spark.analytics.components import strongly_connected_components
+
+    n = 12
+    e = spark.createDataFrame([(i, (i + 1) % n) for i in range(n)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(e, max_propagation=3)
+    # ample budget on the same graph → one SCC covering the whole cycle
+    out = strongly_connected_components(e, max_propagation=2 * n)
+    assert {(r["node"], r["component"]) for r in out.collect()} == {
+        (i, 0) for i in range(n)
+    }
+
+
+def test_mis_round_exhaustion_raises(spark):
+    import pytest
+
+    from jasminegraph_spark.analytics.components import maximal_independent_set
+
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        maximal_independent_set(e, max_rounds=0)

@@ -342,3 +342,52 @@ def test_kmv_sketch_merge_exact(spark):
     for r in direct.collect():
         true = 1000  # each region holds 1000 distinct vals
         assert abs(r["est_distinct"] - true) / true < 0.5  # k=32 → ~18% σ
+
+
+def test_kmv_sketch_unsaturated_estimate_is_exact(spark):
+    """Below saturation the sketch holds EVERY distinct hash, so
+    est_distinct must be the exact count n_kept, not (k-1)/h_k
+    (ADVICE r5 #5) — including the 1-distinct-value degenerate group."""
+    from jasminegraph_spark.pipeline import kmv_merge_sketches, kmv_sketch_by
+
+    rows = [("a", i % 7) for i in range(100)] + [("b", 42)] * 10
+    df = spark.createDataFrame(rows, ["g", "val"])
+    out = {r["g"]: r for r in kmv_sketch_by(df, "val", ["g"], k=64).collect()}
+    assert out["a"]["est_distinct"] == 7.0
+    assert out["b"]["est_distinct"] == 1.0
+    # merge side mirrors the rule
+    sk = kmv_sketch_by(df.withColumn("r", df.g), "val", ["g", "r"], k=64)
+    merged = {r["g"]: r for r in kmv_merge_sketches(sk, ["g"], k=64).collect()}
+    assert merged["a"]["est_distinct"] == 7.0
+    assert merged["b"]["est_distinct"] == 1.0
+
+
+def test_kmv_sketch_two_stage_prefilter_in_plan(spark):
+    """The per-group top-k must be TWO-STAGE (first window partitioned by
+    (group, spark_partition_id) — VERDICT r5 #5): no sort ever sees a
+    whole group's distinct-hash set. Assert the partition-id window
+    exists in the plan and that results equal the direct build."""
+    from jasminegraph_spark.pipeline import kmv_sketch_by
+
+    rows = [(f"g{i % 3}", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["g", "val"]).repartition(8)
+    sk = kmv_sketch_by(df, "val", ["g"], k=16)
+    plan = sk._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("Window") >= 2  # stage-1 prefilter + stage-2 final
+    # the stage-1 window must partition on the partition id, not group alone
+    w1 = [ln for ln in plan.splitlines() if "Window" in ln and "__pid" in ln]
+    assert w1, "stage-1 window does not key on spark_partition_id"
+    # correctness: identical to a literal single-stage top-k in pandas
+    import hashlib
+
+    def h(v):
+        x = int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16) / float(16**12)
+        return x
+
+    expected = {}
+    for g in ("g0", "g1", "g2"):
+        hs = sorted({h(v) for gg, v in rows if gg == g if h(v) > 0})[:16]
+        expected[g] = [round(x, 9) for x in hs]
+    got = {r["g"]: [round(x, 9) for x in r["sketch"]] for r in sk.collect()}
+    assert got == expected
