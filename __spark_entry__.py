@@ -2953,24 +2953,74 @@ def pl_graphrag_retrieve(spark, sf_dir):
     )
 
 
-@_q("pl_pca_project")  # rows-only: eigendecomposition is not SQL-expressible
-def pl_pca_project(spark, sf_dir):
-    """PCA compression of the embedding corpus to 8 dims (pipeline/
-    similarity.pca_project): only the d² partial-Gram cells cross the
-    cluster (mapInPandas outer products → one groupBy), eigh runs on the
-    driver's d×d covariance, projection is a second expression-only
-    pass. Driver row is rows-only — the eigendecomposition has no DuckDB
-    twin; exact numpy parity is asserted in tests/test_similarity.py.
-    The vector is emitted as one '|'-joined %.6f string so the driver's
-    pandas canonicalizer can sort/hash it (array cells are unhashable —
-    the r04 red row)."""
+@_q(
+    "pl_pca_project2d",
+    """
+    WITH pts AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT avg(x) AS mx, avg(y) AS my,
+               var_pop(x) AS a, covar_pop(x, y) AS b, var_pop(y) AS c
+        FROM pts
+    ),
+    eig AS (
+        SELECT mx, my, a, b,
+               (a + c) / 2 + sqrt(((a - c) / 2) * ((a - c) / 2) + b * b) AS lam,
+               c
+        FROM stats
+    ),
+    vec AS (
+        SELECT mx, my,
+               CASE WHEN b = 0 THEN (CASE WHEN a >= c THEN 1.0 ELSE 0.0 END)
+                    ELSE b / sqrt(b * b + (lam - a) * (lam - a)) END AS u1,
+               CASE WHEN b = 0 THEN (CASE WHEN a >= c THEN 0.0 ELSE 1.0 END)
+                    ELSE (lam - a) / sqrt(b * b + (lam - a) * (lam - a)) END AS u2
+        FROM eig
+    ),
+    sv AS (
+        SELECT mx, my,
+               (CASE WHEN abs(u1) >= abs(u2)
+                     THEN (CASE WHEN u1 < 0 THEN -1.0 ELSE 1.0 END)
+                     ELSE (CASE WHEN u2 < 0 THEN -1.0 ELSE 1.0 END) END) * u1 AS u1,
+               (CASE WHEN abs(u1) >= abs(u2)
+                     THEN (CASE WHEN u1 < 0 THEN -1.0 ELSE 1.0 END)
+                     ELSE (CASE WHEN u2 < 0 THEN -1.0 ELSE 1.0 END) END) * u2 AS u2
+        FROM vec
+    )
+    SELECT p.vec_id,
+           printf('%.6f', ROUND((p.x - s.mx) * s.u1 + (p.y - s.my) * s.u2, 6)) AS pc1
+    FROM pts p, sv s
+    ORDER BY p.vec_id
+    """,
+)
+def pl_pca_project2d(spark, sf_dir):
+    """PCA projection with a CLOSED-FORM oracle (replaces the retired
+    rows-only pl_pca_project — registry changelog SURVEY §2.8): project
+    the 2-d slice (embedding[0], embedding[1]) onto its top principal
+    component through the SAME distributed path as the full-d operator
+    (pipeline/similarity.pca_project: mapInPandas partial-Gram → groupBy
+    → driver eigh → expression-only projection pass), while DuckDB
+    computes the 2×2 eigenvector analytically — λ₁ = (a+c)/2 +
+    √(((a−c)/2)² + b²), v = (b, λ₁−a) normalized, sign-fixed by the
+    largest-|coefficient| rule both sides. Full-d (d=64, k=8) numpy
+    parity stays asserted in tests/test_similarity.py; trace invariants
+    stay driver-checked via pl_pca_invariants."""
     emb = _read(spark, sf_dir, "embeddings")
-    projected, info = pl.pca_project(emb, n_components=8)
+    pts = emb.select(
+        "vec_id",
+        F.array(
+            F.col("embedding")[0].cast("double"),
+            F.col("embedding")[1].cast("double"),
+        ).alias("xy"),
+    )
+    projected, _info = pl.pca_project(pts, n_components=1, id_col="vec_id", vec_col="xy")
     return projected.select(
         "vec_id",
-        F.concat_ws(
-            "|", F.transform("pca", lambda x: F.format_string("%.6f", F.round(x, 6)))
-        ).alias("pca_str"),
+        F.format_string("%.6f", F.round(F.col("pca")[0], 6)).alias("pc1"),
     ).orderBy("vec_id")
 
 
@@ -6176,6 +6226,42 @@ def pl_multimodal_compose(spark, sf_dir):
 
 
 @_q(
+    "pl_png_decode",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, 8 + doc_id % 16 AS w, 8 + doc_id % 8 AS h,
+               doc_id % 251 AS seed
+        FROM documents
+    )
+    SELECT m.media_id, CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+           CAST(m.w * m.h AS INT) AS n_bytes,
+           CAST(SUM((g.j * 31 + m.seed) % 251) AS BIGINT) AS body_sum
+    FROM m JOIN generate_series(0, 344) AS g(j) ON g.j < m.w * m.h
+    GROUP BY 1, 2, 3, 4 ORDER BY media_id
+    """,
+)
+def pl_png_decode(spark, sf_dir):
+    """REAL PNG decode under the driver's hash check (closes the r5
+    verdict's compressed-codec ask, #6): executors build genuine PNG byte
+    streams from each doc id (pipeline/multimodal.encode_png — zlib
+    deflate, CRC'd chunks, scanline filters cycling 0-4 so every filter
+    reconstruction path runs), then the Arrow mapInPandas decode stage
+    inflates and unfilters them library-free (_decode_png). Pixels follow
+    the closed form (j·31 + doc%251) % 251, so DuckDB recomputes each
+    image's byte checksum arithmetically — a wrong inflate, stride,
+    filter predictor, or CRC layout fails the per-image hash. JPEG/FLAC/
+    MP3 remain the documented NotImplementedError seam (they need codec
+    libs this environment lacks)."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_png
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_png(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_pack_sequences",
     """
     WITH base AS (
@@ -7234,80 +7320,29 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r05 sweep order: (1) the two non-green r04 rows, both restructured
-    # this round (pl_pca_project → driver-hashable scalar shape;
-    # an_link_prediction_trained → oracle-paired feature table); (2) every
-    # query that has NEVER had a driver row across r01-r04 (the r4
-    # verdict's top ask — TPC-H Q4/Q8-Q22, scrub family, streaming
-    # windows, federated, etc.); (3) the round-5 additions; (4) the
-    # stalest r01-latest rows, including the two bench-regression
-    # suspects an_pagerank / pl_minhash_lsh. Audit: recompute from
+    # r06 sweep order (VERDICT r5 top ask, verbatim): (1) the 7 queries
+    # that have NEVER had a driver row through r05 — late r5 additions
+    # that landed below the ~50-row window cut; (2) rows added or
+    # behaviour-changed THIS round (pca projection re-oracled, write
+    # roundtrip extended to the r5 write surface, PNG decode, node2vec
+    # multi-walk corpus); (3) the 37 queries whose latest driver row is
+    # still r01. 7 + 4 + 37 = 48 — one window closes both the
+    # never-checked and the stale-r01 backlog. Audit: recompute from
     # CORRECTNESS_r0*.json per round.
-    # --- r04 non-green, fixed this round ---
-    "pl_pca_project",
-    "an_link_prediction_trained",
-    # --- never driver-checked (r01-r04) ---
-    "an_link_prediction_federated",
-    "rel_q4_order_priority",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
-    "rel_q10_returned_items",
-    "rel_q11_important_parts",
-    "rel_q12_late_by_priority",
-    "rel_q13_customer_distribution",
-    "rel_q14_promo_revenue_share",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_part_counts",
-    "rel_q17_small_quantity_revenue",
-    "rel_q18_large_volume_customer",
-    "rel_q19_disjunctive_predicates",
-    "rel_q20_dominant_suppliers",
-    "rel_q21_waiting_supplier",
-    "rel_q22_dormant_customers",
-    "rel_cohort_retention",
-    "rel_value_percentiles",
-    "cypher_shortest_path",
-    "cypher_union_text",
-    "cypher_scalar_functions",
-    "an_betweenness_sampled",
-    "an_harmonic_centrality",
-    "an_label_propagation",
-    "an_clustering_coefficient",
-    "an_degree_assortativity",
-    "pl_pii_redact",
-    "pl_decontaminate",
-    "pl_tfidf_keywords",
-    "pl_kmv_distinct",
-    "pl_weighted_sample",
-    "pl_repetition_scores",
-    "pl_sq_ann",
-    "pl_multimodal_decode",
-    "src_jsonl_roundtrip",
-    "st_windowed_event_counts",
-    "st_session_window_counts",
-    # --- round-5 additions (51 never-checked rows precede the stale
-    # block; the driver window is ~50, so the bucketed bench pair sits
-    # last — either member alone proves the layout roundtrip, and both
-    # are bench-measured every round regardless) ---
-    "pl_pca_invariants",
-    "pl_multimodal_compose",
-    "st_incremental_triangles",
-    "an_sage_embeddings",
-    "an_scc",
-    "an_msf",
-    "pl_bpe_merges",
-    "src_graphml_roundtrip",
-    "pl_gopher_rules",
-    "pl_substring_spans",
-    "pl_triplet_mining",
-    # below the ~50-row cut: the bucketed pair is bench-measured every
-    # round, and MIS / KMV-merge are bonus primitives with 3-SF local
-    # parity + property tests on record
-    "pl_kmv_merge_rollup",
+    # --- never driver-checked (registered r05, below the r05 cut) ---
     "an_mis",
+    "an_node2vec_walks",
+    "cypher_pattern_comprehension",
+    "pl_kmv_merge_rollup",
+    "pl_triplet_mining",
     "src_bucketed_expand",
     "src_unbucketed_expand",
-    # --- stalest (last row r01), incl. the two r04 bench regressions ---
+    # --- new or behaviour-changed this round (r06) ---
+    "pl_pca_project2d",
+    "cy_write_roundtrip",
+    "pl_png_decode",
+    "an_node2vec_corpus",
+    # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",
     "an_triangle_count",
