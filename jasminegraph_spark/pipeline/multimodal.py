@@ -3,13 +3,15 @@
 The engine treats media as ``binary`` payloads + typed metadata and runs
 decode / feature-extract / resize / frame-sample as Arrow-batched Pandas
 UDFs over mapInPandas — the Spark-side contract (schema, partitioning, UDF
-signature, batch shape) is real and tested. Decode handles THREE
+signature, batch shape) is real and tested. Decode handles FOUR
 containers for real, no codec library required: the JGMM deterministic
 fake (tests/fixtures), uncompressed BMP (8-bit gray / 24-bit BGR → luma),
-and PCM WAV (8/16-bit, chunk-walked) — both genuine byte-layout formats
-parsed with struct+numpy. COMPRESSED codecs (PNG/JPEG/FLAC/MP3) are the
-stubbed seam: this container ships no image/audio libraries, so that path
-raises NotImplementedError behind an import-try (see _try_real_decode).
+PCM WAV (8/16-bit, chunk-walked), and — new r6 — PNG (8-bit grayscale /
+RGB, all five scanline filters, stdlib-zlib inflate; the most common real
+image format, decoded library-free). The remaining COMPRESSED codecs
+(JPEG/FLAC/MP3) are the stubbed seam: they need entropy/DSP decoders this
+container doesn't ship, so that path raises NotImplementedError behind an
+import-try (see _try_real_decode).
 
 Scale notes: payloads stay in executors end-to-end (no driver collect);
 mapInPandas streams Arrow batches, so peak memory is one batch of decoded
@@ -134,10 +136,157 @@ def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
     return n_frames, n_channels, samples[: n_frames * n_channels].tobytes()
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
+    """Reconstruct PNG scanlines (spec §9 'filtering'): each scanline is
+    one filter-type byte + ``stride`` filtered bytes; Recon(x) adds the
+    filter's predictor (left a / up b / avg / Paeth) mod 256. None and
+    Up vectorize whole-row; Sub/Average/Paeth carry a left-neighbor
+    dependency at offset ``bpp`` so those rows walk byte-wise — decode
+    runs inside the Arrow mapInPandas stage, so the per-byte rows cost
+    executor time only, never a shuffle or the driver."""
+    import numpy as np
+
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG payload size does not match IHDR dimensions")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        if ftype == 0:
+            rec = line
+        elif ftype == 2:
+            rec = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL library-free PNG decoder: chunk walk → IHDR → concatenated
+    IDAT → stdlib ``zlib`` inflate → per-scanline unfiltering. Supports
+    bit depth 8, color types 0 (grayscale) and 2 (RGB → integer luma
+    (r+g+b)//3, matching the BMP path), no interlace — i.e. the common
+    still-image shape. Anything else (16-bit, palette, alpha, Adam7)
+    raises NotImplementedError with the exact unsupported field."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, width, height, color, idat = 8, None, None, None, []
+    while pos + 8 <= len(payload):
+        size = struct.unpack_from(">I", payload, pos)[0]
+        cid = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+                raise NotImplementedError(
+                    f"PNG variant not supported library-free (depth={depth}, "
+                    f"color_type={color}, interlace={interlace})"
+                )
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # len + type + data + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    channels = 1 if color == 0 else 3
+    img = _png_unfilter(zlib.decompress(b"".join(idat)), height, width * channels, channels)
+    if channels == 3:
+        rgb = img.reshape(height, width, 3).astype(np.uint16)
+        img = ((rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(np.uint8)
+    return width, height, img.tobytes()
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, channels: int = 1, filter_mod: int = 5
+) -> bytes:
+    """Minimal PNG encoder (tests + the synthesize_png fixture path):
+    8-bit grayscale or RGB, one IDAT, stdlib zlib. Row ``y`` uses filter
+    ``y % filter_mod`` so a round-trip through _decode_png exercises all
+    five filter reconstructions, not just filter 0."""
+    import zlib
+
+    bpp = channels
+    stride = width * channels
+    if len(pixels) != stride * height:
+        raise ValueError("pixel buffer does not match dimensions")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = y % filter_mod
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            raw.append((row[x] - pred) & 0xFF)
+        prev = row
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0 if channels == 1 else 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _try_real_decode(kind: str, payload: bytes):
     """Compressed-codec path — gated on libraries this container doesn't
-    ship (PNG/JPEG/FLAC/MP3 need PIL/soundfile). Uncompressed BMP/WAV
-    decode for real in _decode_one without any library."""
+    ship (JPEG needs PIL, FLAC/MP3 need soundfile). BMP/WAV/PNG decode
+    for real in _decode_one without any library."""
     try:
         if kind == "image":
             from PIL import Image  # noqa: F401
@@ -156,11 +305,13 @@ def _decode_one(payload: bytes, kind: str = "image") -> tuple[int, int, bytes]:
         return _decode_bmp(payload)
     if payload is not None and payload[:4] == b"RIFF":
         return _decode_wav(payload)
+    if payload is not None and payload[:8] == PNG_SIG:
+        return _decode_png(payload)
     # other containers → the compressed-codec path (stubbed in this env)
     _try_real_decode(kind, payload)
     raise ValueError(
-        "unknown media container (JGMM fake, uncompressed BMP, and PCM WAV decode here; "
-        "compressed formats need a codec library)"
+        "unknown media container (JGMM fake, uncompressed BMP, PCM WAV, and PNG "
+        "decode here; JPEG/FLAC/MP3 need a codec library)"
     )
 
 
@@ -188,6 +339,32 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         for i in ids
                     ],
                 }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-PNG media fixture: like synthesize_media but the payload is a
+    genuine PNG byte stream (encode_png — zlib deflate, CRC chunks,
+    per-row filter cycling through all five types), built ON EXECUTORS in
+    a mapInPandas stage. Pixel i of doc d is (i·31 + d%251) % 251 over a
+    (8 + d%16) × (8 + d%8) grayscale grid — the same closed form as the
+    JGMM fake, so a SQL oracle can verify the full encode → inflate →
+    unfilter → checksum path arithmetically."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w, h, seed = 8 + i % 16, 8 + i % 8, i % 251
+                body = bytes(((j * 31 + seed) % 251) for j in range(w * h))
+                payloads.append(encode_png(w, h, body, channels=1))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "image", "payload": payloads}
             )
 
     return docs.select(id_col).mapInPandas(

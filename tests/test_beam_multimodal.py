@@ -162,3 +162,113 @@ def test_beam_search_on_grid(spark):
     # frontier never revisits: all nodes distinct across the beam
     nodes = [r["node"] for r in rows]
     assert len(nodes) == len(set(nodes))
+
+
+# --- PNG (library-free zlib + scanline filters) ---
+
+
+def test_png_roundtrip_all_filters(spark):
+    """Encode→decode round-trip via the Spark decode stage; height ≥ 5 so
+    rows exercise every filter type (encoder uses filter y % 5)."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import encode_png
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=7 * 9, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", encode_png(7, 9, px.tobytes(), channels=1), {})], MEDIA_SCHEMA
+    )
+    out = decode_media(media).collect()[0]
+    assert (out["width"], out["height"], out["n_bytes"]) == (7, 9, 63)
+    assert out["body_sum"] == int(px.sum())
+
+
+def test_png_rgb_luma(spark):
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import encode_png
+
+    rng = np.random.RandomState(13)
+    px = rng.randint(0, 256, size=6 * 5 * 3, dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(2, "image", encode_png(6, 5, px.tobytes(), channels=3), {})], MEDIA_SCHEMA
+    )
+    out = decode_media(media).collect()[0]
+    rgb = px.reshape(5, 6, 3).astype(np.uint16)
+    luma = ((rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(np.uint8)
+    assert (out["width"], out["height"]) == (6, 5)
+    assert out["body_sum"] == int(luma.sum())
+
+
+def test_png_spec_vector_hand_computed():
+    """Pin the filter semantics against a HAND-BUILT stream so a
+    symmetric encoder/decoder bug can't hide: raw scanlines authored
+    byte-by-byte (filters 1 Sub, 2 Up, 3 Average, 4 Paeth), recon values
+    computed by hand from the PNG spec §9."""
+    import struct as st
+    import zlib
+
+    from jasminegraph_spark.pipeline.multimodal import PNG_SIG, _decode_png
+
+    # 3x4 grayscale. Row filters and hand recon (bpp=1):
+    # r0 f=1 Sub  filt 10 20 30 → recon 10 30 60
+    # r1 f=2 Up   filt  5  5  5 → recon 15 35 65
+    # r2 f=3 Avg  filt  4  4  4 → recon 4+(0+15)//2=11, 4+(11+35)//2=27, 4+(27+65)//2=50
+    # r3 f=4 Paeth filt 1 1 1:
+    #   x0: a=0 b=11 c=0 → p=11, pb=0 smallest→pred=b=11 → 12
+    #   x1: a=12 b=27 c=11 → p=28, pa=16 pb=1 pc=17 → pred=27 → 28
+    #   x2: a=28 b=50 c=27 → p=51, pa=23 pb=1 pc=24 → pred=50 → 51
+    raw = bytes(
+        [1, 10, 20, 30] + [2, 5, 5, 5] + [3, 4, 4, 4] + [4, 1, 1, 1]
+    )
+
+    def chunk(cid, body):
+        return (
+            st.pack(">I", len(body))
+            + cid
+            + body
+            + st.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = st.pack(">IIBBBBB", 3, 4, 8, 0, 0, 0, 0)
+    png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    w, h, body = _decode_png(png)
+    assert (w, h) == (3, 4)
+    assert list(body) == [10, 30, 60, 15, 35, 65, 11, 27, 50, 12, 28, 51]
+
+
+def test_png_unsupported_variants_gated():
+    import struct as st
+    import zlib
+
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import PNG_SIG, _decode_png
+
+    def chunk(cid, body):
+        return (
+            st.pack(">I", len(body))
+            + cid
+            + body
+            + st.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    for depth, color, interlace in [(16, 0, 0), (8, 3, 0), (8, 6, 0), (8, 0, 1)]:
+        ihdr = st.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 12)) + chunk(b"IEND", b"")
+        with _pt.raises(NotImplementedError, match="not supported"):
+            _decode_png(png)
+
+
+def test_synthesize_png_pixels_match_closed_form(spark):
+    """synthesize_png → decode_media equals the (j·31+seed)%251 closed
+    form the pl_png_decode oracle recomputes."""
+    from jasminegraph_spark.pipeline.multimodal import synthesize_png
+
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 17, 250, 251)], "doc_id long")
+    out = {r["media_id"]: r for r in decode_media(synthesize_png(docs)).collect()}
+    for i in (0, 5, 17, 250, 251):
+        w, h, seed = 8 + i % 16, 8 + i % 8, i % 251
+        assert (out[i]["width"], out[i]["height"]) == (w, h)
+        assert out[i]["body_sum"] == sum((j * 31 + seed) % 251 for j in range(w * h))
