@@ -4938,6 +4938,74 @@ def an_node2vec_walks(spark, sf_dir):
     )
 
 
+def _node2vec_corpus_oracle(length: int, n_walks: int, p: float, q: float) -> str:
+    """Unrolled node2vec CORPUS: every co-order vertex × ``n_walks``
+    walk indices, E-S key ln(u)/α per step with the walk index folded
+    into the md5 — the same recurrence node2vec_corpus runs, so the
+    full |V|·R corpus matches row-for-row."""
+    u_expr = (
+        "(CAST("
+        + _hex_to_num_sql(
+            "md5(CAST(w.source AS VARCHAR) || ':' || CAST(w.walk AS VARCHAR) || "
+            "':{t}:' || CAST(a.dst AS VARCHAR))"
+        )
+        + " AS DOUBLE) + 1.0) / 281474976710656.0"
+    )
+    walk_vals = ", ".join(f"({r})" for r in range(n_walks))
+    sql = CO_ORDER_CTE + f"""
+    , adj AS MATERIALIZED (
+        SELECT src, dst FROM co_edges UNION ALL SELECT dst, src FROM co_edges
+    ),
+    w0 AS (SELECT v.source, r.walk, v.source AS node,
+                  CAST(NULL AS BIGINT) AS prev
+           FROM (SELECT DISTINCT src AS source FROM adj) v
+           CROSS JOIN (SELECT CAST(col0 AS INT) AS walk FROM (VALUES {walk_vals})) r)
+    """
+    for t in range(length):
+        ut = u_expr.replace("{t}", str(t))
+        sql += f"""
+    , c{t} AS MATERIALIZED (
+        SELECT w.source, w.walk, w.node, a.dst AS cand,
+               ln({ut}) /
+               (CASE WHEN w.prev IS NULL THEN 1.0
+                     WHEN a.dst = w.prev THEN {1.0 / p!r}
+                     WHEN b.src IS NOT NULL THEN 1.0
+                     ELSE {1.0 / q!r} END) AS k
+        FROM w{t} w
+        JOIN adj a ON a.src = w.node
+        LEFT JOIN adj b ON b.src = w.prev AND b.dst = a.dst
+    ),
+    w{t + 1} AS MATERIALIZED (
+        SELECT source, walk, cand AS node, node AS prev FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY source, walk ORDER BY k DESC, cand DESC) AS rn
+            FROM c{t}
+        ) WHERE rn = 1
+    )"""
+    parts = [
+        f"SELECT source, walk, {t} AS step, node FROM w{t}" for t in range(length + 1)
+    ]
+    sql += " " + " UNION ALL ".join(parts)
+    return sql
+
+
+@_q("an_node2vec_corpus", _node2vec_corpus_oracle(3, 2, 2.0, 0.5))
+def an_node2vec_corpus(spark, sf_dir):
+    """Graph-scale node2vec walk corpus (graph_algs.node2vec_corpus —
+    closes the r5 verdict's walk-corpus ask #7): TWO biased walks from
+    EVERY vertex of the co-order graph, sourced from the vertex table
+    (not a driver seed list), walk index folded into the E-S hash so
+    sibling walks diverge deterministically. The walker frame is |V|·R
+    rows and is never force-broadcast — each step equi-joins walkers
+    against the persisted adjacency. Oracle unrolls the identical
+    |V|·R recurrence."""
+    from jasminegraph_spark.analytics import node2vec_corpus
+
+    return node2vec_corpus(
+        co_order_edges(spark, sf_dir), n_walks=2, length=3, p=2.0, q=0.5
+    )
+
+
 @_q(
     "an_eccentricity_sample",
     CO_ORDER_CTE

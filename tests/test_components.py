@@ -618,3 +618,50 @@ def test_mis_round_exhaustion_raises(spark):
     e = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
     with pytest.raises(RuntimeError, match="max_rounds"):
         maximal_independent_set(e, max_rounds=0)
+
+
+def test_node2vec_corpus_multi_walk(spark):
+    """Walk corpus: R walks per source from a SOURCE TABLE (default all
+    vertices), deterministic, edges-respecting, sibling walks diverging
+    via the walk-indexed hash; PMI counting keys sentences on
+    (source, walk) so siblings never co-occur."""
+    from jasminegraph_spark.analytics import node2vec_corpus, walk_cooccurrence_pmi
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (2, 4)], "src long, dst long"
+    )
+    adj = {(s, d) for s, d in [(r["src"], r["dst"]) for r in edges.collect()]}
+    adj |= {(d, s) for s, d in adj}
+    corpus = node2vec_corpus(edges, n_walks=3, length=4, p=2.0, q=0.5)
+    rows = corpus.collect()
+    assert len(rows) == 4 * 3 * 5  # |V| * R * (length+1)
+    # every consecutive step follows an edge
+    byw = {}
+    for r in rows:
+        byw.setdefault((r["source"], r["walk"]), {})[r["step"]] = r["node"]
+    for (s, w), steps in byw.items():
+        assert steps[0] == s
+        for t in range(4):
+            assert (steps[t], steps[t + 1]) in adj
+    # sibling walks diverge for at least one source
+    assert any(
+        byw[(s, 0)] != byw[(s, 1)] for s in {r["source"] for r in rows}
+    )
+    # explicit source table restricts the corpus
+    srcs = spark.createDataFrame([(1,), (3,)], "node long")
+    sub = node2vec_corpus(edges, sources=srcs, n_walks=2, length=2)
+    assert {r["source"] for r in sub.collect()} == {1, 3}
+    # PMI over the corpus: a pair seen only across sibling walks at the
+    # same source must NOT be counted (sentence id = (source, walk))
+    pmi = walk_cooccurrence_pmi(corpus, window=1).collect()
+    assert all(r["n_cooc"] > 0 for r in pmi)
+    # recompute expected pair count by hand for window=1
+    import math
+
+    exp_pairs = {}
+    for (s, w), steps in byw.items():
+        for t in range(4):
+            a, b = sorted((steps[t], steps[t + 1]))
+            exp_pairs[(a, b)] = exp_pairs.get((a, b), 0) + 1
+    got = {(r["a"], r["b"]): r["n_cooc"] for r in pmi}
+    assert got == exp_pairs
