@@ -4149,24 +4149,43 @@ def an_harmonic_centrality(spark, sf_dir):
     "cy_write_roundtrip",
     """
     SELECT * FROM (
-        SELECT 'edges' AS metric, (SELECT COUNT(*) FROM nation) - 2 AS value
+        SELECT 'edges' AS metric, (SELECT COUNT(*) FROM nation) AS value
         UNION ALL
-        SELECT 'flagged', (SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+        SELECT 'feeds_edges', 1
         UNION ALL
-        SELECT 'hub_nodes', 2
+        SELECT 'flag_props', 0
         UNION ALL
-        SELECT 'nation_nodes', (SELECT COUNT(*) FROM nation) - 1
+        SELECT 'flagged_label',
+               (SELECT COUNT(*) FROM nation
+                WHERE n_regionkey = 0 AND n_name NOT IN ('NATION_3', 'NATION_0'))
+        UNION ALL
+        SELECT 'hub_nodes', 3
+        UNION ALL
+        SELECT 'links_edges', 1
+        UNION ALL
+        SELECT 'nation_nodes',
+               -- -1 for the DETACH-DELETEd NATION_3; REMOVE n:Flagged nulls
+               -- NATION_0's label entirely (single-label model), dropping it
+               -- from the Nation/Flagged count too when it was in region 0
+               (SELECT COUNT(*) FROM nation) - 1
+               - (SELECT COUNT(*) FROM nation
+                  WHERE n_name = 'NATION_0' AND n_regionkey = 0)
     ) ORDER BY metric
     """,
 )
 def cy_write_roundtrip(spark, sf_dir):
-    """Cypher write path end-to-end (§2.1 Create + SET/MERGE/DELETE —
-    FrontEnd.cpp CREATE; QueryPlanner.cpp write TODO branches implemented
-    here): seed a temp parquet graph from `nation` (ring edges), then
-    CREATE a hub, MERGE one match + one miss, SET a region flag, DETACH
-    DELETE one nation, and report final-state metrics. The oracle derives
-    the same metrics arithmetically from the base table, so the driver
-    hash-checks real write semantics."""
+    """Cypher write path end-to-end, covering the FULL write surface
+    (§2.1 Create + SET/MERGE/DELETE + the r5 relationship/label verbs —
+    FrontEnd.cpp CREATE; OperatorExecutor.cpp:1257-1281 relationship
+    semantics; QueryPlanner.cpp write TODO branches implemented here):
+    seed a temp parquet graph from `nation` (ring edges), then CREATE a
+    hub, MERGE one match + one miss, SET a region flag, DETACH DELETE
+    one nation, MATCH-bound relationship CREATE (run twice — idempotent
+    via content-derived edge ids), relationship MERGE upsert (run twice —
+    second is a full no-op), SET n:Label over the flagged nations,
+    REMOVE n.prop, and REMOVE n:Label, reporting final-state metrics.
+    The oracle derives every metric arithmetically from the base table,
+    so the driver hash-checks real write semantics for every clause."""
     import shutil
     import tempfile
 
@@ -4200,15 +4219,34 @@ def cy_write_roundtrip(spark, sf_dir):
         cypher_write(spark, gp, "MERGE (n:Hub {name: 'Hub Two'})")  # miss → create
         cypher_write(spark, gp, "MATCH (n:Nation) WHERE n.region = '0' SET n.flag = 1")
         cypher_write(spark, gp, "MATCH (n:Nation {name: 'NATION_3'}) DETACH DELETE n")
+        # r5 write surface: bound-endpoint relationship CREATE (twice —
+        # content-derived edge ids make the repeat a no-op) …
+        rel_create = (
+            "MATCH (h:Hub {name: 'Hub One'}), (n:Nation {name: 'NATION_0'}) "
+            "CREATE (h)-[:LINKS]->(n)"
+        )
+        cypher_write(spark, gp, rel_create)
+        cypher_write(spark, gp, rel_create)
+        # … relationship MERGE upsert (second run is a full no-op) …
+        rel_merge = "MERGE (a:Hub {name: 'Hub One'})-[:FEEDS]->(b:Hub {name: 'Hub Three'})"
+        cypher_write(spark, gp, rel_merge)
+        cypher_write(spark, gp, rel_merge)
+        # … label SET over the flag='1' nations, property REMOVE, label REMOVE
+        cypher_write(spark, gp, "MATCH (n:Nation) WHERE n.flag = '1' SET n:Flagged")
+        cypher_write(spark, gp, "MATCH (n:Flagged) REMOVE n.flag")
+        cypher_write(spark, gp, "MATCH (n:Flagged {name: 'NATION_0'}) REMOVE n:Flagged")
         g = PropertyGraph(
             nodes=spark.read.parquet(f"{gp}/nodes"),
             edges=spark.read.parquet(f"{gp}/edges"),
         )
         metrics = [
             ("edges", g.edges.count()),
-            ("flagged", g.nodes.filter(F.col("properties")["flag"] == "1").count()),
+            ("feeds_edges", g.edges.filter(F.col("type") == "FEEDS").count()),
+            ("flag_props", g.nodes.filter(F.col("properties")["flag"].isNotNull()).count()),
+            ("flagged_label", g.nodes.filter(F.col("label") == "Flagged").count()),
             ("hub_nodes", g.nodes.filter(F.col("label") == "Hub").count()),
-            ("nation_nodes", g.nodes.filter(F.col("label") == "Nation").count()),
+            ("links_edges", g.edges.filter(F.col("type") == "LINKS").count()),
+            ("nation_nodes", g.nodes.filter(F.col("label").isin("Nation", "Flagged")).count()),
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
