@@ -54,17 +54,37 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    batch_k: int = 1,
 ) -> DataFrame:
     """Learn the first ``n_merges`` BPE merges over the corpus. Returns
     a DataFrame (rank, left, right, freq): rank-th merge joined symbols
     ``left``+``right`` which co-occurred adjacently ``freq`` times
     (weighted by word frequency, overlaps counted as in the reference
     implementation). No end-of-word marker (documented divergence from
-    Sennrich's '</w>'); single characters are the initial alphabet."""
+    Sennrich's '</w>'); single characters are the initial alphabet.
+
+    ``batch_k`` is the SCALE path (r5 verdict #4): with batch_k=1
+    (default) the loop is the literal Sennrich recurrence — one Spark
+    job per merge, exactly what the pl_bpe_merges oracle unrolls. A real
+    32k–100k vocab cannot afford 32k sequential driver round-trips, so
+    batch_k>1 accepts up to K merges per round with pairwise-DISJOINT
+    SYMBOL SUPPORT, chosen greedily down the (freq DESC, l, r) order
+    from the round's top candidates: a pair is taken only if neither
+    symbol — nor its merged form — collides with any symbol or merged
+    form already taken this round. Disjoint support means the accepted
+    merges commute (none can create/destroy an occurrence of another),
+    so the batch is order-independent and deterministic, and EQUAL to
+    the sequential loop whenever the top-K merges don't interact
+    (property-tested in tests/test_pipeline_e2e.py); when they do
+    interact, conflicting pairs are deferred to the next round's fresh
+    counts — vocab quality is preserved, merge RANKS may legally differ
+    from sequential BPE. Job count drops from n_merges to
+    ~n_merges/batch_k (32k merges at K=256 → ~125 rounds; see SCALE.md
+    §BPE)."""
     spark = docs.sparkSession
     words = _word_table(docs, text_col).transform(checkpoint)
     merges = []
-    for rank in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = (
             words.select(
                 F.explode(
@@ -83,17 +103,30 @@ def bpe_train(
             .groupBy("p.l", "p.r")
             .agg(F.sum("cnt").alias("freq"))
         )
-        top = pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r")).limit(1).collect()
+        want = min(batch_k, n_merges - len(merges))
+        # over-fetch so conflicts don't starve the batch; 1 row when K=1
+        top = (
+            pairs.orderBy(F.desc("freq"), F.asc("l"), F.asc("r"))
+            .limit(want if want == 1 else max(4 * want, 16))
+            .collect()
+        )
         if not top:
             break
-        l, r, freq = top[0]["l"], top[0]["r"], top[0]["freq"]
-        merges.append((rank, l, r, int(freq)))
-        words = words.select(
-            F.replace(
-                "ws", F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
-            ).alias("ws"),
-            "cnt",
-        ).transform(checkpoint)
+        taken: list = []
+        used: set = set()
+        for row in top:
+            l, r = row["l"], row["r"]
+            if l in used or r in used or (l + r) in used:
+                continue  # interacts with a merge already taken this round
+            taken.append((l, r, int(row["freq"])))
+            used |= {l, r, l + r}
+            if len(taken) == want:
+                break
+        ws_col = F.col("ws")
+        for l, r, freq in taken:
+            merges.append((len(merges) + 1, l, r, freq))
+            ws_col = F.replace(ws_col, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+        words = words.select(ws_col.alias("ws"), "cnt").transform(checkpoint)
     return spark.createDataFrame(
         merges, "rank: int, left: string, right: string, freq: long"
     )

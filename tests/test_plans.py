@@ -435,12 +435,22 @@ def test_gopher_rules_single_scan_no_shuffle(q):
 
 
 def test_triplet_mining_broadcasts_anchors(q):
-    """Anchors broadcast over the streamed corpus (cosine_topk plan
-    family) — the corpus must never shuffle for the cross score."""
+    """The broadcast side must be the ANCHORS, not the corpus (r5
+    verdict #9 — mirrors test_sq_ann_broadcasts_queries): the corpus
+    streams through the BNLJ build-side-free, so at 100 TB only the
+    bounded anchor table crosses the cluster."""
     plan = _plan(q("pl_triplet_mining"))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # corpus side: single scan of embeddings feeding the join directly
-    assert plan.count("Scan parquet") >= 1
+    lines = plan.splitlines()
+    (bnlj_idx,) = [i for i, ln in enumerate(lines) if "BroadcastNestedLoopJoin" in ln]
+    assert "BuildRight" in lines[bnlj_idx]
+    # the BroadcastExchange subtree (right child) carries the anchor
+    # projection; the corpus scan must sit OUTSIDE it (streamed side)
+    (bex_idx,) = [i for i, ln in enumerate(lines) if "BroadcastExchange" in ln]
+    assert bex_idx > bnlj_idx
+    subtree = "\n".join(lines[bex_idx:])
+    assert "anchor_id" in subtree
+    streamed = "\n".join(lines[:bex_idx])
+    assert "Scan parquet" in streamed or "Scan ExistingRDD" in streamed
 
 
 def test_scc_rounds_are_equi_joins(q):
