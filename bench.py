@@ -101,7 +101,14 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-3 + median (r5 verdict #8): min-of-2 at ±25% machine variance
+    # cannot attribute <25% drifts; three samples plus the median let
+    # perf_regress.py classify improved/noise/regressed per query
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    import statistics
+
+    medians: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         # first run pays whole-stage-codegen (Janino) compilation — constant
         # JVM warmup, not data cost; steady state is the engine comparison.
@@ -109,15 +116,18 @@ def main() -> None:
         for _ in range(warmup):
             cold[name] = round(run_once(name), 3)
             spark.catalog.clearCache()
-        best = None
+        samples = []
         for _ in range(max(1, runs)):
             # warm number = MIN of the timed runs: single warm samples on a
             # shared box jitter ±20% (GC, page cache); the minimum is the
             # standard low-noise estimator of the engine's actual cost
-            sec = run_once(name)
+            samples.append(run_once(name))
             spark.catalog.clearCache()
-            best = sec if best is None else min(best, sec)
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
+        # relative sample spread — the per-query noise band a regression
+        # verdict must clear before it's attributable
+        spread[name] = round((max(samples) - min(samples)) / max(medians[name], 1e-9), 3)
     total = round(sum(timings.values()), 3)
 
     # per-query ledger (PerfCatalog = the reference's perfdb): every run
@@ -140,6 +150,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "cold_queries": cold,
+                "median_queries": medians,
+                "variance": {"runs_per_query": runs, "estimator": "min", "spread": spread},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -726,6 +726,7 @@ def node2vec_corpus(
     p: float = 2.0,
     q: float = 0.5,
     undirected: bool = True,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full node2vec WALK CORPUS: ``n_walks`` biased walks from every
     source — sourced from a TABLE (``sources`` with a ``node`` column),
@@ -749,6 +750,17 @@ def node2vec_corpus(
     (prev, cand) against the edge set for the distance-1 bias, and one
     per-(source, walk) argmax aggregation. Per-step checkpoint keeps the
     plan linear in ``length``. Returns (source, walk, step, node).
+
+    Cost model (measured, SCALE.md §node2vec): per-step candidate volume
+    is SIZE-BIASED — walkers concentrate on hubs in proportion to
+    degree, so each step evaluates ≈ walkers × Σdeg²/Σdeg candidate
+    rows; on power-law graphs that second moment, not |V| or |E|, is
+    the scale driver. Every candidate pays one hash: ``hash_fn='md5'``
+    (default) is the oracle-parity path (DuckDB replays it exactly);
+    ``hash_fn='xxhash64'`` swaps in the JVM's native 64-bit hash for
+    the E-S draw — same determinism and distributional behaviour,
+    ~3× cheaper per candidate, for corpus generation at scale where no
+    SQL twin needs to replay the draw.
 
     Reference parity: JasmineGraph trains embeddings from sampled
     neighborhoods per vertex (src_python/models/supervised.py); this is
@@ -785,22 +797,20 @@ def node2vec_corpus(
             .when(F.col("__near").isNotNull(), F.lit(1.0))
             .otherwise(F.lit(1.0 / q))
         )
-        u = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("source"), F.col("walk"), F.lit(t), F.col("cand")
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("double")
-            + F.lit(1.0)
-        ) / F.lit(float(16**12))
+        seed = F.concat_ws(
+            ":", F.col("source"), F.col("walk"), F.lit(t), F.col("cand")
+        )
+        if hash_fn == "md5":
+            u = (
+                F.conv(F.substring(F.md5(seed), 1, 12), 16, 10).cast("double")
+                + F.lit(1.0)
+            ) / F.lit(float(16**12))
+        elif hash_fn == "xxhash64":
+            u = (
+                F.pmod(F.xxhash64(seed), F.lit(2**52)).cast("double") + F.lit(1.0)
+            ) / F.lit(float(2**52))
+        else:
+            raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
         key = F.log(u) / alpha
         nxt = (
             cand.groupBy("source", "walk")

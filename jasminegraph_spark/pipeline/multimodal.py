@@ -187,19 +187,20 @@ def _png_unfilter(raw: bytes, height: int, stride: int, bpp: int):
 
 
 def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL library-free PNG decoder: chunk walk → IHDR → concatenated
-    IDAT → stdlib ``zlib`` inflate → per-scanline unfiltering. Supports
-    bit depth 8, color types 0 (grayscale) and 2 (RGB → integer luma
-    (r+g+b)//3, matching the BMP path), no interlace — i.e. the common
-    still-image shape. Anything else (16-bit, palette, alpha, Adam7)
-    raises NotImplementedError with the exact unsupported field."""
+    """REAL library-free PNG decoder: chunk walk → IHDR (+PLTE) →
+    concatenated IDAT → stdlib ``zlib`` inflate → per-scanline
+    unfiltering. Supports bit depth 8 in ALL five color types —
+    0 grayscale, 2 RGB, 3 palette (PLTE lookup), 4 gray+alpha, 6 RGBA —
+    color collapsing to the integer luma (r+g+b)//3 and alpha dropped,
+    matching the BMP path; no interlace. 16-bit and Adam7 raise
+    NotImplementedError with the exact unsupported field."""
     import zlib
 
     import numpy as np
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG stream")
-    pos, width, height, color, idat = 8, None, None, None, []
+    pos, width, height, color, idat, plte = 8, None, None, None, [], None
     while pos + 8 <= len(payload):
         size = struct.unpack_from(">I", payload, pos)[0]
         cid = payload[pos + 4 : pos + 8]
@@ -208,11 +209,13 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color not in (0, 2) or comp or filt or interlace:
+            if depth != 8 or color not in (0, 2, 3, 4, 6) or comp or filt or interlace:
                 raise NotImplementedError(
                     f"PNG variant not supported library-free (depth={depth}, "
                     f"color_type={color}, interlace={interlace})"
                 )
+        elif cid == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat.append(body)
         elif cid == b"IEND":
@@ -220,10 +223,17 @@ def _decode_png(payload: bytes) -> tuple[int, int, bytes]:
         pos += 12 + size  # len + type + data + crc
     if width is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
-    channels = 1 if color == 0 else 3
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     img = _png_unfilter(zlib.decompress(b"".join(idat)), height, width * channels, channels)
-    if channels == 3:
-        rgb = img.reshape(height, width, 3).astype(np.uint16)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = plte[img.reshape(-1)].astype(np.uint16).reshape(height, width, 3)
+        img = ((rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(np.uint8)
+    elif color == 4:
+        img = img.reshape(height, width, 2)[:, :, 0]  # drop alpha
+    elif channels >= 3:
+        rgb = img.reshape(height, width, channels)[:, :, :3].astype(np.uint16)
         img = ((rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(np.uint8)
     return width, height, img.tobytes()
 

@@ -56,21 +56,53 @@ def main() -> None:
             "percentile_approx(seconds, 0.5)").alias("p50"))
         .collect()
     }
-    regressions = []
+    # three-way verdicts (r5 verdict #8): a drift only counts as
+    # improved/regressed when it clears BOTH the tolerance and the
+    # query's own measured sample spread (bench.py min-of-N metadata);
+    # anything inside the noise band is verdict=noise, not chased.
+    spread = (bench.get("variance") or {}).get("spread", {})
+    medians = bench.get("median_queries", {})
+    regressions, verdicts = [], {}
     for name, sec in bench["queries"].items():
         p50 = hist.get(name)
         if p50 is None or p50 <= 0:
-            print(f"  new  {name}: {sec}s (no history)")
+            verdicts[name] = "new"
+            print(f"  new      {name}: {sec}s (no history)")
             continue
         ratio = sec / p50
-        flag = "REGRESS" if ratio > args.tol else "ok"
-        print(f"  {flag:7s} {name}: {sec}s vs p50 {p50:.2f}s ({ratio:.2f}x)")
-        if ratio > args.tol:
+        band = max(args.tol - 1.0, spread.get(name, 0.25))
+        if ratio > 1.0 + band:
+            verdict = "regressed"
             regressions.append(name)
+        elif ratio < 1.0 / (1.0 + band):
+            verdict = "improved"
+        else:
+            verdict = "noise"
+        verdicts[name] = verdict
+        print(
+            f"  {verdict:9s}{name}: {sec}s vs p50 {p50:.2f}s "
+            f"({ratio:.2f}x, band ±{band:.0%}, median {medians.get(name, '—')})"
+        )
+    # persist the verdict table next to the ledger so SURVEY/judges can
+    # cite attributable drifts instead of re-deriving them
+    out_path = os.path.join(REPO, "perf_ledger", "verdicts_latest.json")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as fh:
+        json.dump(
+            {
+                "sf": args.sf,
+                "tol": args.tol,
+                "runs_per_query": (bench.get("variance") or {}).get("runs_per_query"),
+                "verdicts": verdicts,
+            },
+            fh,
+            indent=1,
+        )
+    counts = {v: sum(1 for x in verdicts.values() if x == v) for v in set(verdicts.values())}
+    print(f"\nverdicts: {counts} → {out_path}")
     if regressions:
-        print(f"\n{len(regressions)} regression(s): {regressions}")
+        print(f"{len(regressions)} attributable regression(s): {regressions}")
         sys.exit(1)
-    print("\nno per-query regressions")
 
 
 if __name__ == "__main__":

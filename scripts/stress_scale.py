@@ -184,6 +184,41 @@ def main() -> None:
         from jasminegraph_spark.analytics.components import maximal_independent_set
 
         step("mis", lambda: {"mis_size": maximal_independent_set(edges).count()})
+    if want("node2vec_corpus"):
+        # round-6: the walk corpus at scale — R=2 biased walks per source
+        # with the xxhash64 E-S draw (the scale path; md5 is the
+        # oracle-parity default). Per-step cost is SIZE-BIASED: walkers
+        # pile onto hubs ∝ degree, so each step evaluates
+        # ≈ walkers × Σdeg²/Σdeg candidates — the second moment of the
+        # degree distribution, not |V|, is what this step stresses. At
+        # scale ≥ 18 sources are md5-capped to 2^15 walk starts so the
+        # candidate volume stays bounded by walker count while hub
+        # fan-out is the full scale-21 distribution.
+        from jasminegraph_spark.analytics.graph_algs import node2vec_corpus
+
+        def run_corpus():
+            srcs = edges.select(F.col("src").alias("node")).distinct()
+            n_src = None
+            if scale >= 18:
+                srcs = srcs.filter(
+                    F.substring(F.md5(F.col("node").cast("string")), 1, 2) < "08"
+                )
+                n_src = srcs.count()
+            corpus = node2vec_corpus(
+                edges, sources=srcs, n_walks=2, length=5, p=2.0, q=0.5,
+                hash_fn="xxhash64",
+            )
+            row = corpus.agg(
+                F.count("*").alias("rows"),
+                F.countDistinct("node").alias("nodes_visited"),
+            ).collect()[0]
+            return {
+                "sources": n_src or "all",
+                "corpus_rows": row["rows"],
+                "nodes_visited": row["nodes_visited"],
+            }
+
+        step("node2vec_corpus_R2_L5", run_corpus)
     if os.environ.get("STRESS_KEEP") != "1":
         shutil.rmtree(path, ignore_errors=True)
 

@@ -254,7 +254,7 @@ def test_png_unsupported_variants_gated():
             + st.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    for depth, color, interlace in [(16, 0, 0), (8, 3, 0), (8, 6, 0), (8, 0, 1)]:
+    for depth, color, interlace in [(16, 0, 0), (8, 0, 1)]:
         ihdr = st.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
         png = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 12)) + chunk(b"IEND", b"")
         with _pt.raises(NotImplementedError, match="not supported"):
@@ -272,3 +272,39 @@ def test_synthesize_png_pixels_match_closed_form(spark):
         w, h, seed = 8 + i % 16, 8 + i % 8, i % 251
         assert (out[i]["width"], out[i]["height"]) == (w, h)
         assert out[i]["body_sum"] == sum((j * 31 + seed) % 251 for j in range(w * h))
+
+
+def test_png_palette_and_alpha_color_types():
+    """Color types 3 (PLTE lookup), 4 (gray+alpha), 6 (RGBA) decode
+    library-free: palette entries collapse to luma, alpha drops."""
+    import struct as st
+    import zlib
+
+    from jasminegraph_spark.pipeline.multimodal import PNG_SIG, _decode_png
+
+    def chunk(cid, body):
+        return (
+            st.pack(">I", len(body))
+            + cid
+            + body
+            + st.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, raw, plte=None):
+        ihdr = st.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        out = PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    plte = bytes([30, 60, 90, 255, 0, 0, 10, 10, 10, 100, 200, 33])
+    w, h, body = _decode_png(png(2, 2, 3, bytes([0, 0, 1, 0, 2, 3]), plte))
+    assert (w, h) == (2, 2) and list(body) == [60, 85, 10, 111]
+    w, h, body = _decode_png(png(2, 1, 4, bytes([0, 7, 255, 9, 0])))
+    assert list(body) == [7, 9]
+    w, h, body = _decode_png(png(2, 1, 6, bytes([0, 30, 60, 90, 255, 255, 0, 0, 0])))
+    assert list(body) == [60, 85]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="PLTE"):
+        _decode_png(png(2, 1, 3, bytes([0, 0, 0])))
