@@ -3933,6 +3933,63 @@ def pl_doc_fingerprint(spark, sf_dir):
 
 
 @_q(
+    "pl_semantic_dedup",
+    """
+    WITH cents AS (
+        SELECT vec_id AS cell, embedding AS cv FROM embeddings
+        ORDER BY vec_id ASC LIMIT 16
+    ), assign AS (
+        SELECT vec_id, cell, ROUND(sim, 6) AS cent_cos FROM (
+            SELECT e.vec_id, c.cell,
+                   list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])) AS sim,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(c.cv AS DOUBLE[])) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), dropped AS (
+        SELECT DISTINCT x.vec_id
+        FROM assign x
+        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        JOIN assign y ON y.cell = x.cell AND y.vec_id <> x.vec_id
+        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                           CAST(ey.embedding AS DOUBLE[])), 6) >= 0.3
+          AND (y.cent_cos < x.cent_cos
+               OR (y.cent_cos = x.cent_cos AND y.vec_id < x.vec_id))
+    )
+    SELECT a.vec_id, a.cell, printf('%.6f', a.cent_cos) AS cent_cos,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+    ORDER BY a.vec_id
+    """,
+)
+def pl_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540 —
+    pipeline/similarity.semantic_dedup): cluster the embedding corpus
+    (deterministic IVF codebook), within-cluster cosine pairs ≥ 0.3,
+    keep the member farthest from its centroid per duplicate
+    neighborhood (one-pass dominance, no transitive closure — fully
+    SQL-replayable). Quadratic work confined to Σ|cell|²; centroids
+    broadcast. The synthetic embeddings are near-random so the 0.3
+    threshold is what exercises the drop path; the semantics, not the
+    threshold, are the contract."""
+    from jasminegraph_spark.pipeline import semantic_dedup
+
+    out = semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16
+    )
+    return out.select(
+        "vec_id",
+        "cell",
+        F.format_string("%.6f", F.col("cent_cos")).alias("cent_cos"),
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("vec_id")
+
+
+@_q(
     "pl_embedding_near_dup",
     """
     WITH banded AS (

@@ -22,6 +22,7 @@ from jasminegraph_spark.pipeline.similarity import (  # noqa: F401
     sign_lsh_buckets,
     banded_sign_buckets,
     embedding_near_dup,
+    semantic_dedup,
     sign_lsh_ann,
     ivf_assign,
     ivf_ann,

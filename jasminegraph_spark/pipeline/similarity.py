@@ -186,6 +186,82 @@ def embedding_near_dup(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    lloyd_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al., arXiv:2303.09540):
+    cluster the embedding corpus, find within-cluster pairs whose cosine
+    exceeds ``threshold``, and keep ONE representative per duplicate
+    neighborhood — the paper's rule: among semantic duplicates, the
+    example FARTHEST from its cluster centroid survives (it carries the
+    most marginal information), ties broken by lower id.
+
+    A vector is dropped iff some same-cell neighbor with cosine ≥
+    threshold outranks it (strictly lower centroid-cosine, or equal and
+    lower id) — a one-pass dominance rule, no transitive closure, so the
+    whole verdict is a deterministic pure function of the corpus and is
+    SQL-replayable. Returns (vec_id, cell, cent_cos, keep).
+
+    Scale shape (the paper runs this at LAION-5B): the quadratic work is
+    confined WITHIN cells — Σ|cell|², never corpus² — and n_cells grows
+    with the corpus to hold cell size constant (SemDeDup uses 110k
+    clusters at 5B rows). Centroids broadcast; assignment is one
+    argmax-cosine pass; the pair join is a cell-key equi-join.
+    """
+    cents = kmeans_centroids(embeddings, n_cells, lloyd_iters, id_col, vec_col)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(vec_col).alias("qv")
+    )
+    scored = corpus.join(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        "qv",
+        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("cent_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round("cent_cos", 6).alias("cent_cos"), "qv")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("a"), "cell", F.col("cent_cos").alias("ca"),
+        F.col("qv").alias("va"),
+    )
+    b = assign.select(
+        F.col("vec_id").alias("b"), "cell", F.col("cent_cos").alias("cb"),
+        F.col("qv").alias("vb"),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("a") != F.col("b"))
+        .withColumn(
+            "cos", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+        )
+        .filter(F.col("cos") >= threshold)
+        .filter(
+            (F.col("cb") < F.col("ca"))
+            | ((F.col("cb") == F.col("ca")) & (F.col("b") < F.col("a")))
+        )
+        .select(F.col("a").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.select("vec_id", "cell", "cent_cos")
+        .join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cell", "cent_cos",
+            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
 def _centroids(
     embeddings: DataFrame, n_cells: int, id_col: str, vec_col: str
 ) -> DataFrame:

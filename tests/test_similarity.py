@@ -423,3 +423,51 @@ def test_mine_triplets(spark):
     assert r["pos_id"] == 2 and abs(r["pos_cos"] - round(cos([1, 0], [0.9, 0.1]), 6)) < 1e-9
     # hardest negative is 4 (label b, cos≈0.998), not the opposite vector 5
     assert r["neg_id"] == 4 and abs(r["neg_cos"] - round(cos([1, 0], [0.95, 0.05]), 6)) < 1e-9
+
+
+def test_semantic_dedup_keeps_farthest_from_centroid(spark):
+    """SemDeDup survivor rule: among semantic duplicates the member
+    FARTHEST from its cluster centroid survives; singletons always keep;
+    verdicts are deterministic."""
+    from jasminegraph_spark.pipeline import semantic_dedup
+
+    # centroid seeds are the 2 lowest ids (n_cells=2): v1=(1,0), v2=(0,1).
+    # Cell 1 holds {1, 10, 11}, all pairwise cos ≥ 0.98; centroid-cos
+    # order is 1 (=1.0) > 10 (≈0.993) > 11 (≈0.984), so ONLY v11 — the
+    # farthest from the centroid — survives. Cell 2 holds {2, 20} with
+    # cos ≈ 0.994; v20 is farther → survives, v2 drops.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (10, [0.9, 0.1]),
+        (11, [0.88, 0.16]),
+        (20, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: r for r in semantic_dedup(
+            emb, threshold=0.98, n_cells=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert {k for k, r in out.items() if r["keep"]} == {11, 20}
+    # deterministic on re-run
+    again = {
+        r["vec_id"]: r["keep"]
+        for r in semantic_dedup(emb, threshold=0.98, n_cells=2).collect()
+    }
+    assert again == {k: v["keep"] for k, v in out.items()}
+
+
+def test_semantic_dedup_quadratic_confined_to_cells(spark):
+    """The pair join must be a cell-key equi-join (never a corpus
+    cartesian): no BroadcastNestedLoopJoin/CartesianProduct in the plan,
+    and the centroid table broadcasts."""
+    from jasminegraph_spark.pipeline import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.3, n_cells=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # centroids broadcast for assignment; the dup pair join keys on cell
+    assert "BroadcastExchange" in plan
