@@ -6528,6 +6528,81 @@ _GOPHER_STOP_SQL = " + ".join(
 
 
 @_q(
+    "pl_c4_rules",
+    r"""
+    WITH structured AS (
+        SELECT doc_id,
+               regexp_replace(text,
+                   '(\S+ \S+ \S+ \S+ \S+ \S+) ', '\1.' || chr(10), 'g')
+               || (CASE WHEN doc_id % 17 = 0
+                   THEN chr(10) || 'lorem ipsum dolor sit amet tonight.' ELSE '' END)
+               || (CASE WHEN doc_id % 13 = 0
+                   THEN chr(10) || 'var config = { mode: 1 }.' ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0
+                   THEN chr(10) || 'this page uses javascript for everything okay.'
+                   ELSE '' END) AS text
+        FROM documents
+    ), per AS (
+        SELECT doc_id, text,
+               string_split(text, chr(10)) AS lines,
+               list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(rtrim(x), '[.!?"]$')
+                        AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM structured WHERE len(trim(text)) > 0
+    ), sig AS (
+        SELECT doc_id,
+               CAST(len(lines) AS INT) AS n_lines,
+               CAST(len(kept) AS INT) AS n_kept_lines,
+               CAST(CASE WHEN len(array_to_string(kept, chr(10))) > 0
+                    THEN len(regexp_split_to_array(
+                             array_to_string(kept, chr(10)), '[.!?]')) - 1
+                    ELSE 0 END AS INT) AS n_sentences,
+               CAST(CASE WHEN len(trim(array_to_string(kept, chr(10)))) > 0
+                    THEN len(regexp_split_to_array(
+                             trim(array_to_string(kept, chr(10))), '\s+'))
+                    ELSE 0 END AS INT) AS kept_words,
+               CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+               CAST(contains(text, '{') AS INT) AS has_brace
+        FROM per
+    )
+    SELECT *,
+           CAST(has_lorem = 0 AND has_brace = 0 AND n_sentences >= 3 AS INT)
+               AS passes
+    FROM sig ORDER BY doc_id
+    """,
+)
+def pl_c4_rules(spark, sf_dir):
+    """C4 page-cleaning heuristics (Raffel et al. JMLR 2020 §2.2 —
+    pipeline/text.c4_rules) under the driver's hash check. The synthetic
+    corpus has no sentence structure, so the query first RESTRUCTURES it
+    deterministically — a period+newline after every 6th word, plus
+    lorem-ipsum / curly-brace / javascript lines injected on fixed id
+    residues — with the identical regexp in the DuckDB twin; then the
+    line filter (terminal punct + ≥5 words + no 'javascript'), sentence
+    floor, and boilerplate page-drops all produce exact integer signals
+    both engines hash-match. Zero shuffles; one narrow projection."""
+    from jasminegraph_spark.pipeline import c4_rules
+
+    docs = _read(spark, sf_dir, "documents")
+    t2 = F.concat(
+        F.regexp_replace(F.col("text"), r"(\S+ \S+ \S+ \S+ \S+ \S+) ", "$1.\n"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\nlorem ipsum dolor sit amet tonight."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0, F.lit("\nvar config = { mode: 1 }.")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nthis page uses javascript for everything okay."),
+        ).otherwise(F.lit("")),
+    )
+    return c4_rules(docs.select("doc_id", t2.alias("text"))).orderBy("doc_id")
+
+
+@_q(
     "pl_gopher_rules",
     f"""
     WITH base AS (
@@ -7505,6 +7580,8 @@ _PRIORITY = [
     "cy_write_roundtrip",
     "pl_png_decode",
     "an_node2vec_corpus",
+    "pl_semantic_dedup",
+    "pl_c4_rules",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",

@@ -418,3 +418,63 @@ def gopher_rules(
         & (F.col("n_stop_hits") >= 2)
     )
     return base.withColumn("passes", passes.cast("int"))
+
+
+def c4_rules(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The C4 line/page cleaning heuristics (Raffel et al., JMLR 2020
+    §2.2 — the other canonical pre-training corpus gate, complementing
+    :func:`gopher_rules`' document-statistics filter):
+
+     * LINE filter: keep only lines that end in terminal punctuation
+       (. ! ? "), contain >= 5 words, and don't mention "javascript"
+     * PAGE filter: drop pages containing "lorem ipsum" or a curly
+       brace '{' (boilerplate/code), or with < 3 sentences surviving
+       the line filter
+
+    Emits exact integer signals per document — n_lines, n_kept_lines,
+    n_sentences (terminal-punct count over the kept text), kept_words,
+    has_lorem, has_brace — and `passes`, all Catalyst expressions on a
+    single narrow projection: zero shuffles, bit-identical across
+    engines, hash-checkable against a SQL twin. (C4's corpus-level
+    three-sentence-span dedup is the separate corpus operator —
+    substring_duplicate_spans covers that family.)"""
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    kept = F.filter(
+        lines,
+        lambda ln: F.rtrim(ln).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= 5)
+        & ~F.lower(ln).contains("javascript"),
+    )
+    kept_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.split(kept_text, r"[.!?]")) - 1
+    has_lorem = F.lower(t).contains("lorem ipsum")
+    has_brace = t.contains("{")
+    base = docs.filter(F.length(F.trim(t)) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.when(F.length(kept_text) > 0, n_sentences)
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("n_sentences"),
+        F.when(
+            F.length(F.trim(kept_text)) > 0,
+            F.size(F.split(F.trim(kept_text), r"\s+")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept_words"),
+        has_lorem.cast("int").alias("has_lorem"),
+        has_brace.cast("int").alias("has_brace"),
+    )
+    passes = (
+        (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0)
+        & (F.col("n_sentences") >= 3)
+    )
+    return base.withColumn("passes", passes.cast("int"))

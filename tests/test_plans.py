@@ -458,3 +458,13 @@ def test_scc_rounds_are_equi_joins(q):
     equi-join/aggregate — no cartesian anywhere."""
     plan = _plan(q("an_scc"))
     assert "CartesianProduct" not in plan
+
+
+def test_c4_rules_single_scan_no_shuffle(q):
+    """C4 heuristics are one narrow projection over the documents scan —
+    no aggregation, no exchange except the final orderBy range
+    partitioning (mirrors test_gopher_rules_single_scan_no_shuffle)."""
+    plan = _plan(q("pl_c4_rules"))
+    assert plan.count("Scan parquet") == 1
+    body = plan.split("ReadSchema:")[0]
+    assert body.count("Exchange hashpartitioning") == 0

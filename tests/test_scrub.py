@@ -273,3 +273,37 @@ def test_bpe_train_matches_reference(spark):
         return n
 
     assert enc == {i: ref_encode(t) for i, t in enumerate(texts)}
+
+
+def test_c4_rules(spark):
+    """C4 line/page heuristics (Raffel et al. 2020 §2.2): terminal-punct
+    + >=5-word + no-javascript line filter; lorem-ipsum / curly-brace /
+    <3-sentence page drops — each rule pinned on a handcrafted doc."""
+    from jasminegraph_spark.pipeline import c4_rules
+
+    good = (
+        "this is a perfectly fine sentence one.\n"
+        "here is another sentence with enough words!\n"
+        'and a third one that ends with a quote?"\n'
+        "short line.\n"  # < 5 words → dropped by the line filter
+        "no terminal punctuation on this line at all"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + "\nlorem ipsum dolor sit amet consectetur."),
+            (3, good + "\nvar config = { mode: 1 }."),
+            (4, "only two sentences live here today fine.\nsecond full sentence sits right here now!"),
+            (5, "the javascript runtime is discussed here at length.\n" + good),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in c4_rules(docs).collect()}
+    assert out[1]["passes"] == 1
+    assert out[1]["n_lines"] == 5 and out[1]["n_kept_lines"] == 3
+    assert out[1]["n_sentences"] == 3
+    assert out[2]["passes"] == 0 and out[2]["has_lorem"] == 1
+    assert out[3]["passes"] == 0 and out[3]["has_brace"] == 1
+    assert out[4]["passes"] == 0 and out[4]["n_sentences"] == 2
+    # the javascript line is dropped but the page still passes on the rest
+    assert out[5]["passes"] == 1 and out[5]["n_kept_lines"] == 3
