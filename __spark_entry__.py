@@ -4212,11 +4212,17 @@ def an_harmonic_centrality(spark, sf_dir):
         UNION ALL
         SELECT 'flag_props', 0
         UNION ALL
+        SELECT 'merge_create_set', 1
+        UNION ALL
+        SELECT 'merge_err_set', 0
+        UNION ALL
+        SELECT 'merge_match_set', 1
+        UNION ALL
         SELECT 'flagged_label',
                (SELECT COUNT(*) FROM nation
                 WHERE n_regionkey = 0 AND n_name NOT IN ('NATION_3', 'NATION_0'))
         UNION ALL
-        SELECT 'hub_nodes', 3
+        SELECT 'hub_nodes', 4
         UNION ALL
         SELECT 'links_edges', 1
         UNION ALL
@@ -4288,6 +4294,18 @@ def cy_write_roundtrip(spark, sf_dir):
         rel_merge = "MERGE (a:Hub {name: 'Hub One'})-[:FEEDS]->(b:Hub {name: 'Hub Three'})"
         cypher_write(spark, gp, rel_merge)
         cypher_write(spark, gp, rel_merge)
+        # … conditional upsert: ON MATCH SET on an existing nation, ON
+        # CREATE SET through a miss (r6) …
+        cypher_write(
+            spark, gp,
+            "MERGE (n:Nation {name: 'NATION_1'}) ON CREATE SET n.err = 'x' "
+            "ON MATCH SET n.touched = '1'",
+        )
+        cypher_write(
+            spark, gp,
+            "MERGE (h:Hub {name: 'Hub Four'}) ON CREATE SET h.origin = 'merge' "
+            "ON MATCH SET h.err = 'x'",
+        )
         # … label SET over the flag='1' nations, property REMOVE, label REMOVE
         cypher_write(spark, gp, "MATCH (n:Nation) WHERE n.flag = '1' SET n:Flagged")
         cypher_write(spark, gp, "MATCH (n:Flagged) REMOVE n.flag")
@@ -4300,6 +4318,9 @@ def cy_write_roundtrip(spark, sf_dir):
             ("edges", g.edges.count()),
             ("feeds_edges", g.edges.filter(F.col("type") == "FEEDS").count()),
             ("flag_props", g.nodes.filter(F.col("properties")["flag"].isNotNull()).count()),
+            ("merge_create_set", g.nodes.filter(F.col("properties")["origin"] == "merge").count()),
+            ("merge_err_set", g.nodes.filter(F.col("properties")["err"].isNotNull()).count()),
+            ("merge_match_set", g.nodes.filter(F.col("properties")["touched"] == "1").count()),
             ("flagged_label", g.nodes.filter(F.col("label") == "Flagged").count()),
             ("hub_nodes", g.nodes.filter(F.col("label") == "Hub").count()),
             ("links_edges", g.edges.filter(F.col("type") == "LINKS").count()),

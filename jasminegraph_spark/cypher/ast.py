@@ -290,6 +290,10 @@ class DeleteClause:
 @dataclass
 class MergeClause:
     pattern: object = None  # single-node or (a)-[:T]->(b) PathPattern
+    # ON CREATE SET / ON MATCH SET property writes (SetItem lists);
+    # supported on the single-node form — the conditional-upsert idiom
+    on_create: list = field(default_factory=list)
+    on_match: list = field(default_factory=list)
 
 
 @dataclass

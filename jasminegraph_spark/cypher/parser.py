@@ -57,7 +57,7 @@ _KEYWORDS = {
     "DESC", "DESCENDING", "SKIP", "LIMIT", "AND", "OR", "XOR", "NOT", "IS",
     "NULL", "TRUE", "FALSE", "AS", "STARTS", "ENDS", "WITH", "CONTAINS", "IN",
     "OPTIONAL", "UNWIND", "SET", "REMOVE", "DELETE", "DETACH", "MERGE", "CASE", "WHEN", "THEN", "ELSE", "END",
-    "CALL", "YIELD", "UNION", "ALL",
+    "CALL", "YIELD", "UNION", "ALL", "ON",
 }
 
 _AGG_FUNCS = {"AVG", "COUNT", "SUM", "MIN", "MAX", "COLLECT"}
@@ -205,9 +205,26 @@ class _Parser:
         # write clauses (SET / [DETACH] DELETE / CREATE after MATCH;
         # MERGE standalone)
         if self.accept("KW", "MERGE"):
-            from jasminegraph_spark.cypher.ast import MergeClause
+            from jasminegraph_spark.cypher.ast import MergeClause, SetItem
 
-            q.write_clause = MergeClause(pattern=self.parse_path())
+            mc = MergeClause(pattern=self.parse_path())
+            # ON CREATE SET / ON MATCH SET conditional property writes
+            while self.accept("KW", "ON"):
+                created = bool(self.accept("KW", "CREATE"))
+                if not created:
+                    self.expect("KW", "MATCH")
+                self.expect("KW", "SET")
+                items = []
+                while True:
+                    var = self.expect("WORD")
+                    self.expect("PUNCT", ".")
+                    key = self.name()
+                    self.expect("OP", "=")
+                    items.append(SetItem(var, key, self.parse_literal().value))
+                    if not self.accept("PUNCT", ","):
+                        break
+                (mc.on_create if created else mc.on_match).extend(items)
+            q.write_clause = mc
             self.expect("EOF")
             return q
         if q.clauses and self.accept("KW", "CREATE"):

@@ -276,12 +276,17 @@ def _node_cond(node: ast.NodePattern):
     return cond
 
 
-def _create_merge_node(spark, graph_path: str, node: ast.NodePattern) -> str:
+def _create_merge_node(
+    spark, graph_path: str, node: ast.NodePattern, extra_props: dict | None = None
+) -> str:
     """Create a node for a MERGE miss by constructing the row DIRECTLY
     with the same content-hash id scheme cypher_create uses
     (compiler.py:874-882) — no generated-CREATE-text round-trip, so
     property values containing quotes/braces cannot inject into or break
-    the statement. Returns the new node id."""
+    the statement. The id derives from the MATCH pattern's label+props
+    only — ``extra_props`` (ON CREATE SET items) are applied after, so
+    the same MERGE pattern resolves to the same node regardless of its
+    ON CREATE payload. Returns the new node id."""
     import hashlib
 
     from jasminegraph_spark.graph import NODE_SCHEMA
@@ -291,6 +296,7 @@ def _create_merge_node(spark, graph_path: str, node: ast.NodePattern) -> str:
     if nid is None:
         basis = f"{sorted(node.labels)}|{sorted(props.items())}"
         nid = hashlib.md5(basis.encode()).hexdigest()[:16]
+    props.update({k: str(v) for k, v in (extra_props or {}).items()})
     spark.createDataFrame(
         [(nid, node.labels[0] if node.labels else None, props)], NODE_SCHEMA
     ).write.mode("append").parquet(f"{graph_path}/nodes")
@@ -310,6 +316,10 @@ def _merge_endpoint(spark, graph_path: str, g: PropertyGraph, node: ast.NodePatt
 
 def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dict:
     pattern = mc.pattern
+    if (mc.on_create or mc.on_match) and len(pattern.nodes) != 1:
+        raise CypherCompileError(
+            "ON CREATE/ON MATCH SET is supported on single-node MERGE"
+        )
     if len(pattern.nodes) == 2 and len(pattern.rels) == 1:
         # relationship upsert: MERGE (a ..)-[:T]->(b ..) — resolve/create
         # both endpoints, then create the typed edge iff absent
@@ -344,6 +354,36 @@ def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dic
     for k, v in node.props.items():
         cond = cond & (F.col("properties")[k] == str(v))
     if g.nodes.filter(cond).take(1):
-        return {"nodes_created": 0, "matched": True}
-    _create_merge_node(spark, graph_path, node)
-    return {"nodes_created": 1, "matched": False}
+        stats = {"nodes_created": 0, "matched": True}
+        if mc.on_match:
+            # ON MATCH SET applies to EVERY matched node (openCypher)
+            updates = {i.key: str(i.value) for i in mc.on_match}
+            upd_map = F.create_map(
+                *[x for k, v in updates.items() for x in (F.lit(k), F.lit(v))]
+            )
+            keys = list(updates)
+            updated = g.nodes.select(
+                "id",
+                "label",
+                F.when(
+                    cond,
+                    F.map_concat(
+                        F.map_filter(
+                            "properties", lambda k, v: ~k.isin(keys)
+                        ),
+                        upd_map,
+                    ),
+                )
+                .otherwise(F.col("properties"))
+                .alias("properties"),
+            )
+            stats["nodes_set"] = g.nodes.filter(cond).count()
+            _replace(updated, f"{graph_path}/nodes")
+        return stats
+    _create_merge_node(
+        spark, graph_path, node, {i.key: i.value for i in mc.on_create}
+    )
+    stats = {"nodes_created": 1, "matched": False}
+    if mc.on_create or mc.on_match:
+        stats["nodes_set"] = 1 if mc.on_create else 0
+    return stats

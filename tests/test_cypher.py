@@ -929,3 +929,52 @@ def test_pattern_comprehension(social):
         " size([(p)-[:FRIENDS]->(f) | f.name]) AS n ORDER BY name",
     ).collect()
     assert all(r["n"] == len(out[r["name"]]) for r in sized)
+
+
+def test_merge_on_create_on_match_set(spark, tmp_path):
+    """r6: MERGE ... ON CREATE SET / ON MATCH SET — the conditional
+    upsert idiom. The miss path applies only the ON CREATE items (after
+    the content-hash id derives from the MATCH pattern alone); the match
+    path applies ON MATCH to every matched node; plain MERGE keeps its
+    original stats shape."""
+    import pytest as _pt
+
+    from jasminegraph_spark.cypher.write import cypher_write
+
+    gp = str(tmp_path / "oc")
+    cypher_write(spark, gp, "CREATE (a:User {id: 'u1', name: 'Ann'})")
+    s1 = cypher_write(
+        spark, gp,
+        "MERGE (n:User {name: 'Ben'}) ON CREATE SET n.state = 'new', n.v = 1"
+        " ON MATCH SET n.state = 'seen'",
+    )
+    assert s1 == {"nodes_created": 1, "matched": False, "nodes_set": 1}
+
+    def ben():
+        rows = spark.read.parquet(f"{gp}/nodes").collect()
+        return dict(
+            [r for r in rows if dict(r["properties"]).get("name") == "Ben"][0][
+                "properties"
+            ]
+        )
+
+    assert ben()["state"] == "new" and ben()["v"] == "1"
+    s2 = cypher_write(
+        spark, gp,
+        "MERGE (n:User {name: 'Ben'}) ON CREATE SET n.state = 'new2'"
+        " ON MATCH SET n.state = 'seen', n.hits = 2",
+    )
+    assert s2 == {"nodes_created": 0, "matched": True, "nodes_set": 1}
+    p = ben()
+    assert p["state"] == "seen" and p["hits"] == "2" and p["v"] == "1"
+    # unchanged contract for plain MERGE
+    assert cypher_write(spark, gp, "MERGE (n:User {name: 'Ben'})") == {
+        "nodes_created": 0, "matched": True,
+    }
+    # relationship MERGE rejects the ON clauses loudly
+    with _pt.raises(Exception, match="single-node MERGE"):
+        cypher_write(
+            spark, gp,
+            "MERGE (a:User {name: 'Ann'})-[:F]->(b:User {name: 'Ben'})"
+            " ON CREATE SET a.x = 1",
+        )
