@@ -7204,6 +7204,103 @@ def pl_bpe_merges(spark, sf_dir):
 
 
 @_q(
+    "pl_kmeans_refine",
+    """
+    WITH cents0 AS (
+        SELECT vec_id AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              c.cv) DESC,
+                       c.cell ASC) AS rn
+            FROM embeddings e, cents0 c
+        ) WHERE rn = 1
+    ), dims AS (
+        SELECT a.cell, g.pos, CAST(e.embedding[g.pos] AS DOUBLE) AS x
+        FROM assign a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN generate_series(1, 64) g(pos) ON g.pos <= len(e.embedding)
+    ), means AS (
+        SELECT cell, pos, AVG(x) AS m FROM dims GROUP BY cell, pos
+    )
+    SELECT cell,
+           string_agg(printf('%.6f', ROUND(m, 6)), '|' ORDER BY pos) AS centroid
+    FROM means GROUP BY cell ORDER BY cell
+    """,
+)
+def pl_kmeans_refine(spark, sf_dir):
+    """One Lloyd round of the IVF coarse quantizer under the driver's
+    hash check (pipeline/similarity.kmeans_centroids, lloyd_iters=1 —
+    the k-means refinement FAISS trains its IVF codebook with, which
+    the pl_ivf_ann family uses at lloyd_iters=0): deterministic
+    lowest-id seeds → one broadcast argmax-cosine assignment pass → one
+    posexplode/groupBy per-dimension mean. The oracle replays the exact
+    round (argmax assignment + AVG per (cell, pos)); centroids emit as
+    '|'-joined %.6f strings per the driver float-parity rule."""
+    from jasminegraph_spark.pipeline.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(
+        _read(spark, sf_dir, "embeddings"), n_cells=8, lloyd_iters=1
+    )
+    return cents.select(
+        "cell",
+        F.array_join(
+            F.transform(
+                "cv", lambda x: F.format_string("%.6f", F.round(x, 6))
+            ),
+            "|",
+        ).alias("centroid"),
+    ).orderBy("cell")
+
+
+@_q(
+    "pl_bpe_encode",
+    r"""
+    WITH ws0 AS (
+        SELECT doc_id,
+               '  ' || trim(regexp_replace(
+                   array_to_string(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       '      '),
+                   '([^ ])', '\1  ', 'g')) || '  ' AS ws
+        FROM documents
+    ),
+    applied AS (
+        SELECT doc_id,
+               replace(replace(replace(replace(ws,
+                   ' t  h ', ' th '),
+                   ' th  e ', ' the '),
+                   ' b  a ', ' ba '),
+                   ' ba  t ', ' bat ') AS ws
+        FROM ws0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(ws), ' +')) AS INT) AS n_bpe_tokens
+    FROM applied ORDER BY doc_id
+    """,
+)
+def pl_bpe_encode(spark, sf_dir):
+    """BPE APPLICATION at corpus scale (pipeline/bpe.bpe_encode — the
+    other half of the tokenizer lifecycle, closing the train→encode
+    loop): a fixed rank-ordered merge list (t+h, th+e, b+a, ba+t)
+    applied as chained string replaces over the double-space symbol
+    encoding (the boundary invariant makes left-to-right replacement
+    exactly greedy BPE — see pipeline/bpe.py module docstring), emitting
+    per-document BPE token counts. Pure Catalyst expressions, zero
+    shuffles; the oracle replays the identical replace chain."""
+    from jasminegraph_spark.pipeline.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bpe_encode(docs, [("t", "h"), ("th", "e"), ("b", "a"), ("ba", "t")])
+    return out.select("doc_id", F.col("n_bpe_tokens").cast("int").alias("n_bpe_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+@_q(
     "pl_temperature_mixture",
     f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -7603,6 +7700,8 @@ _PRIORITY = [
     "an_node2vec_corpus",
     "pl_semantic_dedup",
     "pl_c4_rules",
+    "pl_bpe_encode",
+    "pl_kmeans_refine",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",
