@@ -7072,7 +7072,8 @@ def src_bucketed_expand(spark, sf_dir):
     ),
     mins AS (SELECT h FROM h WHERE h > 0 ORDER BY h LIMIT 128)
     SELECT COUNT(*) AS n_sampled,
-           printf('%.6f', (COUNT(*) - 1) / MAX(h)) AS est_distinct
+           printf('%.6f', CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+                               ELSE (COUNT(*) - 1) / MAX(h) END) AS est_distinct
     FROM mins
     """,
 )
@@ -7110,7 +7111,10 @@ def pl_kmv_distinct(spark, sf_dir):
     )
     SELECT CAST(region AS BIGINT) AS region,
            COUNT(*) AS n_kept,
-           printf('%.6f', (COUNT(*) - 1) / MAX(h)) AS est_distinct,
+           -- unsaturated sketch (n_kept < k) holds every distinct hash:
+           -- the exact count, not the (k-1)/h_k estimator (r6 ADVICE fix)
+           printf('%.6f', CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                               ELSE (COUNT(*) - 1) / MAX(h) END) AS est_distinct,
            string_agg(printf('%.6f', h), '|' ORDER BY h) AS sketch
     FROM kept WHERE rn <= 64
     GROUP BY region ORDER BY region

@@ -92,7 +92,11 @@ def kmv_distinct(
     mins = df.select(h.alias("h")).filter(F.col("h") > 0).distinct().orderBy("h").limit(k)
     return mins.agg(
         F.count("*").alias("n_sampled"),
-        ((F.count("*") - 1) / F.max("h")).alias(out_col),
+        # unsaturated sketch holds every distinct hash → exact count
+        # (mirrors kmv_sketch_by / kmv_merge_sketches)
+        F.when(F.count("*") < k, F.count("*").cast("double"))
+        .otherwise((F.count("*") - 1) / F.max("h"))
+        .alias(out_col),
     )
 
 

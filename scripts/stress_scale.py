@@ -184,6 +184,54 @@ def main() -> None:
         from jasminegraph_spark.analytics.components import maximal_independent_set
 
         step("mis", lambda: {"mis_size": maximal_independent_set(edges).count()})
+    if want("semantic_dedup"):
+        # round-6: SemDeDup at corpus scale — 2^(scale-2) synthetic
+        # 8-dim embeddings (xxhash64 grid), one planted identical twin
+        # per 100 ids; n_cells grows with the corpus so cell size stays
+        # ~512 and the within-cell quadratic work is bounded. The
+        # centroid-assignment window is WindowGroupLimit'd (top-1 per
+        # partition BEFORE the exchange), so the n×k score frame never
+        # crosses the shuffle.
+        from jasminegraph_spark.pipeline import semantic_dedup
+
+        def run_sem():
+            n = 1 << max(scale - 2, 12)
+            ids = spark.range(n).select(F.col("id").alias("vec_id"))
+            base = F.when(
+                (F.col("vec_id") % 100 == 1) & (F.col("vec_id") > 0),
+                F.col("vec_id") - 1,
+            ).otherwise(F.col("vec_id"))
+            vec = F.array(
+                *[
+                    (
+                        F.pmod(F.xxhash64(base, F.lit(d)), F.lit(1000)).cast("double")
+                        / 500.0
+                        - 1.0
+                    )
+                    for d in range(8)
+                ]
+            )
+            emb = ids.select("vec_id", vec.alias("embedding"))
+            n_cells = max(n // 512, 16)
+            out = semantic_dedup(emb, threshold=0.9999, n_cells=n_cells).persist()
+            dropped = out.filter(~F.col("keep")).count()
+            # every planted twin (id%100==1) must be dropped: identical
+            # vector, same cell, tie broken to the lower id
+            planted = (
+                out.filter((F.col("vec_id") % 100 == 1) & ~F.col("keep")).count()
+            )
+            expect = (n - 2 + 100) // 100  # ids ≡ 1 (mod 100), id>0
+            out.unpersist()
+            return {
+                "vectors": n,
+                "n_cells": n_cells,
+                "dropped": dropped,
+                "planted_expected": expect,
+                "planted_dropped": planted,
+                "planted_recall": round(planted / expect, 4),
+            }
+
+        step("semantic_dedup_planted", run_sem)
     if want("node2vec_corpus"):
         # round-6: the walk corpus at scale — R=2 biased walks per source
         # with the xxhash64 E-S draw (the scale path; md5 is the
