@@ -468,3 +468,38 @@ def test_c4_rules_single_scan_no_shuffle(q):
     assert plan.count("Scan parquet") == 1
     body = plan.split("ReadSchema:")[0]
     assert body.count("Exchange hashpartitioning") == 0
+
+
+def test_kmeans_assignment_broadcasts_centroids_and_group_limits(spark, sf_dir):
+    """The centroid-assignment pass (shared by kmeans_centroids Lloyd
+    rounds, ivf_assign, and semantic_dedup) must broadcast the centroid
+    table and reduce the n×k score frame with WindowGroupLimit BEFORE
+    the exchange (top-1 per partition map-side) — the property that
+    keeps assignment shuffle volume at O(n), not O(n×k). (The
+    pl_kmeans_refine row itself checkpoints via finalize, so the
+    assignment subplan is asserted here directly.)"""
+    from jasminegraph_spark.pipeline.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = _plan(ivf_assign(emb, n_cells=8))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_node2vec_corpus_no_cartesian(q):
+    """Every corpus step is an equi-join of walkers against the
+    persisted adjacency + an argmax aggregate — no cartesian, no BNLJ."""
+    plan = _plan(q("an_node2vec_corpus"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_png_decode_is_single_scan_arrow_stage(q):
+    """synthesize → decode is two chained mapInPandas stages over ONE
+    documents scan — payloads never shuffle."""
+    plan = _plan(q("pl_png_decode"))
+    assert plan.count("Scan parquet") == 1
+    body = plan.split("ReadSchema:")[0]
+    assert body.count("Exchange hashpartitioning") == 0
+    assert "MapInPandas" in plan
