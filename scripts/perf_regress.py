@@ -85,8 +85,9 @@ def main() -> None:
         )
     # persist the verdict table next to the ledger so SURVEY/judges can
     # cite attributable drifts instead of re-deriving them
-    out_path = os.path.join(REPO, "perf_ledger", "verdicts_latest.json")
-    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # NOT inside perf_ledger/ — that directory is a parquet dataset and a
+    # stray JSON file breaks PerfCatalog.history()'s scan
+    out_path = os.path.join(REPO, "perf_verdicts_latest.json")
     with open(out_path, "w") as fh:
         json.dump(
             {
