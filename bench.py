@@ -83,6 +83,17 @@ HEADLINE = [
     # incl. forest-derived WCC) is recorded in SCALE.md instead.
     "an_scc",
     "pl_substring_spans",
+    # round-6: SemDeDup (cluster + within-cell cosine dominance), real
+    # PNG decode (zlib inflate + unfilter in the Arrow stage), C4 rule
+    # filter (expression-only), Lloyd codebook round, BPE application.
+    # an_node2vec_corpus is deliberately NOT here — |V|·R walk corpora
+    # are a stress-harness measure (SCALE.md §node2vec), not a bench
+    # loop one (~31 s at sf0.1).
+    "pl_semantic_dedup",
+    "pl_png_decode",
+    "pl_c4_rules",
+    "pl_kmeans_refine",
+    "pl_bpe_encode",
 ]
 
 
