@@ -7304,6 +7304,79 @@ def pl_bpe_encode(spark, sf_dir):
     )
 
 
+
+@_q(
+    "pl_normalize_text",
+    """
+    WITH injected AS (
+        SELECT doc_id,
+               text || (CASE WHEN doc_id % 7 = 0
+                   THEN chr(9) || ' ' || chr(8216) || 'q' || chr(8217) || ' '
+                        || chr(8220) || 'd' || chr(8221) || ' ' || chr(8211)
+                        || ' e ' || chr(8212) || ' f ' || chr(8203) || 'z'
+                   ELSE '' END) AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(text,
+                   '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+                   '[' || chr(8216) || chr(8217) || ']', chr(39), 'g'),
+                   '[' || chr(8220) || chr(8221) || ']', chr(34), 'g'),
+                   '[' || chr(8211) || chr(8212) || ']', '-', 'g'),
+                   '[' || chr(0) || '-' || chr(31) || chr(127) || ']', ' ', 'g'),
+                   '[ ]+', ' ', 'g')) AS text_norm,
+           CAST(len(text) AS INT) AS orig_len,
+           CAST(len(trim(regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(text,
+                   '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+                   '[' || chr(8216) || chr(8217) || ']', chr(39), 'g'),
+                   '[' || chr(8220) || chr(8221) || ']', chr(34), 'g'),
+                   '[' || chr(8211) || chr(8212) || ']', '-', 'g'),
+                   '[' || chr(0) || '-' || chr(31) || chr(127) || ']', ' ', 'g'),
+                   '[ ]+', ' ', 'g'))) AS INT) AS norm_len,
+           CAST(trim(regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(
+               regexp_replace(text,
+                   '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+                   '[' || chr(8216) || chr(8217) || ']', chr(39), 'g'),
+                   '[' || chr(8220) || chr(8221) || ']', chr(34), 'g'),
+                   '[' || chr(8211) || chr(8212) || ']', '-', 'g'),
+                   '[' || chr(0) || '-' || chr(31) || chr(127) || ']', ' ', 'g'),
+                   '[ ]+', ' ', 'g')) <> text AS INT) AS changed
+    FROM injected ORDER BY doc_id
+    """,
+)
+def pl_normalize_text(spark, sf_dir):
+    """Deterministic text normalization (pipeline/text.normalize_text —
+    the standard pre-filter stage: control-char fold, zero-width strip,
+    curly-quote/dash ASCII folding, whitespace collapse) under the
+    driver's hash check. The synthetic corpus is already clean, so
+    unicode junk is appended on a fixed id residue with the identical
+    codepoints built via chr() in the DuckDB twin; the oracle replays
+    the exact regexp chain. Zero shuffles, one narrow projection."""
+    from jasminegraph_spark.pipeline import normalize_text
+
+    docs = _read(spark, sf_dir, "documents")
+    junk = "\t \u2018q\u2019 \u201cd\u201d \u2013 e \u2014 f \u200bz"
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(junk)).otherwise(F.lit("")),
+    )
+    return normalize_text(docs.select("doc_id", t2.alias("text"))).orderBy("doc_id")
+
+
 @_q(
     "pl_temperature_mixture",
     f"""

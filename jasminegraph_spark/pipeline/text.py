@@ -478,3 +478,34 @@ def c4_rules(
         & (F.col("n_sentences") >= 3)
     )
     return base.withColumn("passes", passes.cast("int"))
+
+
+def normalize_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text normalization — the standard first stage of a
+    pre-training pipeline (C4/Gopher/RefinedWeb all normalize before
+    filtering): strip control characters (tab/newline fold to spaces),
+    drop zero-width code points, fold curly quotes and en/em dashes to
+    ASCII, collapse runs of whitespace, trim. Pure Catalyst regexp
+    chain — zero shuffles, engine-reproducible byte-for-byte (the
+    regexes avoid Java-vs-RE2 dialect corners: explicit character
+    classes and literal alternations only). Returns (doc_id, text_norm,
+    orig_len, norm_len, changed)."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(t, "[\u200b\u200c\u200d\ufeff]", "")
+    norm = F.regexp_replace(norm, "[\u2018\u2019]", "'")
+    norm = F.regexp_replace(norm, "[\u201c\u201d]", '"')
+    norm = F.regexp_replace(norm, "[\u2013\u2014]", "-")
+    # control chars -> space (words separated by tab/newline stay apart)
+    norm = F.regexp_replace(norm, "[\u0000-\u001f\u007f]", " ")
+    norm = F.trim(F.regexp_replace(norm, "[ ]+", " "))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("text_norm"),
+        F.length(t).cast("int").alias("orig_len"),
+        F.length(norm).cast("int").alias("norm_len"),
+        (norm != t).cast("int").alias("changed"),
+    )

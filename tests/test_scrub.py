@@ -307,3 +307,27 @@ def test_c4_rules(spark):
     assert out[4]["passes"] == 0 and out[4]["n_sentences"] == 2
     # the javascript line is dropped but the page still passes on the rest
     assert out[5]["passes"] == 1 and out[5]["n_kept_lines"] == 3
+
+
+def test_normalize_text(spark):
+    """Normalization rules pinned: zero-width strip, curly-quote/dash
+    folding, control-char fold, whitespace collapse; clean text passes
+    through unchanged (changed=0)."""
+    from jasminegraph_spark.pipeline import normalize_text
+
+    rows = [
+        (1, "plain text stays identical"),
+        (2, "curly ‘quotes’ and “double” ones"),
+        (3, "tab\there\nnewline – dash — emdash"),
+        (4, "zero​width‌stuff﻿ gone   and   spaces"),
+    ]
+    out = {r["doc_id"]: r for r in normalize_text(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    ).collect()}
+    assert out[1]["text_norm"] == "plain text stays identical"
+    assert out[1]["changed"] == 0
+    assert out[2]["text_norm"] == "curly 'quotes' and \"double\" ones"
+    assert out[3]["text_norm"] == "tab here newline - dash - emdash"
+    assert out[4]["text_norm"] == "zerowidthstuff gone and spaces"
+    assert all(out[i]["changed"] == 1 for i in (2, 3, 4))
+    assert out[4]["orig_len"] > out[4]["norm_len"]
