@@ -7306,6 +7306,53 @@ def pl_bpe_encode(spark, sf_dir):
 
 
 @_q(
+    "pl_bigram_logprob",
+    r"""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS a
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, a[g.i] AS w1, a[g.i + 1] AS w2
+        FROM arr JOIN generate_series(1, 8192) g(i) ON g.i <= len(a) - 1
+    ),
+    cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
+    ca AS (SELECT w1, COUNT(*) AS c_a FROM bg GROUP BY 1),
+    v AS (
+        SELECT COUNT(DISTINCT tok) AS v FROM (
+            SELECT unnest(a) AS tok FROM arr
+        ) WHERE tok <> ''
+    )
+    SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+           printf('%.6f', AVG(ln((cab.c_ab + 0.5) / (ca.c_a + 0.5 * v.v))))
+               AS avg_logprob
+    FROM bg
+    JOIN cab ON cab.w1 = bg.w1 AND cab.w2 = bg.w2
+    JOIN ca ON ca.w1 = bg.w1
+    CROSS JOIN v
+    GROUP BY bg.doc_id ORDER BY bg.doc_id
+    """,
+)
+def pl_bigram_logprob(spark, sf_dir):
+    """Bigram perplexity proxy (pipeline/text.bigram_logprob — the rung
+    above unigram scoring on the KenLM-filter ladder): mean add-½
+    smoothed bigram log-probability under the corpus's own bigram
+    distribution. Bigrams extract in one array-transform pass (no
+    self-join), counts are two partial-agg groupBys, the score is two
+    hash joins + one doc aggregation; shuffled text scores below
+    natural text even with identical unigrams (pytest-pinned). %.6f
+    strings per the float-parity rule."""
+    from jasminegraph_spark.pipeline import bigram_logprob
+
+    out = bigram_logprob(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.format_string("%.6f", F.col("avg_logprob")).alias("avg_logprob"),
+    ).orderBy("doc_id")
+
+
+@_q(
     "pl_normalize_text",
     """
     WITH injected AS (
@@ -7779,6 +7826,8 @@ _PRIORITY = [
     "pl_c4_rules",
     "pl_bpe_encode",
     "pl_kmeans_refine",
+    "pl_normalize_text",
+    "pl_bigram_logprob",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",

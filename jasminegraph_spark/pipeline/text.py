@@ -509,3 +509,63 @@ def normalize_text(
         F.length(norm).cast("int").alias("norm_len"),
         (norm != t).cast("int").alias("changed"),
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+) -> DataFrame:
+    """Bigram perplexity-proxy (the next rung above
+    :func:`unigram_logprob` on the KenLM-filter ladder): the mean
+    add-k-smoothed bigram log-probability of each document under the
+    corpus's own bigram distribution,
+
+        ln P(b|a) = ln( (c(a,b) + k) / (c(a·) + k·V) )
+
+    with c(a·) the count of bigrams starting with ``a`` and V the
+    unigram vocabulary size. Formulaic/templated text scores high;
+    garbled or shuffled text scores very negative even when its
+    unigrams are common — the signal unigram scoring can't see.
+
+    One pass extracts bigrams per document (array transform + explode —
+    no self-join), two partial-agg groupBys build the count tables, and
+    the per-doc score is two hash joins + one doc-keyed aggregation.
+    All counts are exact integers; the score is a pure function of the
+    corpus, so a SQL twin replays it. Returns (doc_id, n_bigrams,
+    avg_logprob)."""
+    arr = F.split(F.trim(F.col(text_col)), r"\s+")
+    bg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(trim({t}), '\\\\s+')) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(split(trim({t}), '\\\\s+')) - 1), "
+                "i -> struct(split(trim({t}), '\\\\s+')[i - 1] AS w1, "
+                "            split(trim({t}), '\\\\s+')[i] AS w2)) END".format(t=text_col)
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    ca = bg.groupBy("w1").agg(F.count("*").alias("c_a"))
+    vocab = (
+        docs.select(F.explode(arr).alias("tok"))
+        .filter(F.col("tok") != "")
+        .agg(F.countDistinct("tok").alias("v"))
+    )
+    return (
+        bg.join(cab, ["w1", "w2"])
+        .join(ca, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    (F.col("c_ab") + F.lit(k))
+                    / (F.col("c_a") + F.lit(k) * F.col("v"))
+                )
+            ).alias("avg_logprob"),
+        )
+    )

@@ -331,3 +331,21 @@ def test_normalize_text(spark):
     assert out[4]["text_norm"] == "zerowidthstuff gone and spaces"
     assert all(out[i]["changed"] == 1 for i in (2, 3, 4))
     assert out[4]["orig_len"] > out[4]["norm_len"]
+
+
+def test_bigram_logprob_shuffled_below_natural(spark):
+    """The bigram score separates natural from shuffled text even when
+    unigram distributions are IDENTICAL — the signal unigram scoring
+    can't see; single-word docs produce no bigrams."""
+    from jasminegraph_spark.pipeline import bigram_logprob, unigram_logprob
+
+    # corpus dominated by the natural phrasing; one shuffled outlier
+    rows = [(i, "the cat sat on the mat") for i in range(1, 11)]
+    rows.append((11, "mat the on sat cat the"))  # same unigrams, shuffled
+    rows.append((12, "solo"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    bg = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert bg[1]["avg_logprob"] > bg[11]["avg_logprob"]
+    assert 12 not in bg  # no bigrams in a one-token doc
+    ug = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(docs).collect()}
+    assert abs(ug[1] - ug[11]) < 1e-9  # unigram scoring is blind to order
