@@ -7306,6 +7306,70 @@ def pl_bpe_encode(spark, sf_dir):
 
 
 @_q(
+    "cy_graph_integrity",
+    """
+    SELECT * FROM (
+        SELECT 'dangling_dst' AS rule,
+               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 = 0) AS violations
+        UNION ALL SELECT 'dangling_src', 0
+        UNION ALL SELECT 'dup_edge_ids', 0
+        UNION ALL
+        SELECT 'dup_node_ids',
+               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 7 = 3)
+        UNION ALL
+        -- null-label nodes duplicated by the dup rule count twice (rows,
+        -- not distinct ids — that's what the operator reports)
+        SELECT 'null_labels',
+               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 11 = 2)
+               + (SELECT COUNT(*) FROM nation
+                  WHERE n_nationkey % 11 = 2 AND n_nationkey % 7 = 3)
+        UNION ALL
+        -- the when-chain corrupts dangling BEFORE self-loop, so keys
+        -- hitting both residues are dangling, not loops
+        SELECT 'self_loops',
+               (SELECT COUNT(*) FROM nation
+                WHERE n_nationkey % 6 = 1 AND n_nationkey % 5 <> 0)
+    ) ORDER BY rule
+    """,
+)
+def cy_graph_integrity(spark, sf_dir):
+    """Graph hygiene validation (graph.graph_integrity_report — the
+    ingest-trust pass the reference's implicit-partition-file model
+    skips): a nation-derived graph is corrupted DETERMINISTICALLY —
+    ring edges whose dst is re-pointed off-graph on residue 0
+    (dangling), node rows duplicated on residue 3 (mod 7), labels
+    nulled on residue 2 (mod 11), self-loops injected on residue 1
+    (mod 6) — and every rule's violation count must match the residue
+    arithmetic the oracle computes. Anti-joins and partial-agg
+    groupBys on single columns; properties never read."""
+    from jasminegraph_spark.graph import PropertyGraph, graph_integrity_report
+
+    nat = _read(spark, sf_dir, "nation")
+    n = nat.count()
+    k = F.col("n_nationkey")
+    nodes = nat.select(
+        k.cast("string").alias("id"),
+        F.when(k % 11 == 2, F.lit(None)).otherwise(F.lit("Nation")).alias("label"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    dups = nodes.join(
+        nat.filter(k % 7 == 3).select(k.cast("string").alias("id")), "id", "left_semi"
+    )
+    edges = nat.select(
+        F.concat_ws("-", k, F.lit("e")).alias("id"),
+        k.cast("string").alias("src"),
+        F.when(k % 5 == 0, F.concat(F.lit("missing:"), k.cast("string")))
+        .when(k % 6 == 1, k.cast("string"))  # self-loop
+        .otherwise(((k + 1) % n).cast("string"))
+        .alias("dst"),
+        F.lit("NEXT").alias("type"),
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+    g = PropertyGraph(nodes=nodes.unionAll(dups), edges=edges)
+    return graph_integrity_report(g).orderBy("rule")
+
+
+@_q(
     "pl_bigram_logprob",
     r"""
     WITH arr AS (
@@ -7828,6 +7892,7 @@ _PRIORITY = [
     "pl_kmeans_refine",
     "pl_normalize_text",
     "pl_bigram_logprob",
+    "cy_graph_integrity",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",

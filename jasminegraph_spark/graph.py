@@ -203,3 +203,42 @@ class GraphCatalog:
             name=name,
         )
         return self.register(g)
+
+
+def graph_integrity_report(g: "PropertyGraph"):
+    """Graph hygiene check — the validation pass an `adgr`-style ingest
+    needs before analytics trust the store (the reference trusts its
+    partition files implicitly; a lake-backed graph can't): one row per
+    integrity rule with the violation count.
+
+     * dangling_src / dangling_dst — edges whose endpoint id has no node
+       row (left-anti join against the node ids)
+     * dup_node_ids / dup_edge_ids — ids appearing more than once
+     * null_labels — nodes with no label
+     * self_loops — src = dst (informational; legal but often a bug)
+
+    Each rule is an anti-join or partial-agg groupBy over one column —
+    no rule touches properties, so column pruning keeps the scans
+    narrow. Returns (rule string, violations long), deterministic and
+    SQL-replayable."""
+    from pyspark.sql import functions as F
+
+    ids = g.nodes.select("id")
+    spark = g.nodes.sparkSession
+
+    def cnt_dup(df, col):
+        return (
+            df.groupBy(col).agg(F.count("*").alias("n")).filter(F.col("n") > 1).count()
+        )
+
+    rows = [
+        ("dangling_dst", g.edges.select(F.col("dst").alias("id")).join(ids, "id", "left_anti").count()),
+        ("dangling_src", g.edges.select(F.col("src").alias("id")).join(ids, "id", "left_anti").count()),
+        ("dup_edge_ids", cnt_dup(g.edges, "id")),
+        ("dup_node_ids", cnt_dup(g.nodes, "id")),
+        ("null_labels", g.nodes.filter(F.col("label").isNull()).count()),
+        ("self_loops", g.edges.filter(F.col("src") == F.col("dst")).count()),
+    ]
+    return spark.createDataFrame(
+        [(r, int(v)) for r, v in rows], "rule string, violations long"
+    )

@@ -442,3 +442,45 @@ def test_graphml_import_roundtrip(spark, tmp_path):
     out2 = str(tmp_path / "gml2")
     export_graphml(g2, out2)
     assert not read_graphml(spark, out2).is_directed
+
+
+def test_graph_integrity_report_clean_and_corrupt(spark):
+    """Integrity rules: a clean graph reports all-zero; each corruption
+    is counted by exactly its rule."""
+    from jasminegraph_spark.graph import (
+        EDGE_SCHEMA,
+        NODE_SCHEMA,
+        PropertyGraph,
+        graph_integrity_report,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a", "L", {}), ("b", "L", {}), ("c", None, {})], NODE_SCHEMA
+    )
+    edges = spark.createDataFrame(
+        [
+            ("e1", "a", "b", "T", {}),
+            ("e2", "b", "ghost", "T", {}),  # dangling dst
+            ("e2", "c", "c", "T", {}),  # dup edge id + self loop
+        ],
+        EDGE_SCHEMA,
+    )
+    rep = {
+        r["rule"]: r["violations"]
+        for r in graph_integrity_report(PropertyGraph(nodes=nodes, edges=edges)).collect()
+    }
+    assert rep == {
+        "dangling_dst": 1,
+        "dangling_src": 0,
+        "dup_edge_ids": 1,
+        "dup_node_ids": 0,
+        "null_labels": 1,
+        "self_loops": 1,
+    }
+    clean = PropertyGraph(
+        nodes=spark.createDataFrame([("a", "L", {}), ("b", "L", {})], NODE_SCHEMA),
+        edges=spark.createDataFrame([("e1", "a", "b", "T", {})], EDGE_SCHEMA),
+    )
+    assert all(
+        r["violations"] == 0 for r in graph_integrity_report(clean).collect()
+    )
