@@ -94,6 +94,7 @@ HEADLINE = [
     "pl_c4_rules",
     "pl_kmeans_refine",
     "pl_bpe_encode",
+    "pl_bigram_logprob",
 ]
 
 
