@@ -1076,3 +1076,70 @@ def maximal_independent_set(
     for part in mis_parts[1:]:
         out = out.unionAll(part)
     return checkpoint(out)
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    max_colors: int = 30,
+) -> DataFrame:
+    """Distributed greedy graph coloring by ITERATED MIS — Luby's
+    classic application (each round's maximal independent set takes the
+    next color and leaves the graph): a proper coloring in ≤ Δ+1 colors,
+    deterministic end-to-end because the MIS priorities are md5 hashes.
+    Coloring is the conflict-partitioning primitive (parallel mutation
+    batches, schedule slots); the reference has no coloring command —
+    a bonus primitive on the same deterministic-MIS foundation.
+
+    Round c: nodes with NO surviving uncolored neighbor are isolated —
+    every neighbor wears a color < c, so c is safe for them; the MIS of
+    the surviving subgraph joins them. Uncolored nodes and surviving
+    edges then shrink by a left-anti / left-semi pass. Raises if
+    ``max_colors`` exhausts with nodes remaining (a too-small cap must
+    not yield a silent partial coloring). Returns (node, color)."""
+    from jasminegraph_spark.cache import checkpoint
+
+    und = canonical_undirected(edges)
+    uncolored = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .distinct()
+        .transform(checkpoint)
+    )
+    remaining = und
+    parts: list[DataFrame] = []
+    for color in range(max_colors):
+        if not uncolored.take(1):
+            break
+        touched = (
+            remaining.select(F.col("a").alias("node"))
+            .unionAll(remaining.select(F.col("b").alias("node")))
+            .distinct()
+        )
+        isolated = uncolored.join(touched, "node", "left_anti")
+        if remaining.take(1):
+            mis = maximal_independent_set(
+                remaining.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            )
+            colored = mis.select("node").unionAll(isolated).transform(checkpoint)
+        else:
+            colored = isolated.transform(checkpoint)
+        parts.append(colored.select("node", F.lit(color).alias("color")))
+        uncolored = uncolored.join(colored, "node", "left_anti").transform(checkpoint)
+        keep_a = uncolored.withColumnRenamed("node", "a")
+        keep_b = uncolored.withColumnRenamed("node", "b")
+        remaining = (
+            remaining.join(keep_a, "a", "left_semi")
+            .join(keep_b, "b", "left_semi")
+            .select("a", "b")
+            .transform(checkpoint)
+        )
+    else:
+        if uncolored.take(1):
+            raise RuntimeError(
+                f"coloring did not finish within max_colors={max_colors}; "
+                "raise the cap (Delta+1 always suffices)"
+            )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out

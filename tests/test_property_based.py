@@ -590,3 +590,28 @@ def test_bpe_batched_deterministic_and_disjoint_per_round(spark):
     # round 1: (a,b) freq 11 taken; (b,c) shares b → deferred
     assert m1[0] == (1, "a", "b")
     assert m1[1][0] == 2  # second merge exists, from a later round
+
+
+@settings(max_examples=8, deadline=None)
+@given(edge_lists)
+def test_greedy_coloring_proper_and_deterministic(spark, edges):
+    """Iterated-MIS coloring invariants on arbitrary small graphs:
+    proper (no edge monochromatic), complete (every non-self-loop node
+    colored), bounded by Δ+1, and deterministic."""
+    from jasminegraph_spark.analytics import greedy_coloring
+
+    und = {(a, b) for a, b in _canon(edges) if a != b}
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), ["src", "dst"])
+    got = {r["node"]: r["color"] for r in greedy_coloring(df).collect()}
+    nodes = {v for e in und for v in e}
+    assert set(got) == nodes
+    assert all(got[a] != got[b] for a, b in und)
+    deg = {v: 0 for v in nodes}
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(got.values()) <= max(deg.values())  # ≤ Δ+1 colors (0-based)
+    again = {r["node"]: r["color"] for r in greedy_coloring(df).collect()}
+    assert again == got
