@@ -80,7 +80,7 @@ def main() -> None:
             verdict = "noise"
         verdicts[name] = verdict
         print(
-            f"  {verdict:9s}{name}: {sec}s vs p50 {p50:.2f}s "
+            f"  {verdict:10s}{name}: {sec}s vs p50 {p50:.2f}s "
             f"({ratio:.2f}x, band ±{band:.0%}, median {medians.get(name, '—')})"
         )
     # persist the verdict table next to the ledger so SURVEY/judges can
