@@ -7305,6 +7305,101 @@ def pl_bpe_encode(spark, sf_dir):
 
 
 
+
+def _coloring_oracle(colors: int = 6, rounds: int = 8) -> str:
+    """Iterated-MIS greedy coloring unrolled color-by-color, round-by-
+    round on the 25-node nation circulant (ring + skip-2 chords): per
+    color, nodes isolated among the uncolored join the deterministic
+    Luby MIS of the surviving subgraph (same md5-priority recurrence as
+    _mis_oracle); post-fixpoint rounds and colors are identity on empty
+    sets."""
+    sql = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM nation),
+    base AS (
+        SELECT n_nationkey AS src, (n_nationkey + 1) % nn.n AS dst FROM nation, nn
+        UNION ALL
+        SELECT n_nationkey, (n_nationkey + 2) % nn.n FROM nation, nn
+    ),
+    adj AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM base
+            UNION ALL SELECT dst, src FROM base)
+    ),
+    u0 AS (SELECT DISTINCT u AS node FROM adj)
+    """
+    for c in range(colors):
+        sql += f"""
+    , t{c} AS MATERIALIZED (
+        SELECT DISTINCT a.u AS node FROM adj a
+        JOIN u{c} x ON x.node = a.u JOIN u{c} y ON y.node = a.v
+    ),
+    iso{c} AS (SELECT node FROM u{c} EXCEPT SELECT node FROM t{c}),
+    c{c}r0 AS (SELECT node FROM t{c})"""
+        for i in range(rounds):
+            sql += f"""
+    , c{c}nm{i} AS MATERIALIZED (
+        SELECT a.u, MIN(md5(CAST(a.v AS VARCHAR))) AS m
+        FROM adj a
+        JOIN c{c}r{i} x ON x.node = a.u
+        JOIN c{c}r{i} y ON y.node = a.v
+        GROUP BY a.u
+    ),
+    c{c}w{i} AS MATERIALIZED (
+        SELECT r.node FROM c{c}r{i} r LEFT JOIN c{c}nm{i} n ON n.u = r.node
+        WHERE md5(CAST(r.node AS VARCHAR)) < COALESCE(n.m, 'g')
+    ),
+    c{c}r{i + 1} AS MATERIALIZED (
+        SELECT r.node FROM c{c}r{i} r
+        WHERE r.node NOT IN (SELECT node FROM c{c}w{i})
+          AND r.node NOT IN (
+              SELECT a.u FROM adj a JOIN c{c}w{i} w ON w.node = a.v)
+    )"""
+        wunion = " UNION ALL ".join(
+            f"SELECT node FROM c{c}w{i}" for i in range(rounds)
+        )
+        sql += f"""
+    , col{c} AS MATERIALIZED (
+        SELECT node FROM ({wunion}) UNION ALL SELECT node FROM iso{c}
+    ),
+    u{c + 1} AS MATERIALIZED (
+        SELECT node FROM u{c} EXCEPT SELECT node FROM col{c}
+    )"""
+    parts = " UNION ALL ".join(
+        f"SELECT CAST(node AS BIGINT) AS node, {c} AS color FROM col{c}"
+        for c in range(colors)
+    )
+    sql += (
+        f"\n    SELECT node, CAST(color AS INT) AS color FROM ({parts})"
+        " ORDER BY node"
+    )
+    return sql
+
+
+@_q("an_coloring", _coloring_oracle(6, 8))
+def an_coloring(spark, sf_dir):
+    """Greedy graph coloring by iterated deterministic MIS
+    (components.greedy_coloring — Luby's conflict-partitioning
+    application) on the fixed 25-node nation circulant (ring + skip-2
+    chords; nation is a constant-size dimension at every SF, so the
+    nested colors × rounds oracle stays cheap). Each color = that
+    round's md5-priority MIS plus the nodes isolated among the
+    uncolored; the oracle unrolls the identical recurrence color by
+    color. Properness/completeness/Δ+1/determinism are property-tested
+    on arbitrary graphs (tests/test_property_based.py)."""
+    from jasminegraph_spark.analytics import greedy_coloring
+
+    nat = _read(spark, sf_dir, "nation")
+    n = nat.count()
+    k = F.col("n_nationkey")
+    edges = nat.select(k.alias("src"), ((k + 1) % n).alias("dst")).unionAll(
+        nat.select(k.alias("src"), ((k + 2) % n).alias("dst"))
+    )
+    out = greedy_coloring(edges, max_colors=6)
+    return out.select(
+        F.col("node").cast("long"), F.col("color").cast("int")
+    ).orderBy("node")
+
+
 @_q(
     "cy_graph_integrity",
     """
@@ -7893,6 +7988,7 @@ _PRIORITY = [
     "pl_normalize_text",
     "pl_bigram_logprob",
     "cy_graph_integrity",
+    "an_coloring",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",
