@@ -7306,6 +7306,94 @@ def pl_bpe_encode(spark, sf_dir):
 
 
 
+
+def _inc_wcc_oracle(iterations: int = 20) -> str:
+    """From-scratch WCC of each md5-prefix edge set, unrolled hash-min
+    (same recurrence as _cc_oracle), aggregated to the per-batch summary
+    the incremental tracker must reproduce exactly."""
+    sql = CO_ORDER_CTE + """
+    , tagged AS MATERIALIZED (
+        SELECT src, dst,
+               substring(md5(CAST(src AS VARCHAR) || '|' ||
+                             CAST(dst AS VARCHAR)), 1, 1) AS h
+        FROM co_edges
+    )"""
+    summaries = []
+    for batch_no, hi in ((1, "'4'"), (2, "'8'"), (3, "'c'"), (4, None)):
+        cond = f"WHERE h < {hi}" if hi else ""
+        sql += f"""
+    , p{batch_no} AS MATERIALIZED (SELECT src, dst FROM tagged {cond}),
+    a{batch_no} AS MATERIALIZED (
+        SELECT src AS u, dst AS v FROM p{batch_no}
+        UNION ALL SELECT dst, src FROM p{batch_no}
+        UNION ALL SELECT DISTINCT src, src FROM p{batch_no}
+        UNION ALL SELECT DISTINCT dst, dst FROM p{batch_no}
+    ),
+    b{batch_no}l0 AS (SELECT DISTINCT u AS node, u AS component FROM a{batch_no})"""
+        for i in range(iterations):
+            sql += f"""
+    , b{batch_no}l{i + 1} AS (
+        SELECT a.u AS node, MIN(l.component) AS component
+        FROM a{batch_no} a JOIN b{batch_no}l{i} l ON l.node = a.v GROUP BY a.u
+    )"""
+        summaries.append(
+            f"SELECT {batch_no} AS batch_no, COUNT(*) AS n_nodes, "
+            f"CAST(COUNT(DISTINCT component) AS BIGINT) AS n_components, "
+            f"CAST(SUM(component) AS BIGINT) AS label_sum "
+            f"FROM b{batch_no}l{iterations}"
+        )
+    sql += "\n    " + " UNION ALL ".join(summaries) + " ORDER BY batch_no"
+    return sql
+
+
+@_q("st_incremental_wcc", _inc_wcc_oracle(20))
+def st_incremental_wcc(spark, sf_dir):
+    """Incremental WCC driver row — the `strian` contract applied to
+    components (streaming/ingest.StreamingComponentTracker): co-order
+    edges arrive as 4 deterministic md5-ranged batches; each batch does
+    FRONTIER work only (new edges seed changed labels, each round joins
+    just the changed set against the accumulated adjacency), yet after
+    every batch the label table must equal the from-scratch WCC of the
+    prefix graph — hash-checked here as (n_nodes, n_components,
+    label_sum) per batch against DuckDB's unrolled hash-min recount of
+    each prefix. The hash-min fixpoint (min reachable id) is unique, so
+    warm-start equivalence is exact, not approximate."""
+    import shutil
+    import tempfile
+
+    from jasminegraph_spark.streaming.ingest import StreamingComponentTracker
+
+    e = co_order_edges(spark, sf_dir).withColumn(
+        "_h", F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1)
+    )
+    state = tempfile.mkdtemp(prefix="jgs_iwcc_")
+    rows = []
+    try:
+        t = StreamingComponentTracker(spark, state)
+        for batch_no, (lo, hi) in enumerate(
+            [(None, "4"), ("4", "8"), ("8", "c"), ("c", None)], start=1
+        ):
+            cond = F.lit(True)
+            if lo is not None:
+                cond = cond & (F.col("_h") >= lo)
+            if hi is not None:
+                cond = cond & (F.col("_h") < hi)
+            labels = t.process_batch(e.filter(cond).select("src", "dst"), batch_no)
+            agg = labels.agg(
+                F.count("*").alias("n_nodes"),
+                F.countDistinct("component").cast("long").alias("n_components"),
+                F.sum("component").cast("long").alias("label_sum"),
+            ).collect()[0]
+            rows.append(
+                (batch_no, int(agg["n_nodes"]), int(agg["n_components"]), int(agg["label_sum"]))
+            )
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "batch_no int, n_nodes long, n_components long, label_sum long"
+    )
+
+
 def _coloring_oracle(colors: int = 6, rounds: int = 8) -> str:
     """Iterated-MIS greedy coloring unrolled color-by-color, round-by-
     round on the 25-node nation circulant (ring + skip-2 chords): per
@@ -7989,6 +8077,7 @@ _PRIORITY = [
     "pl_bigram_logprob",
     "cy_graph_integrity",
     "an_coloring",
+    "st_incremental_wcc",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",

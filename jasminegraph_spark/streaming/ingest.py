@@ -240,3 +240,104 @@ class StreamingTriangleCounter:
         batch_edges.write.mode("append").parquet(self.state_path)
         self._has_state = True
         return self.total
+
+
+class StreamingComponentTracker:
+    """Incremental weakly-connected components over edge batches — the
+    WCC twin of the `strian` loop (reference keeps per-partition stores
+    the same way; here the state is an accumulated edge parquet + the
+    current label table). Per batch the tracker does FRONTIER work, not
+    a recount: new edges seed a changed-label set (the min of their
+    endpoints' labels), and each propagation round joins ONLY the
+    changed frontier against the accumulated adjacency — cost
+    O(edges incident to the frontier) per round, rounds bounded by the
+    diameter of the newly merged region. Warm labels are valid upper
+    bounds, and hash-min flooding from the frontier reaches every node
+    of a merged component, so after each batch the labels equal the
+    from-scratch WCC of the prefix graph EXACTLY (the fixpoint — min
+    reachable node id — is unique; the driver row hash-checks every
+    prefix against an unrolled SQL recount). Raises if ``max_rounds``
+    exhausts while labels still shrink."""
+
+    def __init__(self, spark: SparkSession, state_path: str, max_rounds: int = 60):
+        self.spark = spark
+        self.state_path = state_path
+        self.max_rounds = max_rounds
+        self._labels: DataFrame | None = None
+
+    def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> DataFrame:
+        from jasminegraph_spark.cache import checkpoint
+
+        e = batch_edges.select("src", "dst")
+        edge_path = f"{self.state_path}/edges"
+        e.write.mode("append").parquet(edge_path)
+        all_e = self.spark.read.parquet(edge_path)
+        adj = all_e.unionAll(
+            all_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).select(F.col("src").alias("u"), F.col("dst").alias("v"))
+
+        labels = self._labels
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionAll(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        if labels is None:
+            labels = nodes.withColumn("component", F.col("node"))
+        else:
+            labels = (
+                labels.unionByName(
+                    nodes.join(labels, "node", "left_anti").withColumn(
+                        "component", F.col("node")
+                    )
+                )
+            )
+        labels = checkpoint(labels)
+        # frontier seed: endpoints of the NEW edges take the min of the
+        # two endpoint labels; only rows whose label shrinks enter
+        ends = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        la = labels.withColumnRenamed("node", "a").withColumnRenamed("component", "ca")
+        lb = labels.withColumnRenamed("node", "b").withColumnRenamed("component", "cb")
+        seeded = ends.join(la, "a").join(lb, "b").select(
+            F.col("a").alias("node"), F.least("ca", "cb").alias("cand")
+        ).unionAll(
+            ends.join(la, "a").join(lb, "b").select(
+                F.col("b").alias("node"), F.least("ca", "cb").alias("cand")
+            )
+        ).groupBy("node").agg(F.min("cand").alias("cand"))
+        changed = (
+            seeded.join(labels, "node")
+            .filter(F.col("cand") < F.col("component"))
+            .select("node", F.col("cand").alias("component"))
+            .transform(checkpoint)
+        )
+        rounds = 0
+        while changed.take(1):
+            if rounds >= self.max_rounds:
+                raise RuntimeError(
+                    f"incremental WCC did not converge within "
+                    f"max_rounds={self.max_rounds}; labels still shrinking"
+                )
+            labels = checkpoint(
+                labels.join(changed.withColumnRenamed("component", "nc"), "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("component"), F.coalesce("nc", F.col("component"))).alias(
+                        "component"
+                    ),
+                )
+            )
+            nbr = (
+                adj.join(changed.withColumnRenamed("node", "u"), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("component").alias("cand"))
+            )
+            changed = (
+                nbr.join(labels, "node")
+                .filter(F.col("cand") < F.col("component"))
+                .select("node", F.col("cand").alias("component"))
+                .transform(checkpoint)
+            )
+            rounds += 1
+        self._labels = labels
+        return labels

@@ -481,3 +481,48 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == batch
     assert (1, m(0), m(60)) in got  # inclusive upper bound
     assert not any(u == 3 for u, _, _ in got)
+
+
+def test_incremental_wcc_equals_from_scratch_per_prefix(spark, tmp_path):
+    """The component tracker's labels after every batch equal the
+    from-scratch WCC of the prefix edge set exactly — merges across
+    batches, brand-new nodes mid-stream, and a final all-merge."""
+    from jasminegraph_spark.analytics import connected_components
+    from jasminegraph_spark.streaming.ingest import StreamingComponentTracker
+
+    t = StreamingComponentTracker(spark, str(tmp_path / "iwcc"))
+    batches = [
+        [(1, 2), (3, 4), (5, 6)],
+        [(2, 3)],
+        [(7, 8), (6, 7)],
+        [(4, 5)],
+    ]
+    acc = []
+    for i, b in enumerate(batches):
+        acc += b
+        lab = {
+            r["node"]: r["component"]
+            for r in t.process_batch(
+                spark.createDataFrame(b, "src long, dst long"), i
+            ).collect()
+        }
+        full = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(acc, "src long, dst long")
+            ).collect()
+        }
+        assert lab == full
+
+
+def test_incremental_wcc_round_budget_raises(spark, tmp_path):
+    """A path long enough that flooding can't finish inside max_rounds
+    must RAISE, never return partial labels."""
+    import pytest as _pt
+
+    from jasminegraph_spark.streaming.ingest import StreamingComponentTracker
+
+    t = StreamingComponentTracker(spark, str(tmp_path / "iwcc2"), max_rounds=2)
+    path = [(i, i + 1) for i in range(12)]
+    with _pt.raises(RuntimeError, match="did not converge"):
+        t.process_batch(spark.createDataFrame(path, "src long, dst long"), 0)
