@@ -117,11 +117,25 @@ def main() -> None:
     # cannot attribute <25% drifts; three samples plus the median let
     # perf_regress.py classify improved/noise/regressed per query
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # soft wall budget: min-of-3 across 44 headliners is ~3× the r5 wall;
+    # rather than risk an external timeout losing the whole round's bench,
+    # degrade to fewer warm runs for the REMAINING queries once 60%/85% of
+    # the budget is spent (recorded per query in the variance metadata —
+    # a degraded sample count is visible, never silent)
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "1200"))
     import statistics
 
+    bench_t0 = time.perf_counter()
     medians: dict[str, float] = {}
     spread: dict[str, float] = {}
+    runs_used: dict[str, int] = {}
     for name in HEADLINE:
+        elapsed = time.perf_counter() - bench_t0
+        eff_runs = max(1, runs)
+        if elapsed > 0.85 * budget:
+            eff_runs = 1
+        elif elapsed > 0.60 * budget:
+            eff_runs = min(eff_runs, 2)
         # first run pays whole-stage-codegen (Janino) compilation — constant
         # JVM warmup, not data cost; steady state is the engine comparison.
         # Caches are cleared between runs so data work is NOT reused.
@@ -129,7 +143,7 @@ def main() -> None:
             cold[name] = round(run_once(name), 3)
             spark.catalog.clearCache()
         samples = []
-        for _ in range(max(1, runs)):
+        for _ in range(eff_runs):
             # warm number = MIN of the timed runs: single warm samples on a
             # shared box jitter ±20% (GC, page cache); the minimum is the
             # standard low-noise estimator of the engine's actual cost
@@ -140,6 +154,7 @@ def main() -> None:
         # relative sample spread — the per-query noise band a regression
         # verdict must clear before it's attributable
         spread[name] = round((max(samples) - min(samples)) / max(medians[name], 1e-9), 3)
+        runs_used[name] = eff_runs
     total = round(sum(timings.values()), 3)
 
     # per-query ledger (PerfCatalog = the reference's perfdb): every run
@@ -163,7 +178,12 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "median_queries": medians,
-                "variance": {"runs_per_query": runs, "estimator": "min", "spread": spread},
+                "variance": {
+                    "runs_per_query": runs,
+                    "runs_used": runs_used,
+                    "estimator": "min",
+                    "spread": spread,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
