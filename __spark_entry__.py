@@ -7672,6 +7672,62 @@ def pl_normalize_text(spark, sf_dir):
 
 
 @_q(
+    "pl_bpe_fertility",
+    r"""
+    WITH ws0 AS (
+        SELECT doc_id, lang, len(text) AS n_chars,
+               '  ' || trim(regexp_replace(
+                   array_to_string(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       '      '),
+                   '([^ ])', '\1  ', 'g')) || '  ' AS ws
+        FROM documents
+    ),
+    applied AS (
+        SELECT doc_id, lang, n_chars,
+               len(regexp_split_to_array(trim(
+                   replace(replace(replace(replace(ws,
+                       ' t  h ', ' th '),
+                       ' th  e ', ' the '),
+                       ' b  a ', ' ba '),
+                       ' ba  t ', ' bat ')), ' +')) AS n_tok
+        FROM ws0
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           printf('%.6f', CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tok))
+               AS chars_per_token
+    FROM applied GROUP BY lang ORDER BY lang
+    """,
+)
+def pl_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY by language (chars per BPE token — the
+    standard metric for how well a merge list fits each language's
+    corpus; multilingual pipelines tune vocab allocations on exactly
+    this table): documents encode under the fixed rank-ordered merge
+    list (same chain as pl_bpe_encode), then chars/tokens aggregate per
+    language. One expression-only encode pass + one partial-agg
+    groupBy; the oracle replays the identical chain."""
+    from jasminegraph_spark.pipeline.bpe import bpe_encode
+
+    docs = _read(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, [("t", "h"), ("th", "e"), ("b", "a"), ("ba", "t")])
+    return (
+        enc.join(docs.select("doc_id", "lang", F.length("text").alias("n_chars")), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("sum_tokens"),
+            F.format_string(
+                "%.6f",
+                F.sum("n_chars").cast("double") / F.sum("n_bpe_tokens"),
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_q(
     "pl_temperature_mixture",
     f"""
     WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
@@ -8078,6 +8134,7 @@ _PRIORITY = [
     "cy_graph_integrity",
     "an_coloring",
     "st_incremental_wcc",
+    "pl_bpe_fertility",
     # --- stalest (latest driver row r01) ---
     "an_pagerank",
     "pl_minhash_lsh",
