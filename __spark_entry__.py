@@ -7560,8 +7560,15 @@ def cy_graph_integrity(spark, sf_dir):
         FROM documents
     ),
     bg AS (
-        SELECT doc_id, a[g.i] AS w1, a[g.i + 1] AS w2
-        FROM arr JOIN generate_series(1, 8192) g(i) ON g.i <= len(a) - 1
+        -- index-lambda extraction: unbounded like the Spark transform
+        -- (the old generate_series(1, 8192) form silently capped docs
+        -- longer than 8193 tokens, against the no-silent-caps rule)
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+            SELECT doc_id,
+                   unnest(list_transform(a[1:len(a) - 1],
+                          (x, i) -> struct_pack(w1 := x, w2 := a[i + 1]))) AS u
+            FROM arr
+        )
     ),
     cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bg GROUP BY 1, 2),
     ca AS (SELECT w1, COUNT(*) AS c_a FROM bg GROUP BY 1),

@@ -1139,6 +1139,8 @@ def greedy_coloring(
                 f"coloring did not finish within max_colors={max_colors}; "
                 "raise the cap (Delta+1 always suffices)"
             )
+    if not parts:  # empty edge frame → no nodes, correctly-typed empty
+        return uncolored.select("node", F.lit(0).alias("color")).limit(0)
     out = parts[0]
     for p_ in parts[1:]:
         out = out.unionAll(p_)

@@ -580,17 +580,14 @@ def walk_cooccurrence_pmi(walks: DataFrame, window: int = 2) -> DataFrame:
     1-row total. Returns (a, b, n_cooc, pmi).
     """
     # corpus frames carry a walk index (node2vec_corpus): sibling walks of
-    # one source are DISTINCT sentences — key the self-join on (source,
-    # walk), not source alone, or siblings would falsely co-occur
-    wid = (
-        F.concat_ws("#", F.col("source"), F.col("walk"))
-        if "walk" in walks.columns
-        else F.col("source")
-    )
-    w1 = walks.select(wid.alias("wid"), F.col("step").alias("s1"), F.col("node").alias("a"))
-    w2 = walks.select(wid.alias("wid"), F.col("step").alias("s2"), F.col("node").alias("b"))
+    # one source are DISTINCT sentences — key the self-join on the
+    # (source, walk) COLUMN PAIR, never a string concat of the two (a
+    # source id containing the separator would collide across pairs)
+    keys = ["source", "walk"] if "walk" in walks.columns else ["source"]
+    w1 = walks.select(*keys, F.col("step").alias("s1"), F.col("node").alias("a"))
+    w2 = walks.select(*keys, F.col("step").alias("s2"), F.col("node").alias("b"))
     pairs = (
-        w1.join(w2, "wid")
+        w1.join(w2, keys)
         .filter(
             (F.col("s2") > F.col("s1")) & (F.col("s2") - F.col("s1") <= F.lit(window))
         )

@@ -368,8 +368,14 @@ def _merge(spark, graph_path: str, g: PropertyGraph, mc: ast.MergeClause) -> dic
                 F.when(
                     cond,
                     F.map_concat(
+                        # NODE_SCHEMA allows NULL properties; map_filter(NULL)
+                        # would propagate NULL and silently drop the update
                         F.map_filter(
-                            "properties", lambda k, v: ~k.isin(keys)
+                            F.coalesce(
+                                F.col("properties"),
+                                F.create_map().cast("map<string,string>"),
+                            ),
+                            lambda k, v: ~k.isin(keys),
                         ),
                         upd_map,
                     ),

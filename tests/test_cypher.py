@@ -978,3 +978,22 @@ def test_merge_on_create_on_match_set(spark, tmp_path):
             "MERGE (a:User {name: 'Ann'})-[:F]->(b:User {name: 'Ben'})"
             " ON CREATE SET a.x = 1",
         )
+
+
+def test_merge_on_match_set_null_properties(spark, tmp_path):
+    """r7 regression (ADVICE r6): NODE_SCHEMA allows a NULL properties
+    map; ON MATCH SET on such a node must still land the update —
+    map_filter(NULL)/map_concat(NULL, m) propagate NULL and would
+    silently keep properties NULL while nodes_set counts the node."""
+    from jasminegraph_spark.cypher.write import cypher_write
+    from jasminegraph_spark.graph import NODE_SCHEMA
+
+    gp = str(tmp_path / "nullprops")
+    spark.createDataFrame([("n1", "User", None)], NODE_SCHEMA).write.parquet(
+        f"{gp}/nodes"
+    )
+    s = cypher_write(spark, gp, "MERGE (n:User) ON MATCH SET n.state = 'seen'")
+    assert s == {"nodes_created": 0, "matched": True, "nodes_set": 1}
+    row = spark.read.parquet(f"{gp}/nodes").collect()[0]
+    assert row["properties"] is not None
+    assert dict(row["properties"]) == {"state": "seen"}

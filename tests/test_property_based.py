@@ -615,3 +615,15 @@ def test_greedy_coloring_proper_and_deterministic(spark, edges):
     assert max(got.values()) <= max(deg.values())  # ≤ Δ+1 colors (0-based)
     again = {r["node"]: r["color"] for r in greedy_coloring(df).collect()}
     assert again == got
+
+
+def test_greedy_coloring_empty_edges(spark):
+    """r7 regression (ADVICE r6): an empty edge frame must yield a
+    correctly-typed empty (node, color) frame, not IndexError on
+    parts[0] — matching the typed-empty guards in SCC and MIS."""
+    from jasminegraph_spark.analytics import greedy_coloring
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = greedy_coloring(empty)
+    assert out.columns == ["node", "color"]
+    assert out.count() == 0
