@@ -21,6 +21,7 @@ broker); the transformations are source-agnostic — swap
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass, field
 
@@ -215,30 +216,90 @@ def new_triangle_delta(old_edges: DataFrame, new_edges: DataFrame) -> int:
     return tri.count()
 
 
+def _load_aggregate(spark: SparkSession, edge_path: str, agg_path: str):
+    """Restart-durability guard shared by the streaming trackers: given
+    an existing edge-state parquet, load the persisted running aggregate
+    and verify it corresponds to EXACTLY the edges on disk (the
+    aggregate records the edge row-count it was computed from — a crash
+    between the edge append and the aggregate write leaves a mismatch,
+    which must raise, never silently resume from a stale total).
+    Reference keeps both cursors and counters transactionally in
+    streamingdb (ddl/streamingdb.sql streaming_partition/central_store;
+    StreamingTriangleCountExecutor.cpp:636-706)."""
+    if not os.path.exists(agg_path):
+        raise ValueError(
+            f"edge state exists at {edge_path} but no aggregate state at "
+            f"{agg_path}: resuming would silently recompute from zero. "
+            "Delete the state dir to start fresh, or restore the aggregate."
+        )
+    with open(agg_path) as f:
+        agg = json.load(f)
+    n_disk = spark.read.parquet(edge_path).count()
+    if agg["n_edge_rows"] != n_disk:
+        raise ValueError(
+            f"partial streaming state: aggregate at {agg_path} was computed "
+            f"from {agg['n_edge_rows']} edge rows but {edge_path} holds "
+            f"{n_disk} (crash between edge append and aggregate write?). "
+            "Delete the state dir and replay the stream."
+        )
+    return agg
+
+
+def _write_aggregate(agg_path: str, payload: dict) -> None:
+    """Atomic aggregate write (tmp + rename) so readers never observe a
+    torn file. `_`-prefixed names are invisible to Spark's parquet file
+    index, so the aggregate can live inside the edge-state directory."""
+    tmp = agg_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, agg_path)
+
+
 class StreamingTriangleCounter:
     """`strian` loop: consume edge batches, maintain accumulated edge set +
     running triangle count (state the reference keeps in streamingdb's
-    streaming_partition/central_store tables)."""
+    streaming_partition/central_store tables).
+
+    RESTART-DURABLE: the running total persists to
+    ``{state_path}/_aggregate.json`` after every batch (atomic rename),
+    keyed to the edge row-count it was computed from; a new counter
+    pointed at existing state resumes the exact total, and partial
+    state (edges without a matching aggregate) raises instead of
+    silently returning delta-sums. Local-fs JSON here; at cluster scale
+    the same two files live on the shared FS next to the edge parquet."""
 
     def __init__(self, spark: SparkSession, state_path: str):
         self.spark = spark
         self.state_path = state_path
-        self.total = 0
-        self._has_state = False
+        self._agg_path = os.path.join(state_path, "_aggregate.json")
+        self._has_state = os.path.isdir(state_path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(state_path)
+        )
+        if self._has_state:
+            agg = _load_aggregate(spark, state_path, self._agg_path)
+            self.total = agg["total"]
+        else:
+            self.total = 0
 
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> int:
         batch_edges = batch_edges.select("src", "dst")
-        if self._has_state or os.path.exists(self.state_path):
+        if self._has_state:
             old = self.spark.read.parquet(self.state_path)
             delta = new_triangle_delta(old, batch_edges)
         else:
-            old = None
             delta = new_triangle_delta(
                 batch_edges.limit(0), batch_edges
             )
         self.total += delta
         batch_edges.write.mode("append").parquet(self.state_path)
         self._has_state = True
+        _write_aggregate(
+            self._agg_path,
+            {
+                "total": self.total,
+                "n_edge_rows": self.spark.read.parquet(self.state_path).count(),
+            },
+        )
         return self.total
 
 
@@ -260,10 +321,32 @@ class StreamingComponentTracker:
     exhausts while labels still shrink."""
 
     def __init__(self, spark: SparkSession, state_path: str, max_rounds: int = 60):
+        from jasminegraph_spark.cache import checkpoint
+
         self.spark = spark
         self.state_path = state_path
         self.max_rounds = max_rounds
         self._labels: DataFrame | None = None
+        # RESTART-DURABLE: labels persist to {state_path}/labels after
+        # every batch; _aggregate.json under the edge dir records the
+        # edge row-count the labels correspond to. Existing edge state
+        # resumes from the persisted labels (checkpointed on load so the
+        # overwrite of labels/ never races its own lineage); partial
+        # state raises — a fresh tracker seeded only from new-batch
+        # nodes would silently break the labels == prefix-WCC invariant.
+        edge_path = f"{state_path}/edges"
+        if os.path.isdir(edge_path) and any(
+            not f.startswith(("_", ".")) for f in os.listdir(edge_path)
+        ):
+            agg_path = os.path.join(edge_path, "_aggregate.json")
+            _load_aggregate(spark, edge_path, agg_path)
+            labels_path = f"{state_path}/labels"
+            if not os.path.isdir(labels_path):
+                raise ValueError(
+                    f"edge state exists at {edge_path} but no label state at "
+                    f"{labels_path}: delete the state dir to start fresh."
+                )
+            self._labels = checkpoint(spark.read.parquet(labels_path))
 
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> DataFrame:
         from jasminegraph_spark.cache import checkpoint
@@ -340,4 +423,9 @@ class StreamingComponentTracker:
             )
             rounds += 1
         self._labels = labels
+        labels.write.mode("overwrite").parquet(f"{self.state_path}/labels")
+        _write_aggregate(
+            os.path.join(edge_path, "_aggregate.json"),
+            {"n_edge_rows": self.spark.read.parquet(edge_path).count()},
+        )
         return labels

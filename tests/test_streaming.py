@@ -526,3 +526,96 @@ def test_incremental_wcc_round_budget_raises(spark, tmp_path):
     path = [(i, i + 1) for i in range(12)]
     with _pt.raises(RuntimeError, match="did not converge"):
         t.process_batch(spark.createDataFrame(path, "src long, dst long"), 0)
+
+
+def test_streaming_triangle_counter_restart_durable(spark, tmp_path):
+    """r7 (VERDICT r6 top ask): kill the counter mid-sequence, rebuild
+    from state_path, and get the SAME running totals as an unbroken run
+    — the total persists in _aggregate.json beside the edge parquet
+    (reference: streamingdb streaming_partition counters)."""
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(i, (i + 2) % 9) for i in range(9)]
+    sp = str(tmp_path / "restart_tri")
+    unbroken = StreamingTriangleCounter(spark, str(tmp_path / "unbroken"))
+    golden = []
+    for i in range(0, 18, 6):
+        b = spark.createDataFrame(edges[i : i + 6], ["src", "dst"])
+        golden.append(unbroken.process_batch(b, i))
+
+    c1 = StreamingTriangleCounter(spark, sp)
+    b0 = spark.createDataFrame(edges[:6], ["src", "dst"])
+    assert c1.process_batch(b0, 0) == golden[0]
+    del c1  # "kill" — all running state dropped
+    c2 = StreamingTriangleCounter(spark, sp)
+    assert c2.total == golden[0]  # resumes the exact total, not 0
+    for j, i in enumerate(range(6, 18, 6), start=1):
+        b = spark.createDataFrame(edges[i : i + 6], ["src", "dst"])
+        assert c2.process_batch(b, i) == golden[j]
+
+
+def test_streaming_triangle_counter_partial_state_raises(spark, tmp_path):
+    """Edge state without aggregate state (or a stale aggregate) must
+    raise loudly — silently restarting from zero returns delta-sums."""
+    import json as _json
+
+    import pytest as _pt
+
+    sp = str(tmp_path / "partial_tri")
+    spark.createDataFrame([(1, 2)], ["src", "dst"]).write.parquet(sp)
+    with _pt.raises(ValueError, match="no aggregate state"):
+        StreamingTriangleCounter(spark, sp)
+    # stale aggregate (row-count mismatch after a torn batch) also raises
+    with open(f"{sp}/_aggregate.json", "w") as f:
+        _json.dump({"total": 0, "n_edge_rows": 99}, f)
+    with _pt.raises(ValueError, match="partial streaming state"):
+        StreamingTriangleCounter(spark, sp)
+
+
+def test_incremental_wcc_restart_durable(spark, tmp_path):
+    """Kill the WCC tracker mid-sequence and rebuild: post-restart labels
+    must still equal the from-scratch WCC of every prefix (the invariant
+    the driver row proves for the fresh-start path)."""
+    from jasminegraph_spark.analytics import connected_components
+    from jasminegraph_spark.streaming.ingest import StreamingComponentTracker
+
+    sp = str(tmp_path / "restart_wcc")
+    batches = [
+        [(1, 2), (3, 4), (5, 6)],
+        [(2, 3)],
+        [(7, 8), (6, 7)],
+        [(4, 5)],
+    ]
+    t = StreamingComponentTracker(spark, sp)
+    t.process_batch(spark.createDataFrame(batches[0], "src long, dst long"), 0)
+    t.process_batch(spark.createDataFrame(batches[1], "src long, dst long"), 1)
+    del t
+    t2 = StreamingComponentTracker(spark, sp)  # cold start from disk
+    acc = batches[0] + batches[1]
+    for i, b in enumerate(batches[2:], start=2):
+        acc += b
+        lab = {
+            r["node"]: r["component"]
+            for r in t2.process_batch(
+                spark.createDataFrame(b, "src long, dst long"), i
+            ).collect()
+        }
+        full = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(acc, "src long, dst long")
+            ).collect()
+        }
+        assert lab == full
+
+
+def test_incremental_wcc_partial_state_raises(spark, tmp_path):
+    """Edge state without label/aggregate state must raise — a tracker
+    seeded only from new-batch nodes silently breaks the prefix-WCC
+    invariant."""
+    import pytest as _pt
+
+    from jasminegraph_spark.streaming.ingest import StreamingComponentTracker
+
+    sp = str(tmp_path / "partial_wcc")
+    spark.createDataFrame([(1, 2)], "src long, dst long").write.parquet(f"{sp}/edges")
+    with _pt.raises(ValueError, match="no aggregate state"):
+        StreamingComponentTracker(spark, sp)
