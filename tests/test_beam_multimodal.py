@@ -308,3 +308,157 @@ def test_png_palette_and_alpha_color_types():
 
     with _pt.raises(ValueError, match="PLTE"):
         _decode_png(png(2, 1, 3, bytes([0, 0, 0])))
+
+
+def test_jpeg_block_constant_roundtrip_exact():
+    """r7: a block-constant image is DC-only in the DCT domain, so the
+    lossy baseline-JPEG round-trip is bit-exact with an all-ones quant
+    table — the property the pl_jpeg_decode oracle relies on."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_jpeg, encode_jpeg_gray
+
+    px = np.zeros((16, 24), np.uint8)
+    for by in range(2):
+        for bx in range(3):
+            px[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8] = (7 + 17 * bx + 37 * by) % 251
+    w, h, body = _decode_jpeg(encode_jpeg_gray(24, 16, px.tobytes()))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(np.frombuffer(body, np.uint8).reshape(h, w), px)
+
+
+def test_jpeg_arbitrary_coeffs_vs_reference_idct():
+    """The AC entropy path (runs, ZRL, EOB), a non-trivial quant table,
+    and restart-marker resync, verified against an IDCT computed
+    independently in the test (not via the decoder's own matrix path)."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    rng = np.random.RandomState(42)
+    blocks = []
+    for _ in range(6):
+        blk = np.zeros(64, np.int64)
+        idx = rng.choice(64, 12, replace=False)
+        blk[idx] = rng.randint(-1000, 1000, 12)
+        blocks.append(blk)
+    quant = [int(q) for q in rng.randint(1, 30, 64)]
+    w, h, body = _decode_jpeg(
+        encode_jpeg_blocks(24, 16, blocks, quant=quant, restart_interval=2)
+    )
+    got = np.frombuffer(body, np.uint8).reshape(h, w)
+    # reference IDCT straight from the T.81 Annex A formula
+    x = np.arange(8)
+    u = np.arange(8)
+    cu = np.where(u == 0, 1 / np.sqrt(2.0), 1.0)
+    cosm = np.cos((2 * x[:, None] + 1) * u[None, :] * np.pi / 16)
+    zr, zc = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
+    ref = np.zeros((16, 24))
+    for m, blk in enumerate(blocks):
+        s = np.zeros((8, 8))
+        s[zr, zc] = blk * np.asarray(quant)
+        f = np.zeros((8, 8))
+        for yy in range(8):
+            for xx in range(8):
+                f[yy, xx] = 0.25 * np.sum(
+                    cu[:, None] * cu[None, :] * s
+                    * cosm[yy][:, None] * cosm[xx][None, :]
+                )
+        by, bx = divmod(m, 3)
+        ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.round(f + 128), 0, 255
+        )
+    assert np.array_equal(got, ref.astype(np.uint8))
+
+
+def test_jpeg_zrl_long_zero_run():
+    """A coefficient beyond a >16-zero gap forces the ZRL (0xF0) symbol
+    on encode and the skip-16 path on decode."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _dct_matrix,
+        _decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    blk = np.zeros(64, np.int64)
+    blk[0], blk[40] = 5, -3
+    w, h, body = _decode_jpeg(encode_jpeg_blocks(8, 8, [blk]))
+    a = _dct_matrix()
+    s = np.zeros((8, 8))
+    s[np.array(_ZZ_ROWS), np.array(_ZZ_COLS)] = blk
+    ref = np.clip(np.round(a.T @ s @ a + 128), 0, 255).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(body, np.uint8).reshape(8, 8), ref)
+
+
+def test_jpeg_non_multiple_of_8_crops():
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_jpeg, encode_jpeg_gray
+
+    px = np.full((10, 13), 99, np.uint8)
+    w, h, body = _decode_jpeg(encode_jpeg_gray(13, 10, px.tobytes()))
+    assert (w, h) == (13, 10)
+    assert np.array_equal(np.frombuffer(body, np.uint8).reshape(10, 13), px)
+
+
+def test_jpeg_unsupported_variants_gated():
+    """Progressive SOF, color, 16-bit quant: each raises
+    NotImplementedError naming the offending field — same contract as
+    the other decoders."""
+    import numpy as np
+
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_jpeg, encode_jpeg_gray
+
+    base = encode_jpeg_gray(8, 8, bytes(64))
+    prog = bytearray(base)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
+    with _pt.raises(NotImplementedError, match="SOF marker 0xc2"):
+        _decode_jpeg(bytes(prog))
+    deep = bytearray(base)
+    i = deep.find(b"\xff\xdb")
+    deep[i + 4] = 0x10  # Pq=1 → 16-bit quant table
+    with _pt.raises(NotImplementedError, match="16-bit"):
+        _decode_jpeg(bytes(deep))
+    color = bytearray(base)
+    j = color.find(b"\xff\xc0")
+    color[j + 9] = 3  # ncomp
+    with _pt.raises(NotImplementedError, match="components=3"):
+        _decode_jpeg(bytes(color))
+    assert np.frombuffer(_decode_jpeg(base)[2], np.uint8).sum() == 0
+
+
+def test_synthesize_jpeg_decodes_distributed(spark):
+    """End-to-end through the Spark plumbing: executor-side encode →
+    Arrow mapInPandas decode; spot-check one doc's closed form."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_jpeg
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    rows = {
+        r["media_id"]: r
+        for r in decode_media(synthesize_jpeg(docs)).collect()
+    }
+    assert len(rows) == 12
+    for d in (0, 5, 11):
+        wb, hb, seed = 1 + d % 3, 1 + d % 2, d % 251
+        expect = 64 * sum(
+            (seed + 17 * bx + 37 * by) % 251
+            for bx in range(wb)
+            for by in range(hb)
+        )
+        r = rows[d]
+        assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
+        assert r["body_sum"] == expect
+    del np
