@@ -530,11 +530,15 @@ def bigram_logprob(
     unigrams are common — the signal unigram scoring can't see.
 
     One pass extracts bigrams per document (array transform + explode —
-    no self-join), two partial-agg groupBys build the count tables, and
-    the per-doc score is two hash joins + one doc-keyed aggregation.
-    All counts are exact integers; the score is a pure function of the
-    corpus, so a SQL twin replays it. Returns (doc_id, n_bigrams,
-    avg_logprob)."""
+    no self-join), then the stream is PRE-AGGREGATED to (doc_id, w1, w2,
+    n) before anything joins (r7, the r6 verdict's top perf ask): the
+    count tables roll up from the deduped frame, the score joins carry
+    one row per distinct per-doc bigram instead of one per occurrence —
+    shrinking the zipfian-headed w1 join by the per-doc repetition
+    factor — and the doc aggregate becomes an n-weighted mean (exactly
+    equal to the per-occurrence mean). All counts are exact integers;
+    the score is a pure function of the corpus, so a SQL twin replays
+    it. Returns (doc_id, n_bigrams, avg_logprob)."""
     arr = F.split(F.trim(F.col(text_col)), r"\s+")
     bg = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -547,25 +551,30 @@ def bigram_logprob(
             )
         ).alias("p"),
     ).select("doc_id", "p.w1", "p.w2")
-    cab = bg.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
-    ca = bg.groupBy("w1").agg(F.count("*").alias("c_a"))
+    dg = bg.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n"))
+    cab = dg.groupBy("w1", "w2").agg(F.sum("n").alias("c_ab"))
+    ca = dg.groupBy("w1").agg(F.sum("n").alias("c_a"))
     vocab = (
         docs.select(F.explode(arr).alias("tok"))
         .filter(F.col("tok") != "")
         .agg(F.countDistinct("tok").alias("v"))
     )
     return (
-        bg.join(cab, ["w1", "w2"])
+        dg.join(cab, ["w1", "w2"])
         .join(ca, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.avg(
-                F.log(
-                    (F.col("c_ab") + F.lit(k))
-                    / (F.col("c_a") + F.lit(k) * F.col("v"))
+            F.sum("n").cast("long").alias("n_bigrams"),
+            (
+                F.sum(
+                    F.col("n")
+                    * F.log(
+                        (F.col("c_ab") + F.lit(k))
+                        / (F.col("c_a") + F.lit(k) * F.col("v"))
+                    )
                 )
+                / F.sum("n")
             ).alias("avg_logprob"),
         )
     )
