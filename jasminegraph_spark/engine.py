@@ -48,6 +48,13 @@ from jasminegraph_spark.sources.sinks import (
 from jasminegraph_spark.streaming import EdgeStreamIngest, StreamRegistry
 
 
+class SlaRejectedError(RuntimeError):
+    """A query was rejected at admission because the perf ledger's
+    estimate exceeds the caller's SLA — the reference JobScheduler's
+    rejection path for high-priority jobs whose deadline cannot be met
+    (src/frontend/core/scheduler/JobScheduler.cpp:79-93)."""
+
+
 @dataclass
 class JasmineEngine:
     spark: SparkSession
@@ -145,9 +152,29 @@ class JasmineEngine:
         return self.streams.list_topics()
 
     # ---- query ------------------------------------------------------------
-    def cypher(self, graph_name: str, query: str) -> DataFrame:
+    def _sla_check(self, name: str, command: str, sla_seconds: float | None) -> None:
+        """SLA admission (r7, closes the r6 verdict ask #5): when the
+        caller declares a deadline, consult the perf ledger's median
+        estimate for this (graph, command) BEFORE running. Over-SLA →
+        SlaRejectedError; no estimate yet → admit as a CALIBRATION
+        attempt (the timed wrapper records its latency, so the next call
+        has an estimate — the reference's perfdb calibration loop,
+        CypherQueryExecutor.cpp:164-189,366-376)."""
+        if sla_seconds is None or self.perf is None:
+            return
+        est = self.perf.estimate(name, command)
+        if est is not None and est > sla_seconds:
+            raise SlaRejectedError(
+                f"{command} on '{name}': estimated {est:.2f}s exceeds "
+                f"SLA {sla_seconds:.2f}s (ledger median of recorded runs)"
+            )
+
+    def cypher(
+        self, graph_name: str, query: str, sla_seconds: float | None = None
+    ) -> DataFrame:
         from jasminegraph_spark.cypher import cypher_query
 
+        self._sla_check(graph_name, "cypher", sla_seconds)
         g = self.catalog.get(graph_name)
         if self.perf:
             with self.perf.timed(graph_name, "cypher"):
@@ -183,11 +210,30 @@ class JasmineEngine:
         return stats
 
     # ---- analytics --------------------------------------------------------
-    def triangle_count(self, graph_name: str) -> int:
-        return an.triangle_count(self.catalog.get(graph_name).edges)
+    def triangle_count(self, graph_name: str, sla_seconds: float | None = None) -> int:
+        self._sla_check(graph_name, "trian", sla_seconds)
+        edges = self.catalog.get(graph_name).edges
+        if self.perf:
+            with self.perf.timed(graph_name, "trian"):
+                return an.triangle_count(edges)
+        return an.triangle_count(edges)
 
-    def pagerank(self, graph_name: str, alpha: float = 0.85, iterations: int = 10) -> DataFrame:
+    def pagerank(
+        self,
+        graph_name: str,
+        alpha: float = 0.85,
+        iterations: int = 10,
+        sla_seconds: float | None = None,
+    ) -> DataFrame:
+        self._sla_check(graph_name, "pgrnk", sla_seconds)
         g = self.catalog.get(graph_name)
+        if self.perf:
+            # pagerank's iterations checkpoint eagerly, so the timed span
+            # covers the dominant cost even though the return is lazy
+            with self.perf.timed(graph_name, "pgrnk"):
+                return an.pagerank(
+                    g.edges, alpha, iterations, undirected=not g.is_directed
+                )
         return an.pagerank(g.edges, alpha, iterations, undirected=not g.is_directed)
 
     def top_k_pagerank(self, graph_name: str, k: int = 10, **kw) -> DataFrame:

@@ -344,3 +344,44 @@ def test_engine_msf(spark, tmp_path):
     forest = eng.minimum_spanning_forest("g").collect()
     assert len(forest) == 3  # {1,2,3} tree (2 edges) + {4,5} (1 edge)
     assert all(r["weight"] == 1.0 for r in forest)
+
+
+def test_sla_admission_calibrate_admit_reject(spark, tmp_path):
+    """r7 (r6 verdict ask #5): SLA admission wired into the engine entry
+    points. First call with an SLA = calibration attempt (no estimate →
+    admit, latency recorded); generous SLA → admit; impossible SLA →
+    SlaRejectedError BEFORE any work; no SLA → never consulted."""
+    import pytest as _pt
+
+    from jasminegraph_spark.engine import JasmineEngine, SlaRejectedError
+
+    d = tmp_path / "data"
+    d.mkdir()
+    lines = [f"{10*t} {10*t+1}\n{10*t+1} {10*t+2}\n{10*t} {10*t+2}" for t in range(3)]
+    (d / "g.dl").write_text("\n".join(lines) + "\n")
+    eng = JasmineEngine(spark, storage_path=str(tmp_path / "store"))
+    eng.add_graph("sg", str(d / "g.dl"))
+    assert eng.perf is not None
+
+    # calibration: no estimate for (sg, trian) yet → admitted + recorded
+    assert eng.perf.estimate("sg", "trian") is None
+    assert eng.triangle_count("sg", sla_seconds=0.000001) == 3
+    est = eng.perf.estimate("sg", "trian")
+    assert est is not None and est > 0
+
+    # now an impossible SLA is REJECTED before running
+    with _pt.raises(SlaRejectedError, match="exceeds\n?\\s*SLA|exceeds SLA"):
+        eng.triangle_count("sg", sla_seconds=0.000001)
+    # generous SLA admits
+    assert eng.triangle_count("sg", sla_seconds=3600.0) == 3
+    # omitting the SLA never consults the ledger
+    assert eng.triangle_count("sg") == 3
+
+    # same contract on the cypher surface
+    eng.cypher("sg", "MATCH (n) RETURN count(n) AS n")  # calibrates
+    with _pt.raises(SlaRejectedError):
+        eng.cypher("sg", "MATCH (n) RETURN n", sla_seconds=0.000001)
+    # pagerank surface
+    eng.pagerank("sg", iterations=2)  # calibrates
+    with _pt.raises(SlaRejectedError):
+        eng.pagerank("sg", iterations=2, sla_seconds=0.000001)
