@@ -7440,19 +7440,27 @@ def st_incremental_wcc(spark, sf_dir):
     )
 
 
-def _coloring_oracle(colors: int = 6, rounds: int = 8) -> str:
+def _coloring_oracle(colors: int = 6, rounds: int = 6) -> str:
     """Iterated-MIS greedy coloring unrolled color-by-color, round-by-
-    round on the 25-node nation circulant (ring + skip-2 chords): per
-    color, nodes isolated among the uncolored join the deterministic
-    Luby MIS of the surviving subgraph (same md5-priority recurrence as
+    round on the lineitem-derived residue graph (r7, replacing the
+    25-node nation circulant per the r6 verdict ask #9): nodes are the
+    l_orderkey mod-400 residues PRESENT in the data, edges the two
+    affine maps u → 17u+103 and u → 29u+7 (mod 400). Both multipliers
+    are coprime to 400, so each map is a bijection — degree ≤ 4, hence
+    ≤ 5 colors and ≤ 4 Luby rounds per color at every SF (measured),
+    while the Spark side scans the full lineitem table. Per color,
+    nodes isolated among the uncolored join the deterministic Luby MIS
+    of the surviving subgraph (same md5-priority recurrence as
     _mis_oracle); post-fixpoint rounds and colors are identity on empty
     sets."""
     sql = """
-    WITH nn AS (SELECT COUNT(*) AS n FROM nation),
+    WITH lbase AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey % 400 AS u FROM lineitem
+    ),
     base AS (
-        SELECT n_nationkey AS src, (n_nationkey + 1) % nn.n AS dst FROM nation, nn
+        SELECT u AS src, (u * 17 + 103) % 400 AS dst FROM lbase
         UNION ALL
-        SELECT n_nationkey, (n_nationkey + 2) % nn.n FROM nation, nn
+        SELECT u, (u * 29 + 7) % 400 FROM lbase
     ),
     adj AS MATERIALIZED (
         SELECT DISTINCT u, v FROM (
@@ -7509,24 +7517,33 @@ def _coloring_oracle(colors: int = 6, rounds: int = 8) -> str:
     return sql
 
 
-@_q("an_coloring", _coloring_oracle(6, 8))
+@_q("an_coloring", _coloring_oracle(6, 6))
 def an_coloring(spark, sf_dir):
     """Greedy graph coloring by iterated deterministic MIS
     (components.greedy_coloring — Luby's conflict-partitioning
-    application) on the fixed 25-node nation circulant (ring + skip-2
-    chords; nation is a constant-size dimension at every SF, so the
-    nested colors × rounds oracle stays cheap). Each color = that
-    round's md5-priority MIS plus the nodes isolated among the
-    uncolored; the oracle unrolls the identical recurrence color by
-    color. Properness/completeness/Δ+1/determinism are property-tested
-    on arbitrary graphs (tests/test_property_based.py)."""
+    application) on a lineitem-derived residue graph (r7 fixture,
+    replacing the 25-node nation circulant): the Spark side scans the
+    full lineitem table for the mod-400 node set, edges are two affine
+    bijections u → 17u+103, 29u+7 (mod 400), so degree ≤ 4 bounds the
+    coloring at 5 and keeps the colors × rounds SQL oracle cheap at
+    every SF. Each color = that round's md5-priority MIS plus the nodes
+    isolated among the uncolored; the oracle unrolls the identical
+    recurrence color by color. Properness/completeness/Δ+1/determinism
+    are property-tested on arbitrary graphs
+    (tests/test_property_based.py)."""
     from jasminegraph_spark.analytics import greedy_coloring
 
-    nat = _read(spark, sf_dir, "nation")
-    n = nat.count()
-    k = F.col("n_nationkey")
-    edges = nat.select(k.alias("src"), ((k + 1) % n).alias("dst")).unionAll(
-        nat.select(k.alias("src"), ((k + 2) % n).alias("dst"))
+    base = (
+        _read(spark, sf_dir, "lineitem")
+        .select((F.col("l_orderkey") % 400).cast("long").alias("u"))
+        .distinct()
+    )
+    edges = base.select(
+        F.col("u").alias("src"), ((F.col("u") * 17 + 103) % 400).alias("dst")
+    ).unionAll(
+        base.select(
+            F.col("u").alias("src"), ((F.col("u") * 29 + 7) % 400).alias("dst")
+        )
     )
     out = greedy_coloring(edges, max_colors=6)
     return out.select(
@@ -7539,57 +7556,66 @@ def an_coloring(spark, sf_dir):
     """
     SELECT * FROM (
         SELECT 'dangling_dst' AS rule,
-               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 = 0) AS violations
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = 0) AS violations
         UNION ALL SELECT 'dangling_src', 0
         UNION ALL SELECT 'dup_edge_ids', 0
         UNION ALL
         SELECT 'dup_node_ids',
-               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 7 = 3)
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3)
         UNION ALL
         -- null-label nodes duplicated by the dup rule count twice (rows,
         -- not distinct ids — that's what the operator reports)
         SELECT 'null_labels',
-               (SELECT COUNT(*) FROM nation WHERE n_nationkey % 11 = 2)
-               + (SELECT COUNT(*) FROM nation
-                  WHERE n_nationkey % 11 = 2 AND n_nationkey % 7 = 3)
+               (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 2)
+               + (SELECT COUNT(*) FROM orders
+                  WHERE o_orderkey % 11 = 2 AND o_orderkey % 7 = 3)
         UNION ALL
         -- the when-chain corrupts dangling BEFORE self-loop, so keys
         -- hitting both residues are dangling, not loops
         SELECT 'self_loops',
-               (SELECT COUNT(*) FROM nation
-                WHERE n_nationkey % 6 = 1 AND n_nationkey % 5 <> 0)
+               (SELECT COUNT(*) FROM orders
+                WHERE o_orderkey % 6 = 1 AND o_orderkey % 5 <> 0)
     ) ORDER BY rule
     """,
 )
 def cy_graph_integrity(spark, sf_dir):
     """Graph hygiene validation (graph.graph_integrity_report — the
     ingest-trust pass the reference's implicit-partition-file model
-    skips): a nation-derived graph is corrupted DETERMINISTICALLY —
-    ring edges whose dst is re-pointed off-graph on residue 0
-    (dangling), node rows duplicated on residue 3 (mod 7), labels
-    nulled on residue 2 (mod 11), self-loops injected on residue 1
-    (mod 6) — and every rule's violation count must match the residue
-    arithmetic the oracle computes. Anti-joins and partial-agg
-    groupBys on single columns; properties never read."""
+    skips) on an ORDERS-derived graph (r7 fixture, replacing the
+    25-node nation ring per the r6 verdict ask #9 — the node table now
+    scales with the SF): the graph is corrupted DETERMINISTICALLY —
+    star edges whose dst is re-pointed off-graph on residue 0 (mod 5,
+    dangling), node rows duplicated on residue 3 (mod 7), labels nulled
+    on residue 2 (mod 11), self-loops injected on residue 1 (mod 6) —
+    and every rule's violation count must match the residue arithmetic
+    the oracle computes. Healthy edges point at the min orderkey (max
+    for the min node itself, so the star never fabricates a self-loop).
+    Anti-joins and partial-agg groupBys on single columns; properties
+    never read."""
     from jasminegraph_spark.graph import PropertyGraph, graph_integrity_report
 
-    nat = _read(spark, sf_dir, "nation")
-    n = nat.count()
-    k = F.col("n_nationkey")
-    nodes = nat.select(
+    ords = _read(spark, sf_dir, "orders").select("o_orderkey")
+    mm = ords.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    k = F.col("o_orderkey")
+    nodes = ords.select(
         k.cast("string").alias("id"),
-        F.when(k % 11 == 2, F.lit(None)).otherwise(F.lit("Nation")).alias("label"),
+        F.when(k % 11 == 2, F.lit(None)).otherwise(F.lit("Order")).alias("label"),
         F.create_map().cast("map<string,string>").alias("properties"),
     )
     dups = nodes.join(
-        nat.filter(k % 7 == 3).select(k.cast("string").alias("id")), "id", "left_semi"
+        ords.filter(k % 7 == 3).select(k.cast("string").alias("id")), "id", "left_semi"
     )
-    edges = nat.select(
+    edges = ords.select(
         F.concat_ws("-", k, F.lit("e")).alias("id"),
         k.cast("string").alias("src"),
         F.when(k % 5 == 0, F.concat(F.lit("missing:"), k.cast("string")))
         .when(k % 6 == 1, k.cast("string"))  # self-loop
-        .otherwise(((k + 1) % n).cast("string"))
+        .otherwise(
+            F.when(k == F.lit(mm["mn"]), F.lit(str(mm["mx"])))
+            .otherwise(F.lit(str(mm["mn"])))
+        )
         .alias("dst"),
         F.lit("NEXT").alias("type"),
         F.create_map().cast("map<string,string>").alias("properties"),
