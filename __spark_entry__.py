@@ -8182,76 +8182,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r06 sweep order (VERDICT r5 top ask, verbatim): (1) the 7 queries
-    # that have NEVER had a driver row through r05 — late r5 additions
-    # that landed below the ~50-row window cut; (2) rows added or
-    # behaviour-changed THIS round (pca projection re-oracled, write
-    # roundtrip extended to the r5 write surface, PNG decode, node2vec
-    # multi-walk corpus); (3) the 37 queries whose latest driver row is
-    # still r01. 7 + 4 + 37 = 48 — one window closes both the
-    # never-checked and the stale-r01 backlog. Audit: recompute from
-    # CORRECTNESS_r0*.json per round.
-    # --- never driver-checked (registered r05, below the r05 cut) ---
-    "an_mis",
-    "an_node2vec_walks",
-    "cypher_pattern_comprehension",
-    "pl_kmv_merge_rollup",
-    "pl_triplet_mining",
-    "src_bucketed_expand",
-    "src_unbucketed_expand",
-    # --- new or behaviour-changed this round (r06) ---
-    "pl_pca_project2d",
-    "cy_write_roundtrip",
-    "pl_png_decode",
-    "an_node2vec_corpus",
-    "pl_semantic_dedup",
-    "pl_c4_rules",
-    "pl_bpe_encode",
-    "pl_kmeans_refine",
-    "pl_normalize_text",
-    "pl_bigram_logprob",
-    "cy_graph_integrity",
+    # r07 sweep order (VERDICT r6 ask #2, verbatim): (1) rows added or
+    # behaviour-changed THIS round — the new JPEG decode row plus the
+    # two rows whose fixtures moved to scale-shaped lineitem/orders
+    # graphs; (2) the 8 rows whose latest green driver row is still r01
+    # (they sat below the r06 window cut); (3) the 46 rows whose latest
+    # green is r03 — four rounds of code churn ago — so the entire
+    # §2.1/§2.2 Cypher operator surface re-proves on the r7 tree.
+    # 3 + 8 + 46 = 57: a ~50-row window covers through most of (3); any
+    # r03 spill re-leads the r8 window. Audit: recompute latest-green
+    # per query from CORRECTNESS_r0*.json each round.
+    # --- new or behaviour-changed this round (r07) ---
+    "pl_jpeg_decode",
     "an_coloring",
-    "st_incremental_wcc",
-    "pl_bpe_fertility",
-    # --- stalest (latest driver row r01) ---
-    "an_pagerank",
-    "pl_minhash_lsh",
-    "an_triangle_count",
-    "an_top_k_pagerank",
-    "rel_q1_pricing_summary",
-    "pl_exact_dedup",
-    "cy_vcnt_ecnt",
-    "an_degree_dist_in",
-    "an_egonet",
-    "pl_minhash_signatures",
-    "pl_simhash",
-    "pl_cosine_topk",
-    "pl_lsh_ann",
-    "pl_ivf_ann",
-    "pl_token_counts",
-    "pl_language_id",
-    "pl_quality_scores",
-    "pl_doc_fingerprint",
-    "pl_bpe_token_count",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_q6_forecast_revenue",
-    "rel_q2_min_cost_supplier",
-    "rel_q7_nation_volume",
-    "rel_events_hourly",
-    "rel_events_sessionize",
-    "rel_events_topk_users",
-    "rel_running_balance",
-    "rel_rollup_pricing",
-    "rel_pivot_events",
-    "rel_events_zscore",
-    "cy_order_by_limit",
-    "cy_skip_limit",
+    "cy_graph_integrity",
+    # --- stalest (latest green driver row r01) ---
     "cy_aggregate",
     "cy_cartesian_product",
-    "cy_union",
     "cy_intersect",
+    "cy_order_by_limit",
+    "cy_skip_limit",
+    "cy_union",
+    "rel_events_zscore",
+    "rel_pivot_events",
+    # --- latest green driver row r03: Cypher operator core first ---
+    "cy_all_node_scan",
+    "cy_node_scan_by_label",
+    "cy_multi_label_scan",
+    "cy_node_by_id_seek",
+    "cy_undirected_rel_type_scan",
+    "cy_directed_rel_type_scan",
+    "cy_expand_two_hop",
+    "cy_expand_undirected_unique",
+    "cy_filter_coerce",
+    "cy_projection_missing_prop",
+    "cy_distinct_labels",
+    "cypher_aggregate_group",
+    "cypher_cartesian_patterns",
+    "cypher_undirected_unique",
+    "cypher_in_order_skip_limit",
+    "cypher_label_scan_project",
+    "cypher_filter_expand",
+    "cypher_with_agg_having",
+    # --- r03: extended grammar ---
+    "cypher_string_preds",
+    "cypher_case_expression",
+    "cypher_arithmetic",
+    "cypher_optional_match",
+    "cypher_unwind",
+    "cypher_varlength_path",
+    "cypher_exists_patterns",
+    "cypher_list_comprehension",
+    "cypher_list_predicates",
+    "cypher_named_path_length",
+    "cypher_distinct_null_checks",
+    "cypher_type_function",
+    "cypher_call_procedure",
+    # --- r03: analytics + pipeline ---
+    "an_connected_components",
+    "an_k_core",
+    "an_link_prediction",
+    "an_link_prediction_embedding",
+    "an_semantic_beam_search",
+    "an_shortest_paths",
+    "pl_dedup_corpus",
+    "pl_embed_ivf_ann",
+    "pl_embed_text",
+    "pl_embedding_near_dup",
+    "pl_ivf_ann_nprobe",
+    "pl_kg_triples",
+    "pl_lsh_verified_dedup",
+    "pl_simhash_near_dup",
+    "pl_stratified_sample",
 ]
 
 

@@ -18,4 +18,5 @@ from jasminegraph_spark.streaming.partitioners import (  # noqa: F401
     fennel_partition,
     community_partition,
     edge_cut_fraction,
+    partition_quality_report,
 )
