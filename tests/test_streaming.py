@@ -619,3 +619,65 @@ def test_incremental_wcc_partial_state_raises(spark, tmp_path):
     spark.createDataFrame([(1, 2)], "src long, dst long").write.parquet(f"{sp}/edges")
     with _pt.raises(ValueError, match="no aggregate state"):
         StreamingComponentTracker(spark, sp)
+
+
+def test_partition_quality_report_powergrid(spark):
+    """r7 (r6 verdict ask #7): measured partition-quality floors on the
+    reference's own powergrid graph (the graph MetisPartitioner is
+    integration-tested on), k=4. Greedy streaming partitioners must
+    beat HASH on edge-cut by a wide margin while staying balanced, and
+    the METIS-role community pipeline must respect the balance
+    constraint. Measured (scripts/partition_quality.py): hash 0.756,
+    ldg/fennel 0.197, balance ≤ 1.07 everywhere."""
+    import os
+
+    import pytest as _pt
+
+    pg = "/root/reference/tests/integration/env_init/data/powergrid.dl"
+    if not os.path.exists(pg):
+        _pt.skip("reference powergrid fixture unavailable")
+    from jasminegraph_spark.sources.readers import read_edge_list
+    from jasminegraph_spark.streaming import (
+        community_partition,
+        fennel_partition,
+        hash_partition,
+        ldg_partition,
+        partition_quality_report,
+    )
+
+    edges = read_edge_list(spark, pg, "pq_pg", is_directed=False).edges.select(
+        "src", "dst"
+    )
+    reps = {
+        name: partition_quality_report(edges, fn(edges, 4), 4)
+        for name, fn in [
+            ("hash", hash_partition),
+            ("ldg", ldg_partition),
+            ("fennel", fennel_partition),
+            ("community", lambda e, k: community_partition(e, k, lp_iters=5)),
+        ]
+    }
+    assert all(r["n_nodes"] == 4941 and r["n_parts"] == 4 for r in reps.values())
+    # edge-cut floors: greedy beats hash with margin (measured 0.197 vs 0.756)
+    assert reps["fennel"]["edge_cut"] < 0.5 * reps["hash"]["edge_cut"]
+    assert reps["ldg"]["edge_cut"] < 0.5 * reps["hash"]["edge_cut"]
+    # balance: METIS's constraint holds for every method (measured ≤ 1.07)
+    for name, r in reps.items():
+        assert r["balance"] <= 1.25, (name, r)
+
+
+def test_community_partition_balance_guard_power_law(spark):
+    """The r7 balance guard: LPA collapses a power-law graph into one
+    giant community; packing must split it so no partition exceeds
+    ~ceil(n/k) (pre-guard measurement: balance 3.99 at k=4 — one
+    partition held the whole graph)."""
+    from jasminegraph_spark.sources.generators import rmat_edges
+    from jasminegraph_spark.streaming import (
+        community_partition,
+        partition_quality_report,
+    )
+
+    edges = rmat_edges(spark, scale=12, edge_factor=8).filter("src != dst")
+    rep = partition_quality_report(edges, community_partition(edges, 4), 4)
+    assert rep["n_parts"] == 4
+    assert rep["balance"] <= 1.25, rep
