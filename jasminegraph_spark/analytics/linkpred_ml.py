@@ -273,7 +273,13 @@ def _prepare_examples(edges: DataFrame, encoder: str = "flat"):
     und = canonical_undirected(edges).persist()
     feat_graph, pos_train, pos_test = three_way_edge_split(und)
     feat_graph = feat_graph.persist()
-    encode = {"flat": node_embeddings, "sage": sage_embeddings}[encoder]
+    encode = {
+        "flat": node_embeddings,
+        "sage": sage_embeddings,
+        # the reference's [10, 5] fan-out sampler (supervised.py:41-212),
+        # deterministic xxhash64 draw — r7
+        "sage_sampled": lambda e: sage_embeddings(e, sample=[10, 5]),
+    }[encoder]
     emb = encode(
         feat_graph.select(F.col("a").alias("src"), F.col("b").alias("dst"))
     ).persist()

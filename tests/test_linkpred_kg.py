@@ -282,3 +282,51 @@ def test_llm_extractor_unreachable_endpoint_fails_loudly(spark):
         llm_extractor(
             docs, "http://127.0.0.1:9", max_retries=1, timeout=2.0
         ).collect()
+
+
+def test_sage_sampled_encoder_trains_and_caps_neighbors(spark):
+    """r7: the sampled-neighborhood SAGE variant (the reference's [10, 5]
+    fan-out sampler, supervised.py:41-212). (a) sampling truly caps the
+    layer aggregation: on a star graph the hub's layer-1 mean over
+    sample=[2, 2] differs from the exact mean unless the draw picked the
+    identical 2 of 40 spokes with distinct features; (b) the trained
+    head with encoder='sage_sampled' still beats the raw Jaccard
+    baseline on cora (sampling loses a little signal vs exact means but
+    must keep the model usable)."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.analytics import (
+        auc,
+        sage_embeddings,
+        train_link_predictor,
+    )
+
+    # (a) hub capping: star 0—{1..40} plus a chain among spokes so spoke
+    # degrees (hence features) vary
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 41)] + [(i, i + 1) for i in range(1, 20)],
+        ["src", "dst"],
+    )
+    exact = {r["v"]: r["l1_f1"] for r in sage_embeddings(edges, layers=1).collect()}
+    capped = {
+        r["v"]: r["l1_f1"]
+        for r in sage_embeddings(edges, layers=1, sample=[2]).collect()
+    }
+    assert set(capped) == set(exact)
+    assert capped[0] != exact[0]  # hub mean computed over 2, not 40 spokes
+    # determinism of the draw
+    again = {
+        r["v"]: r["l1_f1"]
+        for r in sage_embeddings(edges, layers=1, sample=[2]).collect()
+    }
+    assert again == capped
+
+    # (b) end-to-end through the trained head on cora
+    raw = spark.read.csv(
+        "/root/reference/tests/integration/env_init/data/cora/cora.cites", sep="\t"
+    ).toDF("src", "dst")
+    cora = raw.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    _, scored = train_link_predictor(cora, encoder="sage_sampled")
+    a = auc(scored.persist())
+    assert a > 0.74, a
+    scored.unpersist()
