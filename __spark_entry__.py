@@ -6586,6 +6586,43 @@ def pl_jpeg_decode(spark, sf_dir):
 
 
 @_q(
+    "pl_flac_decode",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, 64 + doc_id % 64 AS n FROM documents
+    )
+    SELECT media_id, CAST(n AS INT) AS width, CAST(1 AS INT) AS height,
+           CAST(n AS INT) AS n_bytes,
+           CAST(list_sum(list_transform(generate_series(0, n - 1), j ->
+               CAST(FLOOR((((j * 37 + media_id) % 501) - 250) / 256.0) AS BIGINT)
+               + 128)) AS BIGINT) AS body_sum
+    FROM m ORDER BY media_id
+    """,
+)
+def pl_flac_decode(spark, sf_dir):
+    """REAL FLAC decode under the driver's hash check (r7 — narrows the
+    codec seam to MP3 + color/progressive JPEG): executors build genuine
+    mono 16-bit FLAC streams from each doc id
+    (pipeline/multimodal.encode_flac — FIXED predictors cycling order
+    0/1/2 per block, Rice-coded residuals, real CRC-8/CRC-16), then the
+    Arrow mapInPandas decode stage runs the full bit-level parse
+    library-free (_decode_flac: STREAMINFO, frame sync, every
+    block-size code, UTF-8 frame numbers, fixed-predictor
+    reconstruction, CRC verify on every frame). FLAC is lossless, so
+    the decoded samples equal the closed form ((i·37 + d) mod 501) −
+    250 exactly and DuckDB recomputes each stream's folded-uint8
+    checksum — a wrong Rice parameter, predictor coefficient, zigzag,
+    or CRC layout fails the per-stream hash."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_flac
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_flac(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_pack_sequences",
     """
     WITH base AS (
@@ -8288,6 +8325,8 @@ _PRIORITY = [
     # per query from CORRECTNESS_r0*.json each round.
     # --- new or behaviour-changed this round (r07) ---
     "pl_jpeg_decode",
+    "pl_flac_decode",
+    "an_sage_sampled",
     "an_coloring",
     "cy_graph_integrity",
     # --- stalest (latest green driver row r01) ---

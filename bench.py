@@ -95,6 +95,13 @@ HEADLINE = [
     "pl_kmeans_refine",
     "pl_bpe_encode",
     "pl_bigram_logprob",
+    # round-7: real JPEG + FLAC decode (pure-Python entropy decoders in
+    # the Arrow stage — the bench number is the Python-side codec cost
+    # story), sampled-neighborhood SAGE (windowed fan-out cap + two
+    # join+avg rounds)
+    "pl_jpeg_decode",
+    "pl_flac_decode",
+    "an_sage_sampled",
 ]
 
 

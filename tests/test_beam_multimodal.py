@@ -462,3 +462,157 @@ def test_synthesize_jpeg_decodes_distributed(spark):
         assert (r["width"], r["height"]) == (8 * wb, 8 * hb)
         assert r["body_sum"] == expect
     del np
+
+
+def test_flac_fixed_predictor_roundtrip():
+    """r7: mono FLAC round-trip through every fixed-predictor order
+    (encoder cycles 0/1/2 per block), 16- and 8-bit, partial last
+    block, with real CRC-8/16 verified by the decoder."""
+    import random
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_flac, encode_flac
+
+    rnd = random.Random(1)
+    acc, smp = 0, []
+    for _ in range(10000):
+        acc = max(-30000, min(30000, acc + rnd.randint(-50, 50)))
+        smp.append(acc)
+    total, ch, body = _decode_flac(encode_flac(smp, bps=16, block_size=4096))
+    assert (total, ch) == (10000, 1)
+    exp = ((np.asarray(smp, np.int32) >> 8) + 128).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(body, np.uint8), exp)
+    s8 = [rnd.randint(-128, 127) for _ in range(500)]
+    total, ch, body = _decode_flac(encode_flac(s8, bps=8, block_size=192))
+    assert total == 500
+    assert np.array_equal(
+        np.frombuffer(body, np.uint8),
+        (np.asarray(s8, np.int32) + 128).astype(np.uint8),
+    )
+
+
+def test_flac_hand_built_stream_decodes():
+    """Spec-layout vector for the DECODER-ONLY paths the encoder never
+    emits: VERBATIM and CONSTANT subframes, residual method 1 (5-bit
+    Rice), partition order 1, the escape code (raw residuals), and
+    wasted bits — the stream is assembled bit-by-bit from the public
+    FLAC format layout, so this pins spec fidelity where no reference
+    decoder exists in-container."""
+    import struct as _struct
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_flac,
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        _flac_utf8_coded,
+        _flac_zigzag,
+    )
+
+    def container(frames: bytes, total: int, bps: int = 16) -> bytes:
+        si = _struct.pack(">HH", 8, 8) + b"\x00\x00\x00" * 2
+        si += ((8000 << 44) | ((bps - 1) << 36) | total).to_bytes(8, "big")
+        si += b"\x00" * 16
+        return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + frames
+
+    def frame_head(fno: int) -> bytes:
+        h = _FlacBitWriter()
+        h.write(0b11111111111110, 14)
+        h.write(0, 2)
+        h.write(0b0110, 4)  # 8-bit blocksize-1 from header end
+        h.write(0, 4)
+        h.write(0, 4)
+        h.write(0b100, 3)  # 16-bit samples
+        h.write(0, 1)
+        for b in _flac_utf8_coded(fno):
+            h.write(b, 8)
+        h.write(7, 8)  # blocksize-1 = 7
+        h.align()
+        head = bytes(h.out)
+        return head + bytes([_flac_crc8(head)])
+
+    # frame 0: VERBATIM samples 0..7
+    b = _FlacBitWriter()
+    b.write(0, 1); b.write(1, 6); b.write(0, 1)
+    for v in range(8):
+        b.write(v, 16)
+    b.align()
+    f0 = frame_head(0) + bytes(b.out)
+    f0 += _struct.pack(">H", _flac_crc16(f0))
+
+    # frame 1: CONSTANT -3 with 2 wasted bits (stored value is -3>>... the
+    # spec stores the SHIFTED sample; decoder re-shifts left): store -1,
+    # wasted=2 → samples = -4
+    b = _FlacBitWriter()
+    b.write(0, 1); b.write(0, 6)
+    b.write(1, 1); b.write_unary(1)  # wasted-bits flag, unary(1)+1 = 2
+    b.write((-1) & ((1 << 14) - 1), 14)  # eff bps = 16-2
+    b.align()
+    f1 = frame_head(1) + bytes(b.out)
+    f1 += _struct.pack(">H", _flac_crc16(f1))
+
+    # frame 2: FIXED order 1, residual method 1 (5-bit Rice), partition
+    # order 1: partition A = 3 rice(param 2) residuals, partition B =
+    # escape (raw 6-bit). samples: warmup 100, then +1 each → residuals 1
+    b = _FlacBitWriter()
+    b.write(0, 1); b.write(0b001001, 6); b.write(0, 1)
+    b.write(100, 16)  # warmup
+    b.write(1, 2)  # method 1
+    b.write(1, 4)  # partition order 1
+    b.write(2, 5)  # partition A rice param 2
+    for _ in range(3):
+        u = _flac_zigzag(1)
+        b.write_unary(u >> 2); b.write(u & 3, 2)
+    b.write(31, 5)  # partition B: escape
+    b.write(6, 5)  # raw residual width 6 bits
+    for _ in range(4):
+        b.write(1 & 63, 6)
+    b.align()
+    f2 = frame_head(2) + bytes(b.out)
+    f2 += _struct.pack(">H", _flac_crc16(f2))
+
+    total, ch, body = _decode_flac(container(f0 + f1 + f2, 24))
+    assert (total, ch) == (24, 1)
+    import numpy as np
+
+    got = np.frombuffer(body, np.uint8)
+    exp_samples = list(range(8)) + [-4] * 8 + [100 + i for i in range(8)]
+    exp = ((np.asarray(exp_samples, np.int32) >> 8) + 128).astype(np.uint8)
+    assert np.array_equal(got, exp), (got.tolist(), exp.tolist())
+
+
+def test_flac_unsupported_variants_gated():
+    """Stereo and LPC raise NotImplementedError naming the field; a
+    corrupted frame fails its CRC loudly."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_flac, encode_flac
+
+    base = bytearray(encode_flac([1, 2, 3, 4], block_size=4))
+    stereo = bytearray(base)
+    # STREAMINFO channels bits live in byte 4+4+10+5 (packed>>41): flip to 2
+    packed = int.from_bytes(stereo[18:26], "big")
+    packed |= 1 << 41
+    stereo[18:26] = packed.to_bytes(8, "big")
+    with _pt.raises(NotImplementedError, match="channels=2"):
+        _decode_flac(bytes(stereo))
+    corrupt = bytearray(base)
+    corrupt[-3] ^= 0x40  # flip a bit inside the last frame body
+    with _pt.raises(ValueError, match="CRC"):
+        _decode_flac(bytes(corrupt))
+
+
+def test_synthesize_flac_decodes_distributed(spark):
+    """End-to-end through the Spark plumbing: executor-side FLAC encode →
+    Arrow mapInPandas decode; spot-check closed form."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_flac
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    rows = {r["media_id"]: r for r in decode_media(synthesize_flac(docs)).collect()}
+    assert len(rows) == 10
+    for d in (0, 3, 9):
+        n = 64 + d % 64
+        expect = sum(((((j * 37 + d) % 501) - 250) // 256) + 128 for j in range(n))
+        assert rows[d]["width"] == n and rows[d]["height"] == 1
+        assert rows[d]["body_sum"] == expect
