@@ -453,17 +453,21 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 i += 17 + n
         elif marker == 0xC0:  # SOF0 baseline sequential
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "only 8-bit single-component (grayscale) baseline JPEG "
-                    f"decodes library-free (precision={prec}, components={ncomp})"
+                    "only 8-bit 1- or 3-component baseline JPEG decodes "
+                    f"library-free (precision={prec}, components={ncomp})"
                 )
-            sampling, tq = body[7], body[8]  # after id byte at body[6]
-            if sampling != 0x11:
-                raise NotImplementedError(
-                    f"subsampled JPEG (sampling factor 0x{sampling:02x}) not supported"
-                )
-            frame = (w, h, tq)
+            comps = {}
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise NotImplementedError(
+                        f"subsampled JPEG (component {cid} sampling factor "
+                        f"0x{sampling:02x}) not supported — 4:4:4 only"
+                    )
+                comps[cid] = tq
+            frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -475,21 +479,32 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         elif marker == 0xDA:  # SOS → entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
-            if body[0] != 1:
-                raise NotImplementedError("multi-component JPEG scan")
-            td, ta = body[2] >> 4, body[2] & 15
-            w, h, tq = frame
-            return _jpeg_scan(
-                payload, pos, w, h, qt[tq], huff_dc[td], huff_ac[ta], dri
-            )
+            w, h, comps = frame
+            ns = body[0]
+            if ns != len(comps):
+                raise NotImplementedError(
+                    f"JPEG scan covers {ns} of {len(comps)} components "
+                    "(multi-scan streams are progressive territory)"
+                )
+            plan = []  # per interleaved component: (quant, dc table, ac table)
+            for c in range(ns):
+                cid = body[1 + 2 * c]
+                td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15
+                plan.append((qt[comps[cid]], huff_dc[td], huff_ac[ta]))
+            return _jpeg_scan(payload, pos, w, h, plan, dri)
         # APPn / COM / DNL: skipped
     raise ValueError("JPEG missing SOS scan")
 
 
-def _jpeg_scan(payload, pos, w, h, quant, hdc, hac, dri) -> tuple[int, int, bytes]:
+def _jpeg_scan(payload, pos, w, h, plan, dri) -> tuple[int, int, bytes]:
     """Baseline sequential scan decode (T.81 F.2.2): per MCU one 8×8
-    block — Huffman DC category + EXTEND onto the running predictor, AC
-    (run, size) pairs with EOB/ZRL, dequantize, inverse zigzag, IDCT."""
+    block per interleaved component (``plan`` = [(quant, dc_table,
+    ac_table), ...] in scan order) — Huffman DC category + EXTEND onto
+    that component's running predictor, AC (run, size) pairs with
+    EOB/ZRL, dequantize, inverse zigzag, IDCT. Grayscale output keeps
+    its one component; YCbCr (3-component 4:4:4) collapses to the Y
+    (luma) channel — chroma blocks are still fully entropy-decoded to
+    advance the bit stream, only their IDCT is skipped."""
     import numpy as np
 
     a = _dct_matrix()
@@ -497,33 +512,38 @@ def _jpeg_scan(payload, pos, w, h, quant, hdc, hac, dri) -> tuple[int, int, byte
     out = np.zeros((hb * 8, wb * 8), np.uint8)
     rd = _JpegBitReader(payload, pos)
     zz_r, zz_c = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
-    pred = 0
+    preds = [0] * len(plan)
     for m in range(wb * hb):
         if dri and m and m % dri == 0:
             rd.restart()
-            pred = 0
-        coeffs = np.zeros(64, np.int64)
-        pred += rd.receive_extend(rd.decode(hdc))
-        coeffs[0] = pred
-        k = 1
-        while k < 64:
-            rs = rd.decode(hac)
-            run, size = rs >> 4, rs & 15
-            if size == 0:
-                if run == 15:  # ZRL: 16 zeros
-                    k += 16
-                    continue
-                break  # EOB
-            k += run
-            if k > 63:
-                raise ValueError("JPEG AC coefficient index overflow")
-            coeffs[k] = rd.receive_extend(size)
-            k += 1
-        block = np.zeros((8, 8))
-        block[zz_r, zz_c] = coeffs * quant
-        pixels = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(np.uint8)
-        by, bx = divmod(m, wb)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+            preds = [0] * len(plan)
+        for ci, (quant, hdc, hac) in enumerate(plan):
+            coeffs = np.zeros(64, np.int64)
+            preds[ci] += rd.receive_extend(rd.decode(hdc))
+            coeffs[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = rd.decode(hac)
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient index overflow")
+                coeffs[k] = rd.receive_extend(size)
+                k += 1
+            if ci != 0:  # chroma: decoded for stream position, not rendered
+                continue
+            block = np.zeros((8, 8))
+            block[zz_r, zz_c] = coeffs * quant
+            pixels = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(
+                np.uint8
+            )
+            by, bx = divmod(m, wb)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
     return w, h, np.ascontiguousarray(out[:h, :w]).tobytes()
 
 
@@ -581,31 +601,37 @@ def encode_jpeg_blocks(
     blocks: list,
     quant=None,
     restart_interval: int = 0,
+    ncomp: int = 1,
 ) -> bytes:
-    """Assemble a baseline grayscale JPEG from QUANTIZED coefficient
-    blocks (each a length-64 int sequence in zigzag order, row-major MCU
-    order) — the low-level half of :func:`encode_jpeg_gray`, exposed so
-    tests can inject arbitrary AC runs/ZRL/EOB patterns and verify the
-    decoder against an independent IDCT. ``quant`` is a length-64 zigzag
-    table (default all-ones)."""
+    """Assemble a baseline JPEG from QUANTIZED coefficient blocks (each
+    a length-64 int sequence in zigzag order) — the low-level half of
+    :func:`encode_jpeg_gray`, exposed so tests can inject arbitrary AC
+    runs/ZRL/EOB patterns and verify the decoder against an independent
+    IDCT. ``quant`` is a length-64 zigzag table (default all-ones).
+    ``ncomp=3`` writes a 4:4:4 YCbCr frame: blocks are interleaved per
+    MCU [mcu0_Y, mcu0_Cb, mcu0_Cr, mcu1_Y, ...], every component sharing
+    quant/Huffman table 0 with its own DC predictor (legal per T.81) —
+    the shape the r7 color-decode path consumes."""
     import numpy as np
 
     q = [1] * 64 if quant is None else list(quant)
     dc_t, ac_t = _enc_tables()
     wr = _JpegBitWriter()
-    pred = 0
+    preds = [0] * ncomp
     scan = bytearray()
-    n_blocks = len(blocks)
+    if len(blocks) % ncomp:
+        raise ValueError("interleaved block count must divide by ncomp")
     for m, blk in enumerate(blocks):
-        if restart_interval and m and m % restart_interval == 0:
+        mcu, ci = divmod(m, ncomp)
+        if restart_interval and mcu and ci == 0 and mcu % restart_interval == 0:
             wr.flush()
             scan += bytes(wr.out)
-            scan += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            scan += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
             wr = _JpegBitWriter()
-            pred = 0
+            preds = [0] * ncomp
         blk = [int(x) for x in blk]
-        diff = blk[0] - pred
-        pred = blk[0]
+        diff = blk[0] - preds[ci]
+        preds[ci] = blk[0]
         t = _jpeg_category(diff)
         if t > 11:
             raise ValueError(f"DC difference {diff} exceeds category 11")
@@ -649,11 +675,16 @@ def encode_jpeg_blocks(
     )
     out = b"\xff\xd8"
     out += seg(0xDB, bytes([0x00]) + bytes(np.asarray(q, np.uint8)))
-    out += seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])
+        sos += bytes([c + 1, 0x00])
+    out += seg(0xC0, sof)
     out += seg(0xC4, dht)
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xDA, sos + bytes([0, 63, 0]))
     return out + scan + b"\xff\xd9"
 
 

@@ -432,9 +432,13 @@ def test_jpeg_unsupported_variants_gated():
         _decode_jpeg(bytes(deep))
     color = bytearray(base)
     j = color.find(b"\xff\xc0")
-    color[j + 9] = 3  # ncomp
-    with _pt.raises(NotImplementedError, match="components=3"):
+    color[j + 9] = 2  # ncomp (2-component is never valid baseline JFIF)
+    with _pt.raises(NotImplementedError, match="components=2"):
         _decode_jpeg(bytes(color))
+    sub = bytearray(base)
+    sub[j + 11] = 0x22  # sampling factor → subsampled
+    with _pt.raises(NotImplementedError, match="sampling factor 0x22"):
+        _decode_jpeg(bytes(sub))
     assert np.frombuffer(_decode_jpeg(base)[2], np.uint8).sum() == 0
 
 
@@ -616,3 +620,47 @@ def test_synthesize_flac_decodes_distributed(spark):
         expect = sum(((((j * 37 + d) % 501) - 250) // 256) + 128 for j in range(n))
         assert rows[d]["width"] == n and rows[d]["height"] == 1
         assert rows[d]["body_sum"] == expect
+
+
+def test_jpeg_color_444_decodes_luma():
+    """r7: 3-component 4:4:4 baseline JPEG — chroma blocks are entropy-
+    decoded (stream position, per-component DC predictors) but the
+    output is the Y channel; verified against an independent IDCT, with
+    restart markers resetting ALL three predictors."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _dct_matrix,
+        _decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    rng = np.random.RandomState(7)
+    mcus = 4  # 2×2 blocks → 16×16 image
+    blocks = []
+    y_blocks = []
+    for m in range(mcus):
+        for ci in range(3):
+            blk = np.zeros(64, np.int64)
+            idx = rng.choice(64, 6, replace=False)
+            blk[idx] = rng.randint(-300, 300, 6)
+            blocks.append(blk)
+            if ci == 0:
+                y_blocks.append(blk)
+    data = encode_jpeg_blocks(16, 16, blocks, ncomp=3, restart_interval=2)
+    w, h, body = _decode_jpeg(data)
+    assert (w, h) == (16, 16)
+    got = np.frombuffer(body, np.uint8).reshape(16, 16)
+    a = _dct_matrix()
+    zr, zc = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
+    ref = np.zeros((16, 16))
+    for m, blk in enumerate(y_blocks):
+        s = np.zeros((8, 8))
+        s[zr, zc] = blk
+        by, bx = divmod(m, 2)
+        ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+            np.round(a.T @ s @ a + 128), 0, 255
+        )
+    assert np.array_equal(got, ref.astype(np.uint8))
