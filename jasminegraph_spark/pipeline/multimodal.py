@@ -11,11 +11,12 @@ five scanline filters, stdlib-zlib inflate — r6), and — new r7 —
 baseline sequential grayscale JPEG (full ITU T.81 entropy decode:
 canonical Huffman from DHT, DC prediction, AC run-length with EOB/ZRL,
 byte unstuffing, restart markers, dequantize + inverse zigzag + IDCT)
-plus mono FLAC (metadata walk, frame sync, CRC-8/16 verify, CONSTANT/
-VERBATIM/FIXED subframes, Rice residuals with partitions and escapes).
-The remaining COMPRESSED codecs (color/progressive JPEG, LPC/stereo
-FLAC, MP3) are the stubbed seam: they raise NotImplementedError naming
-the exact unsupported field (see _try_real_decode / per-decoder guards).
+plus FLAC (metadata walk, frame sync, CRC-8/16 verify, CONSTANT/
+VERBATIM/FIXED/LPC subframes, Rice residuals with partitions and
+escapes, independent multichannel and all three stereo decorrelation
+modes). The remaining COMPRESSED codecs (progressive/subsampled JPEG,
+MP3) are the stubbed seam: they raise NotImplementedError naming the
+exact unsupported field (see _try_real_decode / per-decoder guards).
 
 Scale notes: payloads stay in executors end-to-end (no driver collect);
 mapInPandas streams Arrow batches, so peak memory is one batch of decoded
@@ -888,23 +889,30 @@ def _flac_unzigzag(u: int) -> int:
 def encode_flac(
     samples, sample_rate: int = 8000, bps: int = 16, block_size: int = 4096
 ) -> bytes:
-    """Minimal FLAC encoder (fixtures + tests): mono, fixed block size,
-    FIXED predictors (order cycles 0/1/2 per block — so every fixed-
-    predictor reconstruction path decodes), Rice residuals at partition
-    order 0, real CRC-8/CRC-16. Lossless, so the synthesize_flac →
-    _decode_flac driver row has a closed-form SQL oracle — the same
-    exactness story as PNG."""
-    samples = list(samples)
-    n = len(samples)
+    """Minimal FLAC encoder (fixtures + tests): fixed block size, FIXED
+    predictors (order cycles 0/1/2 per block — so every fixed-predictor
+    reconstruction path decodes), Rice residuals at partition order 0,
+    real CRC-8/CRC-16. ``samples`` is one flat list (mono) or a list of
+    per-channel lists (independent-channel stereo/multichannel).
+    Lossless, so the synthesize_flac → _decode_flac driver row has a
+    closed-form SQL oracle — the same exactness story as PNG."""
+    chans = (
+        [list(c) for c in samples]
+        if samples and isinstance(samples[0], (list, tuple))
+        else [list(samples)]
+    )
+    nch = len(chans)
+    if any(len(c) != len(chans[0]) for c in chans):
+        raise ValueError("all FLAC channels must be the same length")
+    n = len(chans[0])
     out = bytearray(b"fLaC")
     si = struct.pack(">HH", block_size, block_size) + b"\x00\x00\x00" * 2
-    packed = (sample_rate << 44) | (0 << 41) | ((bps - 1) << 36) | n
+    packed = (sample_rate << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | n
     si += packed.to_bytes(8, "big") + b"\x00" * 16
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + si  # last-flag set
 
     for f, start in enumerate(range(0, n, block_size)):
-        blk = samples[start : start + block_size]
-        bs = len(blk)
+        bs = min(block_size, n - start)
         hdr = _FlacBitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 2)  # reserved + fixed-blocksize stream
@@ -917,7 +925,7 @@ def encode_flac(
             bs_code, bs_extra = 0b0111, (bs - 1, 16)
         hdr.write(bs_code, 4)
         hdr.write(0, 4)  # sample rate from STREAMINFO
-        hdr.write(0, 4)  # channel assignment: mono
+        hdr.write(nch - 1, 4)  # channel assignment: independent
         hdr.write({8: 0b001, 16: 0b100}[bps], 3)
         hdr.write(0, 1)
         for byt in _flac_utf8_coded(f):
@@ -929,30 +937,32 @@ def encode_flac(
         head += bytes([_flac_crc8(head)])
 
         body = _FlacBitWriter()
-        order = min(f % 3, max(bs - 1, 0))
-        body.write(0, 1)
-        body.write(0b001000 | order, 6)
-        body.write(0, 1)  # no wasted bits
-        for w in blk[:order]:
-            body.write(w & ((1 << bps) - 1), bps)
-        resid = [
-            blk[i]
-            - sum(
-                c * blk[i - 1 - j]
-                for j, c in enumerate(_FLAC_FIXED_COEFFS[order])
-            )
-            for i in range(order, bs)
-        ]
-        body.write(0, 2)  # residual method 0: 4-bit Rice
-        body.write(0, 4)  # partition order 0
-        zz = [_flac_zigzag(r) for r in resid]
-        mean = (sum(zz) // max(len(zz), 1)) if zz else 0
-        param = max(0, min(14, mean.bit_length() - 1 if mean > 0 else 0))
-        body.write(param, 4)
-        for u in zz:
-            body.write_unary(u >> param)
-            if param:
-                body.write(u & ((1 << param) - 1), param)
+        for ch in chans:
+            blk = ch[start : start + bs]
+            order = min(f % 3, max(bs - 1, 0))
+            body.write(0, 1)
+            body.write(0b001000 | order, 6)
+            body.write(0, 1)  # no wasted bits
+            for w in blk[:order]:
+                body.write(w & ((1 << bps) - 1), bps)
+            resid = [
+                blk[i]
+                - sum(
+                    c * blk[i - 1 - j]
+                    for j, c in enumerate(_FLAC_FIXED_COEFFS[order])
+                )
+                for i in range(order, bs)
+            ]
+            body.write(0, 2)  # residual method 0: 4-bit Rice
+            body.write(0, 4)  # partition order 0
+            zz = [_flac_zigzag(r) for r in resid]
+            mean = (sum(zz) // max(len(zz), 1)) if zz else 0
+            param = max(0, min(14, mean.bit_length() - 1 if mean > 0 else 0))
+            body.write(param, 4)
+            for u in zz:
+                body.write_unary(u >> param)
+                if param:
+                    body.write(u & ((1 << param) - 1), param)
         body.align()
         frame = head + bytes(body.out)
         frame += struct.pack(">H", _flac_crc16(frame))
@@ -985,20 +995,68 @@ def _flac_residuals(br: _FlacBitReader, bs: int, order: int) -> list:
     return out
 
 
+def _flac_subframe(br: _FlacBitReader, bs: int, fbps: int) -> list:
+    """One FLAC subframe: CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32)
+    with wasted-bits handling. LPC (r7): warmup, 4-bit precision-1,
+    5-bit signed shift, `order` signed quantized coefficients, then the
+    shared Rice residual section; s[i] = resid + (Σ cⱼ·s[i-1-j]) >> shift
+    (arithmetic shift, matching the spec's integer math exactly)."""
+    if br.read(1):
+        raise ValueError("FLAC subframe padding bit set")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+    eff = fbps - wasted
+    if stype == 0:  # CONSTANT
+        blk = [br.read_signed(eff)] * bs
+    elif stype == 1:  # VERBATIM
+        blk = [br.read_signed(eff) for _ in range(bs)]
+    elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
+        order = stype & 0x7
+        blk = [br.read_signed(eff) for _ in range(order)]
+        for r in _flac_residuals(br, bs, order):
+            pred = sum(
+                c * blk[len(blk) - 1 - j]
+                for j, c in enumerate(_FLAC_FIXED_COEFFS[order])
+            )
+            blk.append(pred + r)
+    elif stype >= 0b100000:  # LPC order 1-32
+        order = (stype & 31) + 1
+        blk = [br.read_signed(eff) for _ in range(order)]
+        precision = br.read(4)
+        if precision == 15:
+            raise ValueError("invalid FLAC LPC coefficient precision (15)")
+        precision += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative FLAC LPC shift")
+        coeffs = [br.read_signed(precision) for _ in range(order)]
+        for r in _flac_residuals(br, bs, order):
+            pred = sum(c * blk[len(blk) - 1 - j] for j, c in enumerate(coeffs))
+            blk.append(r + (pred >> shift))
+    else:
+        raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
+    if wasted:
+        blk = [s << wasted for s in blk]
+    return blk
+
+
 def _decode_flac(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL library-free FLAC decoder — mono subset (r7, narrowing the
-    codec seam to MP3 + color/progressive JPEG): metadata walk →
-    STREAMINFO → per frame: sync + header parse (all block-size and
-    sample-rate codes, UTF-8 frame numbers) with CRC-8 VERIFY,
-    CONSTANT / VERBATIM / FIXED(0-4) subframes, Rice residuals (both
-    parameter widths, any partition order, escape codes), wasted-bits
-    shifts, CRC-16 VERIFY. LPC subframes and stereo/decorrelated channel
-    assignments raise NotImplementedError naming the field. Returns
-    (n_samples, n_channels=1, uint8 byte view — 16-bit samples fold to
-    upper-byte + 128 exactly like _decode_wav). No FLAC reference
-    decoder exists in this container; spec fidelity is pinned by the
-    hand-computed stream-layout test vectors in tests (tests/
-    test_beam_multimodal.py::test_flac_hand_built_stream_decodes)."""
+    """REAL library-free FLAC decoder (r7, narrowing the codec seam to
+    MP3 + progressive/subsampled JPEG): metadata walk → STREAMINFO →
+    per frame: sync + header parse (all block-size and sample-rate
+    codes, UTF-8 frame numbers) with CRC-8 VERIFY, per-channel
+    CONSTANT / VERBATIM / FIXED(0-4) / LPC(1-32) subframes, Rice
+    residuals (both parameter widths, any partition order, escape
+    codes), wasted-bits shifts, CRC-16 VERIFY. Channel assignments:
+    independent (any count) plus all three stereo decorrelation modes
+    (left/side, right/side, mid/side — the side channel reads at
+    bps+1). Returns (n_frames, n_channels, interleaved uint8 byte view
+    — 16-bit samples fold to upper-byte + 128 exactly like
+    _decode_wav). No FLAC reference decoder exists in this container;
+    spec fidelity is pinned by the hand-computed stream-layout test
+    vectors (tests/test_beam_multimodal.py)."""
     if payload[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
@@ -1022,12 +1080,8 @@ def _decode_flac(payload: bytes) -> tuple[int, int, bytes]:
     if streaminfo is None:
         raise ValueError("FLAC missing STREAMINFO")
     sample_rate, channels, bps, total = streaminfo
-    if channels != 1:
-        raise NotImplementedError(
-            f"only mono FLAC decodes library-free (channels={channels})"
-        )
-    samples: list[int] = []
-    while pos < len(payload) and len(samples) < total:
+    samples: list[int] = []  # interleaved frame-major, like _decode_wav
+    while pos < len(payload) and len(samples) < total * channels:
         br = _FlacBitReader(payload, pos)
         if br.read(14) != 0b11111111111110:
             raise ValueError("lost FLAC frame sync")
@@ -1035,10 +1089,8 @@ def _decode_flac(payload: bytes) -> tuple[int, int, bytes]:
         bs_code = br.read(4)
         sr_code = br.read(4)
         chan = br.read(4)
-        if chan != 0:
-            raise NotImplementedError(
-                f"stereo/decorrelated FLAC channel assignment {chan} not supported"
-            )
+        if chan > 10:
+            raise ValueError(f"reserved FLAC channel assignment {chan}")
         ss_code = br.read(3)
         br.read(1)
         _flac_read_utf8(br)
@@ -1064,49 +1116,44 @@ def _decode_flac(payload: bytes) -> tuple[int, int, bytes]:
         br.align()
         if _flac_crc8(payload[pos : br.bytepos]) != br.read(8):
             raise ValueError("FLAC frame header CRC-8 mismatch")
-        if br.read(1):
-            raise ValueError("FLAC subframe padding bit set")
-        stype = br.read(6)
-        wasted = 0
-        if br.read(1):
-            wasted = br.read_unary() + 1
-        eff = fbps - wasted
-        if stype == 0:  # CONSTANT
-            blk = [br.read_signed(eff)] * bs
-        elif stype == 1:  # VERBATIM
-            blk = [br.read_signed(eff) for _ in range(bs)]
-        elif 0b001000 <= stype <= 0b001100:  # FIXED order 0-4
-            order = stype & 0x7
-            blk = [br.read_signed(eff) for _ in range(order)]
-            for r in _flac_residuals(br, bs, order):
-                pred = sum(
-                    c * blk[len(blk) - 1 - j]
-                    for j, c in enumerate(_FLAC_FIXED_COEFFS[order])
-                )
-                blk.append(pred + r)
-        elif stype >= 0b100000:
-            raise NotImplementedError(
-                f"LPC FLAC subframe (order {(stype & 31) + 1}) not supported "
-                "library-free"
+        if (chan + 1 if chan <= 7 else 2) != channels:
+            raise ValueError(
+                f"frame channel assignment {chan} mismatches STREAMINFO "
+                f"channels={channels}"
             )
-        else:
-            raise ValueError(f"reserved FLAC subframe type {stype:#08b}")
-        if wasted:
-            blk = [s << wasted for s in blk]
+        if chan <= 7:  # independent channels
+            chans = [_flac_subframe(br, bs, fbps) for _ in range(chan + 1)]
+        else:  # stereo decorrelation: the side channel reads at bps+1
+            side_slot = {8: 1, 9: 0, 10: 1}[chan]
+            c0 = _flac_subframe(br, bs, fbps + (1 if side_slot == 0 else 0))
+            c1 = _flac_subframe(br, bs, fbps + (1 if side_slot == 1 else 0))
+            if chan == 8:  # left/side: right = left − side
+                chans = [c0, [a - s for a, s in zip(c0, c1)]]
+            elif chan == 9:  # right/side: left = right + side
+                chans = [[a + s for a, s in zip(c1, c0)], c1]
+            else:  # mid/side
+                left, right = [], []
+                for m, s in zip(c0, c1):
+                    m2 = (m << 1) | (s & 1)
+                    left.append((m2 + s) >> 1)
+                    right.append((m2 - s) >> 1)
+                chans = [left, right]
         br.align()
         if _flac_crc16(payload[pos : br.bytepos]) != br.read(16):
             raise ValueError("FLAC frame CRC-16 mismatch")
-        samples.extend(blk)
+        for i in range(bs):  # interleave frame-major
+            for ch in chans:
+                samples.append(ch[i])
         pos = br.bytepos
     import numpy as np
 
-    arr = np.asarray(samples[:total], dtype=np.int32)
+    arr = np.asarray(samples[: total * channels], dtype=np.int32)
     if bps == 8:
         folded = (arr + 128).astype(np.uint8)
     else:
         # same uint8 fold as _decode_wav: upper byte + 128
         folded = ((arr >> 8) + 128).astype(np.uint8)
-    return int(total), 1, folded.tobytes()
+    return int(total), channels, folded.tobytes()
 
 
 def synthesize_flac(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1169,8 +1216,7 @@ def _decode_one(payload: bytes, kind: str = "image") -> tuple[int, int, bytes]:
     _try_real_decode(kind, payload)
     raise ValueError(
         "unknown media container (JGMM fake, uncompressed BMP, PCM WAV, PNG, "
-        "baseline grayscale JPEG, and mono FLAC decode here; MP3 needs a "
-        "codec library)"
+        "baseline JPEG, and FLAC decode here; MP3 needs a codec library)"
     )
 
 

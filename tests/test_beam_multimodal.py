@@ -586,25 +586,144 @@ def test_flac_hand_built_stream_decodes():
     assert np.array_equal(got, exp), (got.tolist(), exp.tolist())
 
 
-def test_flac_unsupported_variants_gated():
-    """Stereo and LPC raise NotImplementedError naming the field; a
-    corrupted frame fails its CRC loudly."""
+def test_flac_invalid_streams_fail_loudly():
+    """A channel-count mismatch between STREAMINFO and the frame header
+    raises; a corrupted frame fails its CRC loudly."""
     import pytest as _pt
 
     from jasminegraph_spark.pipeline.multimodal import _decode_flac, encode_flac
 
     base = bytearray(encode_flac([1, 2, 3, 4], block_size=4))
     stereo = bytearray(base)
-    # STREAMINFO channels bits live in byte 4+4+10+5 (packed>>41): flip to 2
+    # STREAMINFO channels bits live at packed>>41: claim 2, frames say mono
     packed = int.from_bytes(stereo[18:26], "big")
     packed |= 1 << 41
     stereo[18:26] = packed.to_bytes(8, "big")
-    with _pt.raises(NotImplementedError, match="channels=2"):
+    with _pt.raises(ValueError, match="mismatches STREAMINFO"):
         _decode_flac(bytes(stereo))
     corrupt = bytearray(base)
     corrupt[-3] ^= 0x40  # flip a bit inside the last frame body
     with _pt.raises(ValueError, match="CRC"):
         _decode_flac(bytes(corrupt))
+
+
+def test_flac_stereo_independent_roundtrip():
+    """r7: independent-channel stereo — two subframes per frame (NOT
+    byte-aligned between channels), interleaved frame-major output like
+    _decode_wav."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import _decode_flac, encode_flac
+
+    left = [((j * 37) % 501) - 250 for j in range(300)]
+    right = [((j * 53 + 7) % 501) - 250 for j in range(300)]
+    total, ch, body = _decode_flac(encode_flac([left, right], block_size=128))
+    assert (total, ch) == (300, 2)
+    inter = [v for pair in zip(left, right) for v in pair]
+    exp = ((np.asarray(inter, np.int32) >> 8) + 128).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(body, np.uint8), exp)
+
+
+def test_flac_lpc_and_decorrelated_stereo_hand_built():
+    """Hand-built spec-layout vectors for the r7 decoder-only paths: an
+    LPC subframe (quantized coeffs + shift) and all three stereo
+    decorrelation modes (left/side, right/side, mid/side — side channel
+    at bps+1)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_flac,
+        _FlacBitWriter,
+        _flac_crc8,
+        _flac_crc16,
+        _flac_utf8_coded,
+        _flac_zigzag,
+    )
+
+    def container(frames: bytes, total: int, nch: int, bps: int = 16) -> bytes:
+        si = _struct.pack(">HH", 8, 8) + b"\x00\x00\x00" * 2
+        si += ((8000 << 44) | ((nch - 1) << 41) | ((bps - 1) << 36) | total).to_bytes(
+            8, "big"
+        )
+        si += b"\x00" * 16
+        return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si + frames
+
+    def frame_head(fno: int, chan_code: int) -> bytes:
+        h = _FlacBitWriter()
+        h.write(0b11111111111110, 14)
+        h.write(0, 2)
+        h.write(0b0110, 4)
+        h.write(0, 4)
+        h.write(chan_code, 4)
+        h.write(0b100, 3)
+        h.write(0, 1)
+        for b in _flac_utf8_coded(fno):
+            h.write(b, 8)
+        h.write(7, 8)  # blocksize-1 = 7
+        h.align()
+        head = bytes(h.out)
+        return head + bytes([_flac_crc8(head)])
+
+    def verbatim(b: _FlacBitWriter, vals, bits: int) -> None:
+        b.write(0, 1)
+        b.write(1, 6)
+        b.write(0, 1)
+        for v in vals:
+            b.write(v & ((1 << bits) - 1), bits)
+
+    # --- LPC mono frame: order 2, coeffs [3, -1], shift 1 ---
+    # warmup 10, 20; next samples s = r + ((3*s[i-1] - s[i-2]) >> 1)
+    b = _FlacBitWriter()
+    b.write(0, 1)
+    b.write(0b100000 | (2 - 1), 6)  # LPC order 2
+    b.write(0, 1)
+    for w in (10, 20):
+        b.write(w & 0xFFFF, 16)
+    b.write(3, 4)  # precision-1 → 4 bits
+    b.write(1 & 31, 5)  # shift 1
+    b.write(3 & 15, 4)
+    b.write((-1) & 15, 4)
+    b.write(0, 2)  # method 0
+    b.write(0, 4)  # partition order 0
+    b.write(2, 4)  # rice param 2
+    resid = [1, -2, 0, 3, -1, 2]
+    for r in resid:
+        u = _flac_zigzag(r)
+        b.write_unary(u >> 2)
+        b.write(u & 3, 2)
+    b.align()
+    f = frame_head(0, 0) + bytes(b.out)
+    f += _struct.pack(">H", _flac_crc16(f))
+    total, ch, body = _decode_flac(container(f, 8, 1))
+    blk = [10, 20]
+    for r in resid:
+        blk.append(r + ((3 * blk[-1] - blk[-2]) >> 1))
+    exp = ((np.asarray(blk, np.int32) >> 8) + 128).astype(np.uint8)
+    assert np.array_equal(np.frombuffer(body, np.uint8), exp)
+
+    # --- decorrelated stereo, one frame per mode ---
+    left = [100, -200, 300, -400, 500, -600, 700, -800]
+    right = [90, -180, 270, -360, 450, -540, 630, -720]
+    side = [l - r for l, r in zip(left, right)]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    for chan_code, (c0, c0bits), (c1, c1bits) in [
+        (8, (left, 16), (side, 17)),   # left/side
+        (9, (side, 17), (right, 16)),  # right/side
+        (10, (mid, 16), (side, 17)),   # mid/side
+    ]:
+        b = _FlacBitWriter()
+        verbatim(b, c0, c0bits)
+        verbatim(b, c1, c1bits)
+        b.align()
+        f = frame_head(0, chan_code) + bytes(b.out)
+        f += _struct.pack(">H", _flac_crc16(f))
+        total, ch, body = _decode_flac(container(f, 8, 2))
+        assert (total, ch) == (8, 2)
+        inter = [v for pair in zip(left, right) for v in pair]
+        exp = ((np.asarray(inter, np.int32) >> 8) + 128).astype(np.uint8)
+        assert np.array_equal(np.frombuffer(body, np.uint8), exp), chan_code
 
 
 def test_synthesize_flac_decodes_distributed(spark):
