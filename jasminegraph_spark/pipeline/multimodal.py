@@ -462,12 +462,23 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
             comps = {}
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    raise NotImplementedError(
-                        f"subsampled JPEG (component {cid} sampling factor "
-                        f"0x{sampling:02x}) not supported — 4:4:4 only"
+                hs, vs = sampling >> 4, sampling & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factor 0x{sampling:02x}"
                     )
-                comps[cid] = tq
+                comps[cid] = (hs, vs, tq)
+            hmax = max(hs for hs, _, _ in comps.values())
+            vmax = max(vs for _, vs, _ in comps.values())
+            first = next(iter(comps.values()))
+            if (first[0], first[1]) != (hmax, vmax):
+                # rendering needs the luma component at full resolution —
+                # true for every standard YCbCr layout (4:4:4/4:2:2/4:2:0)
+                raise NotImplementedError(
+                    "JPEG where the first component is subsampled below "
+                    f"hmax×vmax ({first[0]}x{first[1]} vs {hmax}x{vmax}) "
+                    "not supported"
+                )
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
@@ -487,64 +498,75 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     f"JPEG scan covers {ns} of {len(comps)} components "
                     "(multi-scan streams are progressive territory)"
                 )
-            plan = []  # per interleaved component: (quant, dc table, ac table)
+            plan = []  # per scan component: (quant, dc, ac, h, v)
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 td, ta = body[2 + 2 * c] >> 4, body[2 + 2 * c] & 15
-                plan.append((qt[comps[cid]], huff_dc[td], huff_ac[ta]))
+                hs, vs, tq = comps[cid]
+                plan.append((qt[tq], huff_dc[td], huff_ac[ta], hs, vs))
             return _jpeg_scan(payload, pos, w, h, plan, dri)
         # APPn / COM / DNL: skipped
     raise ValueError("JPEG missing SOS scan")
 
 
 def _jpeg_scan(payload, pos, w, h, plan, dri) -> tuple[int, int, bytes]:
-    """Baseline sequential scan decode (T.81 F.2.2): per MCU one 8×8
-    block per interleaved component (``plan`` = [(quant, dc_table,
-    ac_table), ...] in scan order) — Huffman DC category + EXTEND onto
-    that component's running predictor, AC (run, size) pairs with
-    EOB/ZRL, dequantize, inverse zigzag, IDCT. Grayscale output keeps
-    its one component; YCbCr (3-component 4:4:4) collapses to the Y
-    (luma) channel — chroma blocks are still fully entropy-decoded to
-    advance the bit stream, only their IDCT is skipped."""
+    """Baseline sequential scan decode (T.81 F.2.2, A.2.3 MCU
+    interleave): ``plan`` = [(quant, dc_table, ac_table, h, v), ...] in
+    scan order. Each MCU carries h_c × v_c blocks per component in
+    raster order — 4:4:4 is 1+1+1, 4:2:2 is 2+1+1, 4:2:0 is 4+1+1 —
+    with Huffman DC category + EXTEND onto that component's running
+    predictor, AC (run, size) pairs with EOB/ZRL, dequantize, inverse
+    zigzag, IDCT. Grayscale keeps its one component; color collapses to
+    the Y (luma) channel, which is the full-resolution component in
+    every standard layout — chroma blocks are still fully
+    entropy-decoded to advance the bit stream, only their IDCT is
+    skipped."""
     import numpy as np
 
     a = _dct_matrix()
-    wb, hb = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((hb * 8, wb * 8), np.uint8)
+    hmax = max(p[3] for p in plan)
+    vmax = max(p[4] for p in plan)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    out = np.zeros((mcus_y * vmax * 8, mcus_x * hmax * 8), np.uint8)
     rd = _JpegBitReader(payload, pos)
     zz_r, zz_c = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
     preds = [0] * len(plan)
-    for m in range(wb * hb):
+    for m in range(mcus_x * mcus_y):
         if dri and m and m % dri == 0:
             rd.restart()
             preds = [0] * len(plan)
-        for ci, (quant, hdc, hac) in enumerate(plan):
-            coeffs = np.zeros(64, np.int64)
-            preds[ci] += rd.receive_extend(rd.decode(hdc))
-            coeffs[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = rd.decode(hac)
-                run, size = rs >> 4, rs & 15
-                if size == 0:
-                    if run == 15:  # ZRL: 16 zeros
-                        k += 16
+        my, mx = divmod(m, mcus_x)
+        for ci, (quant, hdc, hac, hs, vs) in enumerate(plan):
+            for bv in range(vs):
+                for bh in range(hs):
+                    coeffs = np.zeros(64, np.int64)
+                    preds[ci] += rd.receive_extend(rd.decode(hdc))
+                    coeffs[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = rd.decode(hac)
+                        run, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if run == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC coefficient index overflow")
+                        coeffs[k] = rd.receive_extend(size)
+                        k += 1
+                    if ci != 0:  # chroma: stream position only, no render
                         continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise ValueError("JPEG AC coefficient index overflow")
-                coeffs[k] = rd.receive_extend(size)
-                k += 1
-            if ci != 0:  # chroma: decoded for stream position, not rendered
-                continue
-            block = np.zeros((8, 8))
-            block[zz_r, zz_c] = coeffs * quant
-            pixels = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(
-                np.uint8
-            )
-            by, bx = divmod(m, wb)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = pixels
+                    block = np.zeros((8, 8))
+                    block[zz_r, zz_c] = coeffs * quant
+                    pixels = np.clip(
+                        np.round(a.T @ block @ a + 128.0), 0, 255
+                    ).astype(np.uint8)
+                    py = (my * vmax + bv) * 8
+                    px = (mx * hmax + bh) * 8
+                    out[py : py + 8, px : px + 8] = pixels
     return w, h, np.ascontiguousarray(out[:h, :w]).tobytes()
 
 
@@ -603,28 +625,35 @@ def encode_jpeg_blocks(
     quant=None,
     restart_interval: int = 0,
     ncomp: int = 1,
+    samplings: list | None = None,
 ) -> bytes:
     """Assemble a baseline JPEG from QUANTIZED coefficient blocks (each
     a length-64 int sequence in zigzag order) — the low-level half of
     :func:`encode_jpeg_gray`, exposed so tests can inject arbitrary AC
     runs/ZRL/EOB patterns and verify the decoder against an independent
     IDCT. ``quant`` is a length-64 zigzag table (default all-ones).
-    ``ncomp=3`` writes a 4:4:4 YCbCr frame: blocks are interleaved per
-    MCU [mcu0_Y, mcu0_Cb, mcu0_Cr, mcu1_Y, ...], every component sharing
-    quant/Huffman table 0 with its own DC predictor (legal per T.81) —
-    the shape the r7 color-decode path consumes."""
+    ``ncomp=3`` writes a YCbCr frame: blocks are interleaved per MCU in
+    T.81 A.2.3 order (per component, its h×v blocks raster-wise), every
+    component sharing quant/Huffman table 0 with its own DC predictor.
+    ``samplings`` = [(h, v), ...] per component (default all (1, 1));
+    [(2, 2), (1, 1), (1, 1)] writes 4:2:0 — the shape the r7
+    subsampled-decode path consumes."""
     import numpy as np
 
     q = [1] * 64 if quant is None else list(quant)
+    samplings = samplings or [(1, 1)] * ncomp
+    layout = [ci for ci in range(ncomp) for _ in range(samplings[ci][0] * samplings[ci][1])]
+    bpm = len(layout)  # blocks per MCU
     dc_t, ac_t = _enc_tables()
     wr = _JpegBitWriter()
     preds = [0] * ncomp
     scan = bytearray()
-    if len(blocks) % ncomp:
-        raise ValueError("interleaved block count must divide by ncomp")
+    if len(blocks) % bpm:
+        raise ValueError("interleaved block count must divide by blocks-per-MCU")
     for m, blk in enumerate(blocks):
-        mcu, ci = divmod(m, ncomp)
-        if restart_interval and mcu and ci == 0 and mcu % restart_interval == 0:
+        mcu, within = divmod(m, bpm)
+        ci = layout[within]
+        if restart_interval and mcu and within == 0 and mcu % restart_interval == 0:
             wr.flush()
             scan += bytes(wr.out)
             scan += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
@@ -679,7 +708,8 @@ def encode_jpeg_blocks(
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     sos = bytes([ncomp])
     for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])
+        hs, vs = samplings[c]
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
         sos += bytes([c + 1, 0x00])
     out += seg(0xC0, sof)
     out += seg(0xC4, dht)

@@ -435,10 +435,18 @@ def test_jpeg_unsupported_variants_gated():
     color[j + 9] = 2  # ncomp (2-component is never valid baseline JFIF)
     with _pt.raises(NotImplementedError, match="components=2"):
         _decode_jpeg(bytes(color))
-    sub = bytearray(base)
-    sub[j + 11] = 0x22  # sampling factor → subsampled
-    with _pt.raises(NotImplementedError, match="sampling factor 0x22"):
-        _decode_jpeg(bytes(sub))
+    # r7: subsampling itself is supported (4:2:0/4:2:2), but a frame
+    # whose FIRST component is below full resolution cannot render luma
+    from jasminegraph_spark.pipeline.multimodal import encode_jpeg_blocks
+
+    import numpy as np
+
+    blocks = [np.zeros(64, np.int64) for _ in range(6)]
+    weird = encode_jpeg_blocks(
+        16, 16, blocks, ncomp=3, samplings=[(1, 1), (2, 2), (1, 1)]
+    )
+    with _pt.raises(NotImplementedError, match="first component is subsampled"):
+        _decode_jpeg(weird)
     assert np.frombuffer(_decode_jpeg(base)[2], np.uint8).sum() == 0
 
 
@@ -782,4 +790,64 @@ def test_jpeg_color_444_decodes_luma():
         ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
             np.round(a.T @ s @ a + 128), 0, 255
         )
+    assert np.array_equal(got, ref.astype(np.uint8))
+
+
+def test_jpeg_420_and_422_subsampled_decode():
+    """r7: 4:2:0 and 4:2:2 MCU interleave (T.81 A.2.3) — luma blocks
+    placed on the hmax×vmax grid, subsampled chroma entropy-decoded for
+    stream position, restart markers at MCU boundaries; verified
+    against an independent IDCT of the Y blocks."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _ZZ_COLS,
+        _ZZ_ROWS,
+        _dct_matrix,
+        _decode_jpeg,
+        encode_jpeg_blocks,
+    )
+
+    a = _dct_matrix()
+    zr, zc = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
+    rng = np.random.RandomState(3)
+
+    def rand_block():
+        blk = np.zeros(64, np.int64)
+        idx = rng.choice(64, 5, replace=False)
+        blk[idx] = rng.randint(-200, 200, 5)
+        return blk
+
+    def idct(blk):
+        s = np.zeros((8, 8))
+        s[zr, zc] = blk
+        return np.clip(np.round(a.T @ s @ a + 128), 0, 255)
+
+    # 4:2:0 — 16×16 image = 1 MCU: 4 Y + 1 Cb + 1 Cr
+    y = [rand_block() for _ in range(4)]
+    blocks = y + [rand_block(), rand_block()]
+    w, h, body = _decode_jpeg(
+        encode_jpeg_blocks(16, 16, blocks, ncomp=3, samplings=[(2, 2), (1, 1), (1, 1)])
+    )
+    got = np.frombuffer(body, np.uint8).reshape(16, 16)
+    ref = np.zeros((16, 16))
+    for i, blk in enumerate(y):  # raster order within the MCU
+        by, bx = divmod(i, 2)
+        ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct(blk)
+    assert np.array_equal(got, ref.astype(np.uint8))
+
+    # 4:2:2 — 32×8 image = 2 MCUs of (2 Y + 1 Cb + 1 Cr), restart between
+    y = [rand_block() for _ in range(4)]
+    blocks = [y[0], y[1], rand_block(), rand_block(),
+              y[2], y[3], rand_block(), rand_block()]
+    w, h, body = _decode_jpeg(
+        encode_jpeg_blocks(
+            32, 8, blocks, ncomp=3, samplings=[(2, 1), (1, 1), (1, 1)],
+            restart_interval=1,
+        )
+    )
+    got = np.frombuffer(body, np.uint8).reshape(8, 32)
+    ref = np.zeros((8, 32))
+    for i, blk in enumerate(y):
+        ref[:, i * 8 : i * 8 + 8] = idct(blk)
     assert np.array_equal(got, ref.astype(np.uint8))
