@@ -480,10 +480,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                     "not supported"
                 )
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 → hand the stream to the progressive path
+            return _decode_jpeg_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x}: progressive/"
+                f"non-baseline JPEG (SOF marker 0x{marker:02x}: extended/"
                 "arithmetic/hierarchical) not supported library-free"
             )
         elif marker == 0xDD:  # DRI
@@ -570,6 +572,197 @@ def _jpeg_scan(payload, pos, w, h, plan, dri) -> tuple[int, int, bytes]:
     return w, h, np.ascontiguousarray(out[:h, :w]).tobytes()
 
 
+def _jpeg_read_bits(rd: _JpegBitReader, n: int) -> int:
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | rd.read_bit()
+    return v
+
+
+def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL library-free PROGRESSIVE JPEG decoder — grayscale (r7,
+    closing the last JPEG mode behind the codec seam). Full T.81 Annex G
+    semantics: SOF2, multi-scan SOS with spectral selection (Ss/Se) and
+    successive approximation (Ah/Al); DC first + DC refinement scans, AC
+    first scans with EOBRUN, and AC REFINEMENT scans (newly-significant
+    ±1·2^Al insertions interleaved with correction bits for
+    already-nonzero coefficients, ZRL folding, EOBRUN covering the
+    current block — the jdphuff-equivalent control flow). Coefficients
+    accumulate per block in zigzag order across scans; dequantize + IDCT
+    render once at EOI. Progressive COLOR raises NotImplementedError
+    (multi-component progressive adds per-component non-interleaved scan
+    geometry)."""
+    import numpy as np
+
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff_dc: dict[int, _JpegHuffman] = {}
+    huff_ac: dict[int, _JpegHuffman] = {}
+    dri = 0
+    frame = None
+    coef = None  # (nblocks, 64) accumulated coefficients, zigzag order
+    pred = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        size = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + size]
+        pos += size
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq:
+                    raise NotImplementedError(
+                        "16-bit JPEG quantization table (Pq=1) not supported"
+                    )
+                qt[tq] = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                table = _JpegHuffman(counts, list(body[i + 17 : i + 17 + n]))
+                (huff_dc if tc == 0 else huff_ac)[th] = table
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise NotImplementedError(
+                    "progressive JPEG decodes library-free only for 8-bit "
+                    f"grayscale (precision={prec}, components={ncomp})"
+                )
+            frame = (w, h, body[8])
+            wb, hb = (w + 7) // 8, (h + 7) // 8
+            coef = np.zeros((wb * hb, 64), np.int64)
+        elif marker == 0xDD:
+            dri = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:
+            if frame is None or coef is None:
+                raise ValueError("progressive SOS before SOF2")
+            if body[0] != 1:
+                raise NotImplementedError("multi-component progressive scan")
+            td, ta = body[2] >> 4, body[2] & 15
+            ss, se, a = body[3], body[4], body[5]
+            rd = _JpegBitReader(payload, pos)
+            pred = _jpeg_progressive_scan(
+                rd, coef, ss, se, a >> 4, a & 15,
+                huff_dc.get(td), huff_ac.get(ta), dri, pred,
+            )
+            pos = rd.pos
+    if frame is None or coef is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    w, h, tq = frame
+    a = _dct_matrix()
+    zz_r, zz_c = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
+    wb, hb = (w + 7) // 8, (h + 7) // 8
+    out = np.zeros((hb * 8, wb * 8), np.uint8)
+    for m in range(wb * hb):
+        block = np.zeros((8, 8))
+        block[zz_r, zz_c] = coef[m] * qt[tq]
+        px = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(np.uint8)
+        by, bx = divmod(m, wb)
+        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    return w, h, np.ascontiguousarray(out[:h, :w]).tobytes()
+
+
+def _jpeg_progressive_scan(rd, coef, ss, se, ah, al, hdc, hac, dri, pred):
+    """One progressive SOS over every block: DC first (diff << Al) / DC
+    refine (one bit per block), AC first (coefficients << Al with
+    EOBRUN), AC refine (see _jpeg_ac_refine_block)."""
+    eobrun = 0
+    for m in range(coef.shape[0]):
+        if dri and m and m % dri == 0:
+            rd.restart()
+            pred = 0
+            eobrun = 0
+        blk = coef[m]
+        if ss == 0:  # DC scan
+            if ah == 0:
+                pred += rd.receive_extend(rd.decode(hdc))
+                blk[0] = pred << al
+            elif rd.read_bit():
+                blk[0] |= 1 << al
+            continue
+        if ah == 0:  # AC first scan for this band
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.decode(hac)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += _jpeg_read_bits(rd, r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index overflow in progressive scan")
+                blk[k] = rd.receive_extend(s) << al
+                k += 1
+        else:
+            eobrun = _jpeg_ac_refine_block(rd, blk, ss, se, al, hac, eobrun)
+    return pred
+
+
+def _jpeg_ac_refine_block(rd, blk, ss, se, al, hac, eobrun):
+    """AC successive-approximation refinement for one block (T.81 G.2 /
+    the jdphuff control flow): decode (run, 1) insertions of ±2^Al at
+    zero-history positions, reading a correction bit for every
+    already-nonzero coefficient passed; EOBn counts the CURRENT block
+    and is decremented after the post-loop remainder refinement."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rd.decode(hac)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += _jpeg_read_bits(rd, r)
+                    break
+                # r == 15: ZRL — advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement magnitude")
+                val = p1 if rd.read_bit() else -p1
+            while k <= se:
+                if blk[k] != 0:
+                    if rd.read_bit() and (abs(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0 and rd.read_bit() and (abs(blk[k]) & p1) == 0:
+                blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 class _JpegBitWriter:
     """MSB-first bit writer with 0xFF00 stuffing; flush pads with 1s
     (T.81 §B.1.1.5, §F.1.2.3)."""
@@ -596,12 +789,12 @@ class _JpegBitWriter:
 
 
 # fixed encoder Huffman tables: every symbol at bit-length 8 (Kraft-valid:
-# 12·2⁻⁸ and 162·2⁻⁸ ≤ 1, and no all-ones code since 162 < 255). The
-# DECODER never assumes these — it builds whatever tables the DHT declares.
+# 12·2⁻⁸ and 176·2⁻⁸ ≤ 1, and no all-ones code since 176 < 255). The
+# DECODER never assumes these — it builds whatever tables the DHT
+# declares. (r<<4)|0 for r 1-14 are the progressive EOBn run symbols.
 _ENC_DC_SYMBOLS = list(range(12))
-_ENC_AC_SYMBOLS = [0x00, 0xF0] + [
-    (r << 4) | s for r in range(16) for s in range(1, 11)
-]
+# s=0 row covers EOB (0x00), EOBn runs (0x10..0xE0) and ZRL (0xF0)
+_ENC_AC_SYMBOLS = [(r << 4) | s for r in range(16) for s in range(0, 11)]
 
 
 def _enc_tables() -> tuple[_JpegHuffman, _JpegHuffman]:
@@ -717,6 +910,179 @@ def encode_jpeg_blocks(
         out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, sos + bytes([0, 63, 0]))
     return out + scan + b"\xff\xd9"
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    blocks: list,
+    quant=None,
+    first_al: int = 1,
+) -> bytes:
+    """Progressive grayscale JPEG from quantized zigzag blocks (tests +
+    fixtures): scan script = DC first at Al=first_al → DC refinements to
+    0 → AC bands (1-5) and (6-63) first at Al=first_al → AC refinement
+    scans down to 0, with jcphuff-style lazy EOBRUN emission and
+    buffered correction bits (ZRLs fold only up to the last
+    newly-significant index). AC point transforms are sign-magnitude
+    shifts, DC arithmetic shifts, per T.81 G.1.2."""
+    import numpy as np
+
+    q = [1] * 64 if quant is None else list(quant)
+    blocks = [np.asarray(b, np.int64) for b in blocks]
+    dc_t, ac_t = _enc_tables()
+    a0 = first_al
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def pt_ac(v: int, shift: int) -> int:
+        return (abs(v) >> shift) * (1 if v >= 0 else -1)
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(np.asarray(q, np.uint8)))
+    out += seg(0xC2, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    counts_dc = bytes([0] * 7 + [len(_ENC_DC_SYMBOLS)] + [0] * 8)
+    counts_ac = bytes([0] * 7 + [len(_ENC_AC_SYMBOLS)] + [0] * 8)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + counts_dc + bytes(_ENC_DC_SYMBOLS)
+        + bytes([0x10]) + counts_ac + bytes(sorted(_ENC_AC_SYMBOLS)),
+    )
+
+    def sos(ss, se, ah, al, scan_bits):
+        return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])) + scan_bits
+
+    # DC first scan (point transform = arithmetic shift)
+    wr = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        t = int(blk[0]) >> a0
+        diff, pred = t - pred, t
+        cat = _jpeg_category(diff)
+        code, ln = dc_t.encode_map[cat]
+        wr.write(code, ln)
+        if cat:
+            wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    wr.flush()
+    out += sos(0, 0, 0, a0, bytes(wr.out))
+    # DC refinement scans
+    for al in range(a0 - 1, -1, -1):
+        wr = _JpegBitWriter()
+        for blk in blocks:
+            wr.write((int(blk[0]) >> al) & 1, 1)
+        wr.flush()
+        out += sos(0, 0, al + 1, al, bytes(wr.out))
+
+    bands = [(1, 5), (6, 63)]
+    for ss, se in bands:  # AC first scans
+        wr = _JpegBitWriter()
+        eob_pending = 0
+
+        def flush_eob():
+            nonlocal eob_pending
+            while eob_pending > 0:
+                n = min(eob_pending, 32767)
+                r = n.bit_length() - 1
+                code, ln = ac_t.encode_map[(r << 4) | 0]
+                wr.write(code, ln)
+                if r:
+                    wr.write(n - (1 << r), r)
+                eob_pending -= n
+
+        for blk in blocks:
+            vals = [pt_ac(int(blk[k]), a0) for k in range(ss, se + 1)]
+            if not any(vals):
+                eob_pending += 1
+                if eob_pending == 32767:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for v in vals[: last_nz + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_t.encode_map[0xF0]
+                    wr.write(code, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, ln = ac_t.encode_map[(run << 4) | s]
+                wr.write(code, ln)
+                wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < len(vals) - 1:
+                eob_pending += 1
+        flush_eob()
+        wr.flush()
+        out += sos(ss, se, 0, a0, bytes(wr.out))
+
+    for al in range(a0 - 1, -1, -1):  # AC refinement scans
+        ah = al + 1
+        for ss, se in bands:
+            wr = _JpegBitWriter()
+            eob_pending = 0
+            be_bits: list[int] = []
+
+            def flush_eob2():
+                nonlocal eob_pending, be_bits
+                while eob_pending > 0:
+                    n = min(eob_pending, 32767)
+                    r = n.bit_length() - 1
+                    code, ln = ac_t.encode_map[(r << 4) | 0]
+                    wr.write(code, ln)
+                    if r:
+                        wr.write(n - (1 << r), r)
+                    eob_pending -= n
+                for b in be_bits:
+                    wr.write(b, 1)
+                be_bits = []
+
+            for blk in blocks:
+                run = 0
+                br: list[int] = []
+                newly = [
+                    k for k in range(ss, se + 1)
+                    if (abs(int(blk[k])) >> ah) == 0
+                    and (abs(int(blk[k])) >> al) != 0
+                ]
+                eob_k = newly[-1] if newly else ss - 1
+                for k in range(ss, se + 1):
+                    hist = abs(int(blk[k])) >> ah
+                    now = abs(int(blk[k])) >> al
+                    if hist == 0 and now == 0:
+                        run += 1
+                        continue
+                    while run > 15 and k <= eob_k:
+                        flush_eob2()
+                        code, ln = ac_t.encode_map[0xF0]
+                        wr.write(code, ln)
+                        for b in br:
+                            wr.write(b, 1)
+                        br = []
+                        run -= 16
+                    if hist != 0:
+                        br.append(now & 1)
+                        continue
+                    flush_eob2()
+                    code, ln = ac_t.encode_map[(run << 4) | 1]
+                    wr.write(code, ln)
+                    wr.write(1 if int(blk[k]) > 0 else 0, 1)
+                    for b in br:
+                        wr.write(b, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    eob_pending += 1
+                    be_bits.extend(br)
+                    if eob_pending == 32767:
+                        flush_eob2()
+            flush_eob2()
+            wr.flush()
+            out += sos(ss, se, ah, al, bytes(wr.out))
+    return out + b"\xff\xd9"
 
 
 def encode_jpeg_gray(

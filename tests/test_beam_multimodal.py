@@ -421,10 +421,12 @@ def test_jpeg_unsupported_variants_gated():
     from jasminegraph_spark.pipeline.multimodal import _decode_jpeg, encode_jpeg_gray
 
     base = encode_jpeg_gray(8, 8, bytes(64))
-    prog = bytearray(base)
-    prog[prog.find(b"\xff\xc0") + 1] = 0xC2
-    with _pt.raises(NotImplementedError, match="SOF marker 0xc2"):
-        _decode_jpeg(bytes(prog))
+    # r7: SOF2 (progressive) now decodes — arithmetic-coded SOF10 is the
+    # representative still-gated frame type
+    arith = bytearray(base)
+    arith[arith.find(b"\xff\xc0") + 1] = 0xCA
+    with _pt.raises(NotImplementedError, match="SOF marker 0xca"):
+        _decode_jpeg(bytes(arith))
     deep = bytearray(base)
     i = deep.find(b"\xff\xdb")
     deep[i + 4] = 0x10  # Pq=1 → 16-bit quant table
@@ -851,3 +853,55 @@ def test_jpeg_420_and_422_subsampled_decode():
     for i, blk in enumerate(y):
         ref[:, i * 8 : i * 8 + 8] = idct(blk)
     assert np.array_equal(got, ref.astype(np.uint8))
+
+
+def test_jpeg_progressive_grayscale_decodes():
+    """r7: PROGRESSIVE JPEG (SOF2) — spectral selection + successive
+    approximation. Random coefficient blocks encoded through the
+    progressive scan script (DC first/refine, AC bands with EOBRUN, AC
+    refinement with ZRL folding + buffered correction bits) must decode
+    to EXACTLY the pixels the sequential decoder produces from the same
+    blocks — the two pipelines share only the IDCT, so agreement pins
+    the whole Annex-G state machine."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_jpeg,
+        encode_jpeg_blocks,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    for trial in range(8):
+        nb = rng.randint(1, 9)
+        blocks = []
+        for _ in range(nb):
+            blk = np.zeros(64, np.int64)
+            idx = rng.choice(64, rng.randint(0, 30), replace=False)
+            blk[idx] = rng.randint(-900, 900, len(idx))
+            blocks.append(blk)
+        w = 8 * min(nb, 4)
+        h = 8 * ((nb + 3) // 4)
+        while len(blocks) < (w // 8) * (h // 8):
+            blocks.append(np.zeros(64, np.int64))
+        quant = [int(x) for x in rng.randint(1, 25, 64)]
+        a0 = int(rng.choice([1, 2, 3]))
+        prog = encode_jpeg_progressive(w, h, blocks, quant=quant, first_al=a0)
+        got = _decode_jpeg(prog)  # dispatches through the SOF2 branch
+        ref = _decode_jpeg(encode_jpeg_blocks(w, h, blocks, quant=quant))
+        assert got == ref, (trial, a0)
+
+
+def test_jpeg_progressive_color_still_gated():
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    prog = bytearray(encode_jpeg_progressive(8, 8, [[0] * 64]))
+    j = prog.find(b"\xff\xc2")
+    prog[j + 9] = 3  # claim 3 components
+    with _pt.raises(NotImplementedError, match="grayscale"):
+        _decode_jpeg(bytes(prog))
