@@ -347,29 +347,40 @@ class _JpegHuffman:
 
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 byte
-    unstuffing and RSTn resync (T.81 §B.1.1.5, §E.2.4)."""
+    unstuffing and RSTn resync (T.81 §B.1.1.5, §E.2.4). Word-buffered:
+    bytes accumulate into an int so multi-bit reads are one shift+mask
+    (r7 perf — the per-bit loop dominated the decode bench)."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
-        self.cur = 0
+        self.acc = 0
         self.nbits = 0
+
+    def _refill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt != 0x00:
+                raise ValueError(
+                    f"marker 0xff{nxt:02x} inside entropy-coded segment"
+                )
+            self.pos += 1
+        self.acc = ((self.acc << 8) | b) & 0xFFFFFFFF
+        self.nbits += 8
 
     def read_bit(self) -> int:
         if self.nbits == 0:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt != 0x00:
-                    raise ValueError(
-                        f"marker 0xff{nxt:02x} inside entropy-coded segment"
-                    )
-                self.pos += 1
-            self.cur = b
-            self.nbits = 8
+            self._refill()
         self.nbits -= 1
-        return (self.cur >> self.nbits) & 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._refill()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
 
     def decode(self, table: _JpegHuffman) -> int:
         code = 0
@@ -385,9 +396,7 @@ class _JpegBitReader:
         EXTEND): values with a 0 MSB are the negative half of category t."""
         if t == 0:
             return 0
-        v = 0
-        for _ in range(t):
-            v = (v << 1) | self.read_bit()
+        v = self.read_bits(t)
         return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
 
     def restart(self) -> None:
@@ -573,10 +582,7 @@ def _jpeg_scan(payload, pos, w, h, plan, dri) -> tuple[int, int, bytes]:
 
 
 def _jpeg_read_bits(rd: _JpegBitReader, n: int) -> int:
-    v = 0
-    for _ in range(n):
-        v = (v << 1) | rd.read_bit()
-    return v
+    return rd.read_bits(n)
 
 
 def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
@@ -765,7 +771,7 @@ def _jpeg_ac_refine_block(rd, blk, ss, se, al, hac, eobrun):
 
 class _JpegBitWriter:
     """MSB-first bit writer with 0xFF00 stuffing; flush pads with 1s
-    (T.81 §B.1.1.5, §F.1.2.3)."""
+    (T.81 §B.1.1.5, §F.1.2.3). Word-buffered like _JpegBitReader."""
 
     def __init__(self):
         self.out = bytearray()
@@ -773,15 +779,15 @@ class _JpegBitWriter:
         self.nbits = 0
 
     def write(self, code: int, length: int) -> None:
-        for i in range(length - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((code >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.cur)
-                if self.cur == 0xFF:
-                    self.out.append(0x00)
-                self.cur = 0
-                self.nbits = 0
+        self.cur = (self.cur << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.cur >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self.cur &= (1 << self.nbits) - 1
 
     def flush(self) -> None:
         if self.nbits:
@@ -1154,22 +1160,25 @@ def synthesize_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 class _FlacBitReader:
     """MSB-first bit reader for the FLAC bit layout (no byte stuffing,
     unary = zero-run terminated by a one bit — ITU-independent; format
-    per the public FLAC format spec, frame/subframe/residual sections)."""
+    per the public FLAC format spec, frame/subframe/residual sections).
+    Word-buffered (r7 perf): bytes accumulate into an int, so multi-bit
+    reads are one shift+mask and the invariant nbuf < 8 after every
+    read keeps ``bytepos`` exact at byte boundaries for CRC slicing."""
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
-        self.bytepos = pos
-        self.bitpos = 0
+        self.bytepos = pos  # index of the next byte to LOAD
+        self.acc = 0
+        self.nbuf = 0  # buffered-but-unread bits (always < 8 after read)
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            b = self.data[self.bytepos]
-            v = (v << 1) | ((b >> (7 - self.bitpos)) & 1)
-            self.bitpos += 1
-            if self.bitpos == 8:
-                self.bitpos = 0
-                self.bytepos += 1
+        while self.nbuf < n:
+            self.acc = (self.acc << 8) | self.data[self.bytepos]
+            self.bytepos += 1
+            self.nbuf += 8
+        self.nbuf -= n
+        v = (self.acc >> self.nbuf) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbuf) - 1
         return v
 
     def read_signed(self, n: int) -> int:
@@ -1178,39 +1187,48 @@ class _FlacBitReader:
 
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if self.nbuf == 0:
+                self.acc = self.data[self.bytepos]
+                self.bytepos += 1
+                self.nbuf = 8
+            if self.acc == 0:  # whole buffered chunk is zeros
+                q += self.nbuf
+                self.nbuf = 0
+                continue
+            top = self.acc.bit_length()
+            q += self.nbuf - top  # leading zeros in the buffer
+            self.nbuf = top - 1  # consume them plus the terminating 1
+            self.acc &= (1 << self.nbuf) - 1
+            return q
 
     def align(self) -> None:
-        if self.bitpos:
-            self.bitpos = 0
-            self.bytepos += 1
+        self.nbuf = 0
+        self.acc = 0
 
 
 class _FlacBitWriter:
+    """Word-buffered MSB-first writer (r7 perf twin of _FlacBitReader)."""
+
     def __init__(self):
         self.out = bytearray()
         self.cur = 0
         self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.cur = (self.cur << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.cur)
-                self.cur = 0
-                self.nbits = 0
+        self.cur = (self.cur << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.cur >> self.nbits) & 0xFF)
+        self.cur &= (1 << self.nbits) - 1
 
     def write_unary(self, q: int) -> None:
-        for _ in range(q):
-            self.write(0, 1)
-        self.write(1, 1)
+        self.write(1, q + 1)  # q zeros then a one
 
     def align(self) -> None:
-        while self.nbits:
-            self.write(0, 1)
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
 
 
 def _flac_crc8(data: bytes) -> int:
