@@ -6623,6 +6623,51 @@ def pl_flac_decode(spark, sf_dir):
 
 
 @_q(
+    "pl_jpeg_progressive",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+               doc_id % 251 AS seed
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, wb, hb,
+               list_sum(flatten(list_transform(generate_series(0, wb - 1), bx ->
+                   list_transform(generate_series(0, hb - 1), by ->
+                       (seed + 17 * bx + 37 * by) % 251)))) AS block_sum
+        FROM m
+    )
+    SELECT media_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+           CAST(64 * wb * hb AS INT) AS n_bytes,
+           CAST(64 * block_sum AS BIGINT) AS body_sum
+    FROM s ORDER BY media_id
+    """,
+)
+def pl_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE JPEG decode under the driver's hash check (r7 — the
+    last JPEG mode behind the seam): executors build genuine SOF2
+    progressive streams (pipeline/multimodal.encode_jpeg_progressive —
+    DC first at Al=1, DC refinement, AC band scans with EOBRUN, AC
+    refinement with buffered correction bits), then the Arrow
+    mapInPandas decode stage runs the full T.81 Annex-G multi-scan
+    state machine (_decode_jpeg_progressive) and renders once at EOI.
+    The images are the SAME block-constant closed form as
+    pl_jpeg_decode, so the identical SQL oracle replays the pixels —
+    proving the sequential and progressive pipelines converge on the
+    same bytes."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_jpeg_progressive,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_jpeg_progressive(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_pack_sequences",
     """
     WITH base AS (
@@ -8326,6 +8371,7 @@ _PRIORITY = [
     # --- new or behaviour-changed this round (r07) ---
     "pl_jpeg_decode",
     "pl_flac_decode",
+    "pl_jpeg_progressive",
     "an_sage_sampled",
     "an_coloring",
     "cy_graph_integrity",

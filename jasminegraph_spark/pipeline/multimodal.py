@@ -1597,6 +1597,41 @@ def synthesize_flac(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_jpeg_progressive(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """PROGRESSIVE-JPEG media fixture (r7): same closed-form image grid
+    as synthesize_jpeg — doc d is a (1+d%3) × (1+d%2) grid of constant
+    8×8 blocks at value (d%251 + 17bx + 37by) mod 251 — but encoded
+    through the PROGRESSIVE scan script (SOF2: DC first at Al=1 + DC
+    refine + AC band scans + AC refinement). Constant blocks are
+    DC-only, so the full Annex-G accumulate-and-render path reproduces
+    the pixels bit-exactly and the same SQL oracle replays it."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                wb, hb, seed = 1 + i % 3, 1 + i % 2, i % 251
+                blocks = []
+                for by in range(hb):
+                    for bx in range(wb):
+                        blk = np.zeros(64, np.int64)
+                        # constant block v → quantized DC = 8·(v − 128)
+                        blk[0] = 8 * (int((seed + 17 * bx + 37 * by) % 251) - 128)
+                        blocks.append(blk)
+                payloads.append(
+                    encode_jpeg_progressive(wb * 8, hb * 8, blocks)
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "image", "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
 def _try_real_decode(kind: str, payload: bytes):
     """Compressed-codec path — gated on libraries this container doesn't
     ship (exotic image containers need PIL, FLAC/MP3 need soundfile).
