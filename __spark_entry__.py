@@ -7284,6 +7284,42 @@ def src_bucketed_expand(spark, sf_dir):
 
 
 @_q(
+    "src_hash_partition",
+    """
+    WITH nodes AS (
+        SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS node FROM orders
+        UNION
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) FROM orders
+    )
+    SELECT node,
+           CAST(CAST(CONCAT('0x', substr(md5(node), 1, 8)) AS BIGINT) % 4 AS INT)
+               AS pid
+    FROM nodes ORDER BY node
+    """,
+)
+def src_hash_partition(spark, sf_dir):
+    """The streaming HASH partitioner under the driver's hash check (r7
+    — the partitioner family's first oracle-shaped driver row; the
+    greedy LDG/Fennel variants stay pytest-proven because their
+    sequential arrival-order state isn't SQL-expressible). Every vertex
+    of an orders-derived bipartite edge list (orderkey → custkey) is
+    assigned pid = md5-prefix mod k (streaming/partitioners.
+    hash_partition, reference Partitioner.cpp:110-121 stoi(id) %
+    n_partitions) and the FULL (node, pid) mapping is value-hashed
+    against DuckDB replaying the identical md5 arithmetic — the
+    xxhash64 default stays the JVM-native scale path per the node2vec
+    hash_fn convention."""
+    from jasminegraph_spark.streaming import hash_partition
+
+    o = _read(spark, sf_dir, "orders")
+    edges = o.select(
+        F.col("o_orderkey").cast("string").alias("src"),
+        F.col("o_custkey").cast("string").alias("dst"),
+    )
+    return hash_partition(edges, 4, hash_fn="md5").orderBy("node")
+
+
+@_q(
     "pl_kmv_distinct",
     f"""
     WITH h AS (
@@ -8372,6 +8408,7 @@ _PRIORITY = [
     "pl_jpeg_decode",
     "pl_flac_decode",
     "pl_jpeg_progressive",
+    "src_hash_partition",
     "an_sage_sampled",
     "an_coloring",
     "cy_graph_integrity",

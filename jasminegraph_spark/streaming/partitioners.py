@@ -34,15 +34,22 @@ ASSIGN_SCHEMA = T.StructType(
 )
 
 
-def hash_partition(edges: DataFrame, k: int) -> DataFrame:
+def hash_partition(edges: DataFrame, k: int, hash_fn: str = "xxhash64") -> DataFrame:
     """HASH partitioner: pid = hash(node) % k (reference :110-121 uses
-    stoi(id) % k; xxhash64 avoids numeric-id assumptions)."""
+    stoi(id) % k; xxhash64 avoids numeric-id assumptions). ``hash_fn=
+    'md5'`` derives pid from the first 8 md5 hex chars — same spread,
+    but replayable by a DuckDB oracle (the node2vec hash_fn convention),
+    which is what gives the partitioner family a driver row."""
     nodes = (
         edges.select(F.col("src").cast("string").alias("node"))
         .union(edges.select(F.col("dst").cast("string")))
         .distinct()
     )
-    return nodes.select("node", F.pmod(F.xxhash64("node"), F.lit(k)).cast("int").alias("pid"))
+    if hash_fn == "md5":
+        key = F.conv(F.substring(F.md5("node"), 1, 8), 16, 10).cast("long")
+    else:
+        key = F.xxhash64("node")
+    return nodes.select("node", F.pmod(key, F.lit(k)).cast("int").alias("pid"))
 
 
 # Beyond this row count the single-task sequential pass is a scale
