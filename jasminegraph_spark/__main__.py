@@ -50,7 +50,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("scc");         p.add_argument("name")
     p = sub.add_parser("msf");         p.add_argument("name"); p.add_argument("--weight-col", default="weight")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
-    p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"])
+    p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community"]); p.add_argument("--quality", action="store_true", help="emit edge-cut/balance metrics instead of the assignment")
     p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
     p = sub.add_parser("graphstats");  p.add_argument("name")
     p = sub.add_parser("ppr");         p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--alpha", type=float, default=0.85); p.add_argument("--iters", type=int, default=10); p.add_argument("--top", type=int, default=10)
@@ -213,8 +213,11 @@ def main(argv=None) -> int:
         for r in eng.k_core(args.name, args.k).collect():
             emit({"a": r["a"], "b": r["b"]})
     elif args.cmd == "partition":
-        for r in eng.partition_graph(args.name, args.k, args.algo).collect():
-            emit({"node": r["node"], "pid": r["pid"]})
+        if args.quality:
+            emit(eng.partition_quality(args.name, args.k, args.algo))
+        else:
+            for r in eng.partition_graph(args.name, args.k, args.algo).collect():
+                emit({"node": r["node"], "pid": r["pid"]})
     elif args.cmd == "bc":
         srcs = [s.strip() for s in args.sources.split(",") if s.strip()]
         for r in eng.betweenness(args.name, srcs, max_hops=args.hops).collect():

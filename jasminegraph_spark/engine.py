@@ -404,6 +404,20 @@ class JasmineEngine:
             raise ValueError(f"unknown partitioner {algo!r}; pick from {sorted(fns)}")
         return fns[algo](self.catalog.get(graph_name).edges, k)
 
+    def partition_quality(
+        self, graph_name: str, k: int, algo: str = "hash"
+    ) -> dict:
+        """Edge-cut + METIS balance factor for a k-way partition of the
+        stored graph (r7 — the measurable half of the reference's
+        partitioner intent, MetisPartitioner.cpp min-cut + balance; see
+        SCALE.md §Partition quality for the measured table)."""
+        from jasminegraph_spark.streaming import partition_quality_report
+
+        edges = self.catalog.get(graph_name).edges
+        return partition_quality_report(
+            edges, self.partition_graph(graph_name, k, algo), k
+        )
+
     # ---- catalog (vcnt / ecnt / lst / rmgr / sdhdfs) ----------------------
     def vertex_count(self, graph_name: str) -> int:
         return self.catalog.get(graph_name).vertex_count()

@@ -220,6 +220,12 @@ def test_cli_wcc_kcore_partition(tmp_path):
     }
     parts = run("partition", "tg", "--k", "2", "--algo", "community")
     assert len(parts) == 6 and all(0 <= r["pid"] < 2 for r in parts)
+    # r7: --quality emits the METIS-style metrics instead of the mapping;
+    # two bridged triangles split perfectly at k=2 (cut = the 1 bridge of
+    # 7 edges, balance exactly 1)
+    (q,) = run("partition", "tg", "--k", "2", "--algo", "community", "--quality")
+    assert q["n_nodes"] == 6 and q["n_parts"] == 2
+    assert abs(q["edge_cut"] - 1 / 7) < 1e-9 and q["balance"] == 1.0
 
 
 def test_cli_adstrmk_drains_stream_with_triangles(tmp_path):
