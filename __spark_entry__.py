@@ -7664,7 +7664,10 @@ def _coloring_oracle(colors: int = 6, rounds: int = 6) -> str:
     nodes isolated among the uncolored join the deterministic Luby MIS
     of the surviving subgraph (same md5-priority recurrence as
     _mis_oracle); post-fixpoint rounds and colors are identity on empty
-    sets."""
+    sets. r8 (ADVICE r7): invoked with rounds=7, one spare round past
+    the measured max of 6, so an untested SF whose residue subset needs
+    a 7th MIS round cannot flip the row red — the spare round is
+    identity when the fixpoint already converged."""
     sql = """
     WITH lbase AS MATERIALIZED (
         SELECT DISTINCT l_orderkey % 400 AS u FROM lineitem
@@ -7729,7 +7732,7 @@ def _coloring_oracle(colors: int = 6, rounds: int = 6) -> str:
     return sql
 
 
-@_q("an_coloring", _coloring_oracle(6, 6))
+@_q("an_coloring", _coloring_oracle(6, 7))
 def an_coloring(spark, sf_dir):
     """Greedy graph coloring by iterated deterministic MIS
     (components.greedy_coloring — Luby's conflict-partitioning

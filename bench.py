@@ -176,25 +176,47 @@ def main() -> None:
             ledger.record(f"sf{sf}", name, int(cpus), sec)
     except Exception as exc:  # ledger failures must never fail the bench
         print(f"# perf ledger skipped: {exc}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "median_queries": medians,
-                "variance": {
-                    "runs_per_query": runs,
-                    "runs_used": runs_used,
-                    "estimator": "min",
-                    "spread": spread,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # Full sample detail (cold, median, spread, run counts) goes to a file:
+    # the driver captures only the LAST 2000 chars of stdout, and the r3-r7
+    # detail-laden line overflowed that window, so BENCH_r{N}.json carried
+    # "parsed": null for five rounds. The final printed line is the compact
+    # driver contract (metric/value/unit/queries/sf, per-query warm min
+    # rounded to 2 decimals: ~47 queries ≈ 1.3 KB) and everything else
+    # lives in BENCH_DETAIL.json next to this script.
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_queries": cold,
+        "median_queries": medians,
+        "variance": {
+            "runs_per_query": runs,
+            "runs_used": runs_used,
+            "estimator": "min",
+            "spread": spread,
+        },
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except Exception as exc:  # detail failures must never fail the bench
+        print(f"# bench detail skipped: {exc}", file=sys.stderr)
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {name: round(sec, 2) for name, sec in timings.items()},
+        "sf": detail["sf"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard guarantee: never overflow the capture again
+        compact["queries"] = {"total_only": total}
+        compact["note"] = "per-query detail in BENCH_DETAIL.json"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

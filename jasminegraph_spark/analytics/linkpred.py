@@ -406,8 +406,17 @@ def sage_embeddings(
     Jaccard head."""
     from pyspark.sql import Window
 
-    if sample is not None and len(sample) < layers:
-        raise ValueError(f"sample needs one fan-out per layer: {sample} vs {layers}")
+    if hash_fn not in ("xxhash64", "md5"):
+        # r8 (ADVICE r7): unknown hash_fn must error, not silently change
+        # every sampling draw by falling back to xxhash64
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    if sample is not None:
+        if len(sample) < layers:
+            raise ValueError(f"sample needs one fan-out per layer: {sample} vs {layers}")
+        if any(int(s) < 1 for s in sample):
+            # r8 (ADVICE r7): fan-out 0 (or negative) empties layer_adj and
+            # the inner join would silently return an empty embedding frame
+            raise ValueError(f"every fan-out must be >= 1, got {sample}")
     und = canonical_undirected(edges)
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))

@@ -169,15 +169,28 @@ class JasmineEngine:
                 f"SLA {sla_seconds:.2f}s (ledger median of recorded runs)"
             )
 
+    @staticmethod
+    def _cypher_perf_key(query: str) -> str:
+        """Perf-ledger command key for a Cypher query (r8, ADVICE r7):
+        keyed per normalized query text, not per bare 'cypher' — one slow
+        calibration query must not reject trivially cheap queries on the
+        same graph (nor a cheap history admit expensive ones). A query
+        never seen before always admits as a calibration attempt."""
+        import hashlib
+
+        normalized = " ".join(query.split())
+        return "cypher:" + hashlib.md5(normalized.encode()).hexdigest()[:8]
+
     def cypher(
         self, graph_name: str, query: str, sla_seconds: float | None = None
     ) -> DataFrame:
         from jasminegraph_spark.cypher import cypher_query
 
-        self._sla_check(graph_name, "cypher", sla_seconds)
+        perf_key = self._cypher_perf_key(query)
+        self._sla_check(graph_name, perf_key, sla_seconds)
         g = self.catalog.get(graph_name)
         if self.perf:
-            with self.perf.timed(graph_name, "cypher"):
+            with self.perf.timed(graph_name, perf_key):
                 out = cypher_query(g, query)
         else:
             out = cypher_query(g, query)

@@ -40,6 +40,10 @@ def hash_partition(edges: DataFrame, k: int, hash_fn: str = "xxhash64") -> DataF
     'md5'`` derives pid from the first 8 md5 hex chars — same spread,
     but replayable by a DuckDB oracle (the node2vec hash_fn convention),
     which is what gives the partitioner family a driver row."""
+    if hash_fn not in ("xxhash64", "md5"):
+        # r8 (ADVICE r7): a typo like 'Md5' must error, not silently fall
+        # back to xxhash64 and change every partition assignment
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     nodes = (
         edges.select(F.col("src").cast("string").alias("node"))
         .union(edges.select(F.col("dst").cast("string")))
@@ -217,10 +221,12 @@ def community_partition(
     whole would satisfy min-cut trivially while blowing METIS's balance
     constraint (observed balance 3.99 at k=4 on R-MAT scale-16, i.e. one
     partition held everything). Communities larger than ceil(n/k) are
-    therefore SPLIT into hash sub-communities of at most that capacity
+    therefore SPLIT into sub-communities HARD-CAPPED at that capacity
+    (r8: deterministic bucketed row_number, not expectation-only hashing)
     before packing: small communities stay intact (the cut-minimizing
     co-location), the giant blob degrades gracefully toward hash — the
-    same cut/balance trade METIS resolves with its refinement passes.
+    same cut/balance trade METIS resolves with its refinement passes
+    (see :func:`refine_partition` for the KL/FM boundary-move pass).
     """
     from jasminegraph_spark.analytics.graph_algs import canonical_undirected
 
@@ -248,33 +254,49 @@ def community_partition(
             .transform(checkpoint)
         )
     # balance guard: split any community larger than the per-partition
-    # capacity ceil(n/k) into hash sub-communities (see docstring) — one
-    # size groupBy + one shuffle join, label becomes a string key
+    # capacity ceil(n/k) into sub-communities of AT MOST cap nodes (r8,
+    # ADVICE r7: the r7 xxhash split bounded sub-community size only in
+    # expectation — skew could push one past cap). Deterministic two-level
+    # split: coarse xxhash bucket into ceil(sz/cap) buckets (parallel,
+    # expected size ~cap), then row_number within (label, bucket) hard-caps
+    # every final sub-community at cap. The window keys are (label, bucket)
+    # of ~cap expected rows each, so no giant community ever serializes
+    # into a single sort task — the scale hazard a plain per-label
+    # row_number would have. One extra shuffle, paid only by oversized
+    # labels. n_total comes from the size table (no separate full-labels
+    # count action — the other r7 ADVICE nit).
     import math
 
-    n_total = labels.count()
+    sizes0 = labels.groupBy("label").agg(F.count("*").alias("sz")).persist()
+    n_total = sizes0.agg(F.sum("sz").alias("n")).collect()[0]["n"] or 0
     cap = max(1, math.ceil(n_total / k))
-    sizes0 = labels.groupBy("label").agg(F.count("*").alias("sz"))
-    labels = (
-        labels.join(sizes0, "label")
+    sized = labels.join(sizes0, "label")
+    small = sized.filter(F.col("sz") <= cap).select(
+        "node", F.col("label").cast("string").alias("label")
+    )
+    big = sized.filter(F.col("sz") > cap)
+    w_split = Window.partitionBy("label", "bucket").orderBy("node")
+    big_split = (
+        big.withColumn(
+            "bucket",
+            F.pmod(
+                F.xxhash64(F.col("node").cast("string")),
+                F.ceil(F.col("sz") / F.lit(cap)).cast("long"),
+            ),
+        )
+        .withColumn("sub", (F.row_number().over(w_split) - F.lit(1)) / F.lit(cap))
         .select(
             "node",
-            F.when(
-                F.col("sz") > cap,
-                F.concat_ws(
-                    "#",
-                    F.col("label").cast("string"),
-                    F.pmod(
-                        F.xxhash64(F.col("node").cast("string")),
-                        F.ceil(F.col("sz") / F.lit(cap)).cast("long"),
-                    ).cast("string"),
-                ),
-            )
-            .otherwise(F.col("label").cast("string"))
-            .alias("label"),
+            F.concat_ws(
+                "#",
+                F.col("label").cast("string"),
+                F.col("bucket").cast("string"),
+                F.floor("sub").cast("string"),
+            ).alias("label"),
         )
-        .transform(checkpoint)
     )
+    labels = small.unionAll(big_split).transform(checkpoint)
+    sizes0.unpersist()
     sizes = labels.groupBy("label").agg(F.count("*").alias("sz"))
     top = sizes.orderBy(F.desc("sz"), F.asc("label")).limit(max_collect).collect()
     # greedy balanced packing: largest community to least-loaded partition

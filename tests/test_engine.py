@@ -383,10 +383,18 @@ def test_sla_admission_calibrate_admit_reject(spark, tmp_path):
     # omitting the SLA never consults the ledger
     assert eng.triangle_count("sg") == 3
 
-    # same contract on the cypher surface
-    eng.cypher("sg", "MATCH (n) RETURN count(n) AS n")  # calibrates
+    # same contract on the cypher surface — r8 (ADVICE r7): the ledger key
+    # carries a per-query fingerprint, so a slow calibration on query A
+    # rejects A but does NOT reject a never-seen query B (B calibrates)
+    q_a = "MATCH (n) RETURN count(n) AS n"
+    eng.cypher("sg", q_a)  # calibrates A (always recorded when perf is on)
     with _pt.raises(SlaRejectedError):
-        eng.cypher("sg", "MATCH (n) RETURN n", sla_seconds=0.000001)
+        eng.cypher("sg", q_a, sla_seconds=0.000001)
+    # whitespace-normalized text maps to the same fingerprint
+    with _pt.raises(SlaRejectedError):
+        eng.cypher("sg", "MATCH (n)  RETURN   count(n) AS n", sla_seconds=0.000001)
+    # a different query has no history → admitted as calibration
+    eng.cypher("sg", "MATCH (n) RETURN n", sla_seconds=0.000001)
     # pagerank surface
     eng.pagerank("sg", iterations=2)  # calibrates
     with _pt.raises(SlaRejectedError):
