@@ -276,13 +276,27 @@ class StreamingTriangleCounter:
             not f.startswith(("_", ".")) for f in os.listdir(state_path)
         )
         if self._has_state:
+            # cold start pays the one full-state recount — it doubles as
+            # the partial-state integrity check (_load_aggregate verifies
+            # the persisted n_edge_rows against the parquet on disk)
             agg = _load_aggregate(spark, state_path, self._agg_path)
             self.total = agg["total"]
+            self._n_rows = agg["n_edge_rows"]
         else:
             self.total = 0
+            self._n_rows = 0
 
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> int:
         batch_edges = batch_edges.select("src", "dst")
+        # r8 (r7 verdict #7): the durability stamp's row count is
+        # maintained INCREMENTALLY (+= batch rows) instead of recounting
+        # the full edge state after every append — per-batch IO is now
+        # one full-state read (the delta's `old` adjacency, inherent to
+        # incremental counting) plus O(batch), so 100× streaming state
+        # no longer turns the stamp into a per-batch full scan. The
+        # cold-start recount in _load_aggregate remains the integrity
+        # check that catches any drift.
+        n_batch = batch_edges.count()
         if self._has_state:
             old = self.spark.read.parquet(self.state_path)
             delta = new_triangle_delta(old, batch_edges)
@@ -293,12 +307,10 @@ class StreamingTriangleCounter:
         self.total += delta
         batch_edges.write.mode("append").parquet(self.state_path)
         self._has_state = True
+        self._n_rows += n_batch
         _write_aggregate(
             self._agg_path,
-            {
-                "total": self.total,
-                "n_edge_rows": self.spark.read.parquet(self.state_path).count(),
-            },
+            {"total": self.total, "n_edge_rows": self._n_rows},
         )
         return self.total
 
@@ -335,11 +347,15 @@ class StreamingComponentTracker:
         # state raises — a fresh tracker seeded only from new-batch
         # nodes would silently break the labels == prefix-WCC invariant.
         edge_path = f"{state_path}/edges"
+        self._n_rows = 0
         if os.path.isdir(edge_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(edge_path)
         ):
             agg_path = os.path.join(edge_path, "_aggregate.json")
-            _load_aggregate(spark, edge_path, agg_path)
+            # cold-start full recount = the integrity check (r8: warm
+            # batches stamp an incrementally-maintained count instead)
+            agg = _load_aggregate(spark, edge_path, agg_path)
+            self._n_rows = agg["n_edge_rows"]
             labels_path = f"{state_path}/labels"
             if not os.path.isdir(labels_path):
                 raise ValueError(
@@ -353,6 +369,7 @@ class StreamingComponentTracker:
 
         e = batch_edges.select("src", "dst")
         edge_path = f"{self.state_path}/edges"
+        self._n_rows += e.count()  # O(batch); stamp no longer rescans state
         e.write.mode("append").parquet(edge_path)
         all_e = self.spark.read.parquet(edge_path)
         adj = all_e.unionAll(
@@ -426,6 +443,6 @@ class StreamingComponentTracker:
         labels.write.mode("overwrite").parquet(f"{self.state_path}/labels")
         _write_aggregate(
             os.path.join(edge_path, "_aggregate.json"),
-            {"n_edge_rows": self.spark.read.parquet(edge_path).count()},
+            {"n_edge_rows": self._n_rows},
         )
         return labels

