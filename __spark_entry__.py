@@ -7342,9 +7342,9 @@ def src_bucketed_expand(spark, sf_dir):
 )
 def src_hash_partition(spark, sf_dir):
     """The streaming HASH partitioner under the driver's hash check (r7
-    — the partitioner family's first oracle-shaped driver row; the
-    greedy LDG/Fennel variants stay pytest-proven because their
-    sequential arrival-order state isn't SQL-expressible). Every vertex
+    — the partitioner family's first oracle-shaped driver row; r8 adds
+    the greedy LDG/Fennel variants via recursive-CTE arrival replay,
+    see src_ldg_partition/src_fennel_partition). Every vertex
     of an orders-derived bipartite edge list (orderkey → custkey) is
     assigned pid = md5-prefix mod k (streaming/partitioners.
     hash_partition, reference Partitioner.cpp:110-121 stoi(id) %
@@ -7360,6 +7360,158 @@ def src_hash_partition(spark, sf_dir):
         F.col("o_custkey").cast("string").alias("dst"),
     )
     return hash_partition(edges, 4, hash_fn="md5").orderBy("node")
+
+
+_GREEDY_PREFIX_EDGES = 1200  # bounded arrival prefix keeps the oracle cheap
+
+
+def _greedy_replay_oracle(score_expr: str, k: int = 4) -> str:
+    """DuckDB recursive-CTE replay of the sequential greedy partitioners
+    (r8, VERDICT r7 ask #3 — LDG/Fennel's arrival-order state IS
+    SQL-expressible for a fixed md5-ordered arrival sequence).
+
+    The key structural fact that makes the replay linear: in the greedy
+    loop (streaming/partitioners._greedy_fn; reference
+    Partitioner.cpp:49-108 LDG, :174-226 Fennel) every vertex is
+    assigned at its FIRST appearance, at which point its accumulated
+    adjacency holds exactly ONE neighbor — the other endpoint of the
+    current edge (any earlier appearance would already have assigned
+    it). So the replay state is just (pid-per-assigned-vertex,
+    partition sizes), the event order (which vertex is assigned when,
+    and who its partner is) is precomputable with window functions, and
+    the partner's list index equals the partner's own event ordinal —
+    no list scans inside the recursion. One recursion step per vertex:
+    the step appends the argmax pid (ORDER BY score DESC, size ASC,
+    pid ASC LIMIT 1 = Python's max over (score, -size, -p)) and bumps a
+    static size column. MATERIALIZED on the prefix CTEs is what keeps
+    each step O(1) — without it DuckDB re-evaluates the co-order
+    self-join every iteration."""
+    assert k == 4, "size columns are unrolled for k=4"
+    return f"""
+    WITH RECURSIVE co_edges AS MATERIALIZED (
+        SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    prefix AS MATERIALIZED (
+        SELECT CAST(src AS VARCHAR) AS src, CAST(dst AS VARCHAR) AS dst,
+               md5(CAST(src AS VARCHAR) || '|' || CAST(dst AS VARCHAR)) AS h
+        FROM co_edges ORDER BY h LIMIT {_GREEDY_PREFIX_EDGES}
+    ),
+    ordered AS MATERIALIZED (
+        SELECT src, dst, ROW_NUMBER() OVER (ORDER BY h) - 1 AS i FROM prefix
+    ),
+    nev AS MATERIALIZED (SELECT COUNT(*) AS n_edges FROM ordered),
+    appear AS (
+        SELECT src AS v, dst AS u, i*2 AS pos FROM ordered
+        UNION ALL SELECT dst, src, i*2+1 FROM ordered
+    ),
+    firsts AS (
+        SELECT v, u, pos FROM (
+            SELECT v, u, pos,
+                   ROW_NUMBER() OVER (PARTITION BY v ORDER BY pos) AS rn
+            FROM appear)
+        WHERE rn = 1
+    ),
+    events AS MATERIALIZED (
+        SELECT v, u, ROW_NUMBER() OVER (ORDER BY pos) AS ord FROM firsts
+    ),
+    ev2 AS MATERIALIZED (
+        SELECT e.v, e.ord, eu.ord AS u_ord
+        FROM events e JOIN events eu ON eu.v = e.u
+    ),
+    replay AS (
+        SELECT 0 AS step, CAST([] AS INT[]) AS pids,
+               0 AS s0, 0 AS s1, 0 AS s2, 0 AS s3
+        UNION ALL
+        SELECT r.step + 1, list_append(r.pids, b.p),
+               r.s0 + CASE WHEN b.p = 0 THEN 1 ELSE 0 END,
+               r.s1 + CASE WHEN b.p = 1 THEN 1 ELSE 0 END,
+               r.s2 + CASE WHEN b.p = 2 THEN 1 ELSE 0 END,
+               r.s3 + CASE WHEN b.p = 3 THEN 1 ELSE 0 END
+        FROM replay r
+        JOIN ev2 e ON e.ord = r.step + 1
+        CROSS JOIN nev
+        CROSS JOIN LATERAL (
+            SELECT CAST(p AS INT) AS p
+            FROM (
+                SELECT t.p,
+                       CASE WHEN e.u_ord <= r.step
+                                 AND r.pids[CAST(e.u_ord AS INT)] = t.p
+                            THEN 1.0 ELSE 0.0 END AS nbr,
+                       CAST(CASE t.p WHEN 0 THEN r.s0 WHEN 1 THEN r.s1
+                                     WHEN 2 THEN r.s2 ELSE r.s3 END
+                            AS DOUBLE) AS sz,
+                       CAST(2 * nev.n_edges AS DOUBLE) / {k} + 1 AS cap,
+                       CAST(2 * nev.n_edges AS DOUBLE) AS n_est
+                FROM range(0, {k}) t(p)
+            )
+            ORDER BY ({score_expr}) DESC, sz ASC, p ASC
+            LIMIT 1
+        ) b
+    )
+    SELECT e.v AS node, f.pids[CAST(e.ord AS INT)] AS pid
+    FROM (SELECT pids FROM replay
+          WHERE step = (SELECT MAX(ord) FROM events)) f, ev2 e
+    ORDER BY node
+    """
+
+
+def _arrival_prefix_edges(spark, sf_dir, limit=_GREEDY_PREFIX_EDGES):
+    """The md5-ordered co-order edge prefix both greedy driver rows
+    stream: the md5 of 'src|dst' is the arrival key (unique per distinct
+    edge), the prefix bound keeps the sequential replay cheap on both
+    sides. TakeOrderedAndProject on the Spark side — no full sort."""
+    e = co_order_edges(spark, sf_dir)
+    return (
+        e.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+        .withColumn("h", F.md5(F.concat_ws("|", "src", "dst")))
+        .orderBy("h")
+        .limit(limit)
+    )
+
+
+@_q("src_ldg_partition", _greedy_replay_oracle("nbr * (1.0 - sz / cap)"))
+def src_ldg_partition(spark, sf_dir):
+    """LDG streaming partitioner driver row (r8 — previously
+    pytest-only on the claim that greedy arrival-order state isn't
+    SQL-expressible; it is, for a FIXED arrival order): the md5-ordered
+    co-order edge prefix streams through streaming/partitioners.
+    ldg_partition (reference Partitioner.cpp:49-108, score =
+    |N(v) ∩ P_i| · (1 − |P_i|/C)) with arrival_col pinning the order
+    inside the applyInPandas chunk, and the FULL (node, pid) mapping is
+    value-hashed against DuckDB's recursive-CTE replay of the same
+    greedy argmax (one recursion step per vertex; see
+    _greedy_replay_oracle for why the state stays linear)."""
+    from jasminegraph_spark.streaming import ldg_partition
+
+    prefix = _arrival_prefix_edges(spark, sf_dir)
+    return ldg_partition(prefix, 4, arrival_col="h").orderBy("node")
+
+
+@_q(
+    "src_fennel_partition",
+    _greedy_replay_oracle(
+        "nbr - POW(4, 0.5) * n_est / GREATEST(POW(n_est, 1.5), 1.0)"
+        " * 1.5 / 2.0 * POW(sz, 0.5)"
+    ),
+)
+def src_fennel_partition(spark, sf_dir):
+    """Fennel streaming partitioner driver row (r8, same replay
+    contract as src_ldg_partition): score = |N(v) ∩ P_i| −
+    α·γ/2·|P_i|^(γ−1) with γ=1.5, α = k^(γ−1)·n/max(n^γ,1) (reference
+    Partitioner.cpp:174-226). The float expressions are written in the
+    same operation order on both sides, so the argmax tie-breaks
+    (score, then smallest size, then smallest pid) decide identically;
+    the driver's exact value-hash over the integer (node, pid) pairs is
+    the proof."""
+    from jasminegraph_spark.streaming import fennel_partition
+
+    prefix = _arrival_prefix_edges(spark, sf_dir)
+    return fennel_partition(prefix, 4, arrival_col="h").orderBy("node")
 
 
 @_q(

@@ -62,11 +62,20 @@ def hash_partition(edges: DataFrame, k: int, hash_fn: str = "xxhash64") -> DataF
 MAX_SEQUENTIAL_ROWS = 2_000_000
 
 
-def _greedy_fn(k: int, scorer):
+def _greedy_fn(k: int, scorer, arrival_col: str | None = None):
     """Greedy assignment over one pandas chunk in arrival order —
-    per-chunk dict/set state, the reference's master-side loop."""
+    per-chunk dict/set state, the reference's master-side loop.
+
+    ``arrival_col`` pins the arrival order INSIDE the chunk (ascending
+    sort on that column before the loop): Spark gives no row-order
+    guarantee through groupBy().applyInPandas, so a caller that needs a
+    replayable stream (the DuckDB oracle rows) must carry an explicit
+    order key — the md5-of-edge convention — rather than trust the
+    incoming frame order."""
 
     def fn(_key, pdf: pd.DataFrame) -> pd.DataFrame:
+        if arrival_col is not None:
+            pdf = pdf.sort_values(arrival_col)
         adj: dict[str, set] = {}
         assign: dict[str, int] = {}
         sizes = [0] * k
@@ -91,7 +100,13 @@ def _greedy_fn(k: int, scorer):
     return fn
 
 
-def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFrame:
+def _greedy(
+    edges: DataFrame,
+    k: int,
+    scorer,
+    chunked: bool = False,
+    arrival_col: str | None = None,
+) -> DataFrame:
     """Greedy streaming partitioner driver.
 
     ``chunked=False`` replicates the reference exactly: ONE sequential
@@ -108,9 +123,13 @@ def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFram
     bounded memory. Balance still holds: every chunk balances its own
     assignments across all k partitions.
     """
-    e = edges.select(
-        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
-    )
+    cols = [
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    ]
+    if arrival_col is not None:
+        cols.append(F.col(arrival_col))
+    e = edges.select(*cols)
     if not chunked:
         # bounded probe, not a full count: limit() short-circuits the scan
         # at the guard, so the check costs O(MAX_SEQUENTIAL_ROWS) no matter
@@ -122,7 +141,7 @@ def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFram
                 "stream in Python state; pass chunked=True (per-chunk greedy "
                 "+ merge) or use hash_partition (stateless column expression)"
             )
-        fn = _greedy_fn(k, scorer)
+        fn = _greedy_fn(k, scorer, arrival_col)
         return (
             e.withColumn("chunk", F.lit(0))
             .groupBy("chunk")
@@ -135,7 +154,7 @@ def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFram
             T.StructField("chunk", T.IntegerType(), False),
         ]
     )
-    fn = _greedy_fn(k, scorer)
+    fn = _greedy_fn(k, scorer, arrival_col)
 
     def chunk_fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         out = fn(key, pdf)
@@ -157,24 +176,39 @@ def _greedy(edges: DataFrame, k: int, scorer, chunked: bool = False) -> DataFram
     )
 
 
-def ldg_partition(edges: DataFrame, k: int, chunked: bool = False) -> DataFrame:
+def ldg_partition(
+    edges: DataFrame, k: int, chunked: bool = False, arrival_col: str | None = None
+) -> DataFrame:
     """Linear Deterministic Greedy: place v where it has most neighbors,
     discounted by partition fullness (reference :49-108):
-    score = |N(v) ∩ P_i| · (1 − |P_i|/C)."""
-    return _greedy(edges, k, lambda nbrs, size, cap, n, kk: nbrs * (1.0 - size / cap), chunked)
+    score = |N(v) ∩ P_i| · (1 − |P_i|/C). ``arrival_col`` fixes the
+    stream order (ascending) so a DuckDB oracle can replay the greedy
+    argmax exactly — see __spark_entry__ `src_ldg_partition`."""
+    return _greedy(
+        edges,
+        k,
+        lambda nbrs, size, cap, n, kk: nbrs * (1.0 - size / cap),
+        chunked,
+        arrival_col,
+    )
 
 
 def fennel_partition(
-    edges: DataFrame, k: int, gamma: float = 1.5, chunked: bool = False
+    edges: DataFrame,
+    k: int,
+    gamma: float = 1.5,
+    chunked: bool = False,
+    arrival_col: str | None = None,
 ) -> DataFrame:
     """Fennel objective (reference :174-226): neighbors gained minus a
-    superlinear load penalty: score = |N(v) ∩ P_i| − α·γ/2·|P_i|^(γ−1)."""
+    superlinear load penalty: score = |N(v) ∩ P_i| − α·γ/2·|P_i|^(γ−1).
+    ``arrival_col`` fixes the stream order for oracle replay."""
 
     def score(nbrs, size, cap, n, kk):
         alpha = (kk ** (gamma - 1.0)) * n / max(n ** gamma, 1)
         return nbrs - alpha * gamma / 2.0 * (size ** (gamma - 1.0))
 
-    return _greedy(edges, k, score, chunked)
+    return _greedy(edges, k, score, chunked, arrival_col)
 
 
 def edge_cut_fraction(edges: DataFrame, assignment: DataFrame) -> float:
