@@ -399,12 +399,15 @@ class JasmineEngine:
         """Explicit k-way partition assignment (node, pid) — the reference
         partitions at ingest (METIS offline / hash / Fennel / LDG stream);
         here partitioning is a first-class operator over the stored graph.
-        ``algo``: hash | ldg | fennel | community (min-cut role)."""
+        ``algo``: hash | ldg | fennel | community | metis — `metis` is the
+        full METIS role (r8): community coarsening + KL/FM boundary-move
+        refinement under the 1.05 balance cap (refine_partition)."""
         from jasminegraph_spark.streaming import (
             community_partition,
             fennel_partition,
             hash_partition,
             ldg_partition,
+            refine_partition,
         )
 
         fns = {
@@ -412,6 +415,7 @@ class JasmineEngine:
             "ldg": ldg_partition,
             "fennel": fennel_partition,
             "community": community_partition,
+            "metis": lambda e, kk: refine_partition(e, community_partition(e, kk), kk),
         }
         if algo not in fns:
             raise ValueError(f"unknown partitioner {algo!r}; pick from {sorted(fns)}")

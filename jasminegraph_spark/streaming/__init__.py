@@ -19,4 +19,5 @@ from jasminegraph_spark.streaming.partitioners import (  # noqa: F401
     community_partition,
     edge_cut_fraction,
     partition_quality_report,
+    refine_partition,
 )

@@ -30,6 +30,7 @@ from jasminegraph_spark.streaming import (  # noqa: E402
     hash_partition,
     ldg_partition,
     partition_quality_report,
+    refine_partition,
 )
 
 POWERGRID = "/root/reference/tests/integration/env_init/data/powergrid.dl"
@@ -54,6 +55,11 @@ def main() -> None:
         "ldg": ldg_partition,
         "fennel": fennel_partition,
         "community": lambda e, kk: community_partition(e, kk, lp_iters=5),
+        # the full METIS role (r8): community coarsening + KL/FM-style
+        # boundary-move refinement under the 1.05 balance cap
+        "metis": lambda e, kk: refine_partition(
+            e, community_partition(e, kk, lp_iters=5), kk
+        ),
     }
     out = {}
     for gname, edges in graphs.items():
