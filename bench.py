@@ -102,6 +102,13 @@ HEADLINE = [
     "pl_jpeg_decode",
     "pl_flac_decode",
     "an_sage_sampled",
+    # round-8: MPEG-1 Layer III structural decode (frame walk + side info
+    # + reservoir + scalefactors; silence spectra → exact-zero DSP).
+    # st_restart_replay / st_incremental_triangles stay OUT of the bench:
+    # their cost is the 4-batch incremental-state machinery (a fixed
+    # overhead story measured by the driver correctness rows), not
+    # engine throughput.
+    "pl_mp3_decode",
 ]
 
 

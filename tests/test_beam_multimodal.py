@@ -905,3 +905,247 @@ def test_jpeg_progressive_color_still_gated():
     prog[j + 9] = 3  # claim 3 components
     with _pt.raises(NotImplementedError, match="grayscale"):
         _decode_jpeg(bytes(prog))
+
+
+# ---------------------------------------------------------------------------
+# MP3 (r8): structural silence round-trips + the injected-table contract
+# test proving the full nonzero DSP path against independent spec math.
+# ---------------------------------------------------------------------------
+
+
+def _mp3_test_tables():
+    """Synthetic table set for the register_mp3_tables seam: equal-length
+    prefix codes over the pair/quad alphabets the test spectra use, a
+    simple valid sfb layout, and an arbitrary deterministic synthesis
+    window. NOT the spec's tables — the point is proving the decoder's
+    machinery is table-agnostic; real audio needs the real table data."""
+    import math
+
+    codes = {(x, y): format(x * 16 + y, "08b")
+             for x in range(16) for y in range(16)}
+    quads = [(v, w, x, y) for v in (0, 1) for w in (0, 1)
+             for x in (0, 1) for y in (0, 1)]
+    c1 = {q: format(i, "04b") for i, q in enumerate(quads)}
+    sfb_long = [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 80, 96, 114,
+                136, 162, 194, 232, 278, 332, 394, 576]
+    sfb_short = [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192]
+    synth = [math.cos(math.pi * (i - 256) / 512.0) / 32.0 for i in range(512)]
+    return {
+        "huffman": {1: {"codes": codes, "linbits": 2}},
+        "count1": {0: c1},
+        "sfb_long": {48000: sfb_long, 44100: sfb_long, 32000: sfb_long},
+        "sfb_short": {48000: sfb_short, 44100: sfb_short, 32000: sfb_short},
+        "synth_window": synth,
+    }
+
+
+def test_mp3_silence_roundtrip_all_structures():
+    """Silence streams with every structural variation decode to exact
+    zeros of the right length: all sample rates, bitrates, padding, CRC
+    presence, all scalefac_compress slen combos, all scfsi masks, and a
+    real bit reservoir (frame 2's main data begins inside frame 1)."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        MP3_BITRATES,
+        _decode_mp3,
+        _mp3_frame_len,
+        _mp3_read_side_info,
+        encode_mp3,
+    )
+
+    for d in range(48):
+        nf = 1 + d % 3
+        b = encode_mp3(nf, fs_index=d % 3, bitrate_index=1 + d % 14,
+                       seed=d % 251, scfsi=d % 16,
+                       protection=bool(d % 5 == 0), padding=d % 2)
+        n, ch, body = _decode_mp3(b)
+        assert (n, ch) == (1152 * nf, 1)
+        assert len(body) == n and set(body) == {128}, d
+    b = encode_mp3(3, fs_index=1, bitrate_index=9, seed=7, reservoir_slack=5)
+    flen = _mp3_frame_len(MP3_BITRATES[9], 48000, 0)
+    si2 = _mp3_read_side_info(b[flen + 4: flen + 4 + 17])
+    assert si2.main_data_begin == 5  # the reservoir is real, on the wire
+    n, _, body = _decode_mp3(b)
+    assert n == 3456 and set(body) == {128}
+
+
+def test_mp3_unsupported_fields_gated():
+    """Every seam raises naming the missing piece: MPEG-2, stereo,
+    Layer II, free format, and — without registered tables — nonzero
+    spectral data."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        MP3_TABLES,
+        _decode_mp3,
+        encode_mp3,
+    )
+
+    assert MP3_TABLES is None  # this environment ships no table data
+    base = bytearray(encode_mp3(1, fs_index=1, bitrate_index=9))
+    b = bytearray(base); b[1] &= ~0x08
+    with _pt.raises(NotImplementedError, match="MPEG-2"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[3] &= 0x3F  # mode 00 = stereo
+    with _pt.raises(NotImplementedError, match="mono"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[1] = (b[1] & ~0x06) | 0x04  # layer II
+    with _pt.raises(NotImplementedError, match="Layer I/II"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[2] &= 0x0F  # bitrate index 0 = free format
+    with _pt.raises(NotImplementedError, match="free-format"):
+        _decode_mp3(bytes(b))
+    # nonzero spectra: flip big_values of granule 0 in the side info
+    b = bytearray(base)
+    # side info starts at byte 4; big_values is bits 18..26 of side info
+    b[4 + 2] |= 0x08  # a bit inside big_values
+    with _pt.raises(NotImplementedError, match="Table B.7"):
+        _decode_mp3(bytes(b))
+
+
+def test_mp3_huffman_spectrum_roundtrip_injected_tables():
+    """Contract test, part 1: with a registered synthetic table set the
+    Huffman writer/reader round-trip values exactly — big_values pairs
+    with linbits escapes and signs, count1 quads, rzero tail."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _mp3_huffman_decode,
+        _mp3_write_spectrum,
+        register_mp3_tables,
+    )
+
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        vals = [0] * 576
+        vals[0], vals[1], vals[2], vals[5] = 2, -1, 16, -17  # escapes + signs
+        vals[8], vals[9], vals[11] = -1, 1, 1               # count1 tail
+        w = _FlacBitWriter()
+        bits, bv, r0, r1 = _mp3_write_spectrum(w, vals, 1, 48000)
+        w.align()
+
+        class SI:  # minimal side-info stub for the decode call
+            big_values = [bv]; table_select = [[1, 1, 1]]
+            region0 = [r0]; region1 = [r1]
+            window_switching = [0]; block_type = [0]; count1table = [0]
+
+        br = _FlacBitReader(bytes(w.out))
+        got = _mp3_huffman_decode(br, bits, SI(), 0, 48000)
+        assert got == vals
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_nonzero_dsp_matches_independent_spec_math():
+    """Contract test, part 2: encode nonzero spectra with the injected
+    tables, decode through the FULL pipeline (requantize → alias →
+    IMDCT → overlap-add → frequency inversion → polyphase synthesis),
+    and compare the folded PCM against an INDEPENDENT numpy
+    implementation of the same ISO 11172-3 formulas written here from
+    the spec (not calling the module's DSP helpers). Proves every
+    numeric stage modulo the injected table data — which is exactly the
+    documented seam."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        MP3_BITRATES,
+        _MP3_CI,
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        def spectra(f, gr):
+            vals = [0] * 576
+            rng = np.random.RandomState(97 + f * 2 + gr)
+            for i in rng.choice(40, size=12, replace=False):
+                vals[int(i)] = int(rng.randint(-17, 18))
+            for i in range(40, 52):
+                vals[i] = int(rng.randint(-1, 2))
+            return vals
+
+        # seed chosen so the encoder's global_gain formula lands near 210
+        # (unity 2^((gg-210)/4)) — gg = 190/219/203/232 over the four
+        # (frame, granule) pairs, giving audible-scale PCM that actually
+        # exercises the int16 fold
+        seed, n_frames = 210, 2
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1)
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (1152 * n_frames, 1)
+
+        # ---- independent reference (spec formulas, numpy) ----
+        sfb = tables["sfb_long"][48000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        imdct = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                           for k in range(18)] for n_ in range(36)])
+        win = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+        v_fifo = np.zeros(1024)
+        overlap = np.zeros((32, 18))
+        pcm = []
+        for f in range(n_frames):
+            for gr in range(2):
+                vals = np.array(spectra(f, gr), dtype=float)
+                compress = (seed + f * 2 + gr) % 16
+                s1, s2 = _MP3_SLEN[compress]
+                sf = [(j * 5 + seed + gr) % (1 << (s1 if j < 11 else s2))
+                      if (s1 if j < 11 else s2) else 0 for j in range(21)]
+                gg = (seed * 7 + f * 13 + gr * 29) % 256
+                mult = 0.5 * (((seed + gr) % 2) + 1)
+                xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+                xr *= 2.0 ** (0.25 * (gg - 210))
+                for band in range(21):
+                    xr[sfb[band]:sfb[band + 1]] *= 2.0 ** (-mult * sf[band])
+                for b in range(1, 32):
+                    for i, ci in enumerate(_MP3_CI):
+                        cs = 1 / math.sqrt(1 + ci * ci)
+                        ca = ci / math.sqrt(1 + ci * ci)
+                        lo, hi = 18 * b - 1 - i, 18 * b + i
+                        xl, xu = xr[lo], xr[hi]
+                        xr[lo] = xl * cs - xu * ca
+                        xr[hi] = xu * cs + xl * ca
+                slot = np.zeros((32, 18))
+                for sb in range(32):
+                    x36 = win * (imdct @ xr[18 * sb: 18 * sb + 18])
+                    slot[sb] = x36[:18] + overlap[sb]
+                    overlap[sb] = x36[18:]
+                for sb in range(1, 32, 2):
+                    slot[sb, 1::2] *= -1.0
+                for t in range(18):
+                    v_fifo = np.concatenate([N @ slot[:, t], v_fifo[:960]])
+                    u = np.zeros(512)
+                    for i in range(8):
+                        u[64 * i: 64 * i + 32] = v_fifo[128 * i: 128 * i + 32]
+                        u[64 * i + 32: 64 * i + 64] = v_fifo[128 * i + 96: 128 * i + 128]
+                    wnd = u * D
+                    pcm.extend(wnd.reshape(16, 32).sum(axis=0))
+        ints = np.clip(np.rint(np.asarray(pcm) * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8).tobytes()
+        diff = np.abs(np.frombuffer(got, np.int16 if False else np.uint8).astype(int)
+                      - np.frombuffer(want, np.uint8).astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())  # float-assoc rounding only
+        assert np.count_nonzero(np.frombuffer(got, np.uint8) != 128) > 200
+    finally:
+        register_mp3_tables(None)
+
+
+def test_synthesize_mp3_decodes_distributed(spark):
+    """End-to-end through the Spark plumbing: executor-side MP3 encode →
+    Arrow mapInPandas decode; silence closed form n=1152·frames,
+    body_sum=128·n (covers CRC docs, reservoir docs, all scfsi/slen)."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_mp3
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = {r["media_id"]: r for r in decode_media(synthesize_mp3(docs)).collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        n = 1152 * (1 + d % 3)
+        assert rows[d]["width"] == n and rows[d]["height"] == 1
+        assert rows[d]["n_bytes"] == n and rows[d]["body_sum"] == 128 * n
