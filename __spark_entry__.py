@@ -8630,71 +8630,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r07 sweep order (VERDICT r6 ask #2, verbatim): (1) rows added or
-    # behaviour-changed THIS round — the new JPEG decode row plus the
-    # two rows whose fixtures moved to scale-shaped lineitem/orders
-    # graphs; (2) the 8 rows whose latest green driver row is still r01
-    # (they sat below the r06 window cut); (3) the 46 rows whose latest
-    # green is r03 — four rounds of code churn ago — so the entire
-    # §2.1/§2.2 Cypher operator surface re-proves on the r7 tree.
-    # 3 + 8 + 46 = 57: a ~50-row window covers through most of (3); any
-    # r03 spill re-leads the r8 window. Audit: recompute latest-green
-    # per query from CORRECTNESS_r0*.json each round.
-    # --- new or behaviour-changed this round (r07) ---
-    "pl_jpeg_decode",
-    "pl_flac_decode",
-    "pl_jpeg_progressive",
-    "src_hash_partition",
-    "an_sage_sampled",
+    # r08 sweep order (VERDICT r7 ask #2, recomputed from
+    # CORRECTNESS_r0*.json latest-green rounds): (1) rows NEW or
+    # oracle-changed this round — the four r8 additions plus
+    # an_coloring, whose oracle gained a spare Luby round; (2) the 11
+    # rows whose latest green driver row is r03 (four+ rounds of code
+    # churn ago); (3) the 45 r04-evidence rows, alphabetical. 5 + 11 +
+    # 45 = 61, so the ~50-row window re-proves all r03 evidence and
+    # most of r04; the r04 spill re-leads the r9 window. Audit:
+    # recompute latest-green per query from CORRECTNESS_r0*.json each
+    # round.
+    # --- new or oracle-changed this round (r08) ---
+    "pl_mp3_decode",
+    "src_ldg_partition",
+    "src_fennel_partition",
+    "st_restart_replay",
     "an_coloring",
-    "cy_graph_integrity",
-    # --- stalest (latest green driver row r01) ---
-    "cy_aggregate",
-    "cy_cartesian_product",
-    "cy_intersect",
-    "cy_order_by_limit",
-    "cy_skip_limit",
-    "cy_union",
-    "rel_events_zscore",
-    "rel_pivot_events",
-    # --- latest green driver row r03: Cypher operator core first ---
-    "cy_all_node_scan",
-    "cy_node_scan_by_label",
-    "cy_multi_label_scan",
-    "cy_node_by_id_seek",
-    "cy_undirected_rel_type_scan",
-    "cy_directed_rel_type_scan",
-    "cy_expand_two_hop",
-    "cy_expand_undirected_unique",
-    "cy_filter_coerce",
-    "cy_projection_missing_prop",
-    "cy_distinct_labels",
-    "cypher_aggregate_group",
-    "cypher_cartesian_patterns",
-    "cypher_undirected_unique",
-    "cypher_in_order_skip_limit",
-    "cypher_label_scan_project",
-    "cypher_filter_expand",
-    "cypher_with_agg_having",
-    # --- r03: extended grammar ---
-    "cypher_string_preds",
-    "cypher_case_expression",
-    "cypher_arithmetic",
-    "cypher_optional_match",
-    "cypher_unwind",
-    "cypher_varlength_path",
-    "cypher_exists_patterns",
-    "cypher_list_comprehension",
-    "cypher_list_predicates",
-    "cypher_named_path_length",
-    "cypher_distinct_null_checks",
-    "cypher_type_function",
-    "cypher_call_procedure",
-    # --- r03: analytics + pipeline ---
-    "an_connected_components",
-    "an_k_core",
-    "an_link_prediction",
-    "an_link_prediction_embedding",
+    # --- latest green driver row r03 ---
     "an_semantic_beam_search",
     "an_shortest_paths",
     "pl_dedup_corpus",
@@ -8706,6 +8658,52 @@ _PRIORITY = [
     "pl_lsh_verified_dedup",
     "pl_simhash_near_dup",
     "pl_stratified_sample",
+    # --- latest green driver row r04, alphabetical ---
+    "an_closeness_centrality",
+    "an_coarsen",
+    "an_core_numbers",
+    "an_eccentricity_sample",
+    "an_feature_smoothing",
+    "an_graph_diff",
+    "an_hits",
+    "an_k_truss",
+    "an_local_clustering",
+    "an_modularity",
+    "an_personalized_pagerank",
+    "an_random_walks",
+    "an_rmat_degree_dist",
+    "an_square_count",
+    "an_walk_pmi",
+    "an_wcc_alternating",
+    "an_weighted_pagerank",
+    "an_weighted_shortest_paths",
+    "cypher_reduce",
+    "pl_bm25_topk",
+    "pl_chunk_documents",
+    "pl_dataset_card",
+    "pl_embedding_hygiene",
+    "pl_graphrag_retrieve",
+    "pl_hash_split",
+    "pl_hybrid_rrf",
+    "pl_knn_classify",
+    "pl_line_dedup",
+    "pl_ngram_jaccard_capped",
+    "pl_pack_sequences",
+    "pl_quality_filter_chain",
+    "pl_sampled_quantiles",
+    "pl_skew_report",
+    "pl_split_leakage",
+    "pl_temperature_mixture",
+    "pl_unigram_logprob",
+    "pl_vocab_coverage",
+    "rel_asof_last_purchase",
+    "rel_cdc_apply",
+    "rel_event_funnel",
+    "rel_events_rollup_multires",
+    "rel_interval_join_busy_hours",
+    "rel_json_props_extract",
+    "rel_scd2_user_state",
+    "src_zorder_roundtrip",
 ]
 
 
