@@ -1754,7 +1754,8 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
         )
     sfb = MP3_TABLES["sfb_long"][fs]
     if si.window_switching[gr]:
-        region1_start = 36 if si.block_type[gr] == 2 else sfb[8]
+        pure_short = si.block_type[gr] == 2 and not si.mixed_block[gr]
+        region1_start = 36 if pure_short else sfb[8]
         region2_start = 576
     else:
         region1_start = sfb[si.region0[gr] + 1]
@@ -2113,6 +2114,7 @@ def encode_mp3(
     spectra=None,
     table_id: int = 0,
     reservoir_slack: int = 0,
+    block_plan=None,
 ) -> bytes:
     """Minimal MPEG-1 Layer III MONO encoder (fixtures + tests). With
     ``spectra=None`` emits digital silence with REAL varied structure:
@@ -2126,7 +2128,12 @@ def encode_mp3(
     tables (register_mp3_tables): big_values pairs from ``table_id``
     with linbits escapes, then count1 quads for the ±1 tail. Two-pass
     logical main-data stream, physically packed per the reservoir rules
-    (§2.4.1.7): main_data_begin_i = flushed_i − logical_start_i."""
+    (§2.4.1.7): main_data_begin_i = flushed_i − logical_start_i.
+    ``block_plan`` (r8, window-switching coverage): a callable
+    (frame, gr) → (block_type, mixed, [3 subblock gains]) emitting
+    start (1) / short (2) / stop (3) granules with the matching
+    side-info layout and short/mixed scalefactor order; requires
+    scfsi=0 (sharing is a long-block feature)."""
     if spectra is not None and MP3_TABLES is None:
         raise NotImplementedError(
             "encoding nonzero MP3 spectra needs registered Huffman tables"
@@ -2147,19 +2154,40 @@ def encode_mp3(
         for gr in range(2):
             compress = (seed + f * 2 + gr) % 16
             s1, s2 = _MP3_SLEN[compress]
+            bt, mixed, sbg = (0, 0, [0, 0, 0])
+            if block_plan is not None:
+                bt, mixed, sbg = block_plan(f, gr)
+                if scfsi:
+                    raise ValueError("scfsi sharing requires long blocks")
             scfsi_bits = [(scfsi >> (3 - i)) & 1 for i in range(4)]
             use_scfsi = scfsi_bits if gr == 1 else None
-            part2 = _mp3_scalefactor_bits(compress, 0, 0, use_scfsi)
-            sf_vals = [(j * 5 + seed + gr) % (1 << (s1 if j < 11 else s2))
-                       if (s1 if j < 11 else s2) else 0 for j in range(21)]
+            part2 = _mp3_scalefactor_bits(compress, bt, mixed, use_scfsi)
             gg = (seed * 7 + f * 13 + gr * 29) % 256
-            for gi, (lo, hi) in enumerate(_MP3_SCFSI_BANDS):
-                slen = s1 if hi <= 11 else s2
-                if gr == 1 and scfsi_bits[gi]:
-                    continue
-                for j in range(lo, hi):
-                    if slen:
-                        w.write(sf_vals[j], slen)
+            if bt == 2 and not mixed:
+                for sfb in range(12):
+                    slen = s1 if sfb < 6 else s2
+                    for win in range(3):
+                        if slen:
+                            w.write((sfb * 5 + win * 3 + seed + gr) % (1 << slen), slen)
+            elif bt == 2 and mixed:
+                for j in range(8):
+                    if s1:
+                        w.write((j * 5 + seed + gr) % (1 << s1), s1)
+                for sfb in range(3, 12):
+                    slen = s1 if sfb < 6 else s2
+                    for win in range(3):
+                        if slen:
+                            w.write((sfb * 5 + win * 3 + seed + gr) % (1 << slen), slen)
+            else:
+                sf_vals = [(j * 5 + seed + gr) % (1 << (s1 if j < 11 else s2))
+                           if (s1 if j < 11 else s2) else 0 for j in range(21)]
+                for gi, (lo, hi) in enumerate(_MP3_SCFSI_BANDS):
+                    slen = s1 if hi <= 11 else s2
+                    if gr == 1 and scfsi_bits[gi]:
+                        continue
+                    for j in range(lo, hi):
+                        if slen:
+                            w.write(sf_vals[j], slen)
             huff_bits = 0
             big_values = 0
             c1_select = 0
@@ -2172,7 +2200,7 @@ def encode_mp3(
             si_fields.append(
                 (part2 + huff_bits, big_values, gg, compress,
                  [table_id, table_id, table_id], region0, region1,
-                 (seed + gr) % 2, c1_select)
+                 (seed + gr) % 2, c1_select, bt, mixed, sbg)
             )
         granule_bits.append(w)
         sides.append(si_fields)
@@ -2213,16 +2241,26 @@ def encode_mp3(
         sw.write(0, 5)
         sw.write(scfsi & 0xF, 4)
         for gr in range(2):
-            (p23, bv, gg, compress, tsel, r0, r1, sfscale, c1sel) = sides[f][gr]
+            (p23, bv, gg, compress, tsel, r0, r1,
+             sfscale, c1sel, bt, mixed, sbg) = sides[f][gr]
             sw.write(p23, 12)
             sw.write(bv, 9)
             sw.write(gg, 8)
             sw.write(compress, 4)
-            sw.write(0, 1)  # window_switching off (long blocks)
-            for t in tsel:
-                sw.write(t, 5)
-            sw.write(r0, 4)
-            sw.write(r1, 3)
+            if bt:  # window switching: start/short/stop layout
+                sw.write(1, 1)
+                sw.write(bt, 2)
+                sw.write(mixed, 1)
+                for t in tsel[:2]:
+                    sw.write(t, 5)
+                for g_ in sbg:
+                    sw.write(g_, 3)
+            else:
+                sw.write(0, 1)
+                for t in tsel:
+                    sw.write(t, 5)
+                sw.write(r0, 4)
+                sw.write(r1, 3)
             sw.write(0, 1)  # preflag
             sw.write(sfscale, 1)
             sw.write(c1sel, 1)

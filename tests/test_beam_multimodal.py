@@ -1149,3 +1149,175 @@ def test_synthesize_mp3_decodes_distributed(spark):
         n = 1152 * (1 + d % 3)
         assert rows[d]["width"] == n and rows[d]["height"] == 1
         assert rows[d]["n_bytes"] == n and rows[d]["body_sum"] == 128 * n
+
+
+def test_mp3_window_switching_dsp_matches_independent_spec_math():
+    """r8 window-switching coverage: a start → short → stop → long
+    granule sequence AND a mixed-block stream, with NONZERO spectra and
+    per-window subblock gains, decoded through the full pipeline and
+    compared against an independent numpy implementation of the spec's
+    short/mixed formulas (requant with subblock_gain, reorder, the
+    single mixed alias boundary, 12-point IMDCT with +6-offset window
+    overlap, start/stop long windows)."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        sfb_l = tables["sfb_long"][48000]
+        sfb_s = tables["sfb_short"][48000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im18 = np.array([[math.cos(math.pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+                          for k in range(18)] for n in range(36)])
+        im12 = np.array([[math.cos(math.pi / 24 * (2 * n + 1 + 6) * (2 * k + 1))
+                          for k in range(6)] for n in range(12)])
+        w_norm = np.array([math.sin(math.pi / 36 * (n + 0.5)) for n in range(36)])
+        w_start = np.array([math.sin(math.pi / 36 * (n + 0.5)) for n in range(18)]
+                           + [1.0] * 6
+                           + [math.sin(math.pi / 12 * (n - 24 + 0.5)) for n in range(24, 30)]
+                           + [0.0] * 6)
+        w_stop = np.array([0.0] * 6
+                          + [math.sin(math.pi / 12 * (n - 6 + 0.5)) for n in range(6, 12)]
+                          + [1.0] * 6
+                          + [math.sin(math.pi / 36 * (n + 0.5)) for n in range(18, 36)])
+        w_short12 = np.array([math.sin(math.pi / 12 * (n + 0.5)) for n in range(12)])
+
+        def ref_decode(n_frames, seed, plan, spectra):
+            overlap = np.zeros((32, 18))
+            v_fifo = np.zeros(1024)
+            pcm = []
+            for f in range(n_frames):
+                for gr in range(2):
+                    bt, mixed, sbg = plan(f, gr)
+                    vals = np.array(spectra(f, gr), dtype=float)
+                    compress = (seed + f * 2 + gr) % 16
+                    s1, s2 = _MP3_SLEN[compress]
+                    gg = (seed * 7 + f * 13 + gr * 29) % 256
+                    mult = 0.5 * (((seed + gr) % 2) + 1)
+                    g = 0.25 * (gg - 210)
+                    xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+                    if bt == 2 and not mixed:
+                        for sfb in range(12):
+                            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                            slen = s1 if sfb < 6 else s2
+                            for w in range(3):
+                                sf = ((sfb * 5 + w * 3 + seed + gr) % (1 << slen)
+                                      if slen else 0)
+                                s = 3 * lo + (hi - lo) * w
+                                xr[s:s + hi - lo] *= 2.0 ** (g - 2.0 * sbg[w] - mult * sf)
+                        nat = xr.copy()
+                        for sfb in range(12):
+                            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                            width = hi - lo
+                            blk = xr[3 * lo: 3 * hi]
+                            for w in range(3):
+                                for i in range(width):
+                                    nat[3 * lo + 3 * i + w] = blk[w * width + i]
+                        xr = nat  # no alias reduction for pure short
+                    elif bt == 2 and mixed:
+                        for sfb in range(8):
+                            slen = s1
+                            sf = ((sfb * 5 + seed + gr) % (1 << slen)) if slen else 0
+                            lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
+                            xr[lo:hi] *= 2.0 ** (g - mult * sf)
+                        for sfb in range(3, 12):
+                            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                            slen = s1 if sfb < 6 else s2
+                            for w in range(3):
+                                sf = ((sfb * 5 + w * 3 + seed + gr) % (1 << slen)
+                                      if slen else 0)
+                                s = 3 * lo + (hi - lo) * w
+                                xr[s:s + hi - lo] *= 2.0 ** (g - 2.0 * sbg[w] - mult * sf)
+                        nat = xr.copy()
+                        for sfb in range(3, 12):
+                            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                            width = hi - lo
+                            blk = xr[3 * lo: 3 * hi]
+                            for w in range(3):
+                                for i in range(width):
+                                    nat[3 * lo + 3 * i + w] = blk[w * width + i]
+                        xr = nat
+                        for i, ci in enumerate(_MP3_CI):  # one boundary
+                            cs = 1 / math.sqrt(1 + ci * ci)
+                            ca = ci / math.sqrt(1 + ci * ci)
+                            lo_, hi_ = 17 - i, 18 + i
+                            xl, xu = xr[lo_], xr[hi_]
+                            xr[lo_] = xl * cs - xu * ca
+                            xr[hi_] = xu * cs + xl * ca
+                    else:
+                        sf_vals = [(j * 5 + seed + gr) % (1 << (s1 if j < 11 else s2))
+                                   if (s1 if j < 11 else s2) else 0 for j in range(21)]
+                        xr *= 2.0 ** g
+                        for band in range(21):
+                            xr[sfb_l[band]:sfb_l[band + 1]] *= 2.0 ** (-mult * sf_vals[band])
+                        for b in range(1, 32):
+                            for i, ci in enumerate(_MP3_CI):
+                                cs = 1 / math.sqrt(1 + ci * ci)
+                                ca = ci / math.sqrt(1 + ci * ci)
+                                lo_, hi_ = 18 * b - 1 - i, 18 * b + i
+                                xl, xu = xr[lo_], xr[hi_]
+                                xr[lo_] = xl * cs - xu * ca
+                                xr[hi_] = xu * cs + xl * ca
+                    slot = np.zeros((32, 18))
+                    for sb in range(32):
+                        lines = xr[18 * sb: 18 * sb + 18]
+                        if bt == 2 and not (mixed and sb < 2):
+                            x36 = np.zeros(36)
+                            for w in range(3):
+                                z = im12 @ np.array([lines[3 * k + w] for k in range(6)])
+                                x36[6 + 6 * w: 18 + 6 * w] += z * w_short12
+                        else:
+                            wsel = (w_norm if (mixed and sb < 2) or bt == 0
+                                    else w_start if bt == 1 else w_stop)
+                            x36 = wsel * (im18 @ lines)
+                        slot[sb] = x36[:18] + overlap[sb]
+                        overlap[sb] = x36[18:]
+                    for sb in range(1, 32, 2):
+                        slot[sb, 1::2] *= -1.0
+                    for t in range(18):
+                        v_fifo = np.concatenate([N @ slot[:, t], v_fifo[:960]])
+                        u = np.zeros(512)
+                        for i in range(8):
+                            u[64 * i: 64 * i + 32] = v_fifo[128 * i: 128 * i + 32]
+                            u[64 * i + 32: 64 * i + 64] = v_fifo[128 * i + 96: 128 * i + 128]
+                        pcm.extend((u * D).reshape(16, 32).sum(axis=0))
+            ints = np.clip(np.rint(np.asarray(pcm) * 32768.0), -32768, 32767).astype(np.int32)
+            return ((ints >> 8) + 128).astype(np.uint8).tobytes()
+
+        def spectra(f, gr):
+            vals = [0] * 576
+            rng = np.random.RandomState(31 + f * 2 + gr)
+            for i in rng.choice(36, size=10, replace=False):
+                vals[int(i)] = int(rng.randint(-17, 18))
+            for i in range(36, 44):
+                vals[i] = int(rng.randint(-1, 2))
+            return vals
+
+        seq = [(1, 0, [0, 0, 0]), (2, 0, [0, 1, 2]), (3, 0, [0, 0, 0]), (0, 0, [0, 0, 0])]
+        for name, plan in [
+            ("start-short-stop-long", lambda f, gr: seq[(f * 2 + gr) % 4]),
+            ("mixed", lambda f, gr: (2, 1, [1, 0, 2])),
+        ]:
+            payload = encode_mp3(2, fs_index=1, bitrate_index=14, seed=210,
+                                 spectra=spectra, table_id=1, block_plan=plan)
+            n, ch, got = _decode_mp3(payload)
+            assert (n, ch) == (2304, 1), name
+            want = ref_decode(2, 210, plan, spectra)
+            diff = np.abs(np.frombuffer(got, np.uint8).astype(int)
+                          - np.frombuffer(want, np.uint8).astype(int))
+            assert int(diff.max()) <= 1, (name, int(diff.max()))
+            assert np.count_nonzero(np.frombuffer(got, np.uint8) != 128) > 200, name
+    finally:
+        register_mp3_tables(None)
