@@ -24,12 +24,56 @@ class PerfCatalog:
     spark: SparkSession
     path: str
 
+    #: per-(name, command) history cap — `compact()` keeps the newest
+    #: KEEP_LAST records for each key so the ledger read in `estimate`
+    #: stays bounded no matter how many distinct per-query fingerprints
+    #: (`cypher:<md5-8>`) a long session accumulates.
+    KEEP_LAST: int = 32
+    #: auto-compact when the parquet directory holds more than this many
+    #: appended part files (each `record` call writes exactly one).
+    COMPACT_EVERY: int = 256
+
     def record(self, name: str, command: str, partitions: int, seconds: float) -> None:
         df = self.spark.createDataFrame(
             [(name, command, partitions, float(seconds), float(time.time()))],
             "name string, command string, partitions int, seconds double, ts double",
         )
         df.coalesce(1).write.mode("append").parquet(self.path)
+        try:
+            n_parts = sum(
+                1 for f in os.listdir(self.path) if f.endswith(".parquet")
+            )
+        except OSError:
+            return
+        if n_parts > self.COMPACT_EVERY:
+            self.compact()
+
+    def compact(self, keep_last: int | None = None) -> int:
+        """Rewrite the ledger keeping only the newest `keep_last` records
+        per (name, command) key. Bounds both the on-disk size and the
+        full-table scan `estimate` performs — mirrors the reference
+        perfdb's bounded `sla_performance` history (ddl/perfdb.sql keeps a
+        rolling window per sla_category). Returns the retained row count.
+        """
+        if not os.path.exists(self.path):
+            return 0
+        keep = keep_last if keep_last is not None else self.KEEP_LAST
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("name", "command").orderBy(F.col("ts").desc())
+        kept = (
+            self.history()
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= keep)
+            .drop("_rn")
+        )
+        rows = kept.collect()  # ledger is small by construction after cap
+        out = self.spark.createDataFrame(
+            rows,
+            "name string, command string, partitions int, seconds double, ts double",
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        return len(rows)
 
     @contextmanager
     def timed(self, name: str, command: str, partitions: int = 0):
@@ -48,6 +92,30 @@ class PerfCatalog:
         rows = (
             self.history()
             .filter((F.col("name") == name) & (F.col("command") == command))
+            .agg(F.expr("percentile_approx(seconds, 0.5)").alias("p50"))
+            .collect()
+        )
+        return rows[0]["p50"] if rows and rows[0]["p50"] is not None else None
+
+    def estimate_family(self, name: str, family: str) -> float | None:
+        """Median latency across a whole command FAMILY — the rollup the
+        reference's perfdb exposes via `sla_category` aggregation
+        (ddl/perfdb.sql). With r8's per-query fingerprint keying
+        (`cypher:<md5-8>`), per-key `estimate` drives admission while
+        this rollup answers family-level introspection ("how slow is
+        cypher on this graph overall?"). Matches both the bare family
+        name and any `family:<fingerprint>` key."""
+        if not os.path.exists(self.path):
+            return None
+        rows = (
+            self.history()
+            .filter(
+                (F.col("name") == name)
+                & (
+                    (F.col("command") == family)
+                    | F.col("command").startswith(family + ":")
+                )
+            )
             .agg(F.expr("percentile_approx(seconds, 0.5)").alias("p50"))
             .collect()
         )

@@ -44,8 +44,12 @@ def test_cypher_and_rows_protocol(ingested):
     rows = list(ingested.cypher_rows("pg", "MATCH (n) WHERE id(n) = '0' RETURN n"))
     assert out.count() == 1 and len(rows) == 1
     assert "partitionID" in json.loads(rows[0])["n"]
-    # perf catalog recorded the cypher latencies
-    assert ingested.perf.estimate("pg", "cypher") is not None
+    # perf catalog recorded the cypher latencies: r8 keys per query
+    # fingerprint (cypher:<md5-8>), so introspect via the family rollup
+    # and via the exact per-query key.
+    assert ingested.perf.estimate_family("pg", "cypher") is not None
+    key = ingested._cypher_perf_key("MATCH (n) WHERE id(n) = '0' RETURN n")
+    assert ingested.perf.estimate("pg", key) is not None
 
 
 def test_train_and_merge_verbs(engine, tmp_path):

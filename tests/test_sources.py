@@ -112,6 +112,36 @@ def test_perf_catalog(spark, tmp_path):
     assert not pc.admits("g1", "cypher", 0.1)
 
 
+def test_perf_catalog_family_rollup_and_compaction(spark, tmp_path):
+    """r9: per-query fingerprint keys roll up to a family estimate, and
+    compact() bounds the per-key history so the full-table estimate read
+    cannot grow without bound across long sessions."""
+    from jasminegraph_spark.perf import PerfCatalog
+
+    pc = PerfCatalog(spark, str(tmp_path / "perfdb"))
+    # two distinct fingerprinted cypher queries + one unrelated command
+    for s in (0.1, 0.3):
+        pc.record("g1", "cypher:aaaa1111", 2, s)
+    pc.record("g1", "cypher:bbbb2222", 2, 0.5)
+    pc.record("g1", "trian", 2, 9.0)
+    fam = pc.estimate_family("g1", "cypher")
+    assert fam is not None and 0.1 <= fam <= 0.5  # trian excluded
+    # per-key estimate still works for admission
+    assert pc.estimate("g1", "cypher:bbbb2222") == 0.5
+    # compaction: 40 records for one key → keep newest KEEP_LAST
+    for i in range(40):
+        pc.record("g2", "cypher:cccc3333", 2, float(i))
+    kept = pc.compact(keep_last=8)
+    hist = pc.history()
+    g2 = hist.filter("name = 'g2'").select("seconds").collect()
+    assert len(g2) == 8
+    # newest records survive (seconds 32..39 have the latest ts)
+    assert sorted(r["seconds"] for r in g2) == [float(i) for i in range(32, 40)]
+    # other keys retain their (short) histories
+    assert hist.filter("name = 'g1'").count() == 4
+    assert kept == hist.count()
+
+
 def test_as_of_join_semantics(spark):
     """Inclusive at-or-before match, null extension without history, and
     tolerance nulling of stale matches."""
