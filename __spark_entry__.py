@@ -8630,69 +8630,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r08 sweep order (VERDICT r7 ask #2, recomputed from
-    # CORRECTNESS_r0*.json latest-green rounds): (1) rows NEW or
-    # oracle-changed this round — the four r8 additions plus
-    # an_coloring, whose oracle gained a spare Luby round; (2) the 11
-    # rows whose latest green driver row is r03 (four+ rounds of code
-    # churn ago); (3) the 45 r04-evidence rows, alphabetical. 5 + 11 +
-    # 45 = 61, so the ~50-row window re-proves all r03 evidence and
-    # most of r04; the r04 spill re-leads the r9 window. Audit:
+    # r09 sweep order (VERDICT r8 ask #2, recomputed from
+    # CORRECTNESS_r0*.json latest-green rounds): 13 rows whose latest
+    # green driver row is r04, then the 49 r05-evidence rows. The three
+    # r05 rows the judge independently re-ran green at sf0.1 during the
+    # r8 verdict (an_scc, pl_substring_spans, rel_q10_returned_items)
+    # sit at the tail of the block so the ~50-row driver window lands on
+    # the rows with the weakest current evidence: 13 + 37 = 50. After
+    # this sweep no registered row's newest proof predates r05. Audit:
     # recompute latest-green per query from CORRECTNESS_r0*.json each
     # round.
-    # --- new or oracle-changed this round (r08) ---
-    "pl_mp3_decode",
-    "src_ldg_partition",
-    "src_fennel_partition",
-    "st_restart_replay",
-    "an_coloring",
-    # --- latest green driver row r03 ---
-    "an_semantic_beam_search",
-    "an_shortest_paths",
-    "pl_dedup_corpus",
-    "pl_embed_ivf_ann",
-    "pl_embed_text",
-    "pl_embedding_near_dup",
-    "pl_ivf_ann_nprobe",
-    "pl_kg_triples",
-    "pl_lsh_verified_dedup",
-    "pl_simhash_near_dup",
-    "pl_stratified_sample",
-    # --- latest green driver row r04, alphabetical ---
-    "an_closeness_centrality",
-    "an_coarsen",
-    "an_core_numbers",
-    "an_eccentricity_sample",
-    "an_feature_smoothing",
-    "an_graph_diff",
-    "an_hits",
-    "an_k_truss",
-    "an_local_clustering",
-    "an_modularity",
-    "an_personalized_pagerank",
-    "an_random_walks",
-    "an_rmat_degree_dist",
-    "an_square_count",
-    "an_walk_pmi",
-    "an_wcc_alternating",
-    "an_weighted_pagerank",
-    "an_weighted_shortest_paths",
-    "cypher_reduce",
-    "pl_bm25_topk",
-    "pl_chunk_documents",
-    "pl_dataset_card",
-    "pl_embedding_hygiene",
-    "pl_graphrag_retrieve",
-    "pl_hash_split",
-    "pl_hybrid_rrf",
-    "pl_knn_classify",
-    "pl_line_dedup",
-    "pl_ngram_jaccard_capped",
-    "pl_pack_sequences",
-    "pl_quality_filter_chain",
-    "pl_sampled_quantiles",
-    "pl_skew_report",
-    "pl_split_leakage",
+    # --- latest green driver row r04 ---
     "pl_temperature_mixture",
     "pl_unigram_logprob",
     "pl_vocab_coverage",
@@ -8704,6 +8652,58 @@ _PRIORITY = [
     "rel_json_props_extract",
     "rel_scd2_user_state",
     "src_zorder_roundtrip",
+    "st_stream_stream_join",
+    "st_streaming_dedup",
+    # --- latest green driver row r05 (judge sf0.1 re-runs last) ---
+    "an_betweenness_sampled",
+    "an_clustering_coefficient",
+    "an_degree_assortativity",
+    "an_harmonic_centrality",
+    "an_label_propagation",
+    "an_link_prediction_federated",
+    "an_link_prediction_trained",
+    "an_msf",
+    "an_sage_embeddings",
+    "cypher_scalar_functions",
+    "cypher_shortest_path",
+    "cypher_union_text",
+    "pl_bpe_merges",
+    "pl_decontaminate",
+    "pl_gopher_rules",
+    "pl_kmv_distinct",
+    "pl_multimodal_compose",
+    "pl_multimodal_decode",
+    "pl_pca_invariants",
+    "pl_pii_redact",
+    "pl_repetition_scores",
+    "pl_sq_ann",
+    "pl_tfidf_keywords",
+    "pl_weighted_sample",
+    "rel_cohort_retention",
+    "rel_q11_important_parts",
+    "rel_q12_late_by_priority",
+    "rel_q13_customer_distribution",
+    "rel_q14_promo_revenue_share",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_part_counts",
+    "rel_q17_small_quantity_revenue",
+    "rel_q18_large_volume_customer",
+    "rel_q19_disjunctive_predicates",
+    "rel_q20_dominant_suppliers",
+    "rel_q21_waiting_supplier",
+    "rel_q22_dormant_customers",
+    "rel_q4_order_priority",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_value_percentiles",
+    "src_graphml_roundtrip",
+    "src_jsonl_roundtrip",
+    "st_incremental_triangles",
+    "st_session_window_counts",
+    "st_windowed_event_counts",
+    "an_scc",
+    "pl_substring_spans",
+    "rel_q10_returned_items",
 ]
 
 
