@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("adgraphml");   p.add_argument("name"); p.add_argument("path")
     p = sub.add_parser("predict");     p.add_argument("name"); p.add_argument("--top", type=int, default=20)
     p = sub.add_parser("constructkg"); p.add_argument("name"); p.add_argument("path", help="parquet/jsonl of (doc_id, text)")
+    p = sub.add_parser("beam", help="semantic-beam-search: multi-hop beam guided by text-embedding similarity"); p.add_argument("name"); p.add_argument("query"); p.add_argument("--width", type=int, default=5); p.add_argument("--hops", type=int, default=3); p.add_argument("--text-prop", default="name"); p.add_argument("--dim", type=int, default=32)
+    sub.add_parser("truncate", help="remove ALL graphs (catalog + persisted store)")
     p = sub.add_parser("adstrmk");     p.add_argument("name"); p.add_argument("source_dir", help="directory of edge-JSON line files (Kafka stand-in)"); p.add_argument("--strian", action="store_true", help="also maintain the incremental triangle count")
     p = sub.add_parser("wcc");         p.add_argument("name")
     p = sub.add_parser("scc");         p.add_argument("name")
@@ -271,6 +273,26 @@ def main(argv=None) -> int:
         )
         g = eng.construct_kg(args.name, docs)
         emit({"constructed": args.name, "vertices": g.vertex_count(), "edges": g.edge_count()})
+    elif args.cmd == "beam":
+        rows = eng.semantic_beam_search(
+            args.name,
+            args.query,
+            beam_width=args.width,
+            hops=args.hops,
+            text_prop=args.text_prop,
+            dim=args.dim,
+        ).collect()
+        for r in rows:
+            emit(
+                {
+                    "node": r["node"],
+                    "score": r["score"],
+                    "hop": r["hop"],
+                    "path": list(r["path"]),
+                }
+            )
+    elif args.cmd == "truncate":
+        emit({"truncated": eng.truncate()})
     return 0
 
 

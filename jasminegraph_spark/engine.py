@@ -21,6 +21,8 @@ run every command they run today against Spark:
 | sdhdfs                   | export_graph                 |
 | train / predict / merge  | predict_links                |
 | constructkg              | construct_kg                 |
+| semantic-beam-search     | semantic_beam_search         |
+| truncate                 | truncate                     |
 """
 
 from __future__ import annotations
@@ -447,6 +449,95 @@ class JasmineEngine:
 
     def remove_graph(self, name: str) -> None:
         self.catalog.remove(name)
+
+    def truncate(self) -> list:
+        """Remove ALL graphs — the reference's `truncate` verb
+        (JasmineGraphFrontEnd.cpp:306-307 → removeAllGraphs clears every
+        metadb graph row and the partition files on every worker). Here:
+        every catalog entry plus every persisted graph directory under
+        storage_path (identified by its nodes/ parquet subdir); engine
+        internals like the `_perfdb` ledger are kept. Returns the sorted
+        names removed."""
+        import os
+        import shutil
+
+        removed = set(self.catalog._graphs)
+        for n in list(removed):
+            self.catalog.remove(n)
+        if self.storage_path and os.path.isdir(self.storage_path):
+            for entry in os.listdir(self.storage_path):
+                if entry.startswith("_"):
+                    continue  # perf ledger / engine-internal state
+                p = os.path.join(self.storage_path, entry)
+                if os.path.isdir(p) and (
+                    entry in removed or os.path.isdir(os.path.join(p, "nodes"))
+                ):
+                    shutil.rmtree(p)
+                    removed.add(entry)
+        return sorted(removed)
+
+    def semantic_beam_search(
+        self,
+        graph_name: str,
+        query_text: str | None = None,
+        *,
+        query_vec: list | None = None,
+        embeddings: DataFrame | None = None,
+        beam_width: int = 5,
+        hops: int = 3,
+        text_prop: str = "name",
+        dim: int = 32,
+        sla_seconds: float | None = None,
+    ) -> DataFrame:
+        """The reference's SEMANTIC_BEAM_SEARCH frontend verb
+        (JasmineGraphFrontEnd.cpp:239-243 → SemanticBeamSearchExecutor:
+        embed the query text, seed from the FAISS-nearest nodes, expand
+        the beam hop by hop). Spark path: node embeddings come either
+        from the caller (`embeddings` = (doc_id, embedding)) or from the
+        engine's deterministic feature-hash embedder over the nodes'
+        `text_prop` property (TextEmbedder.h:29-42 role); the query is
+        embedded with the SAME featurizer so cosine scores are
+        comparable. The beam itself is the analytics operator — broadcast
+        frontier joins against the edge table, no FAISS store."""
+        from jasminegraph_spark.analytics import semantic_beam_search as _beam
+        from jasminegraph_spark.pipeline.text import embed_text
+
+        self._sla_check(graph_name, "semantic-beam-search", sla_seconds)
+        g = self.catalog.get(graph_name)
+        if embeddings is None:
+            from pyspark.sql import functions as F
+
+            texts = g.nodes.select(
+                F.col("id").alias("doc_id"),
+                F.coalesce(
+                    F.col("properties").getItem(text_prop), F.col("id").cast("string")
+                ).alias("text"),
+            )
+            embeddings = embed_text(texts, dim=dim)
+        if query_vec is None:
+            if query_text is None:
+                raise ValueError("provide query_text or query_vec")
+            qdf = self.spark.createDataFrame([("q", query_text)], ["doc_id", "text"])
+            row = embed_text(qdf, dim=dim).select("embedding").first()
+            if row is None:
+                raise ValueError("query text has no embeddable tokens")
+            query_vec = list(row[0])
+
+        def run() -> DataFrame:
+            return _beam(
+                g.edges,
+                embeddings,
+                query_vec,
+                beam_width=beam_width,
+                hops=hops,
+                id_col="doc_id",
+                undirected=not g.is_directed,
+            )
+
+        if self.perf:
+            with self.perf.timed(graph_name, "semantic-beam-search"):
+                return run()
+        return run()
 
     def export_graph(self, graph_name: str, path: str, fmt: str = "wire") -> None:
         g = self.catalog.get(graph_name)

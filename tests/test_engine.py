@@ -314,6 +314,68 @@ def test_cli_continuation_verbs(tmp_path):
     assert len(walks) == 4 and walks[0]["step"] == 0
 
 
+def test_engine_beam_and_truncate_verbs(spark, tmp_path):
+    """r9 frontend-verb parity: SEMANTIC_BEAM_SEARCH
+    (JasmineGraphFrontEnd.cpp:239-243) and truncate (:306-307) through
+    the engine facade."""
+    from jasminegraph_spark.engine import JasmineEngine
+
+    eng = JasmineEngine(spark, storage_path=str(tmp_path / "s"))
+    p = str(tmp_path / "edges.txt")
+    with open(p, "w") as f:
+        f.write("1 2\n2 3\n3 4\n")
+    eng.add_graph("bg", p)  # undirected path graph
+
+    out = eng.semantic_beam_search("bg", "1", beam_width=2, hops=2)
+    rows = out.collect()
+    assert set(out.columns) == {"node", "score", "hop", "path"}
+    hop0 = {r["node"] for r in rows if r["hop"] == 0}
+    assert "1" in hop0  # query "1" embeds identically to node 1's text
+    by_node = {r["node"]: r for r in rows}
+    assert by_node["1"]["score"] == 1.0
+    # every non-seed row extends a path by one adjacent hop
+    adj = {("1", "2"), ("2", "3"), ("3", "4")}
+    adj |= {(b, a) for a, b in adj}
+    for r in rows:
+        if r["hop"] > 0:
+            assert (r["path"][-2], r["path"][-1]) in adj
+    # the verb is perf-ledgered like the reference's perfdb categories
+    assert eng.perf.estimate_family("bg", "semantic-beam-search") is not None
+
+    eng.add_graph("bg2", p)
+    removed = eng.truncate()
+    assert removed == ["bg", "bg2"]
+    assert eng.list_graphs() == []
+    import os
+
+    assert not os.path.isdir(tmp_path / "s" / "bg")
+    assert os.path.isdir(tmp_path / "s" / "_perfdb")  # ledger survives
+
+
+def test_cli_beam_and_truncate(tmp_path):
+    """beam + truncate through the real CLI subprocess."""
+    import subprocess
+    import sys
+
+    (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n3 4\n")
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
+            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return [json.loads(l) for l in out.stdout.strip().splitlines() if l]
+
+    run("adgr", "cg", str(tmp_path / "g.dl"))
+    beam = run("beam", "cg", "1", "--width", "2", "--hops", "1")
+    assert beam and any(r["node"] == "1" and r["hop"] == 0 for r in beam)
+    assert all(r["path"][0] != r["node"] or r["hop"] == 0 for r in beam)
+    assert run("truncate") == [{"truncated": ["cg"]}]
+    assert run("lst") == []
+
+
 def test_engine_scc_and_graphml_lifecycle(spark, tmp_path):
     """Engine verbs for the r5 additions: SCC on a registered graph and
     the GraphML export → add_graphml_graph import cycle."""
