@@ -1666,6 +1666,12 @@ def _mp3_read_side_info(raw: bytes) -> _Mp3SideInfo:
     for _ in range(2):
         si.part2_3_length.append(br.read(12))
         si.big_values.append(br.read(9))
+        if si.big_values[-1] * 2 > 576:
+            # 9-bit field admits up to 511 pairs but the spec caps the
+            # region at 288 pairs (576 lines); beyond that is corruption
+            raise ValueError(
+                f"MP3 big_values {si.big_values[-1]} exceeds spec cap 288 pairs"
+            )
         si.global_gain.append(br.read(8))
         si.scalefac_compress.append(br.read(4))
         wsf = br.read(1)
@@ -1730,6 +1736,10 @@ def _mp3_read_scalefactors(br, si: _Mp3SideInfo, gr: int, prev: list | None):
     for gi, (lo, hi) in enumerate(_MP3_SCFSI_BANDS):
         slen = s1 if hi <= 11 else s2
         if gr == 1 and si.scfsi[gi]:
+            if prev is None:
+                # scfsi sharing is a long-block feature; granule 0 was a
+                # short block so there are no long scalefactors to copy
+                raise ValueError("MP3 scfsi set but granule 0 used short blocks")
             out.extend(prev[lo:hi])
         else:
             out.extend(br.read(slen) if slen else 0 for _ in range(hi - lo))
@@ -1788,6 +1798,13 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
             bits_left -= 1
         return v
 
+    inv_cache: dict = {}  # one inversion per table id per granule, not per pair
+
+    def inv_table(tid: int) -> dict:
+        if tid not in inv_cache:
+            inv_cache[tid] = inverted(MP3_TABLES["huffman"][tid]["codes"])
+        return inv_cache[tid]
+
     idx = 0
     while idx < bv:
         region = (0 if idx < region1_start
@@ -1797,13 +1814,18 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
             spectrum[idx], spectrum[idx + 1] = 0, 0
             idx += 2
             continue
+        if bits_left <= 0:
+            # big_values pairs may never cross part2_3_length — only the
+            # final count1 quad has discard-and-rewind semantics
+            raise ValueError("MP3 big_values region exhausted part2_3_length")
         tbl = MP3_TABLES["huffman"][tid]
-        x, y = decode_sym(inverted(tbl["codes"]))
+        x, y = decode_sym(inv_table(tid))
         spectrum[idx] = read_lin_sign(x, tbl["linbits"])
         spectrum[idx + 1] = read_lin_sign(y, tbl["linbits"])
         idx += 2
     c1 = inverted(MP3_TABLES["count1"][si.count1table[gr]])
     while bits_left > 0 and idx <= 572:
+        qstart = idx
         quad = decode_sym(c1)
         for v in quad:
             if v:
@@ -1812,6 +1834,13 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
                 bits_left -= 1
             spectrum[idx] = v
             idx += 1
+        if bits_left < 0:
+            # the final quad crossed the granule's bit budget: the spec
+            # allows this; decoders discard the overrunning quad and the
+            # caller repositions the reader to the granule boundary
+            for j in range(qstart, idx):
+                spectrum[j] = 0
+            break
     return spectrum
 
 
@@ -2043,21 +2072,33 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         data = (bytes(store[len(store) - side.main_data_begin:]) + main_raw
                 if side.main_data_begin else bytes(main_raw))
         br = _FlacBitReader(data)
+        base = 0  # absolute bit offset of br's buffer start within `data`
         prev_sf = None
         for gr in range(2):
-            start_bits = _mp3_bits_consumed(br)
+            start_bits = base + _mp3_bits_consumed(br)
             sf = _mp3_read_scalefactors(br, side, gr, prev_sf)
             if gr == 0 and side.block_type[0] != 2:
                 prev_sf = sf
-            part2 = _mp3_bits_consumed(br) - start_bits
+            part2 = base + _mp3_bits_consumed(br) - start_bits
             bits_left = side.part2_3_length[gr] - part2
             if bits_left < 0:
                 raise ValueError("MP3 part2_3_length shorter than scalefactors")
             spectrum = _mp3_huffman_decode(br, bits_left, side, gr, fs)
-            # skip any ancillary slack inside part2_3_length
-            used = _mp3_bits_consumed(br) - start_bits
-            for _ in range(side.part2_3_length[gr] - used):
-                br.read(1)
+            # reposition the reader to the exact granule boundary: forward
+            # over ancillary slack, or BACK when the final count1 quad
+            # crossed part2_3_length (its values were discarded in
+            # _mp3_huffman_decode; without the rewind every later granule
+            # in the reservoir would desync)
+            target = start_bits + side.part2_3_length[gr]
+            used_abs = base + _mp3_bits_consumed(br)
+            if used_abs > target:
+                br = _FlacBitReader(data[target // 8:])
+                base = (target // 8) * 8
+                for _ in range(target % 8):
+                    br.read(1)
+            else:
+                for _ in range(target - used_abs):
+                    br.read(1)
             if any(spectrum):
                 dsp_dirty = True
             if not dsp_dirty:

@@ -287,7 +287,12 @@ class StreamingTriangleCounter:
             self._n_rows = 0
 
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> int:
-        batch_edges = batch_edges.select("src", "dst")
+        # pin the batch before acting on it twice: the stamp's count and
+        # the parquet append MUST see identical rows, and a
+        # non-deterministic batch expression (rand, a changing view)
+        # would otherwise drift and only surface as a cold-start
+        # integrity ValueError much later (r9, ADVICE r8)
+        batch_edges = batch_edges.select("src", "dst").localCheckpoint(eager=True)
         # r8 (r7 verdict #7): the durability stamp's row count is
         # maintained INCREMENTALLY (+= batch rows) instead of recounting
         # the full edge state after every append — per-batch IO is now
@@ -367,7 +372,9 @@ class StreamingComponentTracker:
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> DataFrame:
         from jasminegraph_spark.cache import checkpoint
 
-        e = batch_edges.select("src", "dst")
+        # pinned so the stamp count and the append see identical rows
+        # even for non-deterministic batch expressions (r9, ADVICE r8)
+        e = batch_edges.select("src", "dst").localCheckpoint(eager=True)
         edge_path = f"{self.state_path}/edges"
         self._n_rows += e.count()  # O(batch); stamp no longer rescans state
         e.write.mode("append").parquet(edge_path)

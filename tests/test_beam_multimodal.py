@@ -1035,6 +1035,113 @@ def test_mp3_huffman_spectrum_roundtrip_injected_tables():
         register_mp3_tables(None)
 
 
+def _mp3_handmade_frame(gran_bits: list[str], part23: list[int]) -> bytes:
+    """One mono 128 kbps / 48 kHz frame with hand-set per-granule
+    part2_3_length and raw main-data bit strings (scalefac_compress=0 →
+    zero scalefactor bits, so part2_3_length is pure Huffman budget)."""
+    from jasminegraph_spark.pipeline.multimodal import _FlacBitWriter
+
+    w = _FlacBitWriter()
+    w.write(0, 9)   # main_data_begin
+    w.write(0, 5)   # private
+    w.write(0, 4)   # scfsi
+    big_values = [0, 1]
+    for gr in range(2):
+        w.write(part23[gr], 12)
+        w.write(big_values[gr], 9)
+        w.write(210, 8)  # global_gain → exponent 0
+        w.write(0, 4)    # scalefac_compress 0 → slen (0,0)
+        w.write(0, 1)    # no window switching
+        for _ in range(3):
+            w.write(1, 5)  # table_select = 1 (the injected test table)
+        w.write(0, 4)    # region0
+        w.write(0, 3)    # region1
+        w.write(0, 3)    # preflag, scalefac_scale, count1table
+    side = bytes(w.out)
+    assert len(side) == 17
+    m = _FlacBitWriter()
+    for bits in gran_bits:
+        for ch in bits:
+            m.write(int(ch), 1)
+    m.align()
+    flen = 384  # 144000*128/48000
+    main = bytes(m.out).ljust(flen - 4 - 17, b"\x00")
+    return bytes([0xFF, 0xFB, 0x94, 0xC0]) + side + main
+
+
+def test_mp3_count1_overrun_rewinds_to_granule_boundary():
+    """ADVICE r8 (medium): a final count1 quad may cross part2_3_length;
+    the decoder must discard its values AND reposition the reservoir
+    reader to the granule boundary, or every later granule desyncs.
+    Granule 0 here has a 6-bit budget but its quad (1,1,1,1) consumes 8
+    bits (4 code + 4 signs), overlapping granule 1's first two bits;
+    granule 1 holds the pair (2,3). A clean frame with the identical
+    granule-1 payload at its natural offset must decode to the SAME pcm."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        register_mp3_tables,
+    )
+
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        g1 = "00100011" + "0" + "0"  # pair (2,3), both positive: 10 bits
+        overrun = _mp3_handmade_frame(["1111" + "11", g1], [6, 10])
+        clean = _mp3_handmade_frame([g1], [0, 10])
+        n1, ch1, pcm_overrun = _decode_mp3(overrun)
+        n2, ch2, pcm_clean = _decode_mp3(clean)
+        assert (n1, ch1) == (1152, 1) and (n2, ch2) == (1152, 1)
+        assert set(pcm_clean) != {128}  # granule 1 is audibly nonzero
+        assert pcm_overrun == pcm_clean
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_malformed_guards_raise_value_errors():
+    """ADVICE r8 (low): corrupt frames fail with diagnosable ValueErrors
+    — big_values beyond the 288-pair spec cap, a big_values region that
+    exhausts part2_3_length, and scfsi pointing at a short granule 0."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _FlacBitReader,
+        _FlacBitWriter,
+        _mp3_read_scalefactors,
+        _mp3_read_side_info,
+        register_mp3_tables,
+    )
+
+    # big_values = 300 pairs > 288 cap
+    w = _FlacBitWriter()
+    w.write(0, 9); w.write(0, 5); w.write(0, 4)
+    w.write(0, 12); w.write(300, 9)
+    w.write(0, 136 - 9 - 5 - 4 - 12 - 9)
+    with _pt.raises(ValueError, match="big_values 300"):
+        _mp3_read_side_info(bytes(w.out))
+
+    # big_values region with a zero bit budget
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        frame = _mp3_handmade_frame(["00100011" + "00"], [0, 0])
+        # granule 1 claims big_values=1 but part2_3_length=0
+        with _pt.raises(ValueError, match="big_values region exhausted"):
+            from jasminegraph_spark.pipeline.multimodal import _decode_mp3
+
+            _decode_mp3(frame)
+    finally:
+        register_mp3_tables(None)
+
+    # scfsi set while granule 0 was short: prev long scalefactors absent
+    class SI:
+        scalefac_compress = [5, 5]
+        block_type = [2, 0]
+        mixed_block = [0, 0]
+        scfsi = [1, 0, 0, 0]
+
+    br = _FlacBitReader(b"\x00" * 8)
+    with _pt.raises(ValueError, match="granule 0 used short blocks"):
+        _mp3_read_scalefactors(br, SI(), 1, None)
+
+
 def test_mp3_nonzero_dsp_matches_independent_spec_math():
     """Contract test, part 2: encode nonzero spectra with the injected
     tables, decode through the FULL pipeline (requantize → alias →
