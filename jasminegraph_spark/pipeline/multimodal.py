@@ -1650,54 +1650,62 @@ class _Mp3SideInfo:
     )
 
 
-def _mp3_read_side_info(raw: bytes) -> _Mp3SideInfo:
-    """Mono MPEG-1 side info: 17 bytes = 9+5+4 bits then 2 granules × 59
-    bits (§2.4.1.7)."""
+def _mp3_read_side_info(raw: bytes, nch: int = 1) -> list:
+    """MPEG-1 side info → one _Mp3SideInfo PER CHANNEL (each gr-indexed,
+    so every downstream helper keeps its mono (si, gr) signature). Mono:
+    17 bytes = 9+5+4 bits then 2 granules × 59 bits; stereo: 32 bytes =
+    9+3 bits, 4 scfsi bits per channel, then 2 granules × 2 channels ×
+    59 bits in gr-major order (§2.4.1.7)."""
     br = _FlacBitReader(raw)
-    si = _Mp3SideInfo()
-    si.main_data_begin = br.read(9)
-    br.read(5)  # private_bits (mono)
-    si.scfsi = [br.read(1) for _ in range(4)]
-    (si.part2_3_length, si.big_values, si.global_gain, si.scalefac_compress,
-     si.window_switching, si.block_type, si.mixed_block, si.table_select,
-     si.subblock_gain, si.region0, si.region1, si.preflag,
-     si.scalefac_scale, si.count1table) = ([], [], [], [], [], [], [], [],
-                                           [], [], [], [], [], [])
+    mdb = br.read(9)
+    br.read(5 if nch == 1 else 3)  # private_bits
+    sides = []
+    for _ in range(nch):
+        si = _Mp3SideInfo()
+        si.main_data_begin = mdb
+        si.scfsi = [br.read(1) for _ in range(4)]
+        (si.part2_3_length, si.big_values, si.global_gain,
+         si.scalefac_compress, si.window_switching, si.block_type,
+         si.mixed_block, si.table_select, si.subblock_gain, si.region0,
+         si.region1, si.preflag, si.scalefac_scale, si.count1table) = (
+            [], [], [], [], [], [], [], [], [], [], [], [], [], [])
+        sides.append(si)
     for _ in range(2):
-        si.part2_3_length.append(br.read(12))
-        si.big_values.append(br.read(9))
-        if si.big_values[-1] * 2 > 576:
-            # 9-bit field admits up to 511 pairs but the spec caps the
-            # region at 288 pairs (576 lines); beyond that is corruption
-            raise ValueError(
-                f"MP3 big_values {si.big_values[-1]} exceeds spec cap 288 pairs"
-            )
-        si.global_gain.append(br.read(8))
-        si.scalefac_compress.append(br.read(4))
-        wsf = br.read(1)
-        si.window_switching.append(wsf)
-        if wsf:
-            bt = br.read(2)
-            if bt == 0:
-                raise ValueError("MP3 forbidden block_type 0 with window switching")
-            si.block_type.append(bt)
-            si.mixed_block.append(br.read(1))
-            si.table_select.append([br.read(5), br.read(5)])
-            si.subblock_gain.append([br.read(3) for _ in range(3)])
-            # spec-fixed region counts under window switching
-            si.region0.append(7 if bt != 2 else 8)
-            si.region1.append(20)
-        else:
-            si.block_type.append(0)
-            si.mixed_block.append(0)
-            si.table_select.append([br.read(5), br.read(5), br.read(5)])
-            si.subblock_gain.append([0, 0, 0])
-            si.region0.append(br.read(4))
-            si.region1.append(br.read(3))
-        si.preflag.append(br.read(1))
-        si.scalefac_scale.append(br.read(1))
-        si.count1table.append(br.read(1))
-    return si
+        for si in sides:
+            si.part2_3_length.append(br.read(12))
+            si.big_values.append(br.read(9))
+            if si.big_values[-1] * 2 > 576:
+                # 9-bit field admits up to 511 pairs but the spec caps the
+                # region at 288 pairs (576 lines); beyond that is corruption
+                raise ValueError(
+                    f"MP3 big_values {si.big_values[-1]} exceeds spec cap 288 pairs"
+                )
+            si.global_gain.append(br.read(8))
+            si.scalefac_compress.append(br.read(4))
+            wsf = br.read(1)
+            si.window_switching.append(wsf)
+            if wsf:
+                bt = br.read(2)
+                if bt == 0:
+                    raise ValueError("MP3 forbidden block_type 0 with window switching")
+                si.block_type.append(bt)
+                si.mixed_block.append(br.read(1))
+                si.table_select.append([br.read(5), br.read(5)])
+                si.subblock_gain.append([br.read(3) for _ in range(3)])
+                # spec-fixed region counts under window switching
+                si.region0.append(7 if bt != 2 else 8)
+                si.region1.append(20)
+            else:
+                si.block_type.append(0)
+                si.mixed_block.append(0)
+                si.table_select.append([br.read(5), br.read(5), br.read(5)])
+                si.subblock_gain.append([0, 0, 0])
+                si.region0.append(br.read(4))
+                si.region1.append(br.read(3))
+            si.preflag.append(br.read(1))
+            si.scalefac_scale.append(br.read(1))
+            si.count1table.append(br.read(1))
+    return sides
 
 
 def _mp3_scalefactor_bits(compress: int, block_type: int, mixed: int,
@@ -1751,11 +1759,13 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
     three regions (table_select per region, boundaries from the sfb
     table), count1 quads until part2_3_length is exhausted, rzero. The
     code/linbit/boundary DATA comes from the registry — the documented
-    seam."""
+    seam. Returns (spectrum, coded_end): coded_end is the first rzero
+    line (end of big_values + count1 regions) — the intensity-stereo
+    zero_bound when this is the right channel (§2.4.3.4.9.3)."""
     spectrum = [0] * 576
     bv = si.big_values[gr] * 2
     if bv == 0 and bits_left <= 0:
-        return spectrum
+        return spectrum, 0
     if MP3_TABLES is None:
         raise NotImplementedError(
             "MP3 nonzero spectral data needs ISO/IEC 11172-3 Table B.7 "
@@ -1840,8 +1850,9 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
             # caller repositions the reader to the granule boundary
             for j in range(qstart, idx):
                 spectrum[j] = 0
+            idx = qstart  # the discarded quad is not part of the coded region
             break
-    return spectrum
+    return spectrum, idx
 
 
 def _mp3_requantize(spectrum, si: _Mp3SideInfo, gr: int, scalefacs, fs: int):
@@ -1891,6 +1902,63 @@ def _mp3_requantize(spectrum, si: _Mp3SideInfo, gr: int, scalefacs, fs: int):
         out[lo:hi] *= 2.0 ** (g - mult * (scalefacs[sfb] + pre))
     out[sfb_l[21]:] *= 2.0 ** g  # lines past the last scalefactor band
     return out
+
+
+_MP3_SQRT2 = 2.0 ** 0.5
+
+
+def _mp3_joint_stereo(xr_l, xr_r, sf_r, zero_bound, fs, ms_on, int_on):
+    """MPEG-1 joint stereo on REQUANTIZED spectra (§2.4.3.4.9), in place.
+
+    MS stereo: L=(M+S)/√2, R=(M−S)/√2 over the non-intensity region.
+    Intensity stereo (long blocks): the bound is the right channel's
+    first rzero line rounded up to a scalefactor-band edge; bands at or
+    above it take L=v·kl, R=v·kr from the LEFT channel's values, with
+    kl=t/(1+t), kr=1/(1+t), t=tan(is_pos·π/12); is_pos is the right
+    channel's scalefactor for the band (is_pos=6 → all-left exactly,
+    avoiding tan(π/2); is_pos≥7 is treated as the spec's "illegal"
+    marker → the band is MS-processed when MS is on, else passed
+    through L/R). The
+    last partition above scalefactor band 20 reuses band 20's is_pos
+    (no scalefactor exists for it). Short/mixed-block intensity raises
+    in the caller — behind the codec seam."""
+    if not int_on:
+        if ms_on:
+            m = xr_l.copy()
+            s = xr_r.copy()
+            xr_l[:] = (m + s) / _MP3_SQRT2
+            xr_r[:] = (m - s) / _MP3_SQRT2
+        return
+    import math
+
+    sfb = MP3_TABLES["sfb_long"][fs]
+    bands = [(sfb[b], sfb[b + 1]) for b in range(len(sfb) - 1)]
+    bound_line = next((lo for lo, _ in bands if lo >= zero_bound), 576)
+    if ms_on and bound_line:
+        m = xr_l[:bound_line].copy()
+        s = xr_r[:bound_line].copy()
+        xr_l[:bound_line] = (m + s) / _MP3_SQRT2
+        xr_r[:bound_line] = (m - s) / _MP3_SQRT2
+    for band, (lo, hi) in enumerate(bands):
+        if lo < bound_line:
+            continue
+        is_pos = sf_r[band] if band < 21 else sf_r[20]
+        if is_pos >= 7:  # 7 is the spec's illegal marker; larger values
+            # can appear in the field but have no defined is_ratio
+            if ms_on:
+                m = xr_l[lo:hi].copy()
+                s = xr_r[lo:hi].copy()
+                xr_l[lo:hi] = (m + s) / _MP3_SQRT2
+                xr_r[lo:hi] = (m - s) / _MP3_SQRT2
+            continue
+        if is_pos == 6:
+            kl, kr = 1.0, 0.0
+        else:
+            t = math.tan(is_pos * math.pi / 12.0)
+            kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+        v = xr_l[lo:hi].copy()
+        xr_l[lo:hi] = v * kl
+        xr_r[lo:hi] = v * kr
 
 
 def _mp3_reorder_short(xr, fs: int, mixed: bool):
@@ -2012,30 +2080,38 @@ class _Mp3Synth:
 
 
 def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL library-free MPEG-1 Layer III MONO decoder for everything
-    structural/closed-form in ISO/IEC 11172-3; the spec's numeric tables
-    (Huffman B.7, sfb B.8, synthesis window B.3) are the injectable seam
-    — see the MP3 section comment. Walks frames (sync, bitrate/fs/
-    padding, frame length), skips the 16-bit CRC when protection=0
-    (parsed, not verified), parses mono side info, maintains the BIT
-    RESERVOIR (main_data_begin back-pointers, bounded 511-byte store),
-    reads scalefactors with scfsi sharing, Huffman-decodes spectra,
-    requantizes, reorders short blocks, alias-reduces, IMDCTs (long/
-    short/mixed with the closed-form windows), overlap-adds, frequency-
-    inverts, and runs the polyphase synthesis. All-zero spectra decode
-    to exact zeros through every stage (linear pipeline), which is what
-    the pl_mp3_decode driver row checks arithmetically. Non-mono,
-    MPEG-2/2.5, Layer I/II and free-format raise NotImplementedError
-    naming the field. Returns (n_samples, 1, upper-byte+128 uint8 fold)
-    like _decode_wav/_decode_flac."""
+    """REAL library-free MPEG-1 Layer III decoder — MONO and STEREO
+    (stereo / joint stereo with MS + long-block intensity / dual
+    channel) — for everything structural/closed-form in ISO/IEC
+    11172-3; the spec's numeric tables (Huffman B.7, sfb B.8, synthesis
+    window B.3) are the injectable seam — see the MP3 section comment.
+    Walks frames (sync, bitrate/fs/padding, frame length), skips the
+    16-bit CRC when protection=0 (parsed, not verified), parses 17-byte
+    mono / 32-byte two-channel side info, maintains the BIT RESERVOIR
+    (main_data_begin back-pointers, bounded 511-byte store), reads
+    per-channel scalefactors with scfsi sharing, Huffman-decodes each
+    channel's spectrum in gr-major ch-minor order, applies joint-stereo
+    processing on the requantized spectra (_mp3_joint_stereo: MS below
+    the intensity bound, is_pos panning above it), then per channel:
+    reorders short blocks, alias-reduces, IMDCTs (long/short/mixed with
+    the closed-form windows), overlap-adds, frequency-inverts, and runs
+    the polyphase synthesis with PER-CHANNEL filter state. All-zero
+    spectra decode to exact zeros through every stage (linear
+    pipeline), which is what the pl_mp3_decode / pl_mp3_stereo_decode
+    driver rows check arithmetically. MPEG-2/2.5 (LSF), Layer I/II,
+    free-format, and short/mixed-block INTENSITY granules raise
+    NotImplementedError naming the field. Returns (samples_per_channel,
+    n_channels, channel-interleaved upper-byte+128 uint8 fold) like
+    _decode_wav/_decode_flac."""
     import numpy as np
 
     pos = 0
     store = bytearray()  # bit-reservoir: previous frames' main data
-    pcm: list = []
-    overlap = [[0.0] * 18 for _ in range(32)]
+    nch = None
+    pcm_ch: list = []  # per-channel float sample lists
+    overlap: list = []  # per-channel [32][18] overlap state
+    synth: list = []  # per-channel polyphase state
     dsp_dirty = False
-    synth = _Mp3Synth()
     while pos + 4 <= len(payload):
         h = payload[pos: pos + 4]
         if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
@@ -2055,87 +2131,121 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("reserved MP3 sampling frequency")
         padding = (h[2] >> 1) & 1
         mode = h[3] >> 6
-        if mode != 3:
-            raise NotImplementedError("non-mono MP3 (mono decoder here)")
+        mode_ext = (h[3] >> 4) & 3
+        frame_nch = 1 if mode == 3 else 2
+        ms_on = mode == 1 and bool(mode_ext & 2)
+        int_on = mode == 1 and bool(mode_ext & 1)
+        if nch is None:
+            nch = frame_nch
+            pcm_ch = [[] for _ in range(nch)]
+            overlap = [[[0.0] * 18 for _ in range(32)] for _ in range(nch)]
+            synth = [_Mp3Synth() for _ in range(nch)]
+        elif frame_nch != nch:
+            raise ValueError("MP3 channel mode changed mid-stream")
         fs = MP3_SAMPLERATES[fs_idx]
         flen = _mp3_frame_len(MP3_BITRATES[br_idx], fs, padding)
         body = pos + 4
         if not protection:
             body += 2  # CRC present: skipped, not verified
-        side = _mp3_read_side_info(payload[body: body + 17])
-        main_raw = payload[body + 17: pos + flen]
-        if side.main_data_begin > len(store):
+        side_len = 17 if nch == 1 else 32
+        sides = _mp3_read_side_info(payload[body: body + side_len], nch)
+        main_raw = payload[body + side_len: pos + flen]
+        mdb = sides[0].main_data_begin
+        if mdb > len(store):
             raise ValueError(
                 f"MP3 bit reservoir underrun: main_data_begin="
-                f"{side.main_data_begin} but only {len(store)} bytes stored"
+                f"{mdb} but only {len(store)} bytes stored"
             )
-        data = (bytes(store[len(store) - side.main_data_begin:]) + main_raw
-                if side.main_data_begin else bytes(main_raw))
+        data = (bytes(store[len(store) - mdb:]) + main_raw
+                if mdb else bytes(main_raw))
         br = _FlacBitReader(data)
         base = 0  # absolute bit offset of br's buffer start within `data`
-        prev_sf = None
+        prev_sf = [None] * nch
         for gr in range(2):
-            start_bits = base + _mp3_bits_consumed(br)
-            sf = _mp3_read_scalefactors(br, side, gr, prev_sf)
-            if gr == 0 and side.block_type[0] != 2:
-                prev_sf = sf
-            part2 = base + _mp3_bits_consumed(br) - start_bits
-            bits_left = side.part2_3_length[gr] - part2
-            if bits_left < 0:
-                raise ValueError("MP3 part2_3_length shorter than scalefactors")
-            spectrum = _mp3_huffman_decode(br, bits_left, side, gr, fs)
-            # reposition the reader to the exact granule boundary: forward
-            # over ancillary slack, or BACK when the final count1 quad
-            # crossed part2_3_length (its values were discarded in
-            # _mp3_huffman_decode; without the rewind every later granule
-            # in the reservoir would desync)
-            target = start_bits + side.part2_3_length[gr]
-            used_abs = base + _mp3_bits_consumed(br)
-            if used_abs > target:
-                br = _FlacBitReader(data[target // 8:])
-                base = (target // 8) * 8
-                for _ in range(target % 8):
-                    br.read(1)
-            else:
-                for _ in range(target - used_abs):
-                    br.read(1)
-            if any(spectrum):
-                dsp_dirty = True
-            if not dsp_dirty:
-                pcm.extend([0.0] * 576)  # exact: linear pipeline, 0 → 0
-                continue
-            xr = _mp3_requantize(spectrum, side, gr, sf, fs)
-            bt, mixed = side.block_type[gr], side.mixed_block[gr]
-            if bt == 2:
-                xr = _mp3_reorder_short(xr, fs, bool(mixed))
-                _mp3_alias(xr, 1 if mixed else 0)
-            else:
-                _mp3_alias(xr, 31)
-            slot = [[0.0] * 18 for _ in range(32)]
-            for sb in range(32):
-                lines = list(xr[18 * sb: 18 * sb + 18])
-                if not any(lines) and not any(overlap[sb]):
-                    continue
-                if bt == 2 and not (mixed and sb < 2):
-                    x36 = _mp3_imdct_short(lines)
+            chans = []  # per channel: (spectrum, sf, coded_end)
+            for ch in range(nch):
+                side = sides[ch]
+                start_bits = base + _mp3_bits_consumed(br)
+                sf = _mp3_read_scalefactors(br, side, gr, prev_sf[ch])
+                if gr == 0 and side.block_type[0] != 2:
+                    prev_sf[ch] = sf
+                part2 = base + _mp3_bits_consumed(br) - start_bits
+                bits_left = side.part2_3_length[gr] - part2
+                if bits_left < 0:
+                    raise ValueError("MP3 part2_3_length shorter than scalefactors")
+                spectrum, coded_end = _mp3_huffman_decode(br, bits_left, side, gr, fs)
+                # reposition the reader to the exact granule boundary:
+                # forward over ancillary slack, or BACK when the final
+                # count1 quad crossed part2_3_length (its values were
+                # discarded in _mp3_huffman_decode; without the rewind
+                # every later granule in the reservoir would desync)
+                target = start_bits + side.part2_3_length[gr]
+                used_abs = base + _mp3_bits_consumed(br)
+                if used_abs > target:
+                    br = _FlacBitReader(data[target // 8:])
+                    base = (target // 8) * 8
+                    for _ in range(target % 8):
+                        br.read(1)
                 else:
-                    x36 = _mp3_imdct18(lines, 0 if (mixed and sb < 2) else bt)
+                    for _ in range(target - used_abs):
+                        br.read(1)
+                chans.append((spectrum, sf, coded_end))
+            if not dsp_dirty and not any(any(c[0]) for c in chans):
+                for ch in range(nch):
+                    pcm_ch[ch].extend([0.0] * 576)  # exact: linear pipeline
+                continue
+            dsp_dirty = True
+            xrs = [_mp3_requantize(chans[ch][0], sides[ch], gr, chans[ch][1], fs)
+                   for ch in range(nch)]
+            if nch == 2 and (ms_on or int_on):
+                if int_on and sides[1].block_type[gr] == 2:
+                    raise NotImplementedError(
+                        "intensity stereo with short/mixed blocks "
+                        "(per-window is_pos, §2.4.3.4.9.3) not implemented"
+                    )
+                sf_r = chans[1][1]
+                _mp3_joint_stereo(xrs[0], xrs[1], sf_r, chans[1][2], fs,
+                                  ms_on, int_on)
+            for ch in range(nch):
+                xr = xrs[ch]
+                side = sides[ch]
+                bt, mixed = side.block_type[gr], side.mixed_block[gr]
+                if bt == 2:
+                    xr = _mp3_reorder_short(xr, fs, bool(mixed))
+                    _mp3_alias(xr, 1 if mixed else 0)
+                else:
+                    _mp3_alias(xr, 31)
+                slot = [[0.0] * 18 for _ in range(32)]
+                ovl = overlap[ch]
+                for sb in range(32):
+                    lines = list(xr[18 * sb: 18 * sb + 18])
+                    if not any(lines) and not any(ovl[sb]):
+                        continue
+                    if bt == 2 and not (mixed and sb < 2):
+                        x36 = _mp3_imdct_short(lines)
+                    else:
+                        x36 = _mp3_imdct18(lines, 0 if (mixed and sb < 2) else bt)
+                    for t in range(18):
+                        slot[sb][t] = x36[t] + ovl[sb][t]
+                    ovl[sb] = x36[18:]
+                for sb in range(1, 32, 2):  # frequency inversion
+                    for t in range(1, 18, 2):
+                        slot[sb][t] = -slot[sb][t]
                 for t in range(18):
-                    slot[sb][t] = x36[t] + overlap[sb][t]
-                overlap[sb] = x36[18:]
-            for sb in range(1, 32, 2):  # frequency inversion
-                for t in range(1, 18, 2):
-                    slot[sb][t] = -slot[sb][t]
-            for t in range(18):
-                pcm.extend(synth.run([slot[sb][t] for sb in range(32)]))
+                    pcm_ch[ch].extend(synth[ch].run([slot[sb][t] for sb in range(32)]))
         store.extend(main_raw)
         if len(store) > 511:  # spec caps main_data_begin at 9 bits
             del store[: len(store) - 511]
         pos += flen
-    arr = np.asarray(pcm, dtype=np.float64)
-    ints = np.clip(np.rint(arr * 32768.0), -32768, 32767).astype(np.int32)
+    if nch is None:
+        return 0, 1, b""
+    n = len(pcm_ch[0])
+    inter = np.empty(n * nch, dtype=np.float64)
+    for ch in range(nch):
+        inter[ch::nch] = np.asarray(pcm_ch[ch], dtype=np.float64)
+    ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
     folded = ((ints >> 8) + 128).astype(np.uint8)
-    return len(pcm), 1, folded.tobytes()
+    return n, nch, folded.tobytes()
 
 
 def _mp3_bits_consumed(br) -> int:
@@ -2156,8 +2266,10 @@ def encode_mp3(
     table_id: int = 0,
     reservoir_slack: int = 0,
     block_plan=None,
+    mode: int = 3,
+    mode_ext: int = 0,
 ) -> bytes:
-    """Minimal MPEG-1 Layer III MONO encoder (fixtures + tests). With
+    """Minimal MPEG-1 Layer III mono/stereo encoder (fixtures + tests). With
     ``spectra=None`` emits digital silence with REAL varied structure:
     big_values=0 and an empty count1 region (rzero fills the granule),
     but genuinely varied bitrate/samplerate/padding, nonzero
@@ -2174,75 +2286,89 @@ def encode_mp3(
     (frame, gr) → (block_type, mixed, [3 subblock gains]) emitting
     start (1) / short (2) / stop (3) granules with the matching
     side-info layout and short/mixed scalefactor order; requires
-    scfsi=0 (sharing is a long-block feature)."""
+    scfsi=0 (sharing is a long-block feature).
+    ``mode``/``mode_ext`` (r9, stereo): mode 3 = mono (default, 17-byte
+    side info); 0 = stereo, 1 = joint stereo (mode_ext bit 2 = MS,
+    bit 1 = intensity), 2 = dual channel — all 32-byte side info with
+    per-channel scfsi and gr-major ch-minor granule blocks. With two
+    channels ``spectra`` is called as (frame, gr, ch). The channel
+    variation key vkey = gr (mono) / gr·2+ch (stereo) feeds the same
+    scalefactor/gain formulas, so mono output is byte-identical to
+    r8."""
     if spectra is not None and MP3_TABLES is None:
         raise NotImplementedError(
             "encoding nonzero MP3 spectra needs registered Huffman tables"
         )
+    if mode not in (0, 1, 2, 3):
+        raise ValueError(f"invalid MP3 mode {mode}")
+    nch = 1 if mode == 3 else 2
+    side_len = 17 if nch == 1 else 32
     kbps = MP3_BITRATES[bitrate_index]
     fs = MP3_SAMPLERATES[fs_index]
     headers = []
-    granule_bits: list = []  # per frame: _FlacBitWriter over both granules
+    granule_bits: list = []  # per frame: _FlacBitWriter over all granules
     sides: list = []
     caps: list = []
     for f in range(n_frames):
         pad = padding if fs != 48000 else 0
         flen = _mp3_frame_len(kbps, fs, pad)
-        caps.append(flen - 4 - (2 if protection else 0) - 17)
+        caps.append(flen - 4 - (2 if protection else 0) - side_len)
         headers.append((pad, flen))
         w = _FlacBitWriter()
         si_fields = []
         for gr in range(2):
-            compress = (seed + f * 2 + gr) % 16
-            s1, s2 = _MP3_SLEN[compress]
-            bt, mixed, sbg = (0, 0, [0, 0, 0])
-            if block_plan is not None:
-                bt, mixed, sbg = block_plan(f, gr)
-                if scfsi:
-                    raise ValueError("scfsi sharing requires long blocks")
-            scfsi_bits = [(scfsi >> (3 - i)) & 1 for i in range(4)]
-            use_scfsi = scfsi_bits if gr == 1 else None
-            part2 = _mp3_scalefactor_bits(compress, bt, mixed, use_scfsi)
-            gg = (seed * 7 + f * 13 + gr * 29) % 256
-            if bt == 2 and not mixed:
-                for sfb in range(12):
-                    slen = s1 if sfb < 6 else s2
-                    for win in range(3):
-                        if slen:
-                            w.write((sfb * 5 + win * 3 + seed + gr) % (1 << slen), slen)
-            elif bt == 2 and mixed:
-                for j in range(8):
-                    if s1:
-                        w.write((j * 5 + seed + gr) % (1 << s1), s1)
-                for sfb in range(3, 12):
-                    slen = s1 if sfb < 6 else s2
-                    for win in range(3):
-                        if slen:
-                            w.write((sfb * 5 + win * 3 + seed + gr) % (1 << slen), slen)
-            else:
-                sf_vals = [(j * 5 + seed + gr) % (1 << (s1 if j < 11 else s2))
-                           if (s1 if j < 11 else s2) else 0 for j in range(21)]
-                for gi, (lo, hi) in enumerate(_MP3_SCFSI_BANDS):
-                    slen = s1 if hi <= 11 else s2
-                    if gr == 1 and scfsi_bits[gi]:
-                        continue
-                    for j in range(lo, hi):
-                        if slen:
-                            w.write(sf_vals[j], slen)
-            huff_bits = 0
-            big_values = 0
-            c1_select = 0
-            region0, region1 = 0, 0
-            if spectra is not None:
-                vals = spectra(f, gr)
-                huff_bits, big_values, region0, region1 = _mp3_write_spectrum(
-                    w, vals, table_id, fs
+            for ch_ in range(nch):
+                vkey = gr if nch == 1 else gr * 2 + ch_
+                compress = (seed + f * 2 + vkey) % 16
+                s1, s2 = _MP3_SLEN[compress]
+                bt, mixed, sbg = (0, 0, [0, 0, 0])
+                if block_plan is not None:
+                    bt, mixed, sbg = block_plan(f, gr)
+                    if scfsi:
+                        raise ValueError("scfsi sharing requires long blocks")
+                scfsi_bits = [(scfsi >> (3 - i)) & 1 for i in range(4)]
+                use_scfsi = scfsi_bits if gr == 1 else None
+                part2 = _mp3_scalefactor_bits(compress, bt, mixed, use_scfsi)
+                gg = (seed * 7 + f * 13 + vkey * 29) % 256
+                if bt == 2 and not mixed:
+                    for sfb in range(12):
+                        slen = s1 if sfb < 6 else s2
+                        for win in range(3):
+                            if slen:
+                                w.write((sfb * 5 + win * 3 + seed + vkey) % (1 << slen), slen)
+                elif bt == 2 and mixed:
+                    for j in range(8):
+                        if s1:
+                            w.write((j * 5 + seed + vkey) % (1 << s1), s1)
+                    for sfb in range(3, 12):
+                        slen = s1 if sfb < 6 else s2
+                        for win in range(3):
+                            if slen:
+                                w.write((sfb * 5 + win * 3 + seed + vkey) % (1 << slen), slen)
+                else:
+                    sf_vals = [(j * 5 + seed + vkey) % (1 << (s1 if j < 11 else s2))
+                               if (s1 if j < 11 else s2) else 0 for j in range(21)]
+                    for gi, (lo, hi) in enumerate(_MP3_SCFSI_BANDS):
+                        slen = s1 if hi <= 11 else s2
+                        if gr == 1 and scfsi_bits[gi]:
+                            continue
+                        for j in range(lo, hi):
+                            if slen:
+                                w.write(sf_vals[j], slen)
+                huff_bits = 0
+                big_values = 0
+                c1_select = 0
+                region0, region1 = 0, 0
+                if spectra is not None:
+                    vals = spectra(f, gr) if nch == 1 else spectra(f, gr, ch_)
+                    huff_bits, big_values, region0, region1 = _mp3_write_spectrum(
+                        w, vals, table_id, fs
+                    )
+                si_fields.append(
+                    (part2 + huff_bits, big_values, gg, compress,
+                     [table_id, table_id, table_id], region0, region1,
+                     (seed + vkey) % 2, c1_select, bt, mixed, sbg)
                 )
-            si_fields.append(
-                (part2 + huff_bits, big_values, gg, compress,
-                 [table_id, table_id, table_id], region0, region1,
-                 (seed + gr) % 2, c1_select, bt, mixed, sbg)
-            )
         granule_bits.append(w)
         sides.append(si_fields)
     # two-pass reservoir packing: logical stream L = concat(granule bits),
@@ -2273,17 +2399,18 @@ def encode_mp3(
         h1 = 0xFF
         h2 = 0xE0 | (1 << 4) | (1 << 3) | (1 << 1) | (0 if protection else 1)
         h3 = (bitrate_index << 4) | (fs_index << 2) | (pad << 1)
-        h4 = (3 << 6) | (1 << 2)  # mono, original
+        h4 = (mode << 6) | ((mode_ext & 3) << 4) | (1 << 2)  # mode, original
         out += bytes([h1, h2, h3, h4])
         if protection:
             out += b"\x00\x00"  # CRC bytes present but unverified (seam)
         sw = _FlacBitWriter()
         sw.write(begins[f], 9)
-        sw.write(0, 5)
-        sw.write(scfsi & 0xF, 4)
-        for gr in range(2):
+        sw.write(0, 5 if nch == 1 else 3)
+        for _ in range(nch):
+            sw.write(scfsi & 0xF, 4)
+        for gi in range(2 * nch):
             (p23, bv, gg, compress, tsel, r0, r1,
-             sfscale, c1sel, bt, mixed, sbg) = sides[f][gr]
+             sfscale, c1sel, bt, mixed, sbg) = sides[f][gi]
             sw.write(p23, 12)
             sw.write(bv, 9)
             sw.write(gg, 8)
@@ -2306,7 +2433,7 @@ def encode_mp3(
             sw.write(sfscale, 1)
             sw.write(c1sel, 1)
         sw.align()
-        assert len(sw.out) == 17
+        assert len(sw.out) == side_len
         out += bytes(sw.out)
         out += bytes(logical[flushed: flushed + caps[f]])
         flushed += caps[f]
@@ -2527,7 +2654,7 @@ def _decode_one(payload: bytes, kind: str = "image") -> tuple[int, int, bytes]:
     _try_real_decode(kind, payload)
     raise ValueError(
         "unknown media container (JGMM fake, uncompressed BMP, PCM WAV, PNG, "
-        "baseline JPEG, FLAC, and MPEG-1 Layer III mono decode here)"
+        "baseline JPEG, FLAC, and MPEG-1 Layer III mono/stereo decode here)"
     )
 
 

@@ -962,16 +962,17 @@ def test_mp3_silence_roundtrip_all_structures():
         assert len(body) == n and set(body) == {128}, d
     b = encode_mp3(3, fs_index=1, bitrate_index=9, seed=7, reservoir_slack=5)
     flen = _mp3_frame_len(MP3_BITRATES[9], 48000, 0)
-    si2 = _mp3_read_side_info(b[flen + 4: flen + 4 + 17])
+    si2 = _mp3_read_side_info(b[flen + 4: flen + 4 + 17])[0]
     assert si2.main_data_begin == 5  # the reservoir is real, on the wire
     n, _, body = _decode_mp3(b)
     assert n == 3456 and set(body) == {128}
 
 
 def test_mp3_unsupported_fields_gated():
-    """Every seam raises naming the missing piece: MPEG-2, stereo,
-    Layer II, free format, and — without registered tables — nonzero
-    spectral data."""
+    """Every seam raises naming the missing piece: MPEG-2, Layer II,
+    free format, and — without registered tables — nonzero spectral
+    data. (Stereo/joint/dual decode landed r9 and is tested in
+    test_mp3_stereo_*.)"""
     import pytest as _pt
 
     from jasminegraph_spark.pipeline.multimodal import (
@@ -984,9 +985,6 @@ def test_mp3_unsupported_fields_gated():
     base = bytearray(encode_mp3(1, fs_index=1, bitrate_index=9))
     b = bytearray(base); b[1] &= ~0x08
     with _pt.raises(NotImplementedError, match="MPEG-2"):
-        _decode_mp3(bytes(b))
-    b = bytearray(base); b[3] &= 0x3F  # mode 00 = stereo
-    with _pt.raises(NotImplementedError, match="mono"):
         _decode_mp3(bytes(b))
     b = bytearray(base); b[1] = (b[1] & ~0x06) | 0x04  # layer II
     with _pt.raises(NotImplementedError, match="Layer I/II"):
@@ -1029,8 +1027,9 @@ def test_mp3_huffman_spectrum_roundtrip_injected_tables():
             window_switching = [0]; block_type = [0]; count1table = [0]
 
         br = _FlacBitReader(bytes(w.out))
-        got = _mp3_huffman_decode(br, bits, SI(), 0, 48000)
+        got, coded_end = _mp3_huffman_decode(br, bits, SI(), 0, 48000)
         assert got == vals
+        assert coded_end == 14  # 6 bv lines + two count1 quads, pre-rzero
     finally:
         register_mp3_tables(None)
 
@@ -1239,6 +1238,299 @@ def test_mp3_nonzero_dsp_matches_independent_spec_math():
                       - np.frombuffer(want, np.uint8).astype(int))
         assert int(diff.max()) <= 1, int(diff.max())  # float-assoc rounding only
         assert np.count_nonzero(np.frombuffer(got, np.uint8) != 128) > 200
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_stereo_silence_all_modes_and_channel_separation():
+    """r9 stereo: silence round-trips with 32-byte side info across
+    stereo/joint-MS/dual/joint-MS+intensity modes (incl. reservoir and
+    CRC frames), and with nonzero LEFT + silent RIGHT (mode 0) the
+    interleaved output keeps the right channel at exact 128s — per-
+    channel overlap/polyphase state never leaks across channels."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    for mode, ext in [(0, 0), (1, 2), (2, 0), (1, 3)]:
+        for d in range(6):
+            nf = 1 + d % 3
+            b = encode_mp3(nf, fs_index=d % 3, bitrate_index=5 + d % 9,
+                           seed=d * 31 % 251, scfsi=d % 16,
+                           protection=(d % 5 == 0), padding=d % 2,
+                           mode=mode, mode_ext=ext,
+                           reservoir_slack=4 if d % 3 == 0 else 0)
+            n, ch, body = _decode_mp3(b)
+            assert (n, ch) == (1152 * nf, 2), (mode, ext, d)
+            assert len(body) == 2 * n and set(body) == {128}, (mode, ext, d)
+
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        def spectra(f, gr, ch):
+            if ch == 1:
+                return [0] * 576
+            vals = [0] * 576
+            rng = np.random.RandomState(11 + f * 2 + gr)
+            for i in rng.choice(40, size=10, replace=False):
+                vals[int(i)] = int(rng.randint(-17, 18))
+            return vals
+
+        payload = encode_mp3(2, fs_index=1, bitrate_index=14, seed=210,
+                             spectra=spectra, table_id=1, mode=0)
+        n, ch, body = _decode_mp3(payload)
+        assert (n, ch) == (2304, 2)
+        arr = np.frombuffer(body, np.uint8)
+        left, right = arr[0::2], arr[1::2]
+        assert np.count_nonzero(left != 128) > 200  # audible left
+        assert set(right.tolist()) == {128}  # right stays digital silence
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_stereo_ms_dsp_matches_independent_spec_math():
+    """r9 stereo contract test: joint-stereo MS frames with NONZERO
+    spectra in both channels, decoded through the full pipeline, vs an
+    INDEPENDENT numpy implementation (per-channel requantize with the
+    encoder's vkey=gr·2+ch variation formulas, L=(M+S)/√2 R=(M−S)/√2,
+    per-channel alias/IMDCT/overlap/synthesis, interleave)."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        def spectra(f, gr, ch):
+            vals = [0] * 576
+            rng = np.random.RandomState(300 + f * 4 + gr * 2 + ch)
+            for i in rng.choice(40, size=10, replace=False):
+                vals[int(i)] = int(rng.randint(-17, 18))
+            for i in range(40, 48):
+                vals[i] = int(rng.randint(-1, 2))
+            return vals
+
+        seed, n_frames = 210, 2
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1,
+                             mode=1, mode_ext=2)  # joint stereo, MS only
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (1152 * n_frames, 2)
+
+        # ---- independent reference ----
+        sfb = tables["sfb_long"][48000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        imdct = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                           for k in range(18)] for n_ in range(36)])
+        win = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+
+        def requant(f, gr, c):
+            vkey = gr * 2 + c
+            vals = np.array(spectra(f, gr, c), dtype=float)
+            compress = (seed + f * 2 + vkey) % 16
+            s1, s2 = _MP3_SLEN[compress]
+            sf = [(j * 5 + seed + vkey) % (1 << (s1 if j < 11 else s2))
+                  if (s1 if j < 11 else s2) else 0 for j in range(21)]
+            gg = (seed * 7 + f * 13 + vkey * 29) % 256
+            mult = 0.5 * (((seed + vkey) % 2) + 1)
+            xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+            xr *= 2.0 ** (0.25 * (gg - 210))
+            for band in range(21):
+                xr[sfb[band]:sfb[band + 1]] *= 2.0 ** (-mult * sf[band])
+            return xr
+
+        v_fifo = [np.zeros(1024), np.zeros(1024)]
+        overlap = [np.zeros((32, 18)), np.zeros((32, 18))]
+        pcm = [[], []]
+        for f in range(n_frames):
+            for gr in range(2):
+                m, s = requant(f, gr, 0), requant(f, gr, 1)
+                xrs = [(m + s) / math.sqrt(2.0), (m - s) / math.sqrt(2.0)]
+                for c in range(2):
+                    xr = xrs[c]
+                    for b in range(1, 32):
+                        for i, ci in enumerate(_MP3_CI):
+                            cs = 1 / math.sqrt(1 + ci * ci)
+                            ca = ci / math.sqrt(1 + ci * ci)
+                            lo, hi = 18 * b - 1 - i, 18 * b + i
+                            xl, xu = xr[lo], xr[hi]
+                            xr[lo] = xl * cs - xu * ca
+                            xr[hi] = xu * cs + xl * ca
+                    slot = np.zeros((32, 18))
+                    for sb in range(32):
+                        x36 = win * (imdct @ xr[18 * sb: 18 * sb + 18])
+                        slot[sb] = x36[:18] + overlap[c][sb]
+                        overlap[c][sb] = x36[18:]
+                    for sb in range(1, 32, 2):
+                        slot[sb, 1::2] *= -1.0
+                    for t in range(18):
+                        v_fifo[c] = np.concatenate([N @ slot[:, t], v_fifo[c][:960]])
+                        u = np.zeros(512)
+                        for i in range(8):
+                            u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                            u[64 * i + 32: 64 * i + 64] = v_fifo[c][128 * i + 96: 128 * i + 128]
+                        wnd = u * D
+                        pcm[c].extend(wnd.reshape(16, 32).sum(axis=0))
+        inter = np.empty(2 * len(pcm[0]))
+        inter[0::2], inter[1::2] = pcm[0], pcm[1]
+        ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        diff = np.abs(np.frombuffer(got, np.uint8).astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+        assert np.count_nonzero(np.frombuffer(got, np.uint8) != 128) > 400
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_intensity_stereo_matches_independent_spec_math():
+    """r9 intensity stereo (long blocks): right channel coded only in
+    lines 0-7 (count1 quads) → zero_bound 8; bands above take
+    L=v·t/(1+t), R=v·1/(1+t) with t=tan(is_pos·π/12) from the RIGHT
+    channel's scalefactors (is_pos≥7 → MS fallback, =6 → all-left),
+    MS below the bound — all vs independent numpy math. Also: the
+    short-block intensity seam raises naming the field."""
+    import math
+
+    import numpy as np
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        def spectra(f, gr, ch):
+            vals = [0] * 576
+            rng = np.random.RandomState(500 + f * 4 + gr * 2 + ch)
+            if ch == 1:  # right: ±1 lines 0..7 only → zero_bound = 8
+                for i in range(8):
+                    vals[i] = int(rng.randint(-1, 2))
+                vals[0] = vals[0] or 1
+            else:
+                for i in rng.choice(60, size=14, replace=False):
+                    vals[int(i)] = int(rng.randint(-17, 18))
+            return vals
+
+        seed, n_frames = 210, 2
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1,
+                             mode=1, mode_ext=3)  # MS + intensity
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (1152 * n_frames, 2)
+
+        sfb = tables["sfb_long"][48000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        imdct = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                           for k in range(18)] for n_ in range(36)])
+        win = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+
+        def sf_and_xr(f, gr, c):
+            vkey = gr * 2 + c
+            vals = np.array(spectra(f, gr, c), dtype=float)
+            compress = (seed + f * 2 + vkey) % 16
+            s1, s2 = _MP3_SLEN[compress]
+            sf = [(j * 5 + seed + vkey) % (1 << (s1 if j < 11 else s2))
+                  if (s1 if j < 11 else s2) else 0 for j in range(21)]
+            gg = (seed * 7 + f * 13 + vkey * 29) % 256
+            mult = 0.5 * (((seed + vkey) % 2) + 1)
+            xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+            xr *= 2.0 ** (0.25 * (gg - 210))
+            for band in range(21):
+                xr[sfb[band]:sfb[band + 1]] *= 2.0 ** (-mult * sf[band])
+            return sf, xr
+
+        v_fifo = [np.zeros(1024), np.zeros(1024)]
+        overlap = [np.zeros((32, 18)), np.zeros((32, 18))]
+        pcm = [[], []]
+        bound = 8  # right channel's coded region ends at line 8
+        for f in range(n_frames):
+            for gr in range(2):
+                _, xl = sf_and_xr(f, gr, 0)
+                sf_r, xr_ = sf_and_xr(f, gr, 1)
+                L, R = xl.copy(), xr_.copy()
+                # MS below the bound
+                L[:bound] = (xl[:bound] + xr_[:bound]) / math.sqrt(2.0)
+                R[:bound] = (xl[:bound] - xr_[:bound]) / math.sqrt(2.0)
+                # intensity bands above
+                for band in range(len(sfb) - 1):
+                    lo, hi = sfb[band], sfb[band + 1]
+                    if lo < bound:
+                        continue
+                    is_pos = sf_r[band] if band < 21 else sf_r[20]
+                    if is_pos >= 7:  # illegal marker → MS fallback
+                        mm, ss = xl[lo:hi].copy(), xr_[lo:hi].copy()
+                        L[lo:hi] = (mm + ss) / math.sqrt(2.0)
+                        R[lo:hi] = (mm - ss) / math.sqrt(2.0)
+                        continue
+                    if is_pos == 6:
+                        kl, kr = 1.0, 0.0
+                    else:
+                        t = math.tan(is_pos * math.pi / 12.0)
+                        kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+                    v = xl[lo:hi].copy()
+                    L[lo:hi] = v * kl
+                    R[lo:hi] = v * kr
+                for c, xr in enumerate((L, R)):
+                    for b in range(1, 32):
+                        for i, ci in enumerate(_MP3_CI):
+                            cs = 1 / math.sqrt(1 + ci * ci)
+                            ca = ci / math.sqrt(1 + ci * ci)
+                            lo, hi = 18 * b - 1 - i, 18 * b + i
+                            a_, u_ = xr[lo], xr[hi]
+                            xr[lo] = a_ * cs - u_ * ca
+                            xr[hi] = u_ * cs + a_ * ca
+                    slot = np.zeros((32, 18))
+                    for sb in range(32):
+                        x36 = win * (imdct @ xr[18 * sb: 18 * sb + 18])
+                        slot[sb] = x36[:18] + overlap[c][sb]
+                        overlap[c][sb] = x36[18:]
+                    for sb in range(1, 32, 2):
+                        slot[sb, 1::2] *= -1.0
+                    for t in range(18):
+                        v_fifo[c] = np.concatenate([N @ slot[:, t], v_fifo[c][:960]])
+                        u = np.zeros(512)
+                        for i in range(8):
+                            u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                            u[64 * i + 32: 64 * i + 64] = v_fifo[c][128 * i + 96: 128 * i + 128]
+                        wnd = u * D
+                        pcm[c].extend(wnd.reshape(16, 32).sum(axis=0))
+        inter = np.empty(2 * len(pcm[0]))
+        inter[0::2], inter[1::2] = pcm[0], pcm[1]
+        ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        diff = np.abs(np.frombuffer(got, np.uint8).astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+
+        # the remaining stereo seam: short-block granules under intensity
+        def plan(f, gr):
+            return (2, 0, [0, 1, 2])
+
+        pay2 = encode_mp3(1, fs_index=1, bitrate_index=14, seed=seed,
+                          spectra=lambda f, gr, c: spectra(f, gr, c),
+                          table_id=1, mode=1, mode_ext=3, block_plan=plan)
+        with _pt.raises(NotImplementedError, match="intensity stereo with short"):
+            _decode_mp3(pay2)
     finally:
         register_mp3_tables(None)
 
