@@ -104,11 +104,17 @@ HEADLINE = [
     "an_sage_sampled",
     # round-8: MPEG-1 Layer III structural decode (frame walk + side info
     # + reservoir + scalefactors; silence spectra → exact-zero DSP).
-    # st_restart_replay / st_incremental_triangles stay OUT of the bench:
-    # their cost is the 4-batch incremental-state machinery (a fixed
-    # overhead story measured by the driver correctness rows), not
-    # engine throughput.
     "pl_mp3_decode",
+    # round-10 (VERDICT r9 ask #3): the streaming-partitioner pair (LDG /
+    # Fennel sequential scoring via applyInPandas over arrival chunks),
+    # restart-durable replay (its number IS mostly the 4-batch
+    # incremental-state machinery — a fixed-overhead story, tracked here
+    # so a state-IO regression is visible rather than hidden), and the
+    # two-channel MP3 decode beside its mono sibling.
+    "src_ldg_partition",
+    "src_fennel_partition",
+    "st_restart_replay",
+    "pl_mp3_stereo_decode",
 ]
 
 

@@ -212,13 +212,13 @@ class JasmineEngine:
             f"{self.storage_path}/{graph_name}",
             query,
             self.catalog.get(graph_name).is_directed
-            if graph_name in self.catalog._graphs
+            if graph_name in self.catalog.names()
             else True,
         )
         # refresh the registered snapshot
         directed = (
             self.catalog.get(graph_name).is_directed
-            if graph_name in self.catalog._graphs
+            if graph_name in self.catalog.names()
             else True
         )
         self.catalog.load(graph_name, self.storage_path, directed)
@@ -455,13 +455,16 @@ class JasmineEngine:
         (JasmineGraphFrontEnd.cpp:306-307 → removeAllGraphs clears every
         metadb graph row and the partition files on every worker). Here:
         every catalog entry plus every persisted graph directory under
-        storage_path (identified by its nodes/ parquet subdir); engine
-        internals like the `_perfdb` ledger are kept. Returns the sorted
-        names removed."""
+        storage_path, identified by the engine-written `_meta.json`
+        marker (GraphCatalog.save writes it next to nodes/ + edges/) —
+        NOT by merely containing a nodes/ subdir, so a storage_path
+        pointed at a directory with unrelated data is never rmtree'd.
+        Engine internals like the `_perfdb` ledger are kept. Returns the
+        sorted names removed."""
         import os
         import shutil
 
-        removed = set(self.catalog._graphs)
+        removed = set(self.catalog.names())
         for n in list(removed):
             self.catalog.remove(n)
         if self.storage_path and os.path.isdir(self.storage_path):
@@ -470,7 +473,8 @@ class JasmineEngine:
                     continue  # perf ledger / engine-internal state
                 p = os.path.join(self.storage_path, entry)
                 if os.path.isdir(p) and (
-                    entry in removed or os.path.isdir(os.path.join(p, "nodes"))
+                    entry in removed
+                    or os.path.isfile(os.path.join(p, "_meta.json"))
                 ):
                     shutil.rmtree(p)
                     removed.add(entry)

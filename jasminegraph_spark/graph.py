@@ -113,6 +113,11 @@ class GraphCatalog:
     def get(self, name: str) -> PropertyGraph:
         return self._graphs[name]
 
+    def names(self) -> list:
+        """Registered graph names — the public accessor (callers must not
+        reach into _graphs)."""
+        return list(self._graphs)
+
     def list_graphs(self) -> list:
         """`lst` command equivalent: name, vertexcount, edgecount, directed."""
         return [

@@ -6,6 +6,13 @@ CypherQueryExecutor.cpp:164-189,366-376; JobScheduler.cpp:79-105 can
 reject high-priority jobs whose SLA cannot be met). Here the same records
 live in a parquet table and the admission check is a simple estimate
 lookup — scheduling itself belongs to Spark/YARN/K8s.
+
+Ledger paths are LOCAL-FILESYSTEM by design (the part-file counting in
+`record` and the atomic rename in `compact` use os.* APIs): a ledger on
+HDFS/S3 would need the Hadoop FileSystem API instead — a documented seam,
+not a silent fallback. Compaction is crash-safe: the compacted ledger is
+written to a sibling temp directory and swapped in by rename, with the
+previous directory recoverable until the swap completes.
 """
 
 from __future__ import annotations
@@ -34,6 +41,7 @@ class PerfCatalog:
     COMPACT_EVERY: int = 256
 
     def record(self, name: str, command: str, partitions: int, seconds: float) -> None:
+        self._recover()
         df = self.spark.createDataFrame(
             [(name, command, partitions, float(seconds), float(time.time()))],
             "name string, command string, partitions int, seconds double, ts double",
@@ -44,9 +52,19 @@ class PerfCatalog:
                 1 for f in os.listdir(self.path) if f.endswith(".parquet")
             )
         except OSError:
+            # non-local path (or racing delete): auto-compaction is a
+            # local-FS feature — see the module docstring's seam note
             return
         if n_parts > self.COMPACT_EVERY:
             self.compact()
+
+    def _recover(self) -> None:
+        """Finish an interrupted compact(): if a crash landed between the
+        two renames, the live ledger sits at <path>.compact-old — move it
+        back before any read or append touches <path>."""
+        old = self.path.rstrip("/") + ".compact-old"
+        if not os.path.exists(self.path) and os.path.exists(old):
+            os.rename(old, self.path)
 
     def compact(self, keep_last: int | None = None) -> int:
         """Rewrite the ledger keeping only the newest `keep_last` records
@@ -55,6 +73,7 @@ class PerfCatalog:
         perfdb's bounded `sla_performance` history (ddl/perfdb.sql keeps a
         rolling window per sla_category). Returns the retained row count.
         """
+        self._recover()
         if not os.path.exists(self.path):
             return 0
         keep = keep_last if keep_last is not None else self.KEEP_LAST
@@ -72,7 +91,20 @@ class PerfCatalog:
             rows,
             "name string, command string, partitions int, seconds double, ts double",
         )
-        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        # crash-safe swap: never mode('overwrite') the live ledger (that
+        # deletes it before rewriting — a crash mid-write loses the whole
+        # history). Write beside it, then two renames; _recover() heals a
+        # crash landing between them.
+        import shutil
+
+        tmp = self.path.rstrip("/") + ".compact-tmp"
+        old = self.path.rstrip("/") + ".compact-old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        out.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
         return len(rows)
 
     @contextmanager
@@ -82,11 +114,13 @@ class PerfCatalog:
         self.record(name, command, partitions, time.perf_counter() - t0)
 
     def history(self) -> DataFrame:
+        self._recover()
         return self.spark.read.parquet(self.path)
 
     def estimate(self, name: str, command: str) -> float | None:
         """Median observed latency for (name, command) — the calibration
         value the reference's SLA admission compares against."""
+        self._recover()
         if not os.path.exists(self.path):
             return None
         rows = (
@@ -105,6 +139,7 @@ class PerfCatalog:
         this rollup answers family-level introspection ("how slow is
         cypher on this graph overall?"). Matches both the bare family
         name and any `family:<fingerprint>` key."""
+        self._recover()
         if not os.path.exists(self.path):
             return None
         rows = (

@@ -1836,14 +1836,26 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
     c1 = inverted(MP3_TABLES["count1"][si.count1table[gr]])
     while bits_left > 0 and idx <= 572:
         qstart = idx
-        quad = decode_sym(c1)
-        for v in quad:
-            if v:
-                if br.read(1):
-                    v = -v
-                bits_left -= 1
-            spectrum[idx] = v
-            idx += 1
+        try:
+            quad = decode_sym(c1)
+            for v in quad:
+                if v:
+                    if br.read(1):
+                        v = -v
+                    bits_left -= 1
+                spectrum[idx] = v
+                idx += 1
+        except IndexError:
+            # the overrunning quad's bits extend past the PHYSICAL end
+            # of the main data (exact-fit last granule, no ancillary
+            # bytes): same semantics as the budget overrun below —
+            # discard the quad; the caller rebuilds the reader at the
+            # granule boundary so the inconsistent reader state after
+            # the exception never leaks
+            for j in range(qstart, idx):
+                spectrum[j] = 0
+            idx = qstart
+            break
         if bits_left < 0:
             # the final quad crossed the granule's bit budget: the spec
             # allows this; decoders discard the overrunning quad and the
@@ -1872,13 +1884,16 @@ def _mp3_requantize(spectrum, si: _Mp3SideInfo, gr: int, scalefacs, fs: int):
     sfb_l = MP3_TABLES["sfb_long"][fs]
     if bt == 2 and not mixed:
         sfb_s = MP3_TABLES["sfb_short"][fs]
-        for sfb in range(12):
+        for sfb in range(len(sfb_s) - 1):
             lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
             for w in range(3):
                 s = 3 * lo + (hi - lo) * w
                 e = s + (hi - lo)
-                expo = (g - 2.0 * si.subblock_gain[gr][w]
-                        - mult * scalefacs[sfb][w])
+                # the last short band (12) has no scalefactor — lines
+                # above sfb 11 scale by gain + subblock gain only, the
+                # short analogue of the long path's sfb_l[21] tail
+                sf_v = scalefacs[sfb][w] if sfb < 12 else 0
+                expo = (g - 2.0 * si.subblock_gain[gr][w] - mult * sf_v)
                 out[s:e] *= 2.0 ** expo
         return out
     if bt == 2 and mixed:
@@ -1888,13 +1903,14 @@ def _mp3_requantize(spectrum, si: _Mp3SideInfo, gr: int, scalefacs, fs: int):
             pre = _MP3_PRETAB[sfb] if si.preflag[gr] else 0
             out[lo:hi] *= 2.0 ** (g - mult * (long_sf[sfb] + pre))
         sfb_s = MP3_TABLES["sfb_short"][fs]
-        for i, sfb in enumerate(range(3, 12)):
+        for sfb in range(3, len(sfb_s) - 1):
             lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
             for w in range(3):
                 s = 3 * lo + (hi - lo) * w
                 e = s + (hi - lo)
+                sf_v = short_sf[sfb - 3][w] if sfb < 12 else 0
                 out[s:e] *= 2.0 ** (g - 2.0 * si.subblock_gain[gr][w]
-                                    - mult * short_sf[i][w])
+                                    - mult * sf_v)
         return out
     for sfb in range(21):
         lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
@@ -1920,8 +1936,9 @@ def _mp3_joint_stereo(xr_l, xr_r, sf_r, zero_bound, fs, ms_on, int_on):
     marker → the band is MS-processed when MS is on, else passed
     through L/R). The
     last partition above scalefactor band 20 reuses band 20's is_pos
-    (no scalefactor exists for it). Short/mixed-block intensity raises
-    in the caller — behind the codec seam."""
+    (no scalefactor exists for it). Pure-short intensity goes through
+    _mp3_intensity_short; mixed-block and mismatched-block-type
+    intensity raise in the caller — the remaining codec seam."""
     if not int_on:
         if ms_on:
             m = xr_l.copy()
@@ -1961,6 +1978,67 @@ def _mp3_joint_stereo(xr_l, xr_r, sf_r, zero_bound, fs, ms_on, int_on):
         xr_r[lo:hi] = v * kr
 
 
+def _mp3_intensity_short(xr_l, xr_r, sf_r, fs, ms_on):
+    """Short-block (pure short, both channels) intensity stereo on
+    REQUANTIZED pre-reorder spectra (§2.4.3.4.9.3), in place. The
+    spectra are still sfb-major ([sfb][window][line]); window w of band
+    sfb occupies [3·lo + (hi−lo)·w, 3·lo + (hi−lo)·(w+1)).
+
+    The intensity bound is PER WINDOW: for each of the three windows,
+    the first scalefactor band at/above which the right channel is all
+    zero in that window; bands above the bound pan the LEFT channel's
+    values with is_pos = the right channel's short scalefactor
+    sf_r[sfb][w] (same k_l/k_r rules as long blocks: =6 → all-left,
+    ≥7 → illegal marker, MS when MS is on else pass-through). The last
+    short band (12) has no scalefactor and reuses band 11's is_pos for
+    its window — the short analogue of the long path's band-20 reuse.
+    When MS is also on it applies below each window's bound, in that
+    window only (the per-window reading of "the zero part of the right
+    channel"; mixed blocks and mismatched channel block types raise in
+    the caller — the remaining seam)."""
+    import math
+
+    sfb_s = MP3_TABLES["sfb_short"][fs]
+    n_bands = len(sfb_s) - 1  # 13: 12 scalefactored + the tail band
+
+    def wslice(sfb, w):
+        lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+        s = 3 * lo + (hi - lo) * w
+        return s, s + (hi - lo)
+
+    for w in range(3):
+        bound = 0  # first all-zero-from-here band in window w
+        for sfb in range(n_bands):
+            s, e = wslice(sfb, w)
+            if any(xr_r[s:e]):
+                bound = sfb + 1
+        for sfb in range(n_bands):
+            s, e = wslice(sfb, w)
+            if sfb < bound:
+                if ms_on:
+                    m = xr_l[s:e].copy()
+                    sv = xr_r[s:e].copy()
+                    xr_l[s:e] = (m + sv) / _MP3_SQRT2
+                    xr_r[s:e] = (m - sv) / _MP3_SQRT2
+                continue
+            is_pos = sf_r[sfb][w] if sfb < 12 else sf_r[11][w]
+            if is_pos >= 7:
+                if ms_on:
+                    m = xr_l[s:e].copy()
+                    sv = xr_r[s:e].copy()
+                    xr_l[s:e] = (m + sv) / _MP3_SQRT2
+                    xr_r[s:e] = (m - sv) / _MP3_SQRT2
+                continue
+            if is_pos == 6:
+                kl, kr = 1.0, 0.0
+            else:
+                t = math.tan(is_pos * math.pi / 12.0)
+                kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+            v = xr_l[s:e].copy()
+            xr_l[s:e] = v * kl
+            xr_r[s:e] = v * kr
+
+
 def _mp3_reorder_short(xr, fs: int, mixed: bool):
     """Short-block lines arrive sfb-major ([sfb][window][line]) and are
     reordered to window-interleaved natural order out[lo·3 + 3·line + w]
@@ -1971,7 +2049,7 @@ def _mp3_reorder_short(xr, fs: int, mixed: bool):
     out = np.array(xr, dtype=np.float64)
     sfb_s = MP3_TABLES["sfb_short"][fs]
     start_sfb = 3 if mixed else 0
-    for sfb in range(start_sfb, 12):
+    for sfb in range(start_sfb, len(sfb_s) - 1):
         lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
         width = hi - lo
         src = xr[3 * lo: 3 * hi]
@@ -2081,8 +2159,8 @@ class _Mp3Synth:
 
 def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     """REAL library-free MPEG-1 Layer III decoder — MONO and STEREO
-    (stereo / joint stereo with MS + long-block intensity / dual
-    channel) — for everything structural/closed-form in ISO/IEC
+    (stereo / joint stereo with MS + long- AND short-block intensity /
+    dual channel) — for everything structural/closed-form in ISO/IEC
     11172-3; the spec's numeric tables (Huffman B.7, sfb B.8, synthesis
     window B.3) are the injectable seam — see the MP3 section comment.
     Walks frames (sync, bitrate/fs/padding, frame length), skips the
@@ -2092,14 +2170,16 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     per-channel scalefactors with scfsi sharing, Huffman-decodes each
     channel's spectrum in gr-major ch-minor order, applies joint-stereo
     processing on the requantized spectra (_mp3_joint_stereo: MS below
-    the intensity bound, is_pos panning above it), then per channel:
-    reorders short blocks, alias-reduces, IMDCTs (long/short/mixed with
-    the closed-form windows), overlap-adds, frequency-inverts, and runs
-    the polyphase synthesis with PER-CHANNEL filter state. All-zero
-    spectra decode to exact zeros through every stage (linear
-    pipeline), which is what the pl_mp3_decode / pl_mp3_stereo_decode
-    driver rows check arithmetically. MPEG-2/2.5 (LSF), Layer I/II,
-    free-format, and short/mixed-block INTENSITY granules raise
+    the intensity bound, is_pos panning above it; _mp3_intensity_short:
+    per-window bounds + short-scalefactor is_pos for pure-short
+    granules, r10), then per channel: reorders short blocks,
+    alias-reduces, IMDCTs (long/short/mixed with the closed-form
+    windows), overlap-adds, frequency-inverts, and runs the polyphase
+    synthesis with PER-CHANNEL filter state. All-zero spectra decode to
+    exact zeros through every stage (linear pipeline), which is what
+    the pl_mp3_decode / pl_mp3_stereo_decode driver rows check
+    arithmetically. MPEG-2/2.5 (LSF), Layer I/II, free-format, and
+    intensity with MIXED blocks or mismatched channel block types raise
     NotImplementedError naming the field. Returns (samples_per_channel,
     n_channels, channel-interleaved upper-byte+128 uint8 fold) like
     _decode_wav/_decode_flac."""
@@ -2178,17 +2258,19 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
                 # forward over ancillary slack, or BACK when the final
                 # count1 quad crossed part2_3_length (its values were
                 # discarded in _mp3_huffman_decode; without the rewind
-                # every later granule in the reservoir would desync)
+                # every later granule in the reservoir would desync).
+                # Always rebuild the reader — after a physical-end
+                # IndexError discard its internal state is undefined.
                 target = start_bits + side.part2_3_length[gr]
-                used_abs = base + _mp3_bits_consumed(br)
-                if used_abs > target:
-                    br = _FlacBitReader(data[target // 8:])
-                    base = (target // 8) * 8
-                    for _ in range(target % 8):
-                        br.read(1)
-                else:
-                    for _ in range(target - used_abs):
-                        br.read(1)
+                if target > len(data) * 8:
+                    raise ValueError(
+                        "MP3 part2_3_length extends past the frame's "
+                        "main data"
+                    )
+                br = _FlacBitReader(data[target // 8:])
+                base = (target // 8) * 8
+                for _ in range(target % 8):
+                    br.read(1)
                 chans.append((spectrum, sf, coded_end))
             if not dsp_dirty and not any(any(c[0]) for c in chans):
                 for ch in range(nch):
@@ -2198,14 +2280,24 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
             xrs = [_mp3_requantize(chans[ch][0], sides[ch], gr, chans[ch][1], fs)
                    for ch in range(nch)]
             if nch == 2 and (ms_on or int_on):
-                if int_on and sides[1].block_type[gr] == 2:
+                blk = [(sides[ch].block_type[gr], sides[ch].mixed_block[gr])
+                       for ch in range(2)]
+                if int_on and blk[0] != blk[1]:
                     raise NotImplementedError(
-                        "intensity stereo with short/mixed blocks "
-                        "(per-window is_pos, §2.4.3.4.9.3) not implemented"
+                        "intensity stereo with mismatched channel block "
+                        "types (left/right disagree) not implemented"
+                    )
+                if int_on and blk[1][0] == 2 and blk[1][1]:
+                    raise NotImplementedError(
+                        "intensity stereo with MIXED blocks (long+short "
+                        "split bound, §2.4.3.4.9.3) not implemented"
                     )
                 sf_r = chans[1][1]
-                _mp3_joint_stereo(xrs[0], xrs[1], sf_r, chans[1][2], fs,
-                                  ms_on, int_on)
+                if int_on and blk[1][0] == 2:
+                    _mp3_intensity_short(xrs[0], xrs[1], sf_r, fs, ms_on)
+                else:
+                    _mp3_joint_stereo(xrs[0], xrs[1], sf_r, chans[1][2], fs,
+                                      ms_on, int_on)
             for ch in range(nch):
                 xr = xrs[ch]
                 side = sides[ch]
@@ -2541,6 +2633,69 @@ def synthesize_mp3(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         protection=bool(i % 5 == 0),
                         padding=int(i % 2),
                         reservoir_slack=4 if i % 7 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "audio", "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-MP3 STEREO media fixture (r10): genuine two-channel MPEG-1
+    Layer III frames built ON EXECUTORS in a mapInPandas stage. Doc d
+    gets 1 + d%3 frames of digital silence with the mono fixture's
+    structural variety (sample rate / bitrate / slen / CRC / padding /
+    reservoir cycling) PLUS the stereo surface: channel mode cycles
+    stereo (mode 0) / joint stereo (mode 1) / dual channel (mode 2) by
+    d%3, joint docs cycle mode_ext 1/2/3 (intensity / MS / MS+intensity)
+    by d%9, every 11th doc swaps the long-block granules for a
+    window-switching plan (start/short/stop with subblock gains —
+    scfsi 0, the long-block-only feature). Every frame carries 32-byte
+    side info with 4 granule-channel blocks in gr-major ch-minor order
+    and per-channel scfsi. Silence decodes to exact zeros through the
+    full stereo parse + joint-stereo + DSP pipeline, so the SQL oracle
+    is closed-form: n = 2·1152·frames interleaved bytes, body_sum =
+    128·n (width = samples per channel, height = 2 channels). The
+    nonzero joint-stereo DSP (MS math, long- and short-block intensity
+    panning) is proven by the injected-table contract tests in
+    tests/test_beam_multimodal.py."""
+
+    def _plan(f, gr):
+        # frame 0: start/short, frame 1+: short/stop — legal window
+        # switching sequences with nonzero subblock gains
+        if gr == 0:
+            return (1 if f == 0 else 2, 0, [0, 1, 2])
+        return (2 if f == 0 else 3, 0, [2, 0, 1])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                mode = int(i % 3)  # 0 stereo, 1 joint, 2 dual
+                mode_ext = int(1 + (i // 3) % 3) if mode == 1 else 0
+                windowed = i % 11 == 0
+                payloads.append(
+                    encode_mp3(
+                        1 + i % 3,
+                        fs_index=int(i % 3),
+                        # short-block scalefactors for 4 granule-channels
+                        # need more main-data room than the lowest
+                        # bitrates leave after 32-byte side info
+                        bitrate_index=int(8 + i % 7) if windowed
+                        else int(1 + i % 14),
+                        seed=int(i % 251),
+                        scfsi=0 if windowed else int(i % 16),
+                        protection=bool(i % 5 == 0),
+                        padding=int(i % 2),
+                        reservoir_slack=4 if i % 7 == 0 else 0,
+                        block_plan=_plan if windowed else None,
+                        mode=mode,
+                        mode_ext=mode_ext,
                     )
                 )
             yield pd.DataFrame(

@@ -1034,7 +1034,8 @@ def test_mp3_huffman_spectrum_roundtrip_injected_tables():
         register_mp3_tables(None)
 
 
-def _mp3_handmade_frame(gran_bits: list[str], part23: list[int]) -> bytes:
+def _mp3_handmade_frame(gran_bits: list[str], part23: list[int],
+                        big_values: list[int] | None = None) -> bytes:
     """One mono 128 kbps / 48 kHz frame with hand-set per-granule
     part2_3_length and raw main-data bit strings (scalefac_compress=0 →
     zero scalefactor bits, so part2_3_length is pure Huffman budget)."""
@@ -1044,7 +1045,7 @@ def _mp3_handmade_frame(gran_bits: list[str], part23: list[int]) -> bytes:
     w.write(0, 9)   # main_data_begin
     w.write(0, 5)   # private
     w.write(0, 4)   # scfsi
-    big_values = [0, 1]
+    big_values = [0, 1] if big_values is None else big_values
     for gr in range(2):
         w.write(part23[gr], 12)
         w.write(big_values[gr], 9)
@@ -1091,6 +1092,40 @@ def test_mp3_count1_overrun_rewinds_to_granule_boundary():
         assert (n1, ch1) == (1152, 1) and (n2, ch2) == (1152, 1)
         assert set(pcm_clean) != {128}  # granule 1 is audibly nonzero
         assert pcm_overrun == pcm_clean
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_count1_overrun_past_physical_end_discards_quad():
+    """ADVICE r9 (low): when the overrunning final quad's bits extend
+    past the PHYSICAL end of the frame's main data (exact-fit last
+    granule, zero ancillary bytes), the decoder must treat it like the
+    budget overrun — discard the quad — instead of dying on a bare
+    IndexError. Granule 1's 8-bit budget holds one full quad
+    (1,0,0,1 → 6 bits) + 2 bits of a phantom next quad whose codeword
+    would continue past the last physical byte; the stream is TRUNCATED
+    to exactly that byte. A clean padded frame with budget 6 (just the
+    full quad) must decode to the SAME pcm."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        register_mp3_tables,
+    )
+
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        full_quad = "1001" + "0" + "1"  # (1,0,0,1), signs +1 / −1
+        clean = _mp3_handmade_frame([full_quad], [0, 6], big_values=[0, 0])
+        # same bits + 2 phantom-quad bits, then hard-truncate the frame
+        # so the main data is exactly ONE byte: the phantom codeword's
+        # remaining bits don't physically exist
+        padded = _mp3_handmade_frame([full_quad + "10"], [0, 8],
+                                     big_values=[0, 0])
+        exact_fit = padded[: 4 + 17 + 1]
+        n1, ch1, pcm_trunc = _decode_mp3(exact_fit)
+        n2, ch2, pcm_clean = _decode_mp3(clean)
+        assert (n1, ch1) == (1152, 1) and (n2, ch2) == (1152, 1)
+        assert set(pcm_clean) != {128}  # the kept quad is audibly nonzero
+        assert pcm_trunc == pcm_clean
     finally:
         register_mp3_tables(None)
 
@@ -1522,15 +1557,187 @@ def test_mp3_intensity_stereo_matches_independent_spec_math():
         diff = np.abs(np.frombuffer(got, np.uint8).astype(int) - want.astype(int))
         assert int(diff.max()) <= 1, int(diff.max())
 
-        # the remaining stereo seam: short-block granules under intensity
+        # the remaining stereo seam (r10: pure-short intensity is now
+        # implemented — see the dedicated short-block test): MIXED
+        # blocks under intensity still raise, naming the field
         def plan(f, gr):
-            return (2, 0, [0, 1, 2])
+            return (2, 1, [0, 1, 2])
 
         pay2 = encode_mp3(1, fs_index=1, bitrate_index=14, seed=seed,
                           spectra=lambda f, gr, c: spectra(f, gr, c),
                           table_id=1, mode=1, mode_ext=3, block_plan=plan)
-        with _pt.raises(NotImplementedError, match="intensity stereo with short"):
+        with _pt.raises(NotImplementedError, match="intensity stereo with MIXED"):
             _decode_mp3(pay2)
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_intensity_short_blocks_matches_independent_spec_math():
+    """r10 short-block intensity stereo (§2.4.3.4.9.3): both channels
+    pure short, MS + intensity on. The right channel occupies DIFFERENT
+    bands per window (w0 → sfb<3, w1 → sfb<1, w2 → empty), so the three
+    per-window intensity bounds differ (3 / 1 / 0); bands above each
+    window's bound pan the LEFT channel with is_pos = the right
+    channel's short scalefactor for that (band, window), MS applies
+    below the bound in that window only. The left channel also codes
+    lines in the LAST short band (12, lines 408+ pre-reorder), which
+    has no scalefactor — covering the band-12 requantize (gain +
+    subblock gain only), reorder, and is_pos band-11 reuse paths — all
+    against an independent numpy implementation of the spec math."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        sfb_s = tables["sfb_short"][48000]
+        n_bands = len(sfb_s) - 1  # 13
+
+        def wslice(sfb, w):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            s = 3 * lo + (hi - lo) * w
+            return s, s + (hi - lo)
+
+        def spectra(f, gr, ch):
+            vals = [0] * 576
+            rng = np.random.RandomState(900 + f * 4 + gr * 2 + ch)
+            if ch == 1:  # right: per-window band occupancy 3 / 1 / 0
+                for w, top in ((0, 3), (1, 1)):
+                    for sfb in range(top):
+                        s, e = wslice(sfb, w)
+                        for i in range(s, e):
+                            vals[i] = int(rng.randint(-1, 2))
+                        vals[s] = vals[s] or 1  # window's bound is exact
+            else:  # left: low bands in all windows + the tail band 12
+                for w in range(3):
+                    for sfb in (0, 1, 2, 4, 6):
+                        s, e = wslice(sfb, w)
+                        for i in range(s, e):
+                            vals[i] = int(rng.randint(-9, 10))
+                    s, e = wslice(12, w)
+                    vals[s] = int(rng.randint(1, 5))
+                    vals[s + 3] = int(rng.randint(-4, -1))
+            return vals
+
+        seed, n_frames = 87, 2
+        sbg = [1, 0, 2]
+
+        def plan(f, gr):
+            return (2, 0, sbg)
+
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1,
+                             mode=1, mode_ext=3, block_plan=plan)
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (1152 * n_frames, 2)
+
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im12 = np.array([[math.cos(math.pi / 24 * (2 * n_ + 1 + 6) * (2 * k + 1))
+                          for k in range(6)] for n_ in range(12)])
+        w_short12 = np.array([math.sin(math.pi / 12 * (n_ + 0.5)) for n_ in range(12)])
+
+        def sf_and_xr(f, gr, c):
+            """Per-channel short scalefactors + requantized spectrum."""
+            vkey = gr * 2 + c
+            vals = np.array(spectra(f, gr, c), dtype=float)
+            compress = (seed + f * 2 + vkey) % 16
+            s1, s2 = _MP3_SLEN[compress]
+            sf = [[(sfb * 5 + w * 3 + seed + vkey)
+                   % (1 << (s1 if sfb < 6 else s2))
+                   if (s1 if sfb < 6 else s2) else 0
+                   for w in range(3)] for sfb in range(12)]
+            gg = (seed * 7 + f * 13 + vkey * 29) % 256
+            mult = 0.5 * (((seed + vkey) % 2) + 1)
+            g = 0.25 * (gg - 210)
+            xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+            for sfb in range(n_bands):
+                for w in range(3):
+                    s, e = wslice(sfb, w)
+                    sf_v = sf[sfb][w] if sfb < 12 else 0
+                    xr[s:e] *= 2.0 ** (g - 2.0 * sbg[w] - mult * sf_v)
+            return sf, xr
+
+        v_fifo = [np.zeros(1024), np.zeros(1024)]
+        overlap = [np.zeros((32, 18)), np.zeros((32, 18))]
+        pcm = [[], []]
+        for f in range(n_frames):
+            for gr in range(2):
+                _, xl = sf_and_xr(f, gr, 0)
+                sf_r, xr_ = sf_and_xr(f, gr, 1)
+                L, R = xl.copy(), xr_.copy()
+                for w in range(3):
+                    bound = 0
+                    for sfb in range(n_bands):
+                        s, e = wslice(sfb, w)
+                        if np.any(xr_[s:e]):
+                            bound = sfb + 1
+                    assert bound == (3, 1, 0)[w]  # the designed bounds
+                    for sfb in range(n_bands):
+                        s, e = wslice(sfb, w)
+                        if sfb < bound:
+                            m, sv = xl[s:e].copy(), xr_[s:e].copy()
+                            L[s:e] = (m + sv) / math.sqrt(2.0)
+                            R[s:e] = (m - sv) / math.sqrt(2.0)
+                            continue
+                        is_pos = sf_r[sfb][w] if sfb < 12 else sf_r[11][w]
+                        if is_pos >= 7:  # illegal marker → MS (MS is on)
+                            m, sv = xl[s:e].copy(), xr_[s:e].copy()
+                            L[s:e] = (m + sv) / math.sqrt(2.0)
+                            R[s:e] = (m - sv) / math.sqrt(2.0)
+                            continue
+                        if is_pos == 6:
+                            kl, kr = 1.0, 0.0
+                        else:
+                            t = math.tan(is_pos * math.pi / 12.0)
+                            kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+                        v = xl[s:e].copy()
+                        L[s:e] = v * kl
+                        R[s:e] = v * kr
+                for c, xr in enumerate((L, R)):
+                    nat = xr.copy()  # reorder ALL 13 bands, then no alias
+                    for sfb in range(n_bands):
+                        lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                        width = hi - lo
+                        blk = xr[3 * lo: 3 * hi]
+                        for i in range(width):
+                            for w in range(3):
+                                nat[3 * lo + 3 * i + w] = blk[w * width + i]
+                    slot = np.zeros((32, 18))
+                    for sb in range(32):
+                        lines = nat[18 * sb: 18 * sb + 18]
+                        x36 = np.zeros(36)
+                        for w in range(3):
+                            z = im12 @ np.array([lines[3 * k + w] for k in range(6)])
+                            x36[6 + 6 * w: 18 + 6 * w] += z * w_short12
+                        slot[sb] = x36[:18] + overlap[c][sb]
+                        overlap[c][sb] = x36[18:]
+                    for sb in range(1, 32, 2):
+                        slot[sb, 1::2] *= -1.0
+                    for t in range(18):
+                        v_fifo[c] = np.concatenate([N @ slot[:, t], v_fifo[c][:960]])
+                        u = np.zeros(512)
+                        for i in range(8):
+                            u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                            u[64 * i + 32: 64 * i + 64] = v_fifo[c][128 * i + 96: 128 * i + 128]
+                        pcm[c].extend((u * D).reshape(16, 32).sum(axis=0))
+        inter = np.empty(2 * len(pcm[0]))
+        inter[0::2], inter[1::2] = pcm[0], pcm[1]
+        ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        got_arr = np.frombuffer(got, np.uint8)
+        diff = np.abs(got_arr.astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+        assert np.count_nonzero(got_arr != 128) > 200  # genuinely nonzero
     finally:
         register_mp3_tables(None)
 
@@ -1548,6 +1755,28 @@ def test_synthesize_mp3_decodes_distributed(spark):
         n = 1152 * (1 + d % 3)
         assert rows[d]["width"] == n and rows[d]["height"] == 1
         assert rows[d]["n_bytes"] == n and rows[d]["body_sum"] == 128 * n
+
+
+def test_synthesize_mp3_stereo_decodes_distributed(spark):
+    """r10 stereo end-to-end through the Spark plumbing: executor-side
+    two-channel MP3 encode (mode cycling stereo/joint/dual, mode_ext
+    cycling MS/intensity/both, window-switching docs) → Arrow
+    mapInPandas decode; silence closed form width = 1152·frames,
+    height = 2 channels, n_bytes = 2·width, body_sum = 128·n_bytes."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_mp3_stereo,
+    )
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = {r["media_id"]: r
+            for r in decode_media(synthesize_mp3_stereo(docs)).collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        n = 1152 * (1 + d % 3)
+        assert rows[d]["width"] == n and rows[d]["height"] == 2
+        assert rows[d]["n_bytes"] == 2 * n
+        assert rows[d]["body_sum"] == 128 * 2 * n
 
 
 def test_mp3_window_switching_dsp_matches_independent_spec_math():

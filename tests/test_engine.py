@@ -343,6 +343,12 @@ def test_engine_beam_and_truncate_verbs(spark, tmp_path):
     assert eng.perf.estimate_family("bg", "semantic-beam-search") is not None
 
     eng.add_graph("bg2", p)
+    # ADVICE r9: a directory under storage_path that merely CONTAINS a
+    # nodes/ subdir but was never saved by this engine (no _meta.json
+    # marker) must survive truncate
+    bystander = tmp_path / "s" / "unrelated"
+    (bystander / "nodes").mkdir(parents=True)
+    (bystander / "nodes" / "data.txt").write_text("not a graph")
     removed = eng.truncate()
     assert removed == ["bg", "bg2"]
     assert eng.list_graphs() == []
@@ -350,6 +356,8 @@ def test_engine_beam_and_truncate_verbs(spark, tmp_path):
 
     assert not os.path.isdir(tmp_path / "s" / "bg")
     assert os.path.isdir(tmp_path / "s" / "_perfdb")  # ledger survives
+    assert (bystander / "nodes" / "data.txt").exists()  # bystander kept
+    assert eng.catalog.names() == []  # the public accessor
 
 
 def test_cli_beam_and_truncate(tmp_path):

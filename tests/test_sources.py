@@ -142,6 +142,31 @@ def test_perf_catalog_family_rollup_and_compaction(spark, tmp_path):
     assert kept == hist.count()
 
 
+def test_perf_catalog_compaction_crash_recovery(spark, tmp_path):
+    """ADVICE r9: compact() must never mode('overwrite') the live ledger
+    (a crash mid-write would lose the whole history). It swaps via
+    sibling temp + rename; a simulated crash between the two renames
+    (ledger parked at <path>.compact-old) heals on the next access."""
+    import os
+
+    from jasminegraph_spark.perf import PerfCatalog
+
+    path = str(tmp_path / "perfdb")
+    pc = PerfCatalog(spark, path)
+    for s in (0.1, 0.2, 0.3):
+        pc.record("g1", "trian", 2, s)
+    pc.compact(keep_last=2)
+    assert pc.history().count() == 2  # compaction itself works
+    # simulate the crash window: path renamed away, tmp never landed
+    os.rename(path, path + ".compact-old")
+    assert not os.path.exists(path)
+    est = pc.estimate("g1", "trian")  # heals via _recover()
+    assert est is not None and 0.1 <= est <= 0.3
+    assert os.path.exists(path) and not os.path.exists(path + ".compact-old")
+    pc.record("g1", "trian", 2, 0.4)  # appends to the healed ledger
+    assert pc.history().count() == 3
+
+
 def test_as_of_join_semantics(spark):
     """Inclusive at-or-before match, null extension without history, and
     tolerance nulling of stale matches."""
