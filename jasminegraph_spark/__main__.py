@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     p = sub.add_parser("scc");         p.add_argument("name")
     p = sub.add_parser("msf");         p.add_argument("name"); p.add_argument("--weight-col", default="weight")
     p = sub.add_parser("kcore");       p.add_argument("name"); p.add_argument("--k", type=int, default=3)
-    p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community", "metis"]); p.add_argument("--quality", action="store_true", help="emit edge-cut/balance metrics instead of the assignment")
+    p = sub.add_parser("partition");   p.add_argument("name"); p.add_argument("--k", type=int, default=4); p.add_argument("--algo", default="hash", choices=["hash", "ldg", "fennel", "community", "range", "metis"]); p.add_argument("--quality", action="store_true", help="emit edge-cut/balance metrics instead of the assignment")
     p = sub.add_parser("bc");          p.add_argument("name"); p.add_argument("--sources", default="1,2,3"); p.add_argument("--hops", type=int, default=3)
     p = sub.add_parser("graphstats");  p.add_argument("name")
     p = sub.add_parser("ppr");         p.add_argument("name"); p.add_argument("--sources", default="1"); p.add_argument("--alpha", type=float, default=0.85); p.add_argument("--iters", type=int, default=10); p.add_argument("--top", type=int, default=10)

@@ -401,15 +401,18 @@ class JasmineEngine:
         """Explicit k-way partition assignment (node, pid) — the reference
         partitions at ingest (METIS offline / hash / Fennel / LDG stream);
         here partitioning is a first-class operator over the stored graph.
-        ``algo``: hash | ldg | fennel | community | metis — `metis` is the
-        full METIS role (r8): community coarsening + KL/FM boundary-move
-        refinement under the 1.05 balance cap (refine_partition)."""
+        ``algo``: hash | ldg | fennel | community | range | metis —
+        `metis` is the full METIS role (r10): best-of-seeds initial
+        partition (community packing vs id-range stripes, gpmetis's
+        multiple-initial-partitions step) + KL/FM boundary-move
+        refinement under the 1.05 balance cap (metis_partition)."""
         from jasminegraph_spark.streaming import (
             community_partition,
             fennel_partition,
             hash_partition,
             ldg_partition,
-            refine_partition,
+            metis_partition,
+            range_partition,
         )
 
         fns = {
@@ -417,7 +420,8 @@ class JasmineEngine:
             "ldg": ldg_partition,
             "fennel": fennel_partition,
             "community": community_partition,
-            "metis": lambda e, kk: refine_partition(e, community_partition(e, kk), kk),
+            "range": range_partition,
+            "metis": metis_partition,
         }
         if algo not in fns:
             raise ValueError(f"unknown partitioner {algo!r}; pick from {sorted(fns)}")

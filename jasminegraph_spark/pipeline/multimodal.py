@@ -1637,6 +1637,17 @@ def register_mp3_tables(tables: dict) -> None:
     MP3_TABLES = tables or None
 
 
+def _plan_arity(fn) -> int:
+    """Positional-parameter count of a block_plan callable (2-arg
+    (frame, gr) vs 3-arg (frame, gr, ch) per-channel plans)."""
+    import inspect
+
+    try:
+        return len(inspect.signature(fn).parameters)
+    except (TypeError, ValueError):
+        return 2
+
+
 def _mp3_frame_len(bitrate_kbps: int, fs: int, padding: int) -> int:
     return (144000 * bitrate_kbps) // fs + padding
 
@@ -1978,11 +1989,11 @@ def _mp3_joint_stereo(xr_l, xr_r, sf_r, zero_bound, fs, ms_on, int_on):
         xr_r[lo:hi] = v * kr
 
 
-def _mp3_intensity_short(xr_l, xr_r, sf_r, fs, ms_on):
-    """Short-block (pure short, both channels) intensity stereo on
-    REQUANTIZED pre-reorder spectra (§2.4.3.4.9.3), in place. The
-    spectra are still sfb-major ([sfb][window][line]); window w of band
-    sfb occupies [3·lo + (hi−lo)·w, 3·lo + (hi−lo)·(w+1)).
+def _mp3_intensity_short(xr_l, xr_r, sf_r, fs, ms_on, mixed=False):
+    """Short/mixed-block intensity stereo on REQUANTIZED pre-reorder
+    spectra (§2.4.3.4.9.3), in place. The spectra are still sfb-major
+    ([sfb][window][line]); window w of band sfb occupies
+    [3·lo + (hi−lo)·w, 3·lo + (hi−lo)·(w+1)).
 
     The intensity bound is PER WINDOW: for each of the three windows,
     the first scalefactor band at/above which the right channel is all
@@ -1994,49 +2005,87 @@ def _mp3_intensity_short(xr_l, xr_r, sf_r, fs, ms_on):
     its window — the short analogue of the long path's band-20 reuse.
     When MS is also on it applies below each window's bound, in that
     window only (the per-window reading of "the zero part of the right
-    channel"; mixed blocks and mismatched channel block types raise in
-    the caller — the remaining seam)."""
+    channel").
+
+    MIXED blocks (r10): the short region (bands 3+ per window) follows
+    the per-window procedure with is_pos from the short scalefactor
+    table; the LONG region (lines 0..sfb_long[8], bands 0-7) joins the
+    intensity region only when the right channel's ENTIRE short region
+    is zero (the zero tail must be contiguous to the top of the
+    spectrum), bounded at a long-band edge with is_pos from the long
+    scalefactors — otherwise it is MS/pass-through. Mismatched channel
+    block types still raise in the caller — the remaining seam."""
     import math
 
     sfb_s = MP3_TABLES["sfb_short"][fs]
     n_bands = len(sfb_s) - 1  # 13: 12 scalefactored + the tail band
+    start_sfb = 3 if mixed else 0
+    long_sf, short_sf = sf_r if mixed else (None, None)
+
+    def sf_short(sfb, w):
+        if mixed:
+            return short_sf[sfb - 3][w] if sfb < 12 else short_sf[11 - 3][w]
+        return sf_r[sfb][w] if sfb < 12 else sf_r[11][w]
+
+    def ms(lo, hi):
+        m = xr_l[lo:hi].copy()
+        sv = xr_r[lo:hi].copy()
+        xr_l[lo:hi] = (m + sv) / _MP3_SQRT2
+        xr_r[lo:hi] = (m - sv) / _MP3_SQRT2
+
+    def pan(lo, hi, is_pos):
+        if is_pos >= 7:  # illegal marker → MS when on, else pass
+            if ms_on:
+                ms(lo, hi)
+            return
+        if is_pos == 6:
+            kl, kr = 1.0, 0.0
+        else:
+            t = math.tan(is_pos * math.pi / 12.0)
+            kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+        v = xr_l[lo:hi].copy()
+        xr_l[lo:hi] = v * kl
+        xr_r[lo:hi] = v * kr
 
     def wslice(sfb, w):
         lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
         s = 3 * lo + (hi - lo) * w
         return s, s + (hi - lo)
 
+    short_all_zero = True
     for w in range(3):
-        bound = 0  # first all-zero-from-here band in window w
-        for sfb in range(n_bands):
+        bound = start_sfb  # first all-zero-from-here band in window w
+        for sfb in range(start_sfb, n_bands):
             s, e = wslice(sfb, w)
             if any(xr_r[s:e]):
                 bound = sfb + 1
-        for sfb in range(n_bands):
+        if bound > start_sfb:
+            short_all_zero = False
+        for sfb in range(start_sfb, n_bands):
             s, e = wslice(sfb, w)
             if sfb < bound:
                 if ms_on:
-                    m = xr_l[s:e].copy()
-                    sv = xr_r[s:e].copy()
-                    xr_l[s:e] = (m + sv) / _MP3_SQRT2
-                    xr_r[s:e] = (m - sv) / _MP3_SQRT2
-                continue
-            is_pos = sf_r[sfb][w] if sfb < 12 else sf_r[11][w]
-            if is_pos >= 7:
-                if ms_on:
-                    m = xr_l[s:e].copy()
-                    sv = xr_r[s:e].copy()
-                    xr_l[s:e] = (m + sv) / _MP3_SQRT2
-                    xr_r[s:e] = (m - sv) / _MP3_SQRT2
-                continue
-            if is_pos == 6:
-                kl, kr = 1.0, 0.0
+                    ms(s, e)
             else:
-                t = math.tan(is_pos * math.pi / 12.0)
-                kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
-            v = xr_l[s:e].copy()
-            xr_l[s:e] = v * kl
-            xr_r[s:e] = v * kr
+                pan(s, e, sf_short(sfb, w))
+    if mixed:
+        sfb_l = MP3_TABLES["sfb_long"][fs]
+        long_end = sfb_l[8]  # mixed long region: 2 subbands, bands 0-7
+        if short_all_zero:
+            # zero tail reaches down into the long region: long-band
+            # bound + long is_pos, as in the pure-long path
+            zb = 0
+            for i in range(long_end):
+                if xr_r[i]:
+                    zb = i + 1
+            for band in range(8):
+                lo, hi = sfb_l[band], min(sfb_l[band + 1], long_end)
+                if lo >= zb:
+                    pan(lo, hi, long_sf[band])
+                elif ms_on:
+                    ms(lo, hi)
+        elif ms_on:
+            ms(0, long_end)
 
 
 def _mp3_reorder_short(xr, fs: int, mixed: bool):
@@ -2171,15 +2220,15 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     channel's spectrum in gr-major ch-minor order, applies joint-stereo
     processing on the requantized spectra (_mp3_joint_stereo: MS below
     the intensity bound, is_pos panning above it; _mp3_intensity_short:
-    per-window bounds + short-scalefactor is_pos for pure-short
-    granules, r10), then per channel: reorders short blocks,
+    per-window bounds + short-scalefactor is_pos for pure-short AND
+    mixed granules, r10), then per channel: reorders short blocks,
     alias-reduces, IMDCTs (long/short/mixed with the closed-form
     windows), overlap-adds, frequency-inverts, and runs the polyphase
     synthesis with PER-CHANNEL filter state. All-zero spectra decode to
     exact zeros through every stage (linear pipeline), which is what
     the pl_mp3_decode / pl_mp3_stereo_decode driver rows check
     arithmetically. MPEG-2/2.5 (LSF), Layer I/II, free-format, and
-    intensity with MIXED blocks or mismatched channel block types raise
+    intensity with mismatched channel block types raise
     NotImplementedError naming the field. Returns (samples_per_channel,
     n_channels, channel-interleaved upper-byte+128 uint8 fold) like
     _decode_wav/_decode_flac."""
@@ -2287,14 +2336,10 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
                         "intensity stereo with mismatched channel block "
                         "types (left/right disagree) not implemented"
                     )
-                if int_on and blk[1][0] == 2 and blk[1][1]:
-                    raise NotImplementedError(
-                        "intensity stereo with MIXED blocks (long+short "
-                        "split bound, §2.4.3.4.9.3) not implemented"
-                    )
                 sf_r = chans[1][1]
                 if int_on and blk[1][0] == 2:
-                    _mp3_intensity_short(xrs[0], xrs[1], sf_r, fs, ms_on)
+                    _mp3_intensity_short(xrs[0], xrs[1], sf_r, fs, ms_on,
+                                         mixed=bool(blk[1][1]))
                 else:
                     _mp3_joint_stereo(xrs[0], xrs[1], sf_r, chans[1][2], fs,
                                       ms_on, int_on)
@@ -2378,7 +2423,9 @@ def encode_mp3(
     (frame, gr) → (block_type, mixed, [3 subblock gains]) emitting
     start (1) / short (2) / stop (3) granules with the matching
     side-info layout and short/mixed scalefactor order; requires
-    scfsi=0 (sharing is a long-block feature).
+    scfsi=0 (sharing is a long-block feature). A 3-arg plan
+    (frame, gr, ch) sets PER-CHANNEL block types (r10 — mismatched-type
+    stereo fixtures for the decoder's intensity gate).
     ``mode``/``mode_ext`` (r9, stereo): mode 3 = mono (default, 17-byte
     side info); 0 = stereo, 1 = joint stereo (mode_ext bit 2 = MS,
     bit 1 = intensity), 2 = dual channel — all 32-byte side info with
@@ -2415,7 +2462,13 @@ def encode_mp3(
                 s1, s2 = _MP3_SLEN[compress]
                 bt, mixed, sbg = (0, 0, [0, 0, 0])
                 if block_plan is not None:
-                    bt, mixed, sbg = block_plan(f, gr)
+                    # r10: a 3-arg plan (frame, gr, ch) emits PER-CHANNEL
+                    # block types (mismatched-type stereo fixtures); the
+                    # 2-arg form applies one plan to both channels
+                    if _plan_arity(block_plan) >= 3:
+                        bt, mixed, sbg = block_plan(f, gr, ch_)
+                    else:
+                        bt, mixed, sbg = block_plan(f, gr)
                     if scfsi:
                         raise ValueError("scfsi sharing requires long blocks")
                 scfsi_bits = [(scfsi >> (3 - i)) & 1 for i in range(4)]
@@ -2671,6 +2724,11 @@ def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             return (1 if f == 0 else 2, 0, [0, 1, 2])
         return (2 if f == 0 else 3, 0, [2, 0, 1])
 
+    def _plan_mixed(f, gr):
+        # every granule mixed: 2 long subbands + short sfb 3+ (the r10
+        # mixed-intensity side-info/scalefactor layout)
+        return (2, 1, [1, 0, 2])
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
@@ -2679,6 +2737,8 @@ def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mode = int(i % 3)  # 0 stereo, 1 joint, 2 dual
                 mode_ext = int(1 + (i // 3) % 3) if mode == 1 else 0
                 windowed = i % 11 == 0
+                plan = (_plan_mixed if i % 22 == 0 else _plan) if windowed \
+                    else None
                 payloads.append(
                     encode_mp3(
                         1 + i % 3,
@@ -2693,7 +2753,7 @@ def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         protection=bool(i % 5 == 0),
                         padding=int(i % 2),
                         reservoir_slack=4 if i % 7 == 0 else 0,
-                        block_plan=_plan if windowed else None,
+                        block_plan=plan,
                         mode=mode,
                         mode_ext=mode_ext,
                     )

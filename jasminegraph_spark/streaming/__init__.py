@@ -18,6 +18,8 @@ from jasminegraph_spark.streaming.partitioners import (  # noqa: F401
     fennel_partition,
     community_partition,
     edge_cut_fraction,
+    metis_partition,
     partition_quality_report,
+    range_partition,
     refine_partition,
 )

@@ -485,6 +485,67 @@ def refine_partition(
     return finalize(asg, und, adj)
 
 
+def range_partition(edges: DataFrame, k: int) -> DataFrame:
+    """RANGE/stripe partitioner: pid by numeric-id quantile bucket —
+    perfectly balanced by construction, and a strong seed whenever node
+    ids carry locality (mesh/lattice/spatial data numbered row-major,
+    time-ordered ids): consecutive ids land in the same stripe, so the
+    cut is only the stripe boundaries. On the 64×64 grid anchor
+    (scripts/partition_anchor.py) this seed alone reaches 1.5× the
+    computable-optimal cut where LPA communities reach 38× — the locality
+    signal gpmetis recovers with multilevel coarsening is sometimes
+    already present in the ids. Distributed: boundaries come from
+    approxQuantile (no global sort / single-task window). Raises for
+    non-numeric ids — the caller falls back to other seeds
+    (:func:`metis_partition` does this automatically)."""
+    nodes = (
+        edges.select(F.col("src").cast("string").alias("node"))
+        .union(edges.select(F.col("dst").cast("string")))
+        .distinct()
+        # try_cast: ANSI mode would throw on the first non-numeric id —
+        # the contract is "null → ValueError → caller falls back"
+        .withColumn("nid", F.expr("try_cast(node AS double)"))
+        .persist()
+    )
+    try:
+        if nodes.filter(F.col("nid").isNull()).take(1):
+            raise ValueError(
+                "range_partition needs numeric node ids (quantile stripes)"
+            )
+        bounds = nodes.approxQuantile(
+            "nid", [i / k for i in range(1, k)], 0.001
+        )
+        pid = F.lit(0)
+        for b in bounds:
+            pid = pid + F.when(F.col("nid") > F.lit(b), 1).otherwise(0)
+        return nodes.select("node", pid.cast("int").alias("pid"))
+    finally:
+        nodes.unpersist()
+
+
+def metis_partition(edges: DataFrame, k: int, lp_iters: int = 5) -> DataFrame:
+    """The full METIS role (r10): best-of-seeds initial partition +
+    KL/FM refinement. gpmetis's multilevel pipeline computes SEVERAL
+    initial partitions of the coarsest graph and keeps the best before
+    refining (Karypis & Kumar 1998, §4 — GGGP runs 4·log k trials;
+    MetisPartitioner.cpp:34-372 runs that binary); the Spark-native
+    equivalent seeds with both available coarse strategies —
+    community packing (:func:`community_partition`, wins on clustered
+    graphs: powergrid 0.643) and id-range stripes
+    (:func:`range_partition`, wins on meshes/id-local graphs: grid
+    anchor 0.024 vs LPA's 0.61) — keeps the measured-lower-cut seed,
+    and runs :func:`refine_partition` on it. Cost: both seeds are
+    cheap relative to refinement (LPA iterations / one approxQuantile),
+    plus one extra cut measurement (an equi-join + count)."""
+    seeds = [community_partition(edges, k, lp_iters=lp_iters)]
+    try:
+        seeds.append(range_partition(edges, k))
+    except ValueError:  # non-numeric node ids → stripe seed unavailable
+        pass
+    best = min(seeds, key=lambda s: edge_cut_fraction(edges, s))
+    return refine_partition(edges, best, k)
+
+
 def partition_quality_report(edges: DataFrame, assignment: DataFrame, k: int) -> dict:
     """METIS-style quality metrics for a (node, pid) assignment (r7, the
     r6 verdict ask #7 — measurable parity with the reference's

@@ -29,8 +29,8 @@ from jasminegraph_spark.streaming import (  # noqa: E402
     fennel_partition,
     hash_partition,
     ldg_partition,
+    metis_partition,
     partition_quality_report,
-    refine_partition,
 )
 
 POWERGRID = "/root/reference/tests/integration/env_init/data/powergrid.dl"
@@ -55,11 +55,10 @@ def main() -> None:
         "ldg": ldg_partition,
         "fennel": fennel_partition,
         "community": lambda e, kk: community_partition(e, kk, lp_iters=5),
-        # the full METIS role (r8): community coarsening + KL/FM-style
-        # boundary-move refinement under the 1.05 balance cap
-        "metis": lambda e, kk: refine_partition(
-            e, community_partition(e, kk, lp_iters=5), kk
-        ),
+        # the full METIS role (r10): best-of-seeds (community packing vs
+        # id-range stripes, gpmetis's multiple-initial-partitions trick) +
+        # KL/FM-style boundary-move refinement under the 1.05 balance cap
+        "metis": metis_partition,
     }
     out = {}
     for gname, edges in graphs.items():

@@ -30,32 +30,68 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.bench_json:
-        line = open(args.bench_json).read().strip().splitlines()[-1]
+        raw = open(args.bench_json).read().strip()
+        try:
+            bench = json.loads(raw)
+        except json.JSONDecodeError:
+            bench = json.loads(raw.splitlines()[-1])
+        if "parsed" in bench and isinstance(bench["parsed"], dict):
+            # a driver BENCH_r{N}.json wrapper: the bench line sits under
+            # "parsed" (compact contract — no variance metadata; the
+            # spread band then falls back to the 25% default)
+            bench = bench["parsed"]
     else:
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
         )
-        line = out.stdout.strip().splitlines()[-1]
-    bench = json.loads(line)
+        bench = json.loads(out.stdout.strip().splitlines()[-1])
 
-    from jasminegraph_spark.perf import PerfCatalog
-    from jasminegraph_spark.session import get_spark
+    # history source 1: the local PerfCatalog ledger (same-machine runs).
+    # The ledger directory is gitignored and does NOT survive a round
+    # restart from a fresh checkout — which is why source 2 exists: the
+    # committed per-round BENCH_r*.json wrappers. Both are merged as
+    # samples; p50 is the median across all of them.
+    import statistics
+    from glob import glob
 
-    spark = get_spark("perf-regress")
-    ledger = PerfCatalog(spark, os.path.join(REPO, "perf_ledger"))
-    if not os.path.exists(ledger.path):
-        print("no ledger yet — run bench.py first; nothing to compare")
+    samples: dict[str, list] = {}
+    ledger_dir = os.path.join(REPO, "perf_ledger")
+    if os.path.exists(ledger_dir):
+        from jasminegraph_spark.perf import PerfCatalog
+        from jasminegraph_spark.session import get_spark
+
+        spark = get_spark("perf-regress")
+        for r in (
+            PerfCatalog(spark, ledger_dir)
+            .history()
+            .filter(f"name = 'sf{args.sf}'")
+            .select("command", "seconds")
+            .collect()
+        ):
+            samples.setdefault(r["command"], []).append(r["seconds"])
+    compared = os.path.abspath(args.bench_json) if args.bench_json else None
+    for path in sorted(glob(os.path.join(REPO, "BENCH_r*.json"))):
+        if compared and os.path.abspath(path) == compared:
+            continue  # never compare a round against itself
+        try:
+            wrapper = json.load(open(path))
+        except json.JSONDecodeError:
+            continue
+        parsed = wrapper.get("parsed")
+        if not isinstance(parsed, dict) or not isinstance(
+            parsed.get("queries"), dict
+        ):
+            continue
+        if str(wrapper.get("sf", parsed.get("sf"))) != str(args.sf):
+            continue
+        for name, sec in parsed["queries"].items():
+            samples.setdefault(name, []).append(float(sec))
+    if not samples:
+        print("no history (ledger empty, no matching BENCH_r*.json) — "
+              "nothing to compare")
         return
-    hist = {
-        r["command"]: r["p50"]
-        for r in ledger.history()
-        .filter(f"name = 'sf{args.sf}'")
-        .groupBy("command")
-        .agg(__import__("pyspark.sql.functions", fromlist=["expr"]).expr(
-            "percentile_approx(seconds, 0.5)").alias("p50"))
-        .collect()
-    }
+    hist = {name: statistics.median(vals) for name, vals in samples.items()}
     # three-way verdicts (r5 verdict #8): a drift only counts as
     # improved/regressed when it clears BOTH the tolerance and the
     # query's own measured sample spread (bench.py min-of-N metadata);

@@ -1557,16 +1557,18 @@ def test_mp3_intensity_stereo_matches_independent_spec_math():
         diff = np.abs(np.frombuffer(got, np.uint8).astype(int) - want.astype(int))
         assert int(diff.max()) <= 1, int(diff.max())
 
-        # the remaining stereo seam (r10: pure-short intensity is now
-        # implemented — see the dedicated short-block test): MIXED
-        # blocks under intensity still raise, naming the field
-        def plan(f, gr):
-            return (2, 1, [0, 1, 2])
+        # the remaining stereo seam (r10: pure-short AND mixed intensity
+        # are now implemented — see the dedicated short/mixed tests):
+        # MISMATCHED channel block types under intensity still raise,
+        # naming the field (3-arg per-channel plan: left long, right
+        # short)
+        def plan(f, gr, ch):
+            return (0, 0, [0, 0, 0]) if ch == 0 else (2, 0, [0, 1, 2])
 
         pay2 = encode_mp3(1, fs_index=1, bitrate_index=14, seed=seed,
                           spectra=lambda f, gr, c: spectra(f, gr, c),
                           table_id=1, mode=1, mode_ext=3, block_plan=plan)
-        with _pt.raises(NotImplementedError, match="intensity stereo with MIXED"):
+        with _pt.raises(NotImplementedError, match="mismatched channel block"):
             _decode_mp3(pay2)
     finally:
         register_mp3_tables(None)
@@ -1755,6 +1757,220 @@ def test_synthesize_mp3_decodes_distributed(spark):
         n = 1152 * (1 + d % 3)
         assert rows[d]["width"] == n and rows[d]["height"] == 1
         assert rows[d]["n_bytes"] == n and rows[d]["body_sum"] == 128 * n
+
+
+def test_mp3_intensity_mixed_blocks_matches_independent_spec_math():
+    """r10 MIXED-block intensity stereo: both channels mixed
+    (2 long subbands + short sfb 3-12), MS + intensity on. Granule 0:
+    the right channel is nonzero in the long region AND short sfb 3 of
+    window 0 — the zero tail is NOT contiguous into the long region, so
+    the long region is MS-only while windows get per-window intensity
+    (bounds 4/3/3). Granule 1: the right channel's short region is
+    entirely zero with long lines 0-9 coded — the long region joins the
+    intensity region above the long-band edge ≥ 10 with is_pos from the
+    LONG scalefactors. All against an independent numpy implementation
+    of the documented semantics (requant with 2 long subbands + short
+    bands incl. the scalefactor-less band 12, mixed reorder, one alias
+    boundary, mixed IMDCT)."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_SLEN,
+        _decode_mp3,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        sfb_l = tables["sfb_long"][48000]
+        sfb_s = tables["sfb_short"][48000]
+        long_end = sfb_l[8]  # 36
+        n_bands = len(sfb_s) - 1
+
+        def wslice(sfb, w):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            s = 3 * lo + (hi - lo) * w
+            return s, s + (hi - lo)
+
+        def spectra(f, gr, ch):
+            vals = [0] * 576
+            rng = np.random.RandomState(700 + f * 4 + gr * 2 + ch)
+            if ch == 1:
+                for i in range(10):  # long lines 0..9 in both granules
+                    vals[i] = int(rng.randint(-5, 6))
+                vals[0] = vals[0] or 1
+                if gr == 0:  # granule 0 also codes short sfb 3, window 0
+                    s, e = wslice(3, 0)
+                    for i in range(s, e):
+                        vals[i] = int(rng.randint(-1, 2))
+                    vals[s] = vals[s] or 1
+            else:
+                for i in range(12):
+                    vals[i] = int(rng.randint(-9, 10))
+                for w in range(3):
+                    for sfb in (3, 4, 5):
+                        s, e = wslice(sfb, w)
+                        vals[s] = int(rng.randint(-9, 10))
+                    s, e = wslice(12, w)
+                    vals[s + 1] = int(rng.randint(1, 5))
+            return vals
+
+        seed = 61
+        sbg = [1, 0, 2]
+        payload = encode_mp3(1, fs_index=1, bitrate_index=14, seed=seed,
+                             spectra=spectra, table_id=1, mode=1,
+                             mode_ext=3,
+                             block_plan=lambda f, gr: (2, 1, sbg))
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (1152, 2)
+
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im18 = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                          for k in range(18)] for n_ in range(36)])
+        im12 = np.array([[math.cos(math.pi / 24 * (2 * n_ + 1 + 6) * (2 * k + 1))
+                          for k in range(6)] for n_ in range(12)])
+        w_norm = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+        w_short12 = np.array([math.sin(math.pi / 12 * (n_ + 0.5)) for n_ in range(12)])
+
+        def sf_and_xr(f, gr, c):
+            vkey = gr * 2 + c
+            vals = np.array(spectra(f, gr, c), dtype=float)
+            compress = (seed + f * 2 + vkey) % 16
+            s1, s2 = _MP3_SLEN[compress]
+            long_sf = [((j * 5 + seed + vkey) % (1 << s1)) if s1 else 0
+                       for j in range(8)]
+            short_sf = [[(sfb * 5 + w * 3 + seed + vkey)
+                         % (1 << (s1 if sfb < 6 else s2))
+                         if (s1 if sfb < 6 else s2) else 0
+                         for w in range(3)] for sfb in range(3, 12)]
+            gg = (seed * 7 + f * 13 + vkey * 29) % 256
+            mult = 0.5 * (((seed + vkey) % 2) + 1)
+            g = 0.25 * (gg - 210)
+            xr = np.sign(vals) * np.abs(vals) ** (4.0 / 3.0)
+            for band in range(8):
+                lo, hi = sfb_l[band], sfb_l[band + 1]
+                xr[lo:hi] *= 2.0 ** (g - mult * long_sf[band])
+            for sfb in range(3, n_bands):
+                for w in range(3):
+                    s, e = wslice(sfb, w)
+                    sf_v = short_sf[sfb - 3][w] if sfb < 12 else 0
+                    xr[s:e] *= 2.0 ** (g - 2.0 * sbg[w] - mult * sf_v)
+            return long_sf, short_sf, xr
+
+        def pan_pair(L, R, xl, s, e, is_pos, ms_on=True):
+            if is_pos >= 7:
+                m, sv = L[s:e].copy(), R[s:e].copy()
+                L[s:e] = (m + sv) / math.sqrt(2.0)
+                R[s:e] = (m - sv) / math.sqrt(2.0)
+                return
+            if is_pos == 6:
+                kl, kr = 1.0, 0.0
+            else:
+                t = math.tan(is_pos * math.pi / 12.0)
+                kl, kr = t / (1.0 + t), 1.0 / (1.0 + t)
+            v = xl[s:e].copy()
+            L[s:e] = v * kl
+            R[s:e] = v * kr
+
+        v_fifo = [np.zeros(1024), np.zeros(1024)]
+        overlap = [np.zeros((32, 18)), np.zeros((32, 18))]
+        pcm = [[], []]
+        for gr in range(2):
+            _, _, xl = sf_and_xr(0, gr, 0)
+            long_sf_r, short_sf_r, xr_ = sf_and_xr(0, gr, 1)
+            L, R = xl.copy(), xr_.copy()
+            short_all_zero = True
+            for w in range(3):
+                bound = 3
+                for sfb in range(3, n_bands):
+                    s, e = wslice(sfb, w)
+                    if np.any(xr_[s:e]):
+                        bound = sfb + 1
+                if bound > 3:
+                    short_all_zero = False
+                assert bound == ((4, 3, 3)[w] if gr == 0 else 3)
+                for sfb in range(3, n_bands):
+                    s, e = wslice(sfb, w)
+                    if sfb < bound:
+                        m, sv = xl[s:e].copy(), xr_[s:e].copy()
+                        L[s:e] = (m + sv) / math.sqrt(2.0)
+                        R[s:e] = (m - sv) / math.sqrt(2.0)
+                    else:
+                        is_pos = (short_sf_r[sfb - 3][w] if sfb < 12
+                                  else short_sf_r[11 - 3][w])
+                        pan_pair(L, R, xl, s, e, is_pos)
+            if short_all_zero:
+                assert gr == 1
+                zb = max(i + 1 for i in range(long_end) if xr_[i]) if \
+                    np.any(xr_[:long_end]) else 0
+                assert zb == 10
+                for band in range(8):
+                    lo, hi = sfb_l[band], min(sfb_l[band + 1], long_end)
+                    if lo >= zb:
+                        pan_pair(L, R, xl, lo, hi, long_sf_r[band])
+                    else:
+                        m, sv = xl[lo:hi].copy(), xr_[lo:hi].copy()
+                        L[lo:hi] = (m + sv) / math.sqrt(2.0)
+                        R[lo:hi] = (m - sv) / math.sqrt(2.0)
+            else:
+                assert gr == 0
+                m, sv = xl[:long_end].copy(), xr_[:long_end].copy()
+                L[:long_end] = (m + sv) / math.sqrt(2.0)
+                R[:long_end] = (m - sv) / math.sqrt(2.0)
+            for c, xr in enumerate((L, R)):
+                nat = xr.copy()  # mixed reorder: sfb 3..12 only
+                for sfb in range(3, n_bands):
+                    lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                    width = hi - lo
+                    blk = xr[3 * lo: 3 * hi]
+                    for i in range(width):
+                        for w in range(3):
+                            nat[3 * lo + 3 * i + w] = blk[w * width + i]
+                for i, ci in enumerate(_MP3_CI):  # one alias boundary
+                    cs = 1 / math.sqrt(1 + ci * ci)
+                    ca = ci / math.sqrt(1 + ci * ci)
+                    lo_, hi_ = 17 - i, 18 + i
+                    a_, u_ = nat[lo_], nat[hi_]
+                    nat[lo_] = a_ * cs - u_ * ca
+                    nat[hi_] = u_ * cs + a_ * ca
+                slot = np.zeros((32, 18))
+                for sb in range(32):
+                    lines = nat[18 * sb: 18 * sb + 18]
+                    if sb < 2:  # mixed: first 2 subbands long
+                        x36 = w_norm * (im18 @ lines)
+                    else:
+                        x36 = np.zeros(36)
+                        for w in range(3):
+                            z = im12 @ np.array([lines[3 * kk + w] for kk in range(6)])
+                            x36[6 + 6 * w: 18 + 6 * w] += z * w_short12
+                    slot[sb] = x36[:18] + overlap[c][sb]
+                    overlap[c][sb] = x36[18:]
+                for sb in range(1, 32, 2):
+                    slot[sb, 1::2] *= -1.0
+                for t in range(18):
+                    v_fifo[c] = np.concatenate([N @ slot[:, t], v_fifo[c][:960]])
+                    u = np.zeros(512)
+                    for i in range(8):
+                        u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                        u[64 * i + 32: 64 * i + 64] = v_fifo[c][128 * i + 96: 128 * i + 128]
+                    pcm[c].extend((u * D).reshape(16, 32).sum(axis=0))
+        inter = np.empty(2 * len(pcm[0]))
+        inter[0::2], inter[1::2] = pcm[0], pcm[1]
+        ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        got_arr = np.frombuffer(got, np.uint8)
+        diff = np.abs(got_arr.astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+        assert np.count_nonzero(got_arr != 128) > 100
+    finally:
+        register_mp3_tables(None)
 
 
 def test_synthesize_mp3_stereo_decodes_distributed(spark):
