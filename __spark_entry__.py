@@ -6748,6 +6748,52 @@ def pl_mp3_stereo_decode(spark, sf_dir):
 
 
 @_q(
+    "pl_mp3_lsf_decode",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               576 * (1 + doc_id % 3) AS n,
+               CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 2 END AS nch
+        FROM documents
+    )
+    SELECT media_id, CAST(n AS INT) AS width, CAST(nch AS INT) AS height,
+           CAST(nch * n AS INT) AS n_bytes,
+           CAST(128 * nch * n AS BIGINT) AS body_sum
+    FROM m ORDER BY media_id
+    """,
+)
+def pl_mp3_lsf_decode(spark, sf_dir):
+    """MPEG-2/2.5 LOW-SAMPLING-FREQUENCY Layer III decode under the
+    driver's hash check (r10 — the first item on the r9 codec-seam
+    list): executors build genuine LSF frames from each doc id
+    (pipeline/multimodal.synthesize_mp3_lsf — version alternating
+    MPEG-2 at 22.05/24/16 kHz and MPEG-2.5 at 11.025/12/8 kHz, the LSF
+    bitrate table, channel mode cycling mono/stereo/joint-MS/dual,
+    9-bit scalefac_compress walking all three 13818-3 §2.4.3.2
+    blocknumber ranges with nonzero scalefactors, window-switching and
+    CRC and 8-bit-main_data_begin reservoir docs), then the Arrow
+    mapInPandas decode stage walks the LSF pipeline library-free
+    (_decode_mp3: version bits, LSF frame length 72000·kbps/fs, ONE
+    576-sample granule per frame, 9/17-byte side info without scfsi or
+    a preflag bit, the derived slen/group scalefactor scheme with
+    per-range preflag). Silence spectra map to exact zeros through the
+    shared DSP, so DuckDB's closed form is n = 576·frames per channel
+    folding to 128. LSF intensity stereo (intensity_scale is_pos
+    coding) and LSF mixed-block scalefactors raise named
+    NotImplementedErrors — the remaining LSF seam."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_mp3_lsf,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_mp3_lsf(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_jpeg_progressive",
     """
     WITH m AS (
@@ -8684,8 +8730,9 @@ _PRIORITY = [
     # behind it for r11. After this sweep the registry evidence floor
     # lifts to r06. Audit: recompute latest-green per query from
     # CORRECTNESS_r0*.json each round.
-    # --- new row, no driver evidence yet ---
+    # --- new rows, no driver evidence yet ---
     "pl_mp3_stereo_decode",
+    "pl_mp3_lsf_decode",
     # --- latest green driver row r05 ---
     "an_scc",
     "pl_substring_spans",

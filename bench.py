@@ -115,6 +115,7 @@ HEADLINE = [
     "src_fennel_partition",
     "st_restart_replay",
     "pl_mp3_stereo_decode",
+    "pl_mp3_lsf_decode",
 ]
 
 

@@ -1608,6 +1608,17 @@ def _decode_flac(payload: bytes) -> tuple[int, int, bytes]:
 
 MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
 MP3_SAMPLERATES = (44100, 48000, 32000)
+# MPEG-2/2.5 LSF Layer III (ISO 13818-3): halved sample rates, its own
+# bitrate table, ONE granule per frame (576 samples)
+MP3_LSF_BITRATES = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+MP3_LSF_SAMPLERATES = {2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+# LSF scalefactor groups (13818-3 §2.4.3.2): nr_of_sfb per
+# (blocknumber from the scalefac_compress ranges) × (long/short/mixed)
+_MP3_LSF_NSFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+)
 # scalefac_compress → (slen1, slen2) (11172-3 §2.4.2.7)
 _MP3_SLEN = (
     (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
@@ -1717,6 +1728,102 @@ def _mp3_read_side_info(raw: bytes, nch: int = 1) -> list:
             si.scalefac_scale.append(br.read(1))
             si.count1table.append(br.read(1))
     return sides
+
+
+def _mp3_lsf_slen(sc: int) -> tuple:
+    """LSF (13818-3 §2.4.3.2) non-intensity scalefactor scheme: the
+    9-bit scalefac_compress decodes arithmetically into four group
+    lengths slen[0..3], a derived preflag, and the blocknumber that
+    picks the _MP3_LSF_NSFB row. Returns (slen4, preflag, blocknumber)."""
+    if sc < 400:
+        return ((sc >> 4) // 5, (sc >> 4) % 5, (sc % 16) >> 2, sc % 4), 0, 0
+    if sc < 500:
+        t = sc - 400
+        return ((t >> 2) // 5, (t >> 2) % 5, t % 4, 0), 0, 1
+    t = sc - 500
+    return (t // 3, t % 3, 0, 0), 1, 2
+
+
+def _mp3_read_side_info_lsf(raw: bytes, nch: int = 1) -> list:
+    """MPEG-2/2.5 LSF side info → one _Mp3SideInfo per channel, each
+    with ONE granule (list length 1 so the (si, gr=0) helpers apply).
+    Mono: 9 bytes = 8 (main_data_begin) + 1 (private) + 63 bits;
+    stereo: 17 bytes = 8 + 2 + 2×63 bits. The 63-bit granule is the
+    MPEG-1 layout with a 9-bit scalefac_compress, no scfsi, and no
+    preflag bit (preflag derives from the scalefac_compress range)."""
+    br = _FlacBitReader(raw)
+    mdb = br.read(8)
+    br.read(1 if nch == 1 else 2)  # private_bits
+    sides = []
+    for _ in range(nch):
+        si = _Mp3SideInfo()
+        si.main_data_begin = mdb
+        si.scfsi = [0, 0, 0, 0]  # no scfsi in LSF
+        (si.part2_3_length, si.big_values, si.global_gain,
+         si.scalefac_compress, si.window_switching, si.block_type,
+         si.mixed_block, si.table_select, si.subblock_gain, si.region0,
+         si.region1, si.preflag, si.scalefac_scale, si.count1table) = (
+            [], [], [], [], [], [], [], [], [], [], [], [], [], [])
+        sides.append(si)
+    for si in sides:
+        si.part2_3_length.append(br.read(12))
+        si.big_values.append(br.read(9))
+        if si.big_values[-1] * 2 > 576:
+            raise ValueError(
+                f"MP3 big_values {si.big_values[-1]} exceeds spec cap 288 pairs"
+            )
+        si.global_gain.append(br.read(8))
+        si.scalefac_compress.append(br.read(9))
+        wsf = br.read(1)
+        si.window_switching.append(wsf)
+        if wsf:
+            bt = br.read(2)
+            if bt == 0:
+                raise ValueError("MP3 forbidden block_type 0 with window switching")
+            si.block_type.append(bt)
+            si.mixed_block.append(br.read(1))
+            si.table_select.append([br.read(5), br.read(5)])
+            si.subblock_gain.append([br.read(3) for _ in range(3)])
+            si.region0.append(7 if bt != 2 else 8)
+            si.region1.append(20)
+        else:
+            si.block_type.append(0)
+            si.mixed_block.append(0)
+            si.table_select.append([br.read(5), br.read(5), br.read(5)])
+            si.subblock_gain.append([0, 0, 0])
+            si.region0.append(br.read(4))
+            si.region1.append(br.read(3))
+        # preflag derives from scalefac_compress in LSF; the reader
+        # fills it when decoding the scalefactors
+        si.preflag.append(0)
+        si.scalefac_scale.append(br.read(1))
+        si.count1table.append(br.read(1))
+    return sides
+
+
+def _mp3_read_scalefactors_lsf(br, si: _Mp3SideInfo, gr: int):
+    """LSF scalefactors for the single granule: four groups of
+    nr_of_sfb[g] values at slen[g] bits each, partitioned over the flat
+    scalefactor sequence (long: 21 values; pure short: 36 values in
+    sfb-major window order → [12][3]). Sets si.preflag[gr] from the
+    derived scheme. Mixed blocks (33 values, 6 long + 27 short) are the
+    remaining LSF seam and raise naming the field."""
+    bt, mixed = si.block_type[gr], si.mixed_block[gr]
+    if bt == 2 and mixed:
+        raise NotImplementedError(
+            "LSF mixed-block scalefactors (6 long + 27 short groups) "
+            "not implemented"
+        )
+    slen, preflag, bn = _mp3_lsf_slen(si.scalefac_compress[gr])
+    si.preflag[gr] = preflag
+    nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
+    flat = []
+    for g in range(4):
+        for _ in range(nsfb[g]):
+            flat.append(br.read(slen[g]) if slen[g] else 0)
+    if bt == 2:  # 36 values, sfb-major window order
+        return [flat[3 * sfb: 3 * sfb + 3] for sfb in range(12)]
+    return flat  # 21 long values
 
 
 def _mp3_scalefactor_bits(compress: int, block_type: int, mixed: int,
@@ -2207,14 +2314,18 @@ class _Mp3Synth:
 
 
 def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL library-free MPEG-1 Layer III decoder — MONO and STEREO
-    (stereo / joint stereo with MS + long- AND short-block intensity /
-    dual channel) — for everything structural/closed-form in ISO/IEC
-    11172-3; the spec's numeric tables (Huffman B.7, sfb B.8, synthesis
-    window B.3) are the injectable seam — see the MP3 section comment.
-    Walks frames (sync, bitrate/fs/padding, frame length), skips the
-    16-bit CRC when protection=0 (parsed, not verified), parses 17-byte
-    mono / 32-byte two-channel side info, maintains the BIT RESERVOIR
+    """REAL library-free MPEG-1 + MPEG-2/2.5-LSF Layer III decoder —
+    MONO and STEREO (stereo / joint stereo with MS + long- AND
+    short-block intensity / dual channel) — for everything
+    structural/closed-form in ISO/IEC 11172-3 + 13818-3; the spec's
+    numeric tables (Huffman B.7, sfb B.8, synthesis window B.3) are the
+    injectable seam — see the MP3 section comment.
+    Walks frames (sync, version bits, bitrate/fs/padding, frame
+    length — LSF: 72000·kbps/fs, one 576-sample granule, 9/17-byte
+    side info with no scfsi and the derived 9-bit-scalefac_compress
+    slen scheme of 13818-3 §2.4.3.2), skips the 16-bit CRC when
+    protection=0 (parsed, not verified), parses 17-byte mono / 32-byte
+    two-channel side info, maintains the BIT RESERVOIR
     (main_data_begin back-pointers, bounded 511-byte store), reads
     per-channel scalefactors with scfsi sharing, Huffman-decodes each
     channel's spectrum in gr-major ch-minor order, applies joint-stereo
@@ -2226,9 +2337,10 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     windows), overlap-adds, frequency-inverts, and runs the polyphase
     synthesis with PER-CHANNEL filter state. All-zero spectra decode to
     exact zeros through every stage (linear pipeline), which is what
-    the pl_mp3_decode / pl_mp3_stereo_decode driver rows check
-    arithmetically. MPEG-2/2.5 (LSF), Layer I/II, free-format, and
-    intensity with mismatched channel block types raise
+    the pl_mp3_decode / pl_mp3_stereo_decode / pl_mp3_lsf_decode driver
+    rows check arithmetically. Layer I/II, free-format, intensity with
+    mismatched channel block types, LSF intensity stereo, and LSF
+    mixed-block scalefactors raise
     NotImplementedError naming the field. Returns (samples_per_channel,
     n_channels, channel-interleaved upper-byte+128 uint8 fold) like
     _decode_wav/_decode_flac."""
@@ -2237,6 +2349,7 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     pos = 0
     store = bytearray()  # bit-reservoir: previous frames' main data
     nch = None
+    version = None  # 3 = MPEG-1, 2 = MPEG-2 LSF, 0 = MPEG-2.5 LSF
     pcm_ch: list = []  # per-channel float sample lists
     overlap: list = []  # per-channel [32][18] overlap state
     synth: list = []  # per-channel polyphase state
@@ -2245,8 +2358,10 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         h = payload[pos: pos + 4]
         if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
             raise ValueError("lost MP3 frame sync")
-        if (h[1] >> 3) & 1 != 1:
-            raise NotImplementedError("MPEG-2/2.5 audio (ID bit 0)")
+        ver = (h[1] >> 3) & 3
+        if ver == 1:
+            raise ValueError("reserved MPEG version bits 01")
+        lsf = ver != 3  # MPEG-2 (10) / MPEG-2.5 (00): low sampling frequency
         if (h[1] >> 1) & 3 != 1:
             raise NotImplementedError("MPEG Layer I/II (layer bits)")
         protection = h[1] & 1  # 1 = no CRC
@@ -2264,20 +2379,36 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         frame_nch = 1 if mode == 3 else 2
         ms_on = mode == 1 and bool(mode_ext & 2)
         int_on = mode == 1 and bool(mode_ext & 1)
+        if lsf and int_on:
+            raise NotImplementedError(
+                "LSF intensity stereo (intensity_scale is_pos coding, "
+                "13818-3 §2.4.3.2) not implemented"
+            )
         if nch is None:
             nch = frame_nch
+            version = ver
             pcm_ch = [[] for _ in range(nch)]
             overlap = [[[0.0] * 18 for _ in range(32)] for _ in range(nch)]
             synth = [_Mp3Synth() for _ in range(nch)]
         elif frame_nch != nch:
             raise ValueError("MP3 channel mode changed mid-stream")
-        fs = MP3_SAMPLERATES[fs_idx]
-        flen = _mp3_frame_len(MP3_BITRATES[br_idx], fs, padding)
+        elif ver != version:
+            raise ValueError("MPEG version changed mid-stream")
+        if lsf:
+            fs = MP3_LSF_SAMPLERATES[ver][fs_idx]
+            flen = (72000 * MP3_LSF_BITRATES[br_idx]) // fs + padding
+        else:
+            fs = MP3_SAMPLERATES[fs_idx]
+            flen = _mp3_frame_len(MP3_BITRATES[br_idx], fs, padding)
         body = pos + 4
         if not protection:
             body += 2  # CRC present: skipped, not verified
-        side_len = 17 if nch == 1 else 32
-        sides = _mp3_read_side_info(payload[body: body + side_len], nch)
+        if lsf:
+            side_len = 9 if nch == 1 else 17
+            sides = _mp3_read_side_info_lsf(payload[body: body + side_len], nch)
+        else:
+            side_len = 17 if nch == 1 else 32
+            sides = _mp3_read_side_info(payload[body: body + side_len], nch)
         main_raw = payload[body + side_len: pos + flen]
         mdb = sides[0].main_data_begin
         if mdb > len(store):
@@ -2290,14 +2421,17 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         br = _FlacBitReader(data)
         base = 0  # absolute bit offset of br's buffer start within `data`
         prev_sf = [None] * nch
-        for gr in range(2):
+        for gr in range(1 if lsf else 2):
             chans = []  # per channel: (spectrum, sf, coded_end)
             for ch in range(nch):
                 side = sides[ch]
                 start_bits = base + _mp3_bits_consumed(br)
-                sf = _mp3_read_scalefactors(br, side, gr, prev_sf[ch])
-                if gr == 0 and side.block_type[0] != 2:
-                    prev_sf[ch] = sf
+                if lsf:
+                    sf = _mp3_read_scalefactors_lsf(br, side, gr)
+                else:
+                    sf = _mp3_read_scalefactors(br, side, gr, prev_sf[ch])
+                    if gr == 0 and side.block_type[0] != 2:
+                        prev_sf[ch] = sf
                 part2 = base + _mp3_bits_consumed(br) - start_bits
                 bits_left = side.part2_3_length[gr] - part2
                 if bits_left < 0:
@@ -2405,6 +2539,7 @@ def encode_mp3(
     block_plan=None,
     mode: int = 3,
     mode_ext: int = 0,
+    version: int = 1,
 ) -> bytes:
     """Minimal MPEG-1 Layer III mono/stereo encoder (fixtures + tests). With
     ``spectra=None`` emits digital silence with REAL varied structure:
@@ -2433,29 +2568,48 @@ def encode_mp3(
     channels ``spectra`` is called as (frame, gr, ch). The channel
     variation key vkey = gr (mono) / gr·2+ch (stereo) feeds the same
     scalefactor/gain formulas, so mono output is byte-identical to
-    r8."""
+    r8.
+    ``version`` (r10, LSF): 1 = MPEG-1 (default); 2 = MPEG-2 LSF
+    (22.05/24/16 kHz); 25 = MPEG-2.5 LSF (11.025/12/8 kHz). LSF frames
+    carry ONE granule (576 samples), 9/17-byte side info with an 8-bit
+    main_data_begin, no scfsi, a 9-bit scalefac_compress feeding the
+    13818-3 §2.4.3.2 slen/group scheme, and no preflag bit. LSF
+    intensity stereo is not supported (the decoder's named seam)."""
     if spectra is not None and MP3_TABLES is None:
         raise NotImplementedError(
             "encoding nonzero MP3 spectra needs registered Huffman tables"
         )
     if mode not in (0, 1, 2, 3):
         raise ValueError(f"invalid MP3 mode {mode}")
+    if version not in (1, 2, 25):
+        raise ValueError(f"invalid MPEG version {version} (1, 2 or 25)")
+    lsf = version != 1
+    if lsf and scfsi:
+        raise ValueError("scfsi does not exist in LSF side info")
+    if lsf and mode == 1 and (mode_ext & 1):
+        raise ValueError("LSF intensity stereo not supported by this encoder")
+    ngr = 1 if lsf else 2
     nch = 1 if mode == 3 else 2
-    side_len = 17 if nch == 1 else 32
-    kbps = MP3_BITRATES[bitrate_index]
-    fs = MP3_SAMPLERATES[fs_index]
+    if lsf:
+        side_len = 9 if nch == 1 else 17
+        kbps = MP3_LSF_BITRATES[bitrate_index]
+        fs = MP3_LSF_SAMPLERATES[2 if version == 2 else 0][fs_index]
+    else:
+        side_len = 17 if nch == 1 else 32
+        kbps = MP3_BITRATES[bitrate_index]
+        fs = MP3_SAMPLERATES[fs_index]
     headers = []
     granule_bits: list = []  # per frame: _FlacBitWriter over all granules
     sides: list = []
     caps: list = []
     for f in range(n_frames):
         pad = padding if fs != 48000 else 0
-        flen = _mp3_frame_len(kbps, fs, pad)
+        flen = ((72000 * kbps) // fs + pad) if lsf else _mp3_frame_len(kbps, fs, pad)
         caps.append(flen - 4 - (2 if protection else 0) - side_len)
         headers.append((pad, flen))
         w = _FlacBitWriter()
         si_fields = []
-        for gr in range(2):
+        for gr in range(ngr):
             for ch_ in range(nch):
                 vkey = gr if nch == 1 else gr * 2 + ch_
                 compress = (seed + f * 2 + vkey) % 16
@@ -2471,10 +2625,40 @@ def encode_mp3(
                         bt, mixed, sbg = block_plan(f, gr)
                     if scfsi:
                         raise ValueError("scfsi sharing requires long blocks")
+                gg = (seed * 7 + f * 13 + vkey * 29) % 256
+                if lsf:
+                    if bt == 2 and mixed:
+                        raise ValueError(
+                            "LSF mixed blocks not supported by this encoder"
+                        )
+                    compress = (seed * 3 + f * 7 + vkey * 11) % 512
+                    slen4, _pre, bn = _mp3_lsf_slen(compress)
+                    nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
+                    part2 = sum(nsfb[g_] * slen4[g_] for g_ in range(4))
+                    j = 0
+                    for g_ in range(4):
+                        for _ in range(nsfb[g_]):
+                            if slen4[g_]:
+                                w.write((j * 5 + seed + vkey) % (1 << slen4[g_]),
+                                        slen4[g_])
+                            j += 1
+                    huff_bits = 0
+                    big_values = 0
+                    region0, region1 = 0, 0
+                    if spectra is not None:
+                        vals = spectra(f, gr) if nch == 1 else spectra(f, gr, ch_)
+                        huff_bits, big_values, region0, region1 = (
+                            _mp3_write_spectrum(w, vals, table_id, fs)
+                        )
+                    si_fields.append(
+                        (part2 + huff_bits, big_values, gg, compress,
+                         [table_id, table_id, table_id], region0, region1,
+                         (seed + vkey) % 2, 0, bt, mixed, sbg)
+                    )
+                    continue
                 scfsi_bits = [(scfsi >> (3 - i)) & 1 for i in range(4)]
                 use_scfsi = scfsi_bits if gr == 1 else None
                 part2 = _mp3_scalefactor_bits(compress, bt, mixed, use_scfsi)
-                gg = (seed * 7 + f * 13 + vkey * 29) % 256
                 if bt == 2 and not mixed:
                     for sfb in range(12):
                         slen = s1 if sfb < 6 else s2
@@ -2525,7 +2709,8 @@ def encode_mp3(
         gb = granule_bits[f]
         gb.align()
         begin = flushed - len(logical)
-        if begin < 0 or begin > 511:
+        mdb_cap = 255 if lsf else 511  # 8-bit LSF / 9-bit MPEG-1 field
+        if begin < 0 or begin > mdb_cap:
             raise ValueError(f"MP3 reservoir bookkeeping out of range: {begin}")
         begins.append(begin)
         logical += bytes(gb.out)
@@ -2542,24 +2727,28 @@ def encode_mp3(
     for f in range(n_frames):
         pad, flen = headers[f]
         h1 = 0xFF
-        h2 = 0xE0 | (1 << 4) | (1 << 3) | (1 << 1) | (0 if protection else 1)
+        vv = 3 if version == 1 else (2 if version == 2 else 0)
+        h2 = 0xE0 | (vv << 3) | (1 << 1) | (0 if protection else 1)
         h3 = (bitrate_index << 4) | (fs_index << 2) | (pad << 1)
         h4 = (mode << 6) | ((mode_ext & 3) << 4) | (1 << 2)  # mode, original
         out += bytes([h1, h2, h3, h4])
         if protection:
             out += b"\x00\x00"  # CRC bytes present but unverified (seam)
         sw = _FlacBitWriter()
-        sw.write(begins[f], 9)
-        sw.write(0, 5 if nch == 1 else 3)
-        for _ in range(nch):
-            sw.write(scfsi & 0xF, 4)
-        for gi in range(2 * nch):
+        sw.write(begins[f], 8 if lsf else 9)
+        if lsf:
+            sw.write(0, 1 if nch == 1 else 2)
+        else:
+            sw.write(0, 5 if nch == 1 else 3)
+            for _ in range(nch):
+                sw.write(scfsi & 0xF, 4)
+        for gi in range(ngr * nch):
             (p23, bv, gg, compress, tsel, r0, r1,
              sfscale, c1sel, bt, mixed, sbg) = sides[f][gi]
             sw.write(p23, 12)
             sw.write(bv, 9)
             sw.write(gg, 8)
-            sw.write(compress, 4)
+            sw.write(compress, 9 if lsf else 4)
             if bt:  # window switching: start/short/stop layout
                 sw.write(1, 1)
                 sw.write(bt, 2)
@@ -2574,7 +2763,8 @@ def encode_mp3(
                     sw.write(t, 5)
                 sw.write(r0, 4)
                 sw.write(r1, 3)
-            sw.write(0, 1)  # preflag
+            if not lsf:
+                sw.write(0, 1)  # preflag (LSF derives it — no bit)
             sw.write(sfscale, 1)
             sw.write(c1sel, 1)
         sw.align()
@@ -2756,6 +2946,65 @@ def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         block_plan=plan,
                         mode=mode,
                         mode_ext=mode_ext,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "audio", "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MPEG-2/2.5 LSF media fixture (r10): genuine low-sampling-frequency
+    Layer III frames built ON EXECUTORS in a mapInPandas stage. Doc d
+    gets 1 + d%3 frames of digital silence; the version alternates
+    MPEG-2 (22.05/24/16 kHz) and MPEG-2.5 (11.025/12/8 kHz) by doc, the
+    channel mode cycles mono / stereo / joint-MS / dual (LSF intensity
+    is the decoder's named seam, so mode_ext stays MS-only), the 9-bit
+    scalefac_compress walks all three §2.4.3.2 blocknumber ranges with
+    NONZERO scalefactors, every 11th doc window-switches
+    (start/short/stop), every 5th carries CRC bytes, every 7th uses a
+    real bit reservoir (8-bit main_data_begin). One granule per frame:
+    the SQL oracle's closed form is n = 576·frames per channel, bytes
+    fold to 128 each."""
+
+    def _plan(f, gr):
+        if f % 3 == 0:
+            return (1, 0, [0, 1, 2])
+        return (2, 0, [2, 0, 1]) if f % 3 == 1 else (3, 0, [1, 1, 0])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                mode = (3, 0, 1, 2)[i % 4]
+                windowed = i % 11 == 0
+                stereo = mode != 3
+                # scalefactor bits for 2 channels (or 36 short values)
+                # outgrow the lowest LSF bitrates' frame capacity
+                if windowed:
+                    br_idx = int(8 + i % 7)
+                elif stereo:
+                    br_idx = int(4 + i % 11)
+                else:
+                    br_idx = int(1 + i % 14)
+                payloads.append(
+                    encode_mp3(
+                        1 + i % 3,
+                        fs_index=int(i % 3),
+                        bitrate_index=br_idx,
+                        seed=int(i % 251),
+                        protection=bool(i % 5 == 0),
+                        padding=int(i % 2),
+                        reservoir_slack=4 if i % 7 == 0 else 0,
+                        block_plan=_plan if windowed else None,
+                        mode=mode,
+                        mode_ext=2 if mode == 1 else 0,
+                        version=2 if i % 2 == 0 else 25,
                     )
                 )
             yield pd.DataFrame(

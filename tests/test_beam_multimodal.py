@@ -969,10 +969,10 @@ def test_mp3_silence_roundtrip_all_structures():
 
 
 def test_mp3_unsupported_fields_gated():
-    """Every seam raises naming the missing piece: MPEG-2, Layer II,
-    free format, and — without registered tables — nonzero spectral
-    data. (Stereo/joint/dual decode landed r9 and is tested in
-    test_mp3_stereo_*.)"""
+    """Every seam raises naming the missing piece: reserved version
+    bits, Layer II, free format, and — without registered tables —
+    nonzero spectral data. (Stereo/joint/dual decode landed r9, LSF
+    MPEG-2/2.5 landed r10; both are tested in their own tests.)"""
     import pytest as _pt
 
     from jasminegraph_spark.pipeline.multimodal import (
@@ -983,8 +983,8 @@ def test_mp3_unsupported_fields_gated():
 
     assert MP3_TABLES is None  # this environment ships no table data
     base = bytearray(encode_mp3(1, fs_index=1, bitrate_index=9))
-    b = bytearray(base); b[1] &= ~0x08
-    with _pt.raises(NotImplementedError, match="MPEG-2"):
+    b = bytearray(base); b[1] = (b[1] & ~0x18) | 0x08  # version bits 01
+    with _pt.raises(ValueError, match="reserved MPEG version"):
         _decode_mp3(bytes(b))
     b = bytearray(base); b[1] = (b[1] & ~0x06) | 0x04  # layer II
     with _pt.raises(NotImplementedError, match="Layer I/II"):
@@ -1993,6 +1993,191 @@ def test_synthesize_mp3_stereo_decodes_distributed(spark):
         assert rows[d]["width"] == n and rows[d]["height"] == 2
         assert rows[d]["n_bytes"] == 2 * n
         assert rows[d]["body_sum"] == 128 * 2 * n
+
+
+def test_mp3_lsf_silence_and_gates():
+    """r10 MPEG-2/2.5 LSF structural coverage: silence streams across
+    both versions, all LSF sample rates/bitrates, mono/stereo/MS/dual,
+    window switching, CRC, and the 8-bit-main_data_begin reservoir
+    decode to exactly 576·frames zero samples per channel. The named
+    LSF seams raise: intensity stereo, mixed-block scalefactors, and
+    the reserved version bits 01."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        encode_mp3,
+    )
+
+    for i in range(40):
+        mode = (3, 0, 1, 2)[i % 4]
+        nch = 1 if mode == 3 else 2
+        p = encode_mp3(1 + i % 3, fs_index=i % 3,
+                       bitrate_index=(4 + i % 11) if nch == 2 else (1 + i % 14),
+                       seed=i % 251, protection=i % 5 == 0, padding=i % 2,
+                       reservoir_slack=4 if i % 7 == 0 else 0,
+                       mode=mode, mode_ext=2 if mode == 1 else 0,
+                       version=2 if i % 2 == 0 else 25)
+        n, ch, body = _decode_mp3(p)
+        assert (n, ch) == (576 * (1 + i % 3), nch)
+        assert set(body) == {128}
+
+    # LSF intensity stereo: named seam
+    pay = encode_mp3(1, bitrate_index=8, mode=1, mode_ext=2, version=2)
+    tampered = bytes([pay[0], pay[1], pay[2], (1 << 6) | (3 << 4) | (1 << 2)]) + pay[4:]
+    with _pt.raises(NotImplementedError, match="LSF intensity stereo"):
+        _decode_mp3(tampered)
+    with _pt.raises(ValueError, match="LSF intensity stereo"):
+        encode_mp3(1, bitrate_index=8, mode=1, mode_ext=3, version=2)
+
+    # LSF mixed-block scalefactors: named seam (encoder refuses; a
+    # hand-tampered side info would hit the reader's gate)
+    with _pt.raises(ValueError, match="LSF mixed blocks"):
+        encode_mp3(1, bitrate_index=10, version=2,
+                   block_plan=lambda f, gr: (2, 1, [0, 0, 0]))
+
+    # reserved version bits 01 fail loudly
+    good = encode_mp3(1, bitrate_index=8, version=2)
+    bad = bytes([good[0], (good[1] & ~0x18) | 0x08, good[2], good[3]]) + good[4:]
+    with _pt.raises(ValueError, match="reserved MPEG version"):
+        _decode_mp3(bad)
+
+    # version change mid-stream fails loudly
+    a = encode_mp3(1, fs_index=0, bitrate_index=8, version=2)
+    b = encode_mp3(1, fs_index=0, bitrate_index=8, version=1)
+    with _pt.raises(ValueError, match="version changed mid-stream"):
+        _decode_mp3(a + b)
+
+
+def test_mp3_lsf_nonzero_dsp_matches_independent_spec_math():
+    """r10 LSF nonzero path: MPEG-2 mono long-block spectra decoded
+    through the derived-slen scalefactor scheme (13818-3 §2.4.3.2) and
+    requantize, vs independent numpy math. Three payloads pin all three
+    blocknumber ranges of the 9-bit scalefac_compress — including the
+    sc ≥ 500 range whose derived preflag applies the pretab (no preflag
+    BIT exists in LSF side info)."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_LSF_NSFB,
+        _MP3_PRETAB,
+        _decode_mp3,
+        _mp3_lsf_slen,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    # the synthetic seam tables, additionally keyed by the LSF rates
+    for t in ("sfb_long", "sfb_short"):
+        base = tables[t][48000]
+        for fs in (22050, 24000, 16000, 11025, 12000, 8000):
+            tables[t][fs] = base
+    register_mp3_tables(tables)
+    try:
+        sfb = tables["sfb_long"][24000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im18 = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                          for k in range(18)] for n_ in range(36)])
+        w_norm = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+
+        def spectra(f, gr):
+            vals = [0] * 576
+            rng = np.random.RandomState(40 + f)
+            for i in rng.choice(60, size=12, replace=False):
+                vals[int(i)] = int(rng.randint(-17, 18))
+            return vals
+
+        seen_bn = set()
+        for seed in (100, 140, 170):  # compress = (3·seed + 7f) % 512
+            n_frames = 2
+            payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                                 seed=seed, spectra=spectra, table_id=1,
+                                 version=2)
+            n, ch, got = _decode_mp3(payload)
+            assert (n, ch) == (576 * n_frames, 1)
+
+            v_fifo = np.zeros(1024)
+            overlap = np.zeros((32, 18))
+            pcm = []
+            for f in range(n_frames):
+                sc = (seed * 3 + f * 7) % 512
+                slen, preflag, bn = _mp3_lsf_slen(sc)
+                seen_bn.add(bn)
+                nsfb = _MP3_LSF_NSFB[bn][0]
+                sf, j = [], 0
+                for g_ in range(4):
+                    for _ in range(nsfb[g_]):
+                        sf.append((j * 5 + seed) % (1 << slen[g_])
+                                  if slen[g_] else 0)
+                        j += 1
+                assert len(sf) == 21
+                gg = (seed * 7 + f * 13) % 256
+                mult = 0.5 * ((seed % 2) + 1)
+                g = 0.25 * (gg - 210)
+                xr = np.array(spectra(f, 0), dtype=float)
+                xr = np.sign(xr) * np.abs(xr) ** (4.0 / 3.0)
+                xr *= 2.0 ** g
+                for band in range(21):
+                    pre = _MP3_PRETAB[band] if preflag else 0
+                    xr[sfb[band]:sfb[band + 1]] *= 2.0 ** (-mult * (sf[band] + pre))
+                for b in range(1, 32):
+                    for i, ci in enumerate(_MP3_CI):
+                        cs = 1 / math.sqrt(1 + ci * ci)
+                        ca = ci / math.sqrt(1 + ci * ci)
+                        lo_, hi_ = 18 * b - 1 - i, 18 * b + i
+                        xl, xu = xr[lo_], xr[hi_]
+                        xr[lo_] = xl * cs - xu * ca
+                        xr[hi_] = xu * cs + xl * ca
+                slot = np.zeros((32, 18))
+                for sb in range(32):
+                    x36 = w_norm * (im18 @ xr[18 * sb: 18 * sb + 18])
+                    slot[sb] = x36[:18] + overlap[sb]
+                    overlap[sb] = x36[18:]
+                for sb in range(1, 32, 2):
+                    slot[sb, 1::2] *= -1.0
+                for t in range(18):
+                    v_fifo = np.concatenate([N @ slot[:, t], v_fifo[:960]])
+                    u = np.zeros(512)
+                    for i in range(8):
+                        u[64 * i: 64 * i + 32] = v_fifo[128 * i: 128 * i + 32]
+                        u[64 * i + 32: 64 * i + 64] = v_fifo[128 * i + 96: 128 * i + 128]
+                    pcm.extend((u * D).reshape(16, 32).sum(axis=0))
+            ints = np.clip(np.rint(np.asarray(pcm) * 32768.0), -32768, 32767).astype(np.int32)
+            want = ((ints >> 8) + 128).astype(np.uint8)
+            got_arr = np.frombuffer(got, np.uint8)
+            diff = np.abs(got_arr.astype(int) - want.astype(int))
+            assert int(diff.max()) <= 1, (seed, int(diff.max()))
+            assert np.count_nonzero(got_arr != 128) > 100, seed
+        assert seen_bn == {0, 1, 2}  # all three compress ranges exercised
+    finally:
+        register_mp3_tables(None)
+
+
+def test_synthesize_mp3_lsf_decodes_distributed(spark):
+    """r10 LSF end-to-end through the Spark plumbing: executor-side
+    MPEG-2/2.5 encode → Arrow mapInPandas decode; silence closed form
+    n = 576·frames per channel, channel count by doc_id % 4."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_mp3_lsf,
+    )
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = {r["media_id"]: r
+            for r in decode_media(synthesize_mp3_lsf(docs)).collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        n = 576 * (1 + d % 3)
+        nch = 1 if d % 4 == 0 else 2
+        assert rows[d]["width"] == n and rows[d]["height"] == nch
+        assert rows[d]["n_bytes"] == nch * n
+        assert rows[d]["body_sum"] == 128 * nch * n
 
 
 def test_mp3_window_switching_dsp_matches_independent_spec_math():
