@@ -6839,6 +6839,56 @@ def pl_jpeg_progressive(spark, sf_dir):
 
 
 @_q(
+    "pl_jpeg_progressive_color",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+               doc_id % 251 AS seed
+        FROM documents
+    ),
+    s AS (
+        SELECT media_id, wb, hb,
+               list_sum(flatten(list_transform(generate_series(0, wb - 1), bx ->
+                   list_transform(generate_series(0, hb - 1), by ->
+                       (seed + 17 * bx + 37 * by) % 251)))) AS block_sum
+        FROM m
+    )
+    SELECT media_id, CAST(8 * wb AS INT) AS width, CAST(8 * hb AS INT) AS height,
+           CAST(64 * wb * hb AS INT) AS n_bytes,
+           CAST(64 * block_sum AS BIGINT) AS body_sum
+    FROM s ORDER BY media_id
+    """,
+)
+def pl_jpeg_progressive_color(spark, sf_dir):
+    """PROGRESSIVE COLOR JPEG decode under the driver's hash check (r10
+    — closes the progressive-color item on the r9 codec-seam list):
+    executors build genuine THREE-component SOF2 streams
+    (pipeline/multimodal.encode_jpeg_progressive_color — one
+    INTERLEAVED DC first scan in MCU order with per-component
+    predictors, interleaved DC refinements, then per-component AC band
+    first + refinement scans, chroma sampling cycling 4:4:4/4:2:2/4:2:0
+    by doc with nonzero chroma DC+AC energy), then the Arrow
+    mapInPandas decode stage runs the multi-component Annex-G state
+    machine (_decode_jpeg_progressive: per-component MCU-padded
+    coefficient grids, interleaved DC scan geometry, non-interleaved AC
+    scans over each component's own raster with the padded stride) and
+    renders the full-resolution Y once at EOI — the same luma
+    convention as the baseline color path, so the SAME closed-form SQL
+    oracle as pl_jpeg_decode / pl_jpeg_progressive replays the pixels.
+    Remaining JPEG seam: arithmetic coding, hierarchical, 12-bit."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_jpeg_progressive_color,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_jpeg_progressive_color(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_pack_sequences",
     """
     WITH base AS (
@@ -8733,6 +8783,7 @@ _PRIORITY = [
     # --- new rows, no driver evidence yet ---
     "pl_mp3_stereo_decode",
     "pl_mp3_lsf_decode",
+    "pl_jpeg_progressive_color",
     # --- latest green driver row r05 ---
     "an_scc",
     "pl_substring_spans",

@@ -116,6 +116,7 @@ HEADLINE = [
     "st_restart_replay",
     "pl_mp3_stereo_decode",
     "pl_mp3_lsf_decode",
+    "pl_jpeg_progressive_color",
 ]
 
 

@@ -592,18 +592,21 @@ def _jpeg_read_bits(rd: _JpegBitReader, n: int) -> int:
 
 
 def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
-    """REAL library-free PROGRESSIVE JPEG decoder — grayscale (r7,
-    closing the last JPEG mode behind the codec seam). Full T.81 Annex G
-    semantics: SOF2, multi-scan SOS with spectral selection (Ss/Se) and
-    successive approximation (Ah/Al); DC first + DC refinement scans, AC
-    first scans with EOBRUN, and AC REFINEMENT scans (newly-significant
-    ±1·2^Al insertions interleaved with correction bits for
-    already-nonzero coefficients, ZRL folding, EOBRUN covering the
-    current block — the jdphuff-equivalent control flow). Coefficients
-    accumulate per block in zigzag order across scans; dequantize + IDCT
-    render once at EOI. Progressive COLOR raises NotImplementedError
-    (multi-component progressive adds per-component non-interleaved scan
-    geometry)."""
+    """REAL library-free PROGRESSIVE JPEG decoder — grayscale (r7) and
+    COLOR (r10). Full T.81 Annex G semantics: SOF2, multi-scan SOS with
+    spectral selection (Ss/Se) and successive approximation (Ah/Al); DC
+    first + DC refinement scans (interleaved across components or
+    single-component), AC first scans with EOBRUN, and AC REFINEMENT
+    scans (newly-significant ±1·2^Al insertions interleaved with
+    correction bits for already-nonzero coefficients, ZRL folding,
+    EOBRUN covering the current block — the jdphuff-equivalent control
+    flow). AC scans are single-component by spec (G.1.1.1.1).
+    Coefficients accumulate per component in MCU-padded grids (an
+    interleaved DC scan addresses the padded grid; a non-interleaved
+    scan walks the component's own ceil(compw/8) raster with the padded
+    row stride). Dequantize + IDCT render once at EOI — like the
+    baseline color path, only the full-resolution Y component renders
+    (chroma is fully entropy-decoded to advance the stream)."""
     import numpy as np
 
     pos = 2
@@ -612,8 +615,9 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
     huff_ac: dict[int, _JpegHuffman] = {}
     dri = 0
     frame = None
-    coef = None  # (nblocks, 64) accumulated coefficients, zigzag order
-    pred = 0
+    comps: list = []  # per comp: dict(cid, hs, vs, tq, wbi, hbi, wb, hb, coef)
+    by_cid: dict = {}
+    preds: list = []
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -647,56 +651,141 @@ def _decode_jpeg_progressive(payload: bytes) -> tuple[int, int, bytes]:
                 i += 17 + n
         elif marker == 0xC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
                     "progressive JPEG decodes library-free only for 8-bit "
-                    f"grayscale (precision={prec}, components={ncomp})"
+                    f"1- or 3-component frames (precision={prec}, "
+                    f"components={ncomp})"
                 )
-            frame = (w, h, body[8])
-            wb, hb = (w + 7) // 8, (h + 7) // 8
-            coef = np.zeros((wb * hb, 64), np.int64)
+            raw = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c: 9 + 3 * c]
+                hs, vs = sampling >> 4, sampling & 15
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factor 0x{sampling:02x}"
+                    )
+                raw.append((cid, hs, vs, tq))
+            hmax = max(r[1] for r in raw)
+            vmax = max(r[2] for r in raw)
+            if (raw[0][1], raw[0][2]) != (hmax, vmax):
+                raise NotImplementedError(
+                    "JPEG where the first component is subsampled below "
+                    "hmax×vmax not supported"
+                )
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+            comps = []
+            for cid, hs, vs, tq in raw:
+                compw = (w * hs + hmax - 1) // hmax
+                comph = (h * vs + vmax - 1) // vmax
+                wbi, hbi = mcus_x * hs, mcus_y * vs  # MCU-padded grid
+                comps.append({
+                    "cid": cid, "hs": hs, "vs": vs, "tq": tq,
+                    "wbi": wbi, "hbi": hbi,
+                    "wb": (compw + 7) // 8, "hb": (comph + 7) // 8,
+                    "coef": np.zeros((wbi * hbi, 64), np.int64),
+                })
+            by_cid = {c["cid"]: c for c in comps}
+            preds = [0] * ncomp
+            frame = (w, h, mcus_x, mcus_y)
         elif marker == 0xDD:
             dri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:
-            if frame is None or coef is None:
+            if frame is None:
                 raise ValueError("progressive SOS before SOF2")
-            if body[0] != 1:
-                raise NotImplementedError("multi-component progressive scan")
-            td, ta = body[2] >> 4, body[2] & 15
-            ss, se, a = body[3], body[4], body[5]
+            ns = body[0]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            a = body[3 + 2 * ns]
+            ah, al = a >> 4, a & 15
             rd = _JpegBitReader(payload, pos)
-            pred = _jpeg_progressive_scan(
-                rd, coef, ss, se, a >> 4, a & 15,
-                huff_dc.get(td), huff_ac.get(ta), dri, pred,
-            )
+            if ns == 1:
+                comp = by_cid[body[1]]
+                td, ta = body[2] >> 4, body[2] & 15
+                # the component's own raster, padded row stride
+                idx = np.arange(comp["hb"] * comp["wb"])
+                indices = (idx // comp["wb"]) * comp["wbi"] + idx % comp["wb"]
+                ci = comps.index(comp)
+                preds[ci] = _jpeg_progressive_scan(
+                    rd, comp["coef"], ss, se, ah, al,
+                    huff_dc.get(td), huff_ac.get(ta), dri, preds[ci],
+                    indices,
+                )
+            else:
+                if ss != 0 or se != 0:
+                    raise ValueError(
+                        "progressive AC scans must be single-component "
+                        "(T.81 G.1.1.1.1)"
+                    )
+                plan = []
+                for c in range(ns):
+                    comp = by_cid[body[1 + 2 * c]]
+                    td = body[2 + 2 * c] >> 4
+                    plan.append((comps.index(comp), comp, huff_dc.get(td)))
+                _jpeg_progressive_dc_interleaved(
+                    rd, plan, frame[2], frame[3], ah, al, dri, preds,
+                )
             pos = rd.pos
-    if frame is None or coef is None:
+    if frame is None:
         raise ValueError("progressive JPEG missing SOF2")
-    w, h, tq = frame
+    w, h, _, _ = frame
     a = _dct_matrix()
     zz_r, zz_c = np.array(_ZZ_ROWS), np.array(_ZZ_COLS)
-    wb, hb = (w + 7) // 8, (h + 7) // 8
-    out = np.zeros((hb * 8, wb * 8), np.uint8)
-    for m in range(wb * hb):
-        block = np.zeros((8, 8))
-        block[zz_r, zz_c] = coef[m] * qt[tq]
-        px = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(np.uint8)
-        by, bx = divmod(m, wb)
-        out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    y = comps[0]
+    quant = qt[y["tq"]]
+    out = np.zeros((y["hb"] * 8, y["wb"] * 8), np.uint8)
+    for by in range(y["hb"]):
+        for bx in range(y["wb"]):
+            block = np.zeros((8, 8))
+            block[zz_r, zz_c] = y["coef"][by * y["wbi"] + bx] * quant
+            px = np.clip(np.round(a.T @ block @ a + 128.0), 0, 255).astype(np.uint8)
+            out[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = px
     return w, h, np.ascontiguousarray(out[:h, :w]).tobytes()
 
 
-def _jpeg_progressive_scan(rd, coef, ss, se, ah, al, hdc, hac, dri, pred):
-    """One progressive SOS over every block: DC first (diff << Al) / DC
+def _jpeg_progressive_dc_interleaved(rd, plan, mcus_x, mcus_y, ah, al,
+                                     dri, preds):
+    """Interleaved progressive DC scan (the shape libjpeg emits first):
+    MCU raster order, each MCU carrying hs×vs blocks per component in
+    scan order; DC first (diff << Al onto the per-component predictor)
+    or DC refinement (one bit per block). Restart intervals count MCUs
+    and reset every predictor. ``plan`` rows are (component index,
+    component dict, DC table)."""
+    for m in range(mcus_x * mcus_y):
+        if dri and m and m % dri == 0:
+            rd.restart()
+            for ci, _, _ in plan:
+                preds[ci] = 0
+        my, mx = divmod(m, mcus_x)
+        for ci, comp, hdc in plan:
+            for bv in range(comp["vs"]):
+                for bh in range(comp["hs"]):
+                    row = my * comp["vs"] + bv
+                    col = mx * comp["hs"] + bh
+                    blk = comp["coef"][row * comp["wbi"] + col]
+                    if ah == 0:
+                        preds[ci] += rd.receive_extend(rd.decode(hdc))
+                        blk[0] = preds[ci] << al
+                    elif rd.read_bit():
+                        blk[0] |= 1 << al
+
+
+def _jpeg_progressive_scan(rd, coef, ss, se, ah, al, hdc, hac, dri, pred,
+                           indices=None):
+    """One single-component progressive SOS: DC first (diff << Al) / DC
     refine (one bit per block), AC first (coefficients << Al with
-    EOBRUN), AC refine (see _jpeg_ac_refine_block)."""
+    EOBRUN), AC refine (see _jpeg_ac_refine_block). ``indices`` maps the
+    scan's block order onto rows of ``coef`` (a multi-component frame
+    walks the component's own raster inside its MCU-padded grid);
+    None = the whole array in order."""
     eobrun = 0
-    for m in range(coef.shape[0]):
+    n_blocks = coef.shape[0] if indices is None else len(indices)
+    for m in range(n_blocks):
         if dri and m and m % dri == 0:
             rd.restart()
             pred = 0
             eobrun = 0
-        blk = coef[m]
+        blk = coef[m if indices is None else indices[m]]
         if ss == 0:  # DC scan
             if ah == 0:
                 pred += rd.receive_extend(rd.decode(hdc))
@@ -924,6 +1013,126 @@ def encode_jpeg_blocks(
     return out + scan + b"\xff\xd9"
 
 
+def _enc_prog_ac_first(blocks, ss, se, a0, ac_t) -> bytes:
+    """One AC first scan (Ss..Se at Al=a0) over ``blocks`` with
+    jcphuff-style lazy EOBRUN emission. Shared by the grayscale and
+    color progressive encoders (one component per scan, per T.81
+    G.1.1.1.1)."""
+
+    def pt_ac(v: int, shift: int) -> int:
+        return (abs(v) >> shift) * (1 if v >= 0 else -1)
+
+    wr = _JpegBitWriter()
+    eob_pending = 0
+
+    def flush_eob():
+        nonlocal eob_pending
+        while eob_pending > 0:
+            n = min(eob_pending, 32767)
+            r = n.bit_length() - 1
+            code, ln = ac_t.encode_map[(r << 4) | 0]
+            wr.write(code, ln)
+            if r:
+                wr.write(n - (1 << r), r)
+            eob_pending -= n
+
+    for blk in blocks:
+        vals = [pt_ac(int(blk[k]), a0) for k in range(ss, se + 1)]
+        if not any(vals):
+            eob_pending += 1
+            if eob_pending == 32767:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last_nz = max(i for i, v in enumerate(vals) if v)
+        for v in vals[: last_nz + 1]:
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t.encode_map[0xF0]
+                wr.write(code, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            code, ln = ac_t.encode_map[(run << 4) | s]
+            wr.write(code, ln)
+            wr.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < len(vals) - 1:
+            eob_pending += 1
+    flush_eob()
+    wr.flush()
+    return bytes(wr.out)
+
+
+def _enc_prog_ac_refine(blocks, ss, se, ah, al, ac_t) -> bytes:
+    """One AC refinement scan (Ah=ah → Al=al) over ``blocks`` with
+    buffered correction bits and ZRL folding up to the last
+    newly-significant index (T.81 G.1.2 / jcphuff). Shared by the
+    grayscale and color progressive encoders."""
+    wr = _JpegBitWriter()
+    eob_pending = 0
+    be_bits: list[int] = []
+
+    def flush_eob():
+        nonlocal eob_pending, be_bits
+        while eob_pending > 0:
+            n = min(eob_pending, 32767)
+            r = n.bit_length() - 1
+            code, ln = ac_t.encode_map[(r << 4) | 0]
+            wr.write(code, ln)
+            if r:
+                wr.write(n - (1 << r), r)
+            eob_pending -= n
+        for b in be_bits:
+            wr.write(b, 1)
+        be_bits = []
+
+    for blk in blocks:
+        run = 0
+        br: list[int] = []
+        newly = [
+            k for k in range(ss, se + 1)
+            if (abs(int(blk[k])) >> ah) == 0
+            and (abs(int(blk[k])) >> al) != 0
+        ]
+        eob_k = newly[-1] if newly else ss - 1
+        for k in range(ss, se + 1):
+            hist = abs(int(blk[k])) >> ah
+            now = abs(int(blk[k])) >> al
+            if hist == 0 and now == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob_k:
+                flush_eob()
+                code, ln = ac_t.encode_map[0xF0]
+                wr.write(code, ln)
+                for b in br:
+                    wr.write(b, 1)
+                br = []
+                run -= 16
+            if hist != 0:
+                br.append(now & 1)
+                continue
+            flush_eob()
+            code, ln = ac_t.encode_map[(run << 4) | 1]
+            wr.write(code, ln)
+            wr.write(1 if int(blk[k]) > 0 else 0, 1)
+            for b in br:
+                wr.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eob_pending += 1
+            be_bits.extend(br)
+            if eob_pending == 32767:
+                flush_eob()
+    flush_eob()
+    wr.flush()
+    return bytes(wr.out)
+
+
 def encode_jpeg_progressive(
     width: int,
     height: int,
@@ -947,9 +1156,6 @@ def encode_jpeg_progressive(
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
-
-    def pt_ac(v: int, shift: int) -> int:
-        return (abs(v) >> shift) * (1 if v >= 0 else -1)
 
     out = b"\xff\xd8"
     out += seg(0xDB, bytes([0x00]) + bytes(np.asarray(q, np.uint8)))
@@ -988,112 +1194,131 @@ def encode_jpeg_progressive(
 
     bands = [(1, 5), (6, 63)]
     for ss, se in bands:  # AC first scans
-        wr = _JpegBitWriter()
-        eob_pending = 0
-
-        def flush_eob():
-            nonlocal eob_pending
-            while eob_pending > 0:
-                n = min(eob_pending, 32767)
-                r = n.bit_length() - 1
-                code, ln = ac_t.encode_map[(r << 4) | 0]
-                wr.write(code, ln)
-                if r:
-                    wr.write(n - (1 << r), r)
-                eob_pending -= n
-
-        for blk in blocks:
-            vals = [pt_ac(int(blk[k]), a0) for k in range(ss, se + 1)]
-            if not any(vals):
-                eob_pending += 1
-                if eob_pending == 32767:
-                    flush_eob()
-                continue
-            flush_eob()
-            run = 0
-            last_nz = max(i for i, v in enumerate(vals) if v)
-            for v in vals[: last_nz + 1]:
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_t.encode_map[0xF0]
-                    wr.write(code, ln)
-                    run -= 16
-                s = _jpeg_category(v)
-                code, ln = ac_t.encode_map[(run << 4) | s]
-                wr.write(code, ln)
-                wr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last_nz < len(vals) - 1:
-                eob_pending += 1
-        flush_eob()
-        wr.flush()
-        out += sos(ss, se, 0, a0, bytes(wr.out))
+        out += sos(ss, se, 0, a0, _enc_prog_ac_first(blocks, ss, se, a0, ac_t))
 
     for al in range(a0 - 1, -1, -1):  # AC refinement scans
         ah = al + 1
         for ss, se in bands:
-            wr = _JpegBitWriter()
-            eob_pending = 0
-            be_bits: list[int] = []
+            out += sos(ss, se, ah, al,
+                       _enc_prog_ac_refine(blocks, ss, se, ah, al, ac_t))
+    return out + b"\xff\xd9"
 
-            def flush_eob2():
-                nonlocal eob_pending, be_bits
-                while eob_pending > 0:
-                    n = min(eob_pending, 32767)
-                    r = n.bit_length() - 1
-                    code, ln = ac_t.encode_map[(r << 4) | 0]
-                    wr.write(code, ln)
-                    if r:
-                        wr.write(n - (1 << r), r)
-                    eob_pending -= n
-                for b in be_bits:
-                    wr.write(b, 1)
-                be_bits = []
 
-            for blk in blocks:
-                run = 0
-                br: list[int] = []
-                newly = [
-                    k for k in range(ss, se + 1)
-                    if (abs(int(blk[k])) >> ah) == 0
-                    and (abs(int(blk[k])) >> al) != 0
-                ]
-                eob_k = newly[-1] if newly else ss - 1
-                for k in range(ss, se + 1):
-                    hist = abs(int(blk[k])) >> ah
-                    now = abs(int(blk[k])) >> al
-                    if hist == 0 and now == 0:
-                        run += 1
-                        continue
-                    while run > 15 and k <= eob_k:
-                        flush_eob2()
-                        code, ln = ac_t.encode_map[0xF0]
-                        wr.write(code, ln)
-                        for b in br:
-                            wr.write(b, 1)
-                        br = []
-                        run -= 16
-                    if hist != 0:
-                        br.append(now & 1)
-                        continue
-                    flush_eob2()
-                    code, ln = ac_t.encode_map[(run << 4) | 1]
-                    wr.write(code, ln)
-                    wr.write(1 if int(blk[k]) > 0 else 0, 1)
-                    for b in br:
-                        wr.write(b, 1)
-                    br = []
-                    run = 0
-                if run > 0 or br:
-                    eob_pending += 1
-                    be_bits.extend(br)
-                    if eob_pending == 32767:
-                        flush_eob2()
-            flush_eob2()
-            wr.flush()
-            out += sos(ss, se, ah, al, bytes(wr.out))
+def encode_jpeg_progressive_color(
+    width: int,
+    height: int,
+    comp_blocks: list,
+    sampling=((2, 2), (1, 1), (1, 1)),
+    quant=None,
+    first_al: int = 1,
+) -> bytes:
+    """Progressive COLOR JPEG from per-component quantized zigzag blocks
+    (r10 fixtures + tests). ``comp_blocks[c]`` lists component c's
+    blocks in its MCU-PADDED raster order (mcus_y·vs rows of mcus_x·hs
+    blocks); ``sampling`` is ((h0,v0),(h1,v1),(h2,v2)) — (2,2),(1,1),
+    (1,1) is 4:2:0. Scan script mirrors libjpeg's: one INTERLEAVED DC
+    first scan (ns=3, MCU order) at Al=first_al, interleaved DC
+    refinements to 0, then per component the AC band first scans and
+    refinements (AC scans are single-component per T.81 G.1.1.1.1),
+    reusing the shared jcphuff-style scan writers."""
+    import numpy as np
+
+    q = [1] * 64 if quant is None else list(quant)
+    dc_t, ac_t = _enc_tables()
+    a0 = first_al
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for c, (hs, vs) in enumerate(sampling):
+        wbi, hbi = mcus_x * hs, mcus_y * vs
+        blocks = [np.asarray(b, np.int64) for b in comp_blocks[c]]
+        if len(blocks) != wbi * hbi:
+            raise ValueError(
+                f"component {c} needs {wbi * hbi} MCU-padded blocks, "
+                f"got {len(blocks)}"
+            )
+        compw = (width * hs + hmax - 1) // hmax
+        comph = (height * vs + vmax - 1) // vmax
+        comps.append({
+            "hs": hs, "vs": vs, "wbi": wbi,
+            "wb": (compw + 7) // 8, "hb": (comph + 7) // 8,
+            "blocks": blocks,
+        })
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0x00]) + bytes(np.asarray(q, np.uint8)))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for c, (hs, vs) in enumerate(sampling):
+        sof += bytes([c + 1, (hs << 4) | vs, 0])
+    out += seg(0xC2, sof)
+    counts_dc = bytes([0] * 7 + [len(_ENC_DC_SYMBOLS)] + [0] * 8)
+    counts_ac = bytes([0] * 7 + [len(_ENC_AC_SYMBOLS)] + [0] * 8)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + counts_dc + bytes(_ENC_DC_SYMBOLS)
+        + bytes([0x10]) + counts_ac + bytes(sorted(_ENC_AC_SYMBOLS)),
+    )
+
+    def sos_multi(ah, al, scan_bits):
+        body = bytes([3])
+        for c in range(3):
+            body += bytes([c + 1, 0x00])
+        body += bytes([0, 0, (ah << 4) | al])
+        return seg(0xDA, body) + scan_bits
+
+    def sos_one(cid, ss, se, ah, al, scan_bits):
+        return seg(0xDA, bytes([1, cid, 0x00, ss, se, (ah << 4) | al])) + scan_bits
+
+    def mcu_blocks():
+        """Every block in interleaved MCU scan order, tagged by comp."""
+        for m in range(mcus_x * mcus_y):
+            my, mx = divmod(m, mcus_x)
+            for ci, comp in enumerate(comps):
+                for bv in range(comp["vs"]):
+                    for bh in range(comp["hs"]):
+                        row = my * comp["vs"] + bv
+                        col = mx * comp["hs"] + bh
+                        yield ci, comp["blocks"][row * comp["wbi"] + col]
+
+    # interleaved DC first scan
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for ci, blk in mcu_blocks():
+        t = int(blk[0]) >> a0
+        diff, preds[ci] = t - preds[ci], t
+        cat = _jpeg_category(diff)
+        code, ln = dc_t.encode_map[cat]
+        wr.write(code, ln)
+        if cat:
+            wr.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    wr.flush()
+    out += sos_multi(0, a0, bytes(wr.out))
+    # interleaved DC refinement scans
+    for al in range(a0 - 1, -1, -1):
+        wr = _JpegBitWriter()
+        for _, blk in mcu_blocks():
+            wr.write((int(blk[0]) >> al) & 1, 1)
+        wr.flush()
+        out += sos_multi(al + 1, al, bytes(wr.out))
+
+    bands = [(1, 5), (6, 63)]
+    for ci, comp in enumerate(comps):
+        # the component's own raster (unpadded) with the padded stride —
+        # exactly the block sequence a non-interleaved scan covers
+        seq = [comp["blocks"][(m // comp["wb"]) * comp["wbi"] + m % comp["wb"]]
+               for m in range(comp["wb"] * comp["hb"])]
+        for ss, se in bands:
+            out += sos_one(ci + 1, ss, se, 0, a0,
+                           _enc_prog_ac_first(seq, ss, se, a0, ac_t))
+        for al in range(a0 - 1, -1, -1):
+            for ss, se in bands:
+                out += sos_one(ci + 1, ss, se, al + 1, al,
+                               _enc_prog_ac_refine(seq, ss, se, al + 1, al, ac_t))
     return out + b"\xff\xd9"
 
 
@@ -3170,6 +3395,69 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, seed = 8 + i % 16, 8 + i % 8, i % 251
                 body = bytes(((j * 31 + seed) % 251) for j in range(w * h))
                 payloads.append(encode_png(w, h, body, channels=1))
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "image", "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_jpeg_progressive_color(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """PROGRESSIVE COLOR JPEG media fixture (r10): the same closed-form
+    luma grid as synthesize_jpeg / synthesize_jpeg_progressive — doc d
+    is a (1+d%3) × (1+d%2) grid of constant 8×8 Y blocks at
+    (d%251 + 17bx + 37by) mod 251 — encoded as a THREE-component SOF2
+    stream with the chroma sampling cycling 4:4:4 / 4:2:2 / 4:2:0 by
+    doc. Chroma carries deterministic nonzero DC+AC energy (its entropy
+    scans must advance the stream correctly) but, like the baseline
+    color path, only the full-resolution Y renders — so the SAME SQL
+    oracle as pl_jpeg_decode replays the pixels, proving the sequential
+    gray, progressive gray, and progressive color pipelines converge on
+    identical bytes."""
+    import numpy as np
+
+    samplings = (
+        ((1, 1), (1, 1), (1, 1)),
+        ((2, 1), (1, 1), (1, 1)),
+        ((2, 2), (1, 1), (1, 1)),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                wb, hb, seed = 1 + i % 3, 1 + i % 2, i % 251
+                sampling = samplings[i % 3]
+                hmax = max(s[0] for s in sampling)
+                vmax = max(s[1] for s in sampling)
+                w, h = wb * 8, hb * 8
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                comp_blocks = []
+                for c, (hs, vs) in enumerate(sampling):
+                    wbi, hbi = mcx * hs, mcy * vs
+                    blocks = []
+                    for row in range(hbi):
+                        for col in range(wbi):
+                            blk = np.zeros(64, np.int64)
+                            if c == 0 and col < wb and row < hb:
+                                blk[0] = 8 * (
+                                    int((seed + 17 * col + 37 * row) % 251) - 128
+                                )
+                            elif c > 0:
+                                blk[0] = 8 * ((seed * 7 + c * 31 + col + row)
+                                              % 200 - 100)
+                                blk[5] = (seed + 3 * c + col) % 17 - 8
+                            blocks.append(blk)
+                    comp_blocks.append(blocks)
+                payloads.append(
+                    encode_jpeg_progressive_color(w, h, comp_blocks, sampling)
+                )
             yield pd.DataFrame(
                 {"media_id": ids, "kind": "image", "payload": payloads}
             )

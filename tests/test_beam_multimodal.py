@@ -892,18 +892,65 @@ def test_jpeg_progressive_grayscale_decodes():
         assert got == ref, (trial, a0)
 
 
-def test_jpeg_progressive_color_still_gated():
+def test_jpeg_progressive_color_decodes_luma():
+    """r10 progressive COLOR (closes the last common JPEG mode): a
+    three-component SOF2 stream — interleaved DC first scan (MCU order,
+    per-component predictors), interleaved DC refinements, per-component
+    AC band scans — across 4:4:4 / 4:2:2 / 4:2:0, odd block grids, and
+    nonzero chroma DC+AC energy, decodes to the exact block-constant
+    luma (the same convention as the baseline color path). Remaining
+    JPEG seams still raise: a 2-component frame and arithmetic SOF."""
+    import numpy as np
     import pytest as _pt
 
     from jasminegraph_spark.pipeline.multimodal import (
         _decode_jpeg,
         encode_jpeg_progressive,
+        encode_jpeg_progressive_color,
     )
 
+    for seed in (0, 123, 250):
+        for wb, hb in ((1, 1), (3, 2), (2, 2)):
+            for sampling in (((1, 1), (1, 1), (1, 1)),
+                             ((2, 1), (1, 1), (1, 1)),
+                             ((2, 2), (1, 1), (1, 1))):
+                hmax = max(s[0] for s in sampling)
+                vmax = max(s[1] for s in sampling)
+                w, h = wb * 8, hb * 8
+                mcx = (w + 8 * hmax - 1) // (8 * hmax)
+                mcy = (h + 8 * vmax - 1) // (8 * vmax)
+                comp_blocks = []
+                for c, (hs, vs) in enumerate(sampling):
+                    blocks = []
+                    for row in range(mcy * vs):
+                        for col in range(mcx * hs):
+                            blk = np.zeros(64, np.int64)
+                            if c == 0 and col < wb and row < hb:
+                                blk[0] = 8 * (int((seed + 17 * col + 37 * row)
+                                                  % 251) - 128)
+                            elif c > 0:
+                                blk[0] = 8 * ((seed * 7 + c * 31 + col + row)
+                                              % 200 - 100)
+                                blk[5] = (seed + 3 * c + col) % 17 - 8
+                            blocks.append(blk)
+                    comp_blocks.append(blocks)
+                p = encode_jpeg_progressive_color(w, h, comp_blocks, sampling)
+                W, H, body = _decode_jpeg(p)
+                arr = np.frombuffer(body, np.uint8).reshape(H, W)
+                want = np.zeros((h, w), np.uint8)
+                for row in range(hb):
+                    for col in range(wb):
+                        want[row * 8: row * 8 + 8, col * 8: col * 8 + 8] = (
+                            (seed + 17 * col + 37 * row) % 251
+                        )
+                assert (W, H) == (w, h), (seed, wb, hb, sampling)
+                assert np.array_equal(arr, want), (seed, wb, hb, sampling)
+
+    # remaining seams: component counts other than 1/3 still gate
     prog = bytearray(encode_jpeg_progressive(8, 8, [[0] * 64]))
     j = prog.find(b"\xff\xc2")
-    prog[j + 9] = 3  # claim 3 components
-    with _pt.raises(NotImplementedError, match="grayscale"):
+    prog[j + 9] = 2  # claim 2 components
+    with _pt.raises(NotImplementedError, match="1- or 3-component"):
         _decode_jpeg(bytes(prog))
 
 
