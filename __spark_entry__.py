@@ -6794,6 +6794,50 @@ def pl_mp3_lsf_decode(spark, sf_dir):
 
 
 @_q(
+    "pl_layer1_decode",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               384 * (1 + doc_id % 3) AS n,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS nch
+        FROM documents
+    )
+    SELECT media_id, CAST(n AS INT) AS width, CAST(nch AS INT) AS height,
+           CAST(nch * n AS INT) AS n_bytes,
+           CAST(128 * nch * n AS BIGINT) AS body_sum
+    FROM m ORDER BY media_id
+    """,
+)
+def pl_layer1_decode(spark, sf_dir):
+    """MPEG-1 LAYER I decode under the driver's hash check (r10 — the
+    subband-codec half of the Layer I/II seam; Layer II stays behind
+    it because its bit-allocation tables are numeric data): executors
+    build genuine Layer I frames from each doc id
+    (pipeline/multimodal.synthesize_layer1 — 4-byte slots, the Layer I
+    bitrate table, mono/stereo/dual cycling, CRC and padding docs),
+    then the Arrow mapInPandas decode stage walks the full structural
+    parse library-free (_decode_layer1: 4-bit subband allocations with
+    the forbidden-15 guard, 6-bit scalefactor indices against the
+    CLOSED-FORM Table B.1 value 2·2^(−idx/3), §2.4.3.1 requantization
+    s''=(2^nb/(2^nb−1))·(c·2^(1−nb)−1+2^(1−nb)), 12 grains × 32
+    subbands → the shared polyphase synthesis). All-zero allocations
+    synthesize to exact zeros with no table data, so DuckDB's closed
+    form is n = 384·frames per channel folding to 128. The nonzero
+    requant path is proven by the injected-window contract test
+    (tests/test_beam_multimodal.py)."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_layer1,
+    )
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    decoded = decode_media(synthesize_layer1(docs))
+    return decoded.select(
+        "media_id", "width", "height", "n_bytes", "body_sum"
+    ).orderBy("media_id")
+
+
+@_q(
     "pl_jpeg_progressive",
     """
     WITH m AS (
@@ -8784,6 +8828,7 @@ _PRIORITY = [
     "pl_mp3_stereo_decode",
     "pl_mp3_lsf_decode",
     "pl_jpeg_progressive_color",
+    "pl_layer1_decode",
     # --- latest green driver row r05 ---
     "an_scc",
     "pl_substring_spans",

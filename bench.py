@@ -117,6 +117,7 @@ HEADLINE = [
     "pl_mp3_stereo_decode",
     "pl_mp3_lsf_decode",
     "pl_jpeg_progressive_color",
+    "pl_layer1_decode",
 ]
 
 

@@ -2538,6 +2538,164 @@ class _Mp3Synth:
         return [sum(w[32 * i + j] for i in range(16)) for j in range(32)]
 
 
+MP1_BITRATES = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
+                384, 416, 448)
+
+
+def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL library-free MPEG-1 LAYER I decoder (r10 — the subband-codec
+    half of the audio seam; Layer II stays behind it, its bit-allocation
+    tables are data). Layer I is fully structural: per frame (384
+    samples, 4-byte slots, flen = 4·⌊12·kbps·1000/fs⌋ + 4·pad) each of
+    the 32 subbands carries a 4-bit allocation (0 = silent, a → a+1
+    bits, 15 forbidden), a 6-bit scalefactor index per allocated
+    subband, then 12 grains of per-subband sample codes. Requantize per
+    §2.4.3.1: s'' = (2^nb/(2^nb−1)) · (c·2^(1−nb) − 1 + 2^(1−nb)),
+    scaled by the CLOSED-FORM Table B.1 scalefactor 2·2^(−idx/3) —
+    no numeric-table seam — then the same polyphase synthesis as
+    Layer III (needs the registered B.3 window only when any subband is
+    audible; all-zero allocations decode to exact zeros without it).
+    Stereo/dual carry independent per-channel fields; Layer I intensity
+    (joint stereo bound sharing) raises NotImplementedError. MPEG-2
+    Layer I raises (LSF applies to Layer III here)."""
+    import numpy as np
+
+    pos = 0
+    nch = None
+    pcm_ch: list = []
+    synth: list = []
+    while pos + 4 <= len(payload):
+        h = payload[pos: pos + 4]
+        if h[0] != 0xFF or (h[1] & 0xE0) != 0xE0:
+            raise ValueError("lost MPEG frame sync")
+        if (h[1] >> 3) & 3 != 3:
+            raise NotImplementedError("MPEG-2/2.5 Layer I not implemented")
+        if (h[1] >> 1) & 3 != 3:
+            raise ValueError("not a Layer I frame (layer bits)")
+        protection = h[1] & 1
+        br_idx = h[2] >> 4
+        if br_idx == 0:
+            raise NotImplementedError("free-format Layer I bitrate")
+        if br_idx == 15:
+            raise ValueError("invalid Layer I bitrate index 15")
+        fs_idx = (h[2] >> 2) & 3
+        if fs_idx == 3:
+            raise ValueError("reserved sampling frequency")
+        padding = (h[2] >> 1) & 1
+        mode = h[3] >> 6
+        if mode == 1:
+            raise NotImplementedError(
+                "Layer I intensity (joint) stereo bound sharing not implemented"
+            )
+        frame_nch = 1 if mode == 3 else 2
+        if nch is None:
+            nch = frame_nch
+            pcm_ch = [[] for _ in range(nch)]
+            synth = [_Mp3Synth() for _ in range(nch)]
+        elif frame_nch != nch:
+            raise ValueError("channel mode changed mid-stream")
+        fs = MP3_SAMPLERATES[fs_idx]
+        flen = 4 * ((12 * MP1_BITRATES[br_idx] * 1000) // fs) + 4 * padding
+        body = pos + 4
+        if not protection:
+            body += 2  # CRC skipped, not verified
+        br = _FlacBitReader(payload[body: pos + flen])
+        alloc = [[br.read(4) for _ in range(32)] for _ in range(nch)]
+        for ch in range(nch):
+            for sb in range(32):
+                if alloc[ch][sb] == 15:
+                    raise ValueError("forbidden Layer I allocation 15")
+        sf = [[0.0] * 32 for _ in range(nch)]
+        for ch in range(nch):
+            for sb in range(32):
+                if alloc[ch][sb]:
+                    idx = br.read(6)
+                    if idx == 63:
+                        raise ValueError("invalid Layer I scalefactor index 63")
+                    sf[ch][sb] = 2.0 * 2.0 ** (-idx / 3.0)
+        for s in range(12):
+            vec = [[0.0] * 32 for _ in range(nch)]
+            for sb in range(32):
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    nb = a + 1
+                    c = br.read(nb)
+                    s3 = c * 2.0 ** (1 - nb) - 1.0  # s''' from the code
+                    s2 = (2.0 ** nb / (2.0 ** nb - 1.0)) * (s3 + 2.0 ** (1 - nb))
+                    vec[ch][sb] = sf[ch][sb] * s2
+            for ch in range(nch):
+                pcm_ch[ch].extend(synth[ch].run(vec[ch]))
+        pos += flen
+    if nch is None:
+        return 0, 1, b""
+    n = len(pcm_ch[0])
+    inter = np.empty(n * nch, dtype=np.float64)
+    for ch in range(nch):
+        inter[ch::nch] = np.asarray(pcm_ch[ch], dtype=np.float64)
+    ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+    return n, nch, ((ints >> 8) + 128).astype(np.uint8).tobytes()
+
+
+def encode_layer1(
+    n_frames: int,
+    fs_index: int = 1,
+    bitrate_index: int = 9,
+    seed: int = 0,
+    protection: bool = False,
+    padding: int = 0,
+    mode: int = 3,
+    samples=None,
+) -> bytes:
+    """Minimal MPEG-1 Layer I encoder (fixtures + tests). With
+    ``samples=None`` every subband's allocation is 0 — digital silence
+    decoding to exactly 384·frames zeros per channel, with genuinely
+    varied bitrate/samplerate/padding/CRC and per-channel allocation
+    fields. With ``samples`` (a callable (frame, ch) → list of
+    (subband, alloc, sf_idx, [12 codes])) writes real allocations,
+    scalefactor indices, and sample codes."""
+    if mode == 1:
+        raise ValueError("Layer I intensity stereo not supported here")
+    nch = 1 if mode == 3 else 2
+    kbps = MP1_BITRATES[bitrate_index]
+    fs = MP3_SAMPLERATES[fs_index]
+    out = bytearray()
+    for f in range(n_frames):
+        pad = padding if fs != 48000 else 0
+        flen = 4 * ((12 * kbps * 1000) // fs) + 4 * pad
+        h2 = 0xE0 | (3 << 3) | (3 << 1) | (0 if protection else 1)
+        h3 = (bitrate_index << 4) | (fs_index << 2) | (pad << 1)
+        h4 = (mode << 6) | (1 << 2)
+        out += bytes([0xFF, h2, h3, h4])
+        if protection:
+            out += b"\x00\x00"
+        w = _FlacBitWriter()
+        plan = [[None] * 32 for _ in range(nch)]
+        if samples is not None:
+            for ch in range(nch):
+                for sb, a, sf_idx, codes in samples(f, ch):
+                    plan[ch][sb] = (a, sf_idx, codes)
+        for ch in range(nch):
+            for sb in range(32):
+                w.write(plan[ch][sb][0] if plan[ch][sb] else 0, 4)
+        for ch in range(nch):
+            for sb in range(32):
+                if plan[ch][sb]:
+                    w.write(plan[ch][sb][1], 6)
+        for s in range(12):
+            for sb in range(32):
+                for ch in range(nch):
+                    if plan[ch][sb]:
+                        a, _, codes = plan[ch][sb]
+                        w.write(codes[s], a + 1)
+        w.align()
+        if len(w.out) > flen - 4 - (2 if protection else 0):
+            raise ValueError("Layer I frame capacity exceeded")
+        out += bytes(w.out).ljust(flen - 4 - (2 if protection else 0), b"\x00")
+    return bytes(out)
+
+
 def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     """REAL library-free MPEG-1 + MPEG-2/2.5-LSF Layer III decoder —
     MONO and STEREO (stereo / joint stereo with MS + long- AND
@@ -2563,10 +2721,11 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     synthesis with PER-CHANNEL filter state. All-zero spectra decode to
     exact zeros through every stage (linear pipeline), which is what
     the pl_mp3_decode / pl_mp3_stereo_decode / pl_mp3_lsf_decode driver
-    rows check arithmetically. Layer I/II, free-format, intensity with
-    mismatched channel block types, LSF intensity stereo, and LSF
-    mixed-block scalefactors raise
-    NotImplementedError naming the field. Returns (samples_per_channel,
+    rows check arithmetically. Layer I dispatches to _decode_layer1
+    (r10). Layer II, free-format, intensity with mismatched channel
+    block types, LSF intensity stereo, and LSF mixed-block scalefactors
+    raise NotImplementedError naming the field. Returns
+    (samples_per_channel,
     n_channels, channel-interleaved upper-byte+128 uint8 fold) like
     _decode_wav/_decode_flac."""
     import numpy as np
@@ -2587,8 +2746,17 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         if ver == 1:
             raise ValueError("reserved MPEG version bits 01")
         lsf = ver != 3  # MPEG-2 (10) / MPEG-2.5 (00): low sampling frequency
-        if (h[1] >> 1) & 3 != 1:
-            raise NotImplementedError("MPEG Layer I/II (layer bits)")
+        layer = (h[1] >> 1) & 3  # 01 = III, 10 = II, 11 = I
+        if layer == 3:
+            if pos:
+                raise ValueError("MPEG layer changed mid-stream")
+            return _decode_layer1(payload)
+        if layer == 0:
+            raise ValueError("reserved MPEG layer bits 00")
+        if layer != 1:
+            raise NotImplementedError(
+                "MPEG Layer II (bit-allocation tables are data — seam)"
+            )
         protection = h[1] & 1  # 1 = no CRC
         br_idx = h[2] >> 4
         if br_idx == 0:
@@ -3230,6 +3398,45 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         mode=mode,
                         mode_ext=2 if mode == 1 else 0,
                         version=2 if i % 2 == 0 else 25,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": "audio", "payload": payloads}
+            )
+
+    return docs.select(id_col).mapInPandas(
+        fn, "media_id long, kind string, payload binary"
+    )
+
+
+def synthesize_layer1(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MPEG-1 LAYER I media fixture (r10): genuine Layer I frames built
+    ON EXECUTORS in a mapInPandas stage. Doc d gets 1 + d%3 frames of
+    digital silence (all 32 subband allocations 0 — the all-zero
+    subband vector synthesizes to exact zeros with no table data),
+    channel mode cycling mono / stereo / dual by d%3, sample rate and
+    Layer-I bitrate table cycling, CRC and padding docs. 384 samples
+    per frame per channel: the SQL oracle's closed form is
+    n = 384·frames, bytes fold to 128 each."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                mode = (3, 0, 2)[i % 3]
+                # stereo allocation fields (256 bits) outgrow the lowest
+                # Layer I bitrate's 32-byte frame
+                br_idx = int(1 + i % 14) if mode == 3 else int(2 + i % 13)
+                payloads.append(
+                    encode_layer1(
+                        1 + i % 3,
+                        fs_index=int(i % 3),
+                        bitrate_index=br_idx,
+                        seed=int(i % 251),
+                        protection=bool(i % 5 == 0),
+                        padding=int(i % 2),
+                        mode=mode,
                     )
                 )
             yield pd.DataFrame(

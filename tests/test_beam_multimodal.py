@@ -2227,6 +2227,145 @@ def test_synthesize_mp3_lsf_decodes_distributed(spark):
         assert rows[d]["body_sum"] == 128 * nch * n
 
 
+def test_layer1_silence_and_gates():
+    """r10 MPEG-1 Layer I: silence streams (all allocations 0) across
+    modes/bitrates/rates/CRC/padding decode to exactly 384·frames zero
+    samples per channel with NO table data. The named guards raise:
+    forbidden allocation 15, scalefactor index 63, Layer I intensity
+    mode, reserved layer bits, MPEG-2 Layer I, mid-stream layer change."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        encode_layer1,
+        encode_mp3,
+    )
+
+    for i in range(30):
+        mode = (3, 0, 2)[i % 3]
+        nch = 1 if mode == 3 else 2
+        p = encode_layer1(1 + i % 3, fs_index=i % 3,
+                          bitrate_index=(1 + i % 14) if nch == 1 else (2 + i % 13),
+                          protection=i % 5 == 0, padding=i % 2, mode=mode)
+        n, ch, body = _decode_mp3(p)
+        assert (n, ch) == (384 * (1 + i % 3), nch)
+        assert set(body) == {128}
+
+    base = bytearray(encode_layer1(1, bitrate_index=9))
+    b = bytearray(base); b[4] |= 0xF0  # first allocation -> 15
+    with _pt.raises(ValueError, match="forbidden Layer I allocation"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[4] |= 0x20  # alloc 2 on subband 0, sf bits all 1
+    b[20] = 0xFF  # alloc area is 16 bytes (mono); sf index -> 63
+    with _pt.raises(ValueError, match="scalefactor index 63"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[3] = (1 << 6) | (1 << 2)  # joint stereo mode
+    with _pt.raises(NotImplementedError, match="Layer I intensity"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[1] &= ~0x06  # layer bits 00
+    with _pt.raises(ValueError, match="reserved MPEG layer"):
+        _decode_mp3(bytes(b))
+    b = bytearray(base); b[1] &= ~0x08  # version -> MPEG-2, layer I
+    with _pt.raises(NotImplementedError, match="MPEG-2/2.5 Layer I"):
+        _decode_mp3(bytes(b))
+    with _pt.raises(ValueError, match="layer changed mid-stream"):
+        _decode_mp3(encode_mp3(1, bitrate_index=9) + bytes(base))
+    with _pt.raises(NotImplementedError, match="Layer II"):
+        b = bytearray(base); b[1] = (b[1] & ~0x06) | 0x04
+        _decode_mp3(bytes(b))
+
+
+def test_layer1_nonzero_requant_matches_independent_spec_math():
+    """r10 Layer I nonzero path: real allocations/scalefactors/sample
+    codes through §2.4.3.1 requantization (s'' =
+    (2^nb/(2^nb−1))·(c·2^(1−nb)−1+2^(1−nb)), scalefactor 2·2^(−idx/3))
+    and the polyphase synthesis, vs independent numpy math — mono and
+    stereo with different per-channel subband plans."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        encode_layer1,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+
+        def plan(f, ch):
+            rows = [(0, 2, 3 + f, [(j * 3 + f + ch) % 8 for j in range(12)]),
+                    (5, 4, 10 + 2 * ch, [(j * 7 + f) % 32 for j in range(12)])]
+            if ch == 1:
+                rows.append((17, 1, 0, [j % 4 for j in range(12)]))
+            return rows
+
+        for mode, nch in ((3, 1), (0, 2)):
+            n_frames = 2
+            payload = encode_layer1(n_frames, fs_index=1, bitrate_index=9,
+                                    mode=mode, samples=plan)
+            n, ch, got = _decode_mp3(payload)
+            assert (n, ch) == (384 * n_frames, nch)
+
+            v_fifo = [np.zeros(1024) for _ in range(nch)]
+            pcm = [[] for _ in range(nch)]
+            for f in range(n_frames):
+                for s in range(12):
+                    for c in range(nch):
+                        vec = np.zeros(32)
+                        for sb, a, sf_idx, codes in plan(f, c):
+                            nb = a + 1
+                            sf = 2.0 * 2.0 ** (-sf_idx / 3.0)
+                            s3 = codes[s] * 2.0 ** (1 - nb) - 1.0
+                            s2 = (2.0 ** nb / (2.0 ** nb - 1.0)) * (
+                                s3 + 2.0 ** (1 - nb))
+                            vec[sb] = sf * s2
+                        v_fifo[c] = np.concatenate([N @ vec, v_fifo[c][:960]])
+                        u = np.zeros(512)
+                        for i in range(8):
+                            u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                            u[64 * i + 32: 64 * i + 64] = \
+                                v_fifo[c][128 * i + 96: 128 * i + 128]
+                        pcm[c].extend((u * D).reshape(16, 32).sum(axis=0))
+            inter = np.empty(nch * len(pcm[0]))
+            for c in range(nch):
+                inter[c::nch] = pcm[c]
+            ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+            want = ((ints >> 8) + 128).astype(np.uint8)
+            got_arr = np.frombuffer(got, np.uint8)
+            diff = np.abs(got_arr.astype(int) - want.astype(int))
+            assert int(diff.max()) <= 1, (mode, int(diff.max()))
+            assert np.count_nonzero(got_arr != 128) > 100, mode
+    finally:
+        register_mp3_tables(None)
+
+
+def test_synthesize_layer1_decodes_distributed(spark):
+    """r10 Layer I end-to-end through the Spark plumbing: executor-side
+    encode → Arrow mapInPandas decode; silence closed form
+    n = 384·frames per channel, channel count by doc_id % 3."""
+    from jasminegraph_spark.pipeline.multimodal import (
+        decode_media,
+        synthesize_layer1,
+    )
+
+    docs = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    rows = {r["media_id"]: r
+            for r in decode_media(synthesize_layer1(docs)).collect()}
+    assert len(rows) == 24
+    for d in range(24):
+        n = 384 * (1 + d % 3)
+        nch = 1 if d % 3 == 0 else 2
+        assert rows[d]["width"] == n and rows[d]["height"] == nch
+        assert rows[d]["n_bytes"] == nch * n
+        assert rows[d]["body_sum"] == 128 * nch * n
+
+
 def test_mp3_window_switching_dsp_matches_independent_spec_math():
     """r8 window-switching coverage: a start → short → stop → long
     granule sequence AND a mixed-block stream, with NONZERO spectra and
