@@ -2542,6 +2542,29 @@ MP1_BITRATES = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352,
                 384, 416, 448)
 
 
+def _mp3_free_format_len(payload: bytes, pos: int, padding: int,
+                         pad_slot: int) -> int:
+    """FREE-FORMAT frame-size detection (§2.4.2.3 bitrate_index 0): the
+    frame size is constant across the stream (± one padding slot), so
+    scan forward for the next syncword whose version/layer/protection
+    byte and sampling-frequency bits match the current header and take
+    the distance, minus the current frame's padding slot. A single-frame
+    stream extends to the payload end. Limitation (documented): a
+    spurious 0xFF-sync byte pattern inside the main data of the FIRST
+    frame would mis-size every frame — real decoders cross-check several
+    consecutive frames; fixtures here carry silence main data (zeros),
+    which cannot false-sync."""
+    h1, h2 = payload[pos + 1], payload[pos + 2]
+    i = pos + 6  # smallest conceivable frame: header + minimal side info
+    limit = min(len(payload) - 2, pos + 8192)
+    while i <= limit:
+        if (payload[i] == 0xFF and payload[i + 1] == h1
+                and (payload[i + 2] & 0x0C) == (h2 & 0x0C)):
+            return (i - pos) - padding * pad_slot
+        i += 1
+    return (len(payload) - pos) - padding * pad_slot
+
+
 def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
     """REAL library-free MPEG-1 LAYER I decoder (r10 — the subband-codec
     half of the audio seam; Layer II stays behind it, its bit-allocation
@@ -2562,6 +2585,7 @@ def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
 
     pos = 0
     nch = None
+    free_base = None
     pcm_ch: list = []
     synth: list = []
     while pos + 4 <= len(payload):
@@ -2574,8 +2598,6 @@ def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("not a Layer I frame (layer bits)")
         protection = h[1] & 1
         br_idx = h[2] >> 4
-        if br_idx == 0:
-            raise NotImplementedError("free-format Layer I bitrate")
         if br_idx == 15:
             raise ValueError("invalid Layer I bitrate index 15")
         fs_idx = (h[2] >> 2) & 3
@@ -2595,7 +2617,12 @@ def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
         elif frame_nch != nch:
             raise ValueError("channel mode changed mid-stream")
         fs = MP3_SAMPLERATES[fs_idx]
-        flen = 4 * ((12 * MP1_BITRATES[br_idx] * 1000) // fs) + 4 * padding
+        if br_idx == 0:  # free format: constant size, 4-byte pad slot
+            if free_base is None:
+                free_base = _mp3_free_format_len(payload, pos, padding, 4)
+            flen = free_base + 4 * padding
+        else:
+            flen = 4 * ((12 * MP1_BITRATES[br_idx] * 1000) // fs) + 4 * padding
         body = pos + 4
         if not protection:
             body += 2  # CRC skipped, not verified
@@ -2647,6 +2674,7 @@ def encode_layer1(
     padding: int = 0,
     mode: int = 3,
     samples=None,
+    free_format_kbps: int | None = None,
 ) -> bytes:
     """Minimal MPEG-1 Layer I encoder (fixtures + tests). With
     ``samples=None`` every subband's allocation is 0 — digital silence
@@ -2657,8 +2685,12 @@ def encode_layer1(
     scalefactor indices, and sample codes."""
     if mode == 1:
         raise ValueError("Layer I intensity stereo not supported here")
+    if (bitrate_index == 0) != (free_format_kbps is not None):
+        raise ValueError(
+            "free format needs bitrate_index=0 AND free_format_kbps"
+        )
     nch = 1 if mode == 3 else 2
-    kbps = MP1_BITRATES[bitrate_index]
+    kbps = free_format_kbps or MP1_BITRATES[bitrate_index]
     fs = MP3_SAMPLERATES[fs_index]
     out = bytearray()
     for f in range(n_frames):
@@ -2734,6 +2766,7 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     store = bytearray()  # bit-reservoir: previous frames' main data
     nch = None
     version = None  # 3 = MPEG-1, 2 = MPEG-2 LSF, 0 = MPEG-2.5 LSF
+    free_base = None  # free-format frame size (sans padding), once found
     pcm_ch: list = []  # per-channel float sample lists
     overlap: list = []  # per-channel [32][18] overlap state
     synth: list = []  # per-channel polyphase state
@@ -2759,8 +2792,6 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
             )
         protection = h[1] & 1  # 1 = no CRC
         br_idx = h[2] >> 4
-        if br_idx == 0:
-            raise NotImplementedError("free-format MP3 bitrate")
         if br_idx == 15:
             raise ValueError("invalid MP3 bitrate index 15")
         fs_idx = (h[2] >> 2) & 3
@@ -2787,11 +2818,20 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("MP3 channel mode changed mid-stream")
         elif ver != version:
             raise ValueError("MPEG version changed mid-stream")
-        if lsf:
-            fs = MP3_LSF_SAMPLERATES[ver][fs_idx]
+        fs = MP3_LSF_SAMPLERATES[ver][fs_idx] if lsf else MP3_SAMPLERATES[fs_idx]
+        pad_slot = 1  # Layer III slot = 1 byte (Layer I uses 4)
+        if br_idx == 0:
+            # FREE FORMAT (§2.4.2.3 bitrate_index 0): the frame size is
+            # constant for the whole stream (± the padding slot) and the
+            # decoder determines it ONCE by scanning for the next
+            # syncword with identical version/layer/fs bits
+            if free_base is None:
+                free_base = _mp3_free_format_len(payload, pos, padding,
+                                                 pad_slot)
+            flen = free_base + padding * pad_slot
+        elif lsf:
             flen = (72000 * MP3_LSF_BITRATES[br_idx]) // fs + padding
         else:
-            fs = MP3_SAMPLERATES[fs_idx]
             flen = _mp3_frame_len(MP3_BITRATES[br_idx], fs, padding)
         body = pos + 4
         if not protection:
@@ -2933,6 +2973,7 @@ def encode_mp3(
     mode: int = 3,
     mode_ext: int = 0,
     version: int = 1,
+    free_format_kbps: int | None = None,
 ) -> bytes:
     """Minimal MPEG-1 Layer III mono/stereo encoder (fixtures + tests). With
     ``spectra=None`` emits digital silence with REAL varied structure:
@@ -2981,15 +3022,19 @@ def encode_mp3(
         raise ValueError("scfsi does not exist in LSF side info")
     if lsf and mode == 1 and (mode_ext & 1):
         raise ValueError("LSF intensity stereo not supported by this encoder")
+    if (bitrate_index == 0) != (free_format_kbps is not None):
+        raise ValueError(
+            "free format needs bitrate_index=0 AND free_format_kbps"
+        )
     ngr = 1 if lsf else 2
     nch = 1 if mode == 3 else 2
     if lsf:
         side_len = 9 if nch == 1 else 17
-        kbps = MP3_LSF_BITRATES[bitrate_index]
+        kbps = free_format_kbps or MP3_LSF_BITRATES[bitrate_index]
         fs = MP3_LSF_SAMPLERATES[2 if version == 2 else 0][fs_index]
     else:
         side_len = 17 if nch == 1 else 32
-        kbps = MP3_BITRATES[bitrate_index]
+        kbps = free_format_kbps or MP3_BITRATES[bitrate_index]
         fs = MP3_SAMPLERATES[fs_index]
     headers = []
     granule_bits: list = []  # per frame: _FlacBitWriter over all granules
@@ -3259,11 +3304,17 @@ def synthesize_mp3(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             ids = pdf[id_col].astype("int64")
             payloads = []
             for i in ids:
+                # every 13th doc is FREE FORMAT (bitrate_index 0, frame
+                # size recovered by the decoder's next-sync scan) — the
+                # silence oracle depends only on the frame count
+                free = i % 13 == 0
                 payloads.append(
                     encode_mp3(
                         1 + i % 3,
                         fs_index=int(i % 3),
-                        bitrate_index=int(1 + i % 14),
+                        bitrate_index=0 if free else int(1 + i % 14),
+                        free_format_kbps=int(72 + 8 * (i % 4)) if free
+                        else None,
                         seed=int(i % 251),
                         scfsi=int(i % 16),
                         protection=bool(i % 5 == 0),

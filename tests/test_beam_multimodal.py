@@ -1017,9 +1017,10 @@ def test_mp3_silence_roundtrip_all_structures():
 
 def test_mp3_unsupported_fields_gated():
     """Every seam raises naming the missing piece: reserved version
-    bits, Layer II, free format, and — without registered tables —
-    nonzero spectral data. (Stereo/joint/dual decode landed r9, LSF
-    MPEG-2/2.5 landed r10; both are tested in their own tests.)"""
+    bits, Layer II, invalid bitrate index, and — without registered
+    tables — nonzero spectral data. (Stereo/joint/dual decode landed
+    r9; LSF, Layer I, and free format landed r10 — each tested in its
+    own test.)"""
     import pytest as _pt
 
     from jasminegraph_spark.pipeline.multimodal import (
@@ -1036,8 +1037,8 @@ def test_mp3_unsupported_fields_gated():
     b = bytearray(base); b[1] = (b[1] & ~0x06) | 0x04  # layer II
     with _pt.raises(NotImplementedError, match="Layer II"):
         _decode_mp3(bytes(b))
-    b = bytearray(base); b[2] &= 0x0F  # bitrate index 0 = free format
-    with _pt.raises(NotImplementedError, match="free-format"):
+    b = bytearray(base); b[2] |= 0xF0  # bitrate index 15 is invalid
+    with _pt.raises(ValueError, match="bitrate index 15"):
         _decode_mp3(bytes(b))
     # nonzero spectra: flip big_values of granule 0 in the side info
     b = bytearray(base)
@@ -2225,6 +2226,46 @@ def test_synthesize_mp3_lsf_decodes_distributed(spark):
         assert rows[d]["width"] == n and rows[d]["height"] == nch
         assert rows[d]["n_bytes"] == nch * n
         assert rows[d]["body_sum"] == 128 * nch * n
+
+
+def test_mp3_free_format_frame_size_recovery():
+    """r10 free format (§2.4.2.3 bitrate_index 0): the decoder recovers
+    the constant frame size by scanning for the next matching syncword
+    — across MPEG-1 / MPEG-2 / 2.5 Layer III and Layer I, mono and
+    stereo, with and without padding/CRC/reservoir, including the
+    single-frame stream that extends to the payload end."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        encode_layer1,
+        encode_mp3,
+    )
+
+    for i in range(36):
+        ver = (1, 2, 25)[i % 3]
+        mode = 3 if i % 2 == 0 else 0
+        nch = 1 if mode == 3 else 2
+        p = encode_mp3(1 + i % 3, fs_index=i % 3, bitrate_index=0,
+                       free_format_kbps=72 + 8 * (i % 4), seed=i % 251,
+                       padding=i % 2, protection=i % 5 == 0,
+                       reservoir_slack=4 if i % 7 == 0 else 0,
+                       mode=mode, version=ver)
+        n, ch, body = _decode_mp3(p)
+        spg = 1152 if ver == 1 else 576
+        assert (n, ch) == (spg * (1 + i % 3), nch)
+        assert set(body) == {128}
+    # Layer I free format (4-byte padding slot)
+    for frames in (1, 3):
+        p = encode_layer1(frames, fs_index=0, bitrate_index=0,
+                          free_format_kbps=96, padding=1)
+        n, ch, body = _decode_mp3(p)
+        assert (n, ch) == (384 * frames, 1) and set(body) == {128}
+    # the encoder validates the pairing
+    with _pt.raises(ValueError, match="free format needs"):
+        encode_mp3(1, bitrate_index=0)
+    with _pt.raises(ValueError, match="free format needs"):
+        encode_mp3(1, bitrate_index=9, free_format_kbps=64)
 
 
 def test_layer1_silence_and_gates():
