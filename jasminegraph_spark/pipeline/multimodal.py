@@ -1838,11 +1838,16 @@ MP3_SAMPLERATES = (44100, 48000, 32000)
 MP3_LSF_BITRATES = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
 MP3_LSF_SAMPLERATES = {2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
 # LSF scalefactor groups (13818-3 §2.4.3.2): nr_of_sfb per
-# (blocknumber from the scalefac_compress ranges) × (long/short/mixed)
+# (blocknumber from the scalefac_compress ranges) × (long/short/mixed).
+# Rows 0-2: normal channels; rows 3-5: the INTENSITY channel's scheme
+# (selected by scalefac_compress >> 1; bit 0 is intensity_scale).
 _MP3_LSF_NSFB = (
     ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
     ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
     ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+    ((7, 7, 7, 0), (12, 12, 12, 0), (6, 15, 12, 0)),
+    ((6, 6, 6, 3), (12, 9, 9, 6), (6, 12, 9, 6)),
+    ((8, 8, 5, 0), (15, 12, 9, 0), (6, 18, 9, 0)),
 )
 # scalefac_compress → (slen1, slen2) (11172-3 §2.4.2.7)
 _MP3_SLEN = (
@@ -1969,6 +1974,24 @@ def _mp3_lsf_slen(sc: int) -> tuple:
     return (t // 3, t % 3, 0, 0), 1, 2
 
 
+def _mp3_lsf_slen_intensity(sc: int) -> tuple:
+    """LSF INTENSITY-channel scalefactor scheme (13818-3 §2.4.3.2): the
+    right channel's scalefac_compress >> 1 (bit 0 is intensity_scale)
+    selects one of three slen partitions, picking _MP3_LSF_NSFB rows
+    3-5. Returns (slen4, blocknumber). The decoded values are is_pos
+    positions; each band's all-ones value (2^slen − 1) is the illegal
+    marker."""
+    if sc < 180:
+        return (sc // 36, (sc % 36) // 6, sc % 6, 0), 3
+    if sc < 244:
+        t = sc - 180
+        return ((t % 64) >> 4, (t % 16) >> 2, t % 4, 0), 4
+    if sc < 255:
+        t = sc - 244
+        return (t // 3, t % 3, 0, 0), 5
+    raise ValueError("LSF intensity scalefac_compress >> 1 out of range")
+
+
 def _mp3_read_side_info_lsf(raw: bytes, nch: int = 1) -> list:
     """MPEG-2/2.5 LSF side info → one _Mp3SideInfo per channel, each
     with ONE granule (list length 1 so the (si, gr=0) helpers apply).
@@ -2026,29 +2049,47 @@ def _mp3_read_side_info_lsf(raw: bytes, nch: int = 1) -> list:
     return sides
 
 
-def _mp3_read_scalefactors_lsf(br, si: _Mp3SideInfo, gr: int):
+def _mp3_read_scalefactors_lsf(br, si: _Mp3SideInfo, gr: int,
+                               intensity: bool = False):
     """LSF scalefactors for the single granule: four groups of
     nr_of_sfb[g] values at slen[g] bits each, partitioned over the flat
     scalefactor sequence (long: 21 values; pure short: 36 values in
     sfb-major window order → [12][3]). Sets si.preflag[gr] from the
-    derived scheme. Mixed blocks (33 values, 6 long + 27 short) are the
-    remaining LSF seam and raise naming the field."""
+    derived scheme. With ``intensity`` (the right channel of an
+    intensity-stereo LSF frame) the values are is_pos positions read
+    with the scalefac_compress>>1 scheme; returns
+    (values, per-band illegal markers, intensity_scale) instead. Mixed
+    blocks (33 values, 6 long + 27 short) are the remaining LSF seam
+    and raise naming the field."""
     bt, mixed = si.block_type[gr], si.mixed_block[gr]
     if bt == 2 and mixed:
         raise NotImplementedError(
             "LSF mixed-block scalefactors (6 long + 27 short groups) "
             "not implemented"
         )
-    slen, preflag, bn = _mp3_lsf_slen(si.scalefac_compress[gr])
-    si.preflag[gr] = preflag
+    if intensity:
+        slen, bn = _mp3_lsf_slen_intensity(si.scalefac_compress[gr] >> 1)
+        si.preflag[gr] = 0
+    else:
+        slen, preflag, bn = _mp3_lsf_slen(si.scalefac_compress[gr])
+        si.preflag[gr] = preflag
     nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
-    flat = []
+    flat, slens = [], []
     for g in range(4):
         for _ in range(nsfb[g]):
             flat.append(br.read(slen[g]) if slen[g] else 0)
+            slens.append(slen[g])
     if bt == 2:  # 36 values, sfb-major window order
-        return [flat[3 * sfb: 3 * sfb + 3] for sfb in range(12)]
-    return flat  # 21 long values
+        vals = [flat[3 * sfb: 3 * sfb + 3] for sfb in range(12)]
+        if not intensity:
+            return vals
+        ill = [[(1 << slens[3 * sfb + w]) - 1 if slens[3 * sfb + w] else 0
+                for w in range(3)] for sfb in range(12)]
+        return vals, ill, si.scalefac_compress[gr] & 1
+    if not intensity:
+        return flat  # 21 long values
+    ill = [(1 << s) - 1 if s else 0 for s in slens]
+    return flat, ill, si.scalefac_compress[gr] & 1
 
 
 def _mp3_scalefactor_bits(compress: int, block_type: int, mixed: int,
@@ -2418,6 +2459,84 @@ def _mp3_intensity_short(xr_l, xr_r, sf_r, fs, ms_on, mixed=False):
                     ms(lo, hi)
         elif ms_on:
             ms(0, long_end)
+
+
+def _mp3_joint_stereo_lsf(xr_l, xr_r, sfinfo, zero_bound, fs, ms_on, bt):
+    """MPEG-2/2.5 LSF joint stereo on REQUANTIZED pre-reorder spectra,
+    in place. ``sfinfo`` = (is_pos values, per-band illegal markers,
+    intensity_scale) from the intensity-channel scalefactor scheme.
+
+    LSF intensity panning (13818-3 §2.4.3.2; the libmad is_lsf_table
+    closed form): is_pos = 0 → L = R = v; is_pos = the band's all-ones
+    illegal marker → the band is MS-processed when MS is on, else
+    passed through; otherwise t = 2^(−(intensity_scale+1)·⌈is_pos/2⌉/2)
+    and an ODD is_pos scales the LEFT channel (L = v·t, R = v) while an
+    EVEN one scales the right (L = v, R = v·t) — v is the left
+    channel's value. Long blocks bound at the first band edge ≥ the
+    right channel's zero bound (bands past 20 reuse band 20); pure
+    short blocks bound PER WINDOW with band 12 reusing band 11's
+    is_pos, exactly like the MPEG-1 short path. MS applies below the
+    bound."""
+    vals, ill, iscale = sfinfo
+
+    def pan(lo, hi, is_pos, illegal):
+        if is_pos == illegal:
+            if ms_on:
+                m = xr_l[lo:hi].copy()
+                s = xr_r[lo:hi].copy()
+                xr_l[lo:hi] = (m + s) / _MP3_SQRT2
+                xr_r[lo:hi] = (m - s) / _MP3_SQRT2
+            return
+        v = xr_l[lo:hi].copy()
+        if is_pos == 0:
+            kl = kr = 1.0
+        else:
+            t = 2.0 ** (-(iscale + 1) * ((is_pos + 1) >> 1) / 2.0)
+            kl, kr = (t, 1.0) if is_pos & 1 else (1.0, t)
+        xr_l[lo:hi] = v * kl
+        xr_r[lo:hi] = v * kr
+
+    if bt == 2:  # pure short: per-window bounds, sfb-major layout
+        sfb_s = MP3_TABLES["sfb_short"][fs]
+        n_bands = len(sfb_s) - 1
+
+        def wslice(sfb, w):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            s = 3 * lo + (hi - lo) * w
+            return s, s + (hi - lo)
+
+        for w in range(3):
+            bound = 0
+            for sfb in range(n_bands):
+                s, e = wslice(sfb, w)
+                if any(xr_r[s:e]):
+                    bound = sfb + 1
+            for sfb in range(n_bands):
+                s, e = wslice(sfb, w)
+                if sfb < bound:
+                    if ms_on:
+                        m = xr_l[s:e].copy()
+                        sv = xr_r[s:e].copy()
+                        xr_l[s:e] = (m + sv) / _MP3_SQRT2
+                        xr_r[s:e] = (m - sv) / _MP3_SQRT2
+                else:
+                    j = sfb if sfb < 12 else 11
+                    pan(s, e, vals[j][w], ill[j][w])
+        return
+
+    sfb = MP3_TABLES["sfb_long"][fs]
+    bands = [(sfb[b], sfb[b + 1]) for b in range(len(sfb) - 1)]
+    bound_line = next((lo for lo, _ in bands if lo >= zero_bound), 576)
+    if ms_on and bound_line:
+        m = xr_l[:bound_line].copy()
+        s = xr_r[:bound_line].copy()
+        xr_l[:bound_line] = (m + s) / _MP3_SQRT2
+        xr_r[:bound_line] = (m - s) / _MP3_SQRT2
+    for band, (lo, hi) in enumerate(bands):
+        if lo < bound_line:
+            continue
+        j = band if band < 21 else 20
+        pan(lo, hi, vals[j], ill[j])
 
 
 def _mp3_reorder_short(xr, fs: int, mixed: bool):
@@ -2803,11 +2922,6 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         frame_nch = 1 if mode == 3 else 2
         ms_on = mode == 1 and bool(mode_ext & 2)
         int_on = mode == 1 and bool(mode_ext & 1)
-        if lsf and int_on:
-            raise NotImplementedError(
-                "LSF intensity stereo (intensity_scale is_pos coding, "
-                "13818-3 §2.4.3.2) not implemented"
-            )
         if nch is None:
             nch = frame_nch
             version = ver
@@ -2856,10 +2970,16 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
         prev_sf = [None] * nch
         for gr in range(1 if lsf else 2):
             chans = []  # per channel: (spectrum, sf, coded_end)
+            lsf_sfinfo = None  # (is_pos, illegal, intensity_scale)
             for ch in range(nch):
                 side = sides[ch]
                 start_bits = base + _mp3_bits_consumed(br)
-                if lsf:
+                if lsf and int_on and ch == 1:
+                    lsf_sfinfo = _mp3_read_scalefactors_lsf(
+                        br, side, gr, intensity=True
+                    )
+                    sf = lsf_sfinfo[0]
+                elif lsf:
                     sf = _mp3_read_scalefactors_lsf(br, side, gr)
                 else:
                     sf = _mp3_read_scalefactors(br, side, gr, prev_sf[ch])
@@ -2904,7 +3024,10 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
                         "types (left/right disagree) not implemented"
                     )
                 sf_r = chans[1][1]
-                if int_on and blk[1][0] == 2:
+                if int_on and lsf:
+                    _mp3_joint_stereo_lsf(xrs[0], xrs[1], lsf_sfinfo,
+                                          chans[1][2], fs, ms_on, blk[1][0])
+                elif int_on and blk[1][0] == 2:
                     _mp3_intensity_short(xrs[0], xrs[1], sf_r, fs, ms_on,
                                          mixed=bool(blk[1][1]))
                 else:
@@ -3020,8 +3143,6 @@ def encode_mp3(
     lsf = version != 1
     if lsf and scfsi:
         raise ValueError("scfsi does not exist in LSF side info")
-    if lsf and mode == 1 and (mode_ext & 1):
-        raise ValueError("LSF intensity stereo not supported by this encoder")
     if (bitrate_index == 0) != (free_format_kbps is not None):
         raise ValueError(
             "free format needs bitrate_index=0 AND free_format_kbps"
@@ -3069,8 +3190,15 @@ def encode_mp3(
                         raise ValueError(
                             "LSF mixed blocks not supported by this encoder"
                         )
-                    compress = (seed * 3 + f * 7 + vkey * 11) % 512
-                    slen4, _pre, bn = _mp3_lsf_slen(compress)
+                    if mode == 1 and (mode_ext & 1) and ch_ == 1:
+                        # intensity channel: is_pos values under the
+                        # scalefac_compress>>1 scheme (bit 0 = scale)
+                        sc_i = (seed * 3 + f * 7 + vkey * 11) % 255
+                        compress = (sc_i << 1) | ((seed + f) % 2)
+                        slen4, bn = _mp3_lsf_slen_intensity(sc_i)
+                    else:
+                        compress = (seed * 3 + f * 7 + vkey * 11) % 512
+                        slen4, _pre, bn = _mp3_lsf_slen(compress)
                     nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
                     part2 = sum(nsfb[g_] * slen4[g_] for g_ in range(4))
                     j = 0
@@ -3406,10 +3534,11 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Layer III frames built ON EXECUTORS in a mapInPandas stage. Doc d
     gets 1 + d%3 frames of digital silence; the version alternates
     MPEG-2 (22.05/24/16 kHz) and MPEG-2.5 (11.025/12/8 kHz) by doc, the
-    channel mode cycles mono / stereo / joint-MS / dual (LSF intensity
-    is the decoder's named seam, so mode_ext stays MS-only), the 9-bit
-    scalefac_compress walks all three §2.4.3.2 blocknumber ranges with
-    NONZERO scalefactors, every 11th doc window-switches
+    channel mode cycles mono / stereo / joint / dual with joint docs
+    cycling intensity / MS / MS+intensity (LSF intensity panning landed
+    r10 — the intensity channel's scalefac_compress>>1 is_pos scheme),
+    the 9-bit scalefac_compress walks all three §2.4.3.2 blocknumber
+    ranges with NONZERO scalefactors, every 11th doc window-switches
     (start/short/stop), every 5th carries CRC bytes, every 7th uses a
     real bit reservoir (8-bit main_data_begin). One granule per frame:
     the SQL oracle's closed form is n = 576·frames per channel, bytes
@@ -3447,7 +3576,9 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         reservoir_slack=4 if i % 7 == 0 else 0,
                         block_plan=_plan if windowed else None,
                         mode=mode,
-                        mode_ext=2 if mode == 1 else 0,
+                        # joint docs cycle intensity / MS / MS+intensity
+                        # (LSF intensity landed r10)
+                        mode_ext=1 + (i // 4) % 3 if mode == 1 else 0,
                         version=2 if i % 2 == 0 else 25,
                     )
                 )

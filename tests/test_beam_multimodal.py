@@ -2070,13 +2070,15 @@ def test_mp3_lsf_silence_and_gates():
         assert (n, ch) == (576 * (1 + i % 3), nch)
         assert set(body) == {128}
 
-    # LSF intensity stereo: named seam
-    pay = encode_mp3(1, bitrate_index=8, mode=1, mode_ext=2, version=2)
-    tampered = bytes([pay[0], pay[1], pay[2], (1 << 6) | (3 << 4) | (1 << 2)]) + pay[4:]
-    with _pt.raises(NotImplementedError, match="LSF intensity stereo"):
-        _decode_mp3(tampered)
-    with _pt.raises(ValueError, match="LSF intensity stereo"):
-        encode_mp3(1, bitrate_index=8, mode=1, mode_ext=3, version=2)
+    # LSF intensity stereo (r10: implemented — the dedicated contract
+    # test proves the nonzero panning): silence round-trips through the
+    # intensity scalefactor scheme across both versions and scales
+    for i in range(8):
+        p = encode_mp3(1 + i % 3, fs_index=i % 3, bitrate_index=8,
+                       seed=i * 37, mode=1, mode_ext=1 + 2 * (i % 2),
+                       version=2 if i % 2 == 0 else 25)
+        n, ch, body = _decode_mp3(p)
+        assert (n, ch) == (576 * (1 + i % 3), 2) and set(body) == {128}
 
     # LSF mixed-block scalefactors: named seam (encoder refuses; a
     # hand-tampered side info would hit the reader's gate)
@@ -2203,6 +2205,171 @@ def test_mp3_lsf_nonzero_dsp_matches_independent_spec_math():
             assert int(diff.max()) <= 1, (seed, int(diff.max()))
             assert np.count_nonzero(got_arr != 128) > 100, seed
         assert seen_bn == {0, 1, 2}  # all three compress ranges exercised
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_lsf_intensity_stereo_matches_independent_spec_math():
+    """r10 LSF intensity stereo (13818-3 §2.4.3.2 / the libmad
+    is_lsf_table closed form): MPEG-2 joint stereo with MS + intensity,
+    right channel coded in lines 0-7 only → zero_bound 8; the right
+    channel's scalefactors are is_pos positions under the
+    scalefac_compress>>1 scheme (bit 0 = intensity_scale); bands above
+    the bound pan with t = 2^(−(scale+1)·⌈is_pos/2⌉/2) — odd is_pos
+    scales LEFT, even scales RIGHT, 0 copies, the band's all-ones value
+    is the illegal marker (MS fallback) — MS below the bound. All vs
+    independent numpy math; also requants the right channel's coded
+    region with the SAME decoded values as scalefactors."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_LSF_NSFB,
+        _decode_mp3,
+        _mp3_lsf_slen,
+        _mp3_lsf_slen_intensity,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    for t in ("sfb_long", "sfb_short"):
+        base = tables[t][48000]
+        for fs in (22050, 24000, 16000, 11025, 12000, 8000):
+            tables[t][fs] = base
+    register_mp3_tables(tables)
+    try:
+        sfb = tables["sfb_long"][24000]
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im18 = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                          for k in range(18)] for n_ in range(36)])
+        w_norm = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+
+        def spectra(f, gr, ch):
+            vals = [0] * 576
+            rng = np.random.RandomState(333 + f * 2 + ch)
+            if ch == 1:  # right: ±1 lines 0..7 only → zero_bound 8
+                for i in range(8):
+                    vals[i] = int(rng.randint(-1, 2))
+                vals[0] = vals[0] or 1
+            else:
+                for i in rng.choice(60, size=14, replace=False):
+                    vals[int(i)] = int(rng.randint(-17, 18))
+            return vals
+
+        # seed chosen so every (frame, channel) global_gain lands in
+        # the audible-but-unclipped band (gg = (7*seed+29c+13f) % 256)
+        seed, n_frames = 96, 2
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1,
+                             mode=1, mode_ext=3, version=2)
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (576 * n_frames, 2)
+
+        def lsf_sf(f, c):
+            """Mirror the encoder's per-channel LSF scalefactor values."""
+            vkey = c  # gr = 0 always (one granule), stereo vkey = gr*2+ch
+            if c == 1:
+                sc_i = (seed * 3 + f * 7 + vkey * 11) % 255
+                iscale = (seed + f) % 2
+                slen, bn = _mp3_lsf_slen_intensity(sc_i)
+                preflag = 0
+            else:
+                sc = (seed * 3 + f * 7 + vkey * 11) % 512
+                slen, preflag, bn = _mp3_lsf_slen(sc)
+                iscale = None
+            nsfb = _MP3_LSF_NSFB[bn][0]
+            sf, ill, j = [], [], 0
+            for g_ in range(4):
+                for _ in range(nsfb[g_]):
+                    sf.append((j * 5 + seed + vkey) % (1 << slen[g_])
+                              if slen[g_] else 0)
+                    ill.append((1 << slen[g_]) - 1 if slen[g_] else 0)
+                    j += 1
+            return sf, ill, iscale, preflag
+
+        def requant(f, c, sf, preflag):
+            from jasminegraph_spark.pipeline.multimodal import _MP3_PRETAB
+
+            vkey = c
+            gg = (seed * 7 + f * 13 + vkey * 29) % 256
+            mult = 0.5 * (((seed + vkey) % 2) + 1)
+            g = 0.25 * (gg - 210)
+            xr = np.array(spectra(f, 0, c), dtype=float)
+            xr = np.sign(xr) * np.abs(xr) ** (4.0 / 3.0)
+            xr *= 2.0 ** g
+            for band in range(21):
+                pre = _MP3_PRETAB[band] if preflag else 0
+                xr[sfb[band]:sfb[band + 1]] *= 2.0 ** (-mult * (sf[band] + pre))
+            return xr
+
+        v_fifo = [np.zeros(1024), np.zeros(1024)]
+        overlap = [np.zeros((32, 18)), np.zeros((32, 18))]
+        pcm = [[], []]
+        bound = 8
+        for f in range(n_frames):
+            sf_l, _, _, pre_l = lsf_sf(f, 0)
+            sf_r, ill_r, iscale, _ = lsf_sf(f, 1)
+            xl = requant(f, 0, sf_l, pre_l)
+            xr_ = requant(f, 1, sf_r, 0)
+            L, R = xl.copy(), xr_.copy()
+            L[:bound] = (xl[:bound] + xr_[:bound]) / math.sqrt(2.0)
+            R[:bound] = (xl[:bound] - xr_[:bound]) / math.sqrt(2.0)
+            for band in range(len(sfb) - 1):
+                lo, hi = sfb[band], sfb[band + 1]
+                if lo < bound:
+                    continue
+                j = band if band < 21 else 20
+                is_pos, illegal = sf_r[j], ill_r[j]
+                if is_pos == illegal:
+                    m, s = xl[lo:hi].copy(), xr_[lo:hi].copy()
+                    L[lo:hi] = (m + s) / math.sqrt(2.0)
+                    R[lo:hi] = (m - s) / math.sqrt(2.0)
+                    continue
+                v = xl[lo:hi].copy()
+                if is_pos == 0:
+                    kl = kr = 1.0
+                else:
+                    t = 2.0 ** (-(iscale + 1) * ((is_pos + 1) >> 1) / 2.0)
+                    kl, kr = (t, 1.0) if is_pos & 1 else (1.0, t)
+                L[lo:hi] = v * kl
+                R[lo:hi] = v * kr
+            for c, xr in enumerate((L, R)):
+                for b in range(1, 32):
+                    for i, ci in enumerate(_MP3_CI):
+                        cs = 1 / math.sqrt(1 + ci * ci)
+                        ca = ci / math.sqrt(1 + ci * ci)
+                        lo_, hi_ = 18 * b - 1 - i, 18 * b + i
+                        a_, u_ = xr[lo_], xr[hi_]
+                        xr[lo_] = a_ * cs - u_ * ca
+                        xr[hi_] = u_ * cs + a_ * ca
+                slot = np.zeros((32, 18))
+                for sb in range(32):
+                    x36 = w_norm * (im18 @ xr[18 * sb: 18 * sb + 18])
+                    slot[sb] = x36[:18] + overlap[c][sb]
+                    overlap[c][sb] = x36[18:]
+                for sb in range(1, 32, 2):
+                    slot[sb, 1::2] *= -1.0
+                for t in range(18):
+                    v_fifo[c] = np.concatenate([N @ slot[:, t], v_fifo[c][:960]])
+                    u = np.zeros(512)
+                    for i in range(8):
+                        u[64 * i: 64 * i + 32] = v_fifo[c][128 * i: 128 * i + 32]
+                        u[64 * i + 32: 64 * i + 64] = \
+                            v_fifo[c][128 * i + 96: 128 * i + 128]
+                    pcm[c].extend((u * D).reshape(16, 32).sum(axis=0))
+        inter = np.empty(2 * len(pcm[0]))
+        inter[0::2], inter[1::2] = pcm[0], pcm[1]
+        ints = np.clip(np.rint(inter * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        got_arr = np.frombuffer(got, np.uint8)
+        diff = np.abs(got_arr.astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+        assert np.count_nonzero(got_arr != 128) > 100
     finally:
         register_mp3_tables(None)
 
