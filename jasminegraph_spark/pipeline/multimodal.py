@@ -2675,7 +2675,7 @@ def _mp3_free_format_len(payload: bytes, pos: int, padding: int,
     which cannot false-sync."""
     h1, h2 = payload[pos + 1], payload[pos + 2]
     i = pos + 6  # smallest conceivable frame: header + minimal side info
-    limit = min(len(payload) - 2, pos + 8192)
+    limit = min(len(payload) - 3, pos + 8192)  # scan reads payload[i+2]
     while i <= limit:
         if (payload[i] == 0xFF and payload[i + 1] == h1
                 and (payload[i + 2] & 0x0C) == (h2 & 0x0C)):
