@@ -2058,14 +2058,16 @@ def _mp3_read_scalefactors_lsf(br, si: _Mp3SideInfo, gr: int,
     derived scheme. With ``intensity`` (the right channel of an
     intensity-stereo LSF frame) the values are is_pos positions read
     with the scalefac_compress>>1 scheme; returns
-    (values, per-band illegal markers, intensity_scale) instead. Mixed
-    blocks (33 values, 6 long + 27 short) are the remaining LSF seam
-    and raise naming the field."""
+    (values, per-band illegal markers, intensity_scale) instead.
+    MIXED blocks (r10): 33 values — 6 long bands then 27 short in
+    sfb-major window order for sfb 3-11 — returned as the
+    (long_sf, short_sf) pair the mixed requantizer consumes; mixed
+    UNDER INTENSITY remains a named seam (the per-window is_pos split
+    across the long/short boundary)."""
     bt, mixed = si.block_type[gr], si.mixed_block[gr]
-    if bt == 2 and mixed:
+    if bt == 2 and mixed and intensity:
         raise NotImplementedError(
-            "LSF mixed-block scalefactors (6 long + 27 short groups) "
-            "not implemented"
+            "LSF intensity stereo with MIXED blocks not implemented"
         )
     if intensity:
         slen, bn = _mp3_lsf_slen_intensity(si.scalefac_compress[gr] >> 1)
@@ -2073,12 +2075,16 @@ def _mp3_read_scalefactors_lsf(br, si: _Mp3SideInfo, gr: int,
     else:
         slen, preflag, bn = _mp3_lsf_slen(si.scalefac_compress[gr])
         si.preflag[gr] = preflag
-    nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
+    bti = 2 if (bt == 2 and mixed) else (1 if bt == 2 else 0)
+    nsfb = _MP3_LSF_NSFB[bn][bti]
     flat, slens = [], []
     for g in range(4):
         for _ in range(nsfb[g]):
             flat.append(br.read(slen[g]) if slen[g] else 0)
             slens.append(slen[g])
+    if bt == 2 and mixed:  # 6 long + 27 short (sfb 3-11, sfb-major)
+        return (flat[:6],
+                [flat[6 + 3 * i: 9 + 3 * i] for i in range(9)])
     if bt == 2:  # 36 values, sfb-major window order
         vals = [flat[3 * sfb: 3 * sfb + 3] for sfb in range(12)]
         if not intensity:
@@ -2281,12 +2287,22 @@ def _mp3_requantize(spectrum, si: _Mp3SideInfo, gr: int, scalefacs, fs: int):
                 out[s:e] *= 2.0 ** expo
         return out
     if bt == 2 and mixed:
+        # the mixed long region covers bands up to line 36 — 8 bands in
+        # the MPEG-1 tables, 6 in the LSF tables; take the count from
+        # the scalefactor reader's long part rather than hardcoding
         long_sf, short_sf = scalefacs
-        for sfb in range(8):
+        for sfb in range(len(long_sf)):
             lo, hi = sfb_l[sfb], sfb_l[sfb + 1]
             pre = _MP3_PRETAB[sfb] if si.preflag[gr] else 0
             out[lo:hi] *= 2.0 ** (g - mult * (long_sf[sfb] + pre))
         sfb_s = MP3_TABLES["sfb_short"][fs]
+        split = 3 * sfb_s[3]  # the mixed long/short split line (36)
+        if sfb_l[len(long_sf)] < split:
+            # long-region lines past the last long scalefactor band:
+            # gain only (the real Table B.8 geometries have none — the
+            # long bands end exactly at the split; synthetic test
+            # tables may leave a tail)
+            out[sfb_l[len(long_sf)]:split] *= 2.0 ** g
         for sfb in range(3, len(sfb_s) - 1):
             lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
             for w in range(3):
@@ -2872,11 +2888,12 @@ def _decode_mp3(payload: bytes) -> tuple[int, int, bytes]:
     synthesis with PER-CHANNEL filter state. All-zero spectra decode to
     exact zeros through every stage (linear pipeline), which is what
     the pl_mp3_decode / pl_mp3_stereo_decode / pl_mp3_lsf_decode driver
-    rows check arithmetically. Layer I dispatches to _decode_layer1
-    (r10). Layer II, free-format, intensity with mismatched channel
-    block types, LSF intensity stereo, and LSF mixed-block scalefactors
-    raise NotImplementedError naming the field. Returns
-    (samples_per_channel,
+    rows check arithmetically. Layer I dispatches to _decode_layer1;
+    LSF intensity, LSF mixed blocks, and free-format frame sizing all
+    decode (r10). What still raises a named NotImplementedError: Layer
+    II (bit-allocation tables are data), intensity with mismatched
+    channel block types, and LSF intensity combined with mixed blocks.
+    Returns (samples_per_channel,
     n_channels, channel-interleaved upper-byte+128 uint8 fold) like
     _decode_wav/_decode_flac."""
     import numpy as np
@@ -3186,11 +3203,12 @@ def encode_mp3(
                         raise ValueError("scfsi sharing requires long blocks")
                 gg = (seed * 7 + f * 13 + vkey * 29) % 256
                 if lsf:
-                    if bt == 2 and mixed:
-                        raise ValueError(
-                            "LSF mixed blocks not supported by this encoder"
-                        )
                     if mode == 1 and (mode_ext & 1) and ch_ == 1:
+                        if bt == 2 and mixed:
+                            raise ValueError(
+                                "LSF intensity with mixed blocks is the "
+                                "decoder's named seam"
+                            )
                         # intensity channel: is_pos values under the
                         # scalefac_compress>>1 scheme (bit 0 = scale)
                         sc_i = (seed * 3 + f * 7 + vkey * 11) % 255
@@ -3199,7 +3217,8 @@ def encode_mp3(
                     else:
                         compress = (seed * 3 + f * 7 + vkey * 11) % 512
                         slen4, _pre, bn = _mp3_lsf_slen(compress)
-                    nsfb = _MP3_LSF_NSFB[bn][1 if bt == 2 else 0]
+                    bti = 2 if (bt == 2 and mixed) else (1 if bt == 2 else 0)
+                    nsfb = _MP3_LSF_NSFB[bn][bti]
                     part2 = sum(nsfb[g_] * slen4[g_] for g_ in range(4))
                     j = 0
                     for g_ in range(4):
@@ -3549,6 +3568,10 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             return (1, 0, [0, 1, 2])
         return (2, 0, [2, 0, 1]) if f % 3 == 1 else (3, 0, [1, 1, 0])
 
+    def _plan_mixed(f, gr):
+        # LSF mixed blocks (r10): 6 long + 27 short scalefactor groups
+        return (2, 1, [1, 0, 2])
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
@@ -3556,6 +3579,13 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in ids:
                 mode = (3, 0, 1, 2)[i % 4]
                 windowed = i % 11 == 0
+                if windowed and i % 22 == 0 and not (
+                    mode == 1 and (1 + (i // 4) % 3) & 1
+                ):
+                    # mixed docs, except under intensity (the named seam)
+                    plan_fn = _plan_mixed
+                else:
+                    plan_fn = _plan
                 stereo = mode != 3
                 # scalefactor bits for 2 channels (or 36 short values)
                 # outgrow the lowest LSF bitrates' frame capacity
@@ -3574,7 +3604,7 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         protection=bool(i % 5 == 0),
                         padding=int(i % 2),
                         reservoir_slack=4 if i % 7 == 0 else 0,
-                        block_plan=_plan if windowed else None,
+                        block_plan=plan_fn if windowed else None,
                         mode=mode,
                         # joint docs cycle intensity / MS / MS+intensity
                         # (LSF intensity landed r10)

@@ -2080,10 +2080,14 @@ def test_mp3_lsf_silence_and_gates():
         n, ch, body = _decode_mp3(p)
         assert (n, ch) == (576 * (1 + i % 3), 2) and set(body) == {128}
 
-    # LSF mixed-block scalefactors: named seam (encoder refuses; a
-    # hand-tampered side info would hit the reader's gate)
-    with _pt.raises(ValueError, match="LSF mixed blocks"):
-        encode_mp3(1, bitrate_index=10, version=2,
+    # LSF mixed blocks (r10: implemented — 6 long + 27 short groups)
+    # round-trip silence; mixed UNDER INTENSITY stays the named seam
+    p = encode_mp3(2, bitrate_index=10, version=2,
+                   block_plan=lambda f, gr: (2, 1, [0, 1, 2]))
+    n, ch, body = _decode_mp3(p)
+    assert (n, ch) == (576 * 2, 1) and set(body) == {128}
+    with _pt.raises(ValueError, match="named seam"):
+        encode_mp3(1, bitrate_index=10, version=2, mode=1, mode_ext=1,
                    block_plan=lambda f, gr: (2, 1, [0, 0, 0]))
 
     # reserved version bits 01 fail loudly
@@ -2205,6 +2209,155 @@ def test_mp3_lsf_nonzero_dsp_matches_independent_spec_math():
             assert int(diff.max()) <= 1, (seed, int(diff.max()))
             assert np.count_nonzero(got_arr != 128) > 100, seed
         assert seen_bn == {0, 1, 2}  # all three compress ranges exercised
+    finally:
+        register_mp3_tables(None)
+
+
+def test_mp3_lsf_mixed_blocks_match_independent_spec_math():
+    """r10 LSF MIXED blocks: the 33-value scalefactor layout (6 long
+    bands + 27 short in sfb-major window order for sfb 3-11) under the
+    derived-slen scheme, requantized with the length-derived long-band
+    count (6 at LSF vs MPEG-1's 8; synthetic-table tail lines get gain
+    only), short bands with subblock gains + the scalefactor-less band
+    12, mixed reorder, one alias boundary, mixed IMDCT — vs independent
+    numpy math, MPEG-2 mono."""
+    import math
+
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _MP3_CI,
+        _MP3_LSF_NSFB,
+        _decode_mp3,
+        _mp3_lsf_slen,
+        encode_mp3,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    for t in ("sfb_long", "sfb_short"):
+        base = tables[t][48000]
+        for fs in (22050, 24000, 16000, 11025, 12000, 8000):
+            tables[t][fs] = base
+    register_mp3_tables(tables)
+    try:
+        sfb_l = tables["sfb_long"][24000]
+        sfb_s = tables["sfb_short"][24000]
+        n_bands = len(sfb_s) - 1
+
+        def wslice(sfb, w):
+            lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+            s = 3 * lo + (hi - lo) * w
+            return s, s + (hi - lo)
+
+        def spectra(f, gr):
+            vals = [0] * 576
+            rng = np.random.RandomState(55 + f)
+            for i in range(12):  # long region lines
+                vals[i] = int(rng.randint(-9, 10))
+            for w in range(3):
+                for sfb in (3, 4):
+                    s, e = wslice(sfb, w)
+                    vals[s] = int(rng.randint(-9, 10))
+                s, e = wslice(12, w)
+                vals[s + 2] = int(rng.randint(1, 5))
+            return vals
+
+        seed, n_frames = 96, 2
+        sbg = [1, 0, 2]
+        payload = encode_mp3(n_frames, fs_index=1, bitrate_index=14,
+                             seed=seed, spectra=spectra, table_id=1,
+                             version=2,
+                             block_plan=lambda f, gr: (2, 1, sbg))
+        n, ch, got = _decode_mp3(payload)
+        assert (n, ch) == (576 * n_frames, 1)
+
+        D = np.asarray(tables["synth_window"])
+        N = np.array([[math.cos((16 + i) * (2 * j + 1) * math.pi / 64)
+                       for j in range(32)] for i in range(64)])
+        im18 = np.array([[math.cos(math.pi / 72 * (2 * n_ + 1 + 18) * (2 * k + 1))
+                          for k in range(18)] for n_ in range(36)])
+        im12 = np.array([[math.cos(math.pi / 24 * (2 * n_ + 1 + 6) * (2 * k + 1))
+                          for k in range(6)] for n_ in range(12)])
+        w_norm = np.array([math.sin(math.pi / 36 * (n_ + 0.5)) for n_ in range(36)])
+        w_short12 = np.array([math.sin(math.pi / 12 * (n_ + 0.5)) for n_ in range(12)])
+
+        v_fifo = np.zeros(1024)
+        overlap = np.zeros((32, 18))
+        pcm = []
+        seen_bn = set()
+        for f in range(n_frames):
+            sc = (seed * 3 + f * 7) % 512
+            slen, preflag, bn = _mp3_lsf_slen(sc)
+            seen_bn.add(bn)
+            nsfb = _MP3_LSF_NSFB[bn][2]  # mixed column
+            flat, j = [], 0
+            for g_ in range(4):
+                for _ in range(nsfb[g_]):
+                    flat.append((j * 5 + seed) % (1 << slen[g_])
+                                if slen[g_] else 0)
+                    j += 1
+            assert len(flat) == 33
+            long_sf, short_sf = flat[:6], [flat[6 + 3 * i: 9 + 3 * i]
+                                           for i in range(9)]
+            gg = (seed * 7 + f * 13) % 256
+            mult = 0.5 * ((seed % 2) + 1)
+            g = 0.25 * (gg - 210)
+            xr = np.array(spectra(f, 0), dtype=float)
+            xr = np.sign(xr) * np.abs(xr) ** (4.0 / 3.0)
+            for band in range(6):
+                lo, hi = sfb_l[band], sfb_l[band + 1]
+                xr[lo:hi] *= 2.0 ** (g - mult * long_sf[band])  # preflag 0
+            split = 3 * sfb_s[3]
+            if sfb_l[6] < split:  # synthetic-table tail: gain only
+                xr[sfb_l[6]:split] *= 2.0 ** g
+            for sfb in range(3, n_bands):
+                for w in range(3):
+                    s, e = wslice(sfb, w)
+                    sf_v = short_sf[sfb - 3][w] if sfb < 12 else 0
+                    xr[s:e] *= 2.0 ** (g - 2.0 * sbg[w] - mult * sf_v)
+            nat = xr.copy()  # mixed reorder: sfb 3..12
+            for sfb in range(3, n_bands):
+                lo, hi = sfb_s[sfb], sfb_s[sfb + 1]
+                width = hi - lo
+                blk = xr[3 * lo: 3 * hi]
+                for i in range(width):
+                    for w in range(3):
+                        nat[3 * lo + 3 * i + w] = blk[w * width + i]
+            for i, ci in enumerate(_MP3_CI):  # one alias boundary
+                cs = 1 / math.sqrt(1 + ci * ci)
+                ca = ci / math.sqrt(1 + ci * ci)
+                lo_, hi_ = 17 - i, 18 + i
+                a_, u_ = nat[lo_], nat[hi_]
+                nat[lo_] = a_ * cs - u_ * ca
+                nat[hi_] = u_ * cs + a_ * ca
+            slot = np.zeros((32, 18))
+            for sb in range(32):
+                lines = nat[18 * sb: 18 * sb + 18]
+                if sb < 2:
+                    x36 = w_norm * (im18 @ lines)
+                else:
+                    x36 = np.zeros(36)
+                    for w in range(3):
+                        z = im12 @ np.array([lines[3 * kk + w] for kk in range(6)])
+                        x36[6 + 6 * w: 18 + 6 * w] += z * w_short12
+                slot[sb] = x36[:18] + overlap[sb]
+                overlap[sb] = x36[18:]
+            for sb in range(1, 32, 2):
+                slot[sb, 1::2] *= -1.0
+            for t in range(18):
+                v_fifo = np.concatenate([N @ slot[:, t], v_fifo[:960]])
+                u = np.zeros(512)
+                for i in range(8):
+                    u[64 * i: 64 * i + 32] = v_fifo[128 * i: 128 * i + 32]
+                    u[64 * i + 32: 64 * i + 64] = v_fifo[128 * i + 96: 128 * i + 128]
+                pcm.extend((u * D).reshape(16, 32).sum(axis=0))
+        ints = np.clip(np.rint(np.asarray(pcm) * 32768.0), -32768, 32767).astype(np.int32)
+        want = ((ints >> 8) + 128).astype(np.uint8)
+        got_arr = np.frombuffer(got, np.uint8)
+        diff = np.abs(got_arr.astype(int) - want.astype(int))
+        assert int(diff.max()) <= 1, int(diff.max())
+        assert np.count_nonzero(got_arr != 128) > 100
     finally:
         register_mp3_tables(None)
 
