@@ -2762,14 +2762,18 @@ def _decode_layer1(payload: bytes) -> tuple[int, int, bytes]:
         if not protection:
             body += 2  # CRC skipped, not verified
         br = _FlacBitReader(payload[body: pos + flen])
-        alloc = [[br.read(4) for _ in range(32)] for _ in range(nch)]
-        for ch in range(nch):
-            for sb in range(32):
-                if alloc[ch][sb] == 15:
+        # ISO 11172-3 audio_data() is subband-major channel-minor for
+        # allocation AND scalefactors (bound == 32 here: intensity raises).
+        alloc = [[0] * 32 for _ in range(nch)]
+        for sb in range(32):
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
                     raise ValueError("forbidden Layer I allocation 15")
+                alloc[ch][sb] = a
         sf = [[0.0] * 32 for _ in range(nch)]
-        for ch in range(nch):
-            for sb in range(32):
+        for sb in range(32):
+            for ch in range(nch):
                 if alloc[ch][sb]:
                     idx = br.read(6)
                     if idx == 63:
@@ -2843,11 +2847,12 @@ def encode_layer1(
             for ch in range(nch):
                 for sb, a, sf_idx, codes in samples(f, ch):
                     plan[ch][sb] = (a, sf_idx, codes)
-        for ch in range(nch):
-            for sb in range(32):
+        # Spec field order: subband-major channel-minor (mirrors decode).
+        for sb in range(32):
+            for ch in range(nch):
                 w.write(plan[ch][sb][0] if plan[ch][sb] else 0, 4)
-        for ch in range(nch):
-            for sb in range(32):
+        for sb in range(32):
+            for ch in range(nch):
                 if plan[ch][sb]:
                     w.write(plan[ch][sb][1], 6)
         for s in range(12):

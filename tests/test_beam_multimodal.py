@@ -2706,6 +2706,70 @@ def test_layer1_nonzero_requant_matches_independent_spec_math():
         register_mp3_tables(None)
 
 
+def test_layer1_spec_bit_order_subband_major():
+    """r11 (ADVICE): ISO 11172-3 audio_data() reads Layer I allocation
+    and scalefactors SUBBAND-major CHANNEL-minor. Hand-build a stereo
+    frame bit-for-bit in the spec's field order and assert it decodes
+    identically to encode_layer1's output for the same plan. A decoder
+    (or a consistent encoder+decoder pair) using channel-major ordering
+    scrambles the hand-built stream's per-channel allocations and fails
+    this test — round-trip tests alone cannot catch that."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        _FlacBitWriter,
+        encode_layer1,
+        register_mp3_tables,
+    )
+
+    tables = _mp3_test_tables()
+    register_mp3_tables(tables)
+    try:
+        # ch0: sb0 alloc=2 (3-bit codes); ch1: sb3 alloc=4 (5-bit codes)
+        plan_rows = {(0, 0): (2, 5, [(3 * j) % 8 for j in range(12)]),
+                     (1, 3): (4, 12, [(7 * j + 1) % 32 for j in range(12)])}
+
+        def plan(f, ch):
+            return [(sb, a, sfi, codes)
+                    for (c, sb), (a, sfi, codes) in plan_rows.items()
+                    if c == ch]
+
+        enc = encode_layer1(1, fs_index=1, bitrate_index=9, mode=0,
+                            samples=plan)
+
+        # Hand-built twin, field order straight from the spec text.
+        flen = 4 * ((12 * 288 * 1000) // 48000)  # bitrate_index 9 @ 48k
+        hand = bytearray([0xFF, 0xFF, 0x94, 0x04])  # stereo, no CRC
+        w = _FlacBitWriter()
+        for sb in range(32):                      # allocation: sb-major
+            for ch in range(2):
+                w.write(plan_rows.get((ch, sb), (0,))[0], 4)
+        for sb in range(32):                      # scalefactors: sb-major
+            for ch in range(2):
+                if (ch, sb) in plan_rows:
+                    w.write(plan_rows[(ch, sb)][1], 6)
+        for s in range(12):                       # samples: grain, sb, ch
+            for sb in range(32):
+                for ch in range(2):
+                    if (ch, sb) in plan_rows:
+                        a, _, codes = plan_rows[(ch, sb)]
+                        w.write(codes[s], a + 1)
+        w.align()
+        hand += bytes(w.out).ljust(flen - 4, b"\x00")
+        assert len(hand) == flen
+        assert bytes(hand) == enc  # encoder writes the spec order
+
+        n_h, nch_h, pcm_h = _decode_mp3(bytes(hand))
+        n_e, nch_e, pcm_e = _decode_mp3(enc)
+        assert (n_h, nch_h) == (n_e, nch_e) == (384, 2)
+        assert pcm_h == pcm_e
+        assert np.count_nonzero(
+            np.frombuffer(pcm_h, np.uint8) != 128) > 50
+    finally:
+        register_mp3_tables(None)
+
+
 def test_synthesize_layer1_decodes_distributed(spark):
     """r10 Layer I end-to-end through the Spark plumbing: executor-side
     encode → Arrow mapInPandas decode; silence closed form
