@@ -2683,19 +2683,39 @@ def _mp3_free_format_len(payload: bytes, pos: int, padding: int,
     frame size is constant across the stream (± one padding slot), so
     scan forward for the next syncword whose version/layer/protection
     byte and sampling-frequency bits match the current header and take
-    the distance, minus the current frame's padding slot. A single-frame
-    stream extends to the payload end. Limitation (documented): a
-    spurious 0xFF-sync byte pattern inside the main data of the FIRST
-    frame would mis-size every frame — real decoders cross-check several
-    consecutive frames; fixtures here carry silence main data (zeros),
-    which cannot false-sync."""
+    the distance, minus the current frame's padding slot. Because a
+    spurious 0xFF-sync byte pattern CAN occur inside main data (silence
+    frames still carry nonzero side-info/scalefactor bits), a candidate
+    is only accepted after the cross-check real decoders use: up to
+    three subsequent frame boundaries must land on matching syncwords
+    at the derived stride (each frame's own padding bit honoured); a
+    failed candidate resumes the scan. A single-frame stream extends to
+    the payload end."""
     h1, h2 = payload[pos + 1], payload[pos + 2]
+
+    def _is_sync(j: int) -> bool:
+        return (payload[j] == 0xFF and payload[j + 1] == h1
+                and (payload[j + 2] & 0x0C) == (h2 & 0x0C))
+
+    def _stride_ok(base: int) -> bool:
+        p = pos
+        for _ in range(3):
+            pad = (payload[p + 2] >> 1) & 1
+            nxt = p + base + pad * pad_slot
+            if nxt + 3 > len(payload):
+                return nxt <= len(payload)  # stream end: accept
+            if not _is_sync(nxt):
+                return False
+            p = nxt
+        return True
+
     i = pos + 6  # smallest conceivable frame: header + minimal side info
     limit = min(len(payload) - 3, pos + 8192)  # scan reads payload[i+2]
     while i <= limit:
-        if (payload[i] == 0xFF and payload[i + 1] == h1
-                and (payload[i + 2] & 0x0C) == (h2 & 0x0C)):
-            return (i - pos) - padding * pad_slot
+        if _is_sync(i):
+            base = (i - pos) - padding * pad_slot
+            if base > 0 and _stride_ok(base):
+                return base
         i += 1
     return (len(payload) - pos) - padding * pad_slot
 

@@ -2706,6 +2706,34 @@ def test_layer1_nonzero_requant_matches_independent_spec_math():
         register_mp3_tables(None)
 
 
+def test_free_format_false_sync_rejected_by_stride_check():
+    """r11 (ADVICE): a spurious 0xFF+matching-header byte pattern inside
+    the FIRST free-format frame's main data must not mis-size the
+    stream. _mp3_free_format_len now accepts a candidate only when up
+    to three subsequent frame boundaries land on matching syncwords at
+    the derived stride (what real decoders do); the injected fake sync
+    fails that walk and the scan resumes to the true boundary."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_mp3,
+        _mp3_free_format_len,
+        encode_layer1,
+    )
+
+    p = bytearray(encode_layer1(4, fs_index=0, bitrate_index=0,
+                                free_format_kbps=64))
+    flen = 4 * ((12 * 64 * 1000) // 44100)
+    assert len(p) == 4 * flen
+    # Inject a fake sync (copy of the real 3 header bytes) into the
+    # zero-padded main data of frame 1, well before the true boundary.
+    p[20:23] = p[0:3]
+    assert _mp3_free_format_len(bytes(p), 0, 0, 4) == flen
+    n, nch, pcm = _decode_mp3(bytes(p))
+    assert (n, nch) == (384 * 4, 1)
+    assert not np.any(np.frombuffer(pcm, np.uint8) != 128)
+
+
 def test_layer1_spec_bit_order_subband_major():
     """r11 (ADVICE): ISO 11172-3 audio_data() reads Layer I allocation
     and scalefactors SUBBAND-major CHANNEL-minor. Hand-build a stereo
