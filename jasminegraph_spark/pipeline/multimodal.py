@@ -1388,6 +1388,13 @@ def synthesize_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+class _EndOfData(IndexError):
+    """Raised by _FlacBitReader when a read crosses the physical end of
+    its data. Subclasses IndexError so pre-r11 catch sites keep working,
+    but lets callers (e.g. the MP3 count1 loop) distinguish genuine
+    end-of-main-data from an unrelated IndexError in their own logic."""
+
+
 class _FlacBitReader:
     """MSB-first bit reader for the FLAC bit layout (no byte stuffing,
     unary = zero-run terminated by a one bit — ITU-independent; format
@@ -1404,7 +1411,11 @@ class _FlacBitReader:
 
     def read(self, n: int) -> int:
         while self.nbuf < n:
-            self.acc = (self.acc << 8) | self.data[self.bytepos]
+            try:
+                b = self.data[self.bytepos]
+            except IndexError:
+                raise _EndOfData("read past physical end of data") from None
+            self.acc = (self.acc << 8) | b
             self.bytepos += 1
             self.nbuf += 8
         self.nbuf -= n
@@ -1420,7 +1431,11 @@ class _FlacBitReader:
         q = 0
         while True:
             if self.nbuf == 0:
-                self.acc = self.data[self.bytepos]
+                try:
+                    self.acc = self.data[self.bytepos]
+                except IndexError:
+                    raise _EndOfData(
+                        "read past physical end of data") from None
                 self.bytepos += 1
                 self.nbuf = 8
             if self.acc == 0:  # whole buffered chunk is zeros
@@ -2235,13 +2250,16 @@ def _mp3_huffman_decode(br, bits_left: int, si: _Mp3SideInfo, gr: int, fs: int):
                     bits_left -= 1
                 spectrum[idx] = v
                 idx += 1
-        except IndexError:
+        except _EndOfData:
             # the overrunning quad's bits extend past the PHYSICAL end
             # of the main data (exact-fit last granule, no ancillary
             # bytes): same semantics as the budget overrun below —
             # discard the quad; the caller rebuilds the reader at the
             # granule boundary so the inconsistent reader state after
-            # the exception never leaks
+            # the exception never leaks. Scoped to the reader's own
+            # end-of-data signal (r11 ADVICE): a genuine IndexError in
+            # table/loop logic still surfaces instead of decoding
+            # garbage as trailing silence.
             for j in range(qstart, idx):
                 spectrum[j] = 0
             idx = qstart

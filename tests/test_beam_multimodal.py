@@ -1082,6 +1082,48 @@ def test_mp3_huffman_spectrum_roundtrip_injected_tables():
         register_mp3_tables(None)
 
 
+def test_count1_catch_scoped_to_reader_end_of_data():
+    """r11 (ADVICE): the count1 quad loop's discard-and-rewind catch is
+    scoped to the bit reader's own _EndOfData signal. A plain IndexError
+    raised by anything else inside the loop (a table-shape bug) must
+    propagate instead of being decoded as trailing silence."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _EndOfData,
+        _FlacBitReader,
+        _mp3_huffman_decode,
+        register_mp3_tables,
+    )
+
+    assert issubclass(_EndOfData, IndexError)  # pre-r11 catchers keep working
+    for fn in (lambda: _FlacBitReader(b"").read(1),
+               lambda: _FlacBitReader(b"").read_unary()):
+        with _pt.raises(_EndOfData):
+            fn()
+
+    register_mp3_tables(_mp3_test_tables())
+    try:
+        class SI:  # bv=0: the first read comes from the count1 loop
+            big_values = [0]; table_select = [[1, 1, 1]]
+            region0 = [0]; region1 = [0]
+            window_switching = [0]; block_type = [0]; count1table = [0]
+
+        class BuggyReader:
+            def read(self, n):
+                raise IndexError("table-shape bug, not end of data")
+
+        with _pt.raises(IndexError, match="table-shape bug"):
+            _mp3_huffman_decode(BuggyReader(), 8, SI(), 0, 48000)
+
+        # the reader's physical end still takes the discard path
+        spec, end = _mp3_huffman_decode(_FlacBitReader(b""), 8, SI(), 0,
+                                        48000)
+        assert spec == [0] * 576 and end == 0
+    finally:
+        register_mp3_tables(None)
+
+
 def _mp3_handmade_frame(gran_bits: list[str], part23: list[int],
                         big_values: list[int] | None = None) -> bytes:
     """One mono 128 kbps / 48 kHz frame with hand-set per-granule
