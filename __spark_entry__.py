@@ -8814,73 +8814,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r10 sweep order (VERDICT r9 asks #1 + #2, recomputed from
-    # CORRECTNESS_r0*.json latest-green rounds): the brand-new
-    # pl_mp3_stereo_decode row FIRST (no driver evidence exists yet),
-    # then the 12 rows whose latest green driver row is r05 (all 12
-    # judge-re-run green at sf0.1 during the r9 verdict), then the r06
-    # rows in their CORRECTNESS_r06.json sweep order — 1 + 12 + 37 = 50
-    # fills the driver window; the 11 remaining r06 rows queue directly
-    # behind it for r11. After this sweep the registry evidence floor
-    # lifts to r06. Audit: recompute latest-green per query from
-    # CORRECTNESS_r0*.json each round.
-    # --- new rows, no driver evidence yet ---
-    "pl_mp3_stereo_decode",
-    "pl_mp3_lsf_decode",
-    "pl_jpeg_progressive_color",
-    "pl_layer1_decode",
-    # --- latest green driver row r05 ---
-    "an_scc",
-    "pl_substring_spans",
-    "rel_q10_returned_items",
-    "rel_q4_order_priority",
-    "rel_q8_market_share",
-    "rel_q9_product_profit",
-    "rel_value_percentiles",
-    "src_graphml_roundtrip",
-    "src_jsonl_roundtrip",
-    "st_incremental_triangles",
-    "st_session_window_counts",
-    "st_windowed_event_counts",
-    # --- latest green driver row r06, oldest 37 by r06 sweep order ---
-    "an_mis",
-    "an_node2vec_walks",
-    "cypher_pattern_comprehension",
-    "pl_kmv_merge_rollup",
-    "pl_triplet_mining",
-    "src_bucketed_expand",
-    "src_unbucketed_expand",
-    "pl_pca_project2d",
-    "cy_write_roundtrip",
-    "pl_png_decode",
-    "an_node2vec_corpus",
-    "pl_semantic_dedup",
-    "pl_c4_rules",
-    "pl_bpe_encode",
-    "pl_kmeans_refine",
-    "pl_normalize_text",
-    "pl_bigram_logprob",
-    "st_incremental_wcc",
-    "pl_bpe_fertility",
-    "an_pagerank",
-    "pl_minhash_lsh",
-    "an_triangle_count",
-    "an_top_k_pagerank",
-    "rel_q1_pricing_summary",
-    "pl_exact_dedup",
-    "cy_vcnt_ecnt",
-    "an_degree_dist_in",
-    "an_egonet",
-    "pl_minhash_signatures",
-    "pl_simhash",
-    "pl_cosine_topk",
-    "pl_lsh_ann",
-    "pl_ivf_ann",
-    "pl_token_counts",
+    # r11 sweep order (VERDICT r10 ask #2, recomputed from all ten
+    # CORRECTNESS_r*.json latest-green rounds): no new rows this round
+    # (codec seam capped), so the window is pure rotation — the 14 rows
+    # whose latest green driver row is r06 (their r06 sweep order),
+    # then all 49 r07 rows in their r07 sweep order. 14 + 36 = 50 fills
+    # the ~50-row driver window; the remaining 13 r07 rows queue
+    # directly behind it as the r12 window head. After this sweep the
+    # registry evidence floor lifts to r07. Audit: recompute latest-
+    # green per query from CORRECTNESS_r*.json each round.
+    # --- latest green driver row r06 (14) ---
     "pl_language_id",
     "pl_quality_scores",
     "pl_doc_fingerprint",
-    # --- remaining 11 r06 rows: next round's window head ---
     "pl_bpe_token_count",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
@@ -8892,6 +8838,57 @@ _PRIORITY = [
     "rel_events_topk_users",
     "rel_running_balance",
     "rel_rollup_pricing",
+    # --- latest green driver row r07, in r07 sweep order (49; the
+    # first 36 complete the window, the last 13 head the r12 queue) ---
+    "pl_jpeg_decode",
+    "pl_flac_decode",
+    "pl_jpeg_progressive",
+    "src_hash_partition",
+    "an_sage_sampled",
+    "cy_graph_integrity",
+    "cy_aggregate",
+    "cy_cartesian_product",
+    "cy_intersect",
+    "cy_order_by_limit",
+    "cy_skip_limit",
+    "cy_union",
+    "rel_events_zscore",
+    "rel_pivot_events",
+    "cy_all_node_scan",
+    "cy_node_scan_by_label",
+    "cy_multi_label_scan",
+    "cy_node_by_id_seek",
+    "cy_undirected_rel_type_scan",
+    "cy_directed_rel_type_scan",
+    "cy_expand_two_hop",
+    "cy_expand_undirected_unique",
+    "cy_filter_coerce",
+    "cy_projection_missing_prop",
+    "cy_distinct_labels",
+    "cypher_aggregate_group",
+    "cypher_cartesian_patterns",
+    "cypher_undirected_unique",
+    "cypher_in_order_skip_limit",
+    "cypher_label_scan_project",
+    "cypher_filter_expand",
+    "cypher_with_agg_having",
+    "cypher_string_preds",
+    "cypher_case_expression",
+    "cypher_arithmetic",
+    "cypher_optional_match",
+    "cypher_unwind",
+    "cypher_varlength_path",
+    "cypher_exists_patterns",
+    "cypher_list_comprehension",
+    "cypher_list_predicates",
+    "cypher_named_path_length",
+    "cypher_distinct_null_checks",
+    "cypher_type_function",
+    "cypher_call_procedure",
+    "an_connected_components",
+    "an_k_core",
+    "an_link_prediction",
+    "an_link_prediction_embedding",
 ]
 
 
