@@ -518,7 +518,12 @@ def range_partition(edges: DataFrame, k: int) -> DataFrame:
         pid = F.lit(0)
         for b in bounds:
             pid = pid + F.when(F.col("nid") > F.lit(b), 1).otherwise(0)
-        return nodes.select("node", pid.cast("int").alias("pid"))
+        # Materialize before the finally-unpersist: the returned
+        # assignment is consumed by downstream actions (metis_partition's
+        # seed cut measurement, refine_partition, quality reports), which
+        # would otherwise recompute the union+distinct+try_cast lineage
+        # from scratch once nodes is unpersisted (r11 ADVICE).
+        return checkpoint(nodes.select("node", pid.cast("int").alias("pid")))
     finally:
         nodes.unpersist()
 
