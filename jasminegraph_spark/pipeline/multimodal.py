@@ -1357,6 +1357,22 @@ def encode_jpeg_gray(
     )
 
 
+def _spread_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """Id-only input for the fixture synthesizers, spread across the
+    session's full parallelism. The documents table at small SFs is a
+    single parquet file, so without this every synth + decode
+    mapInPandas chain ran SERIALLY on one core (r11 — measured 12.3 s
+    for pl_jpeg_progressive_color at sf0.1 against ~0.3 s of actual
+    codec work at 32 threads). The repartition shuffles only the 8-byte
+    ids; at cluster scale inputs already arrive in many splits and the
+    guard keeps this a no-op."""
+    ids = docs.select(id_col)
+    par = ids.sparkSession.sparkContext.defaultParallelism
+    if ids.rdd.getNumPartitions() < par:
+        ids = ids.repartition(par)
+    return ids
+
+
 def synthesize_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """REAL-JPEG media fixture: genuine baseline JPEG byte streams built
     ON EXECUTORS in a mapInPandas stage. Doc d gets a (1 + d%3) × (1 + d%2)
@@ -1383,7 +1399,7 @@ def synthesize_jpeg(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "image", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3516,7 +3532,7 @@ def synthesize_mp3(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "audio", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3586,7 +3602,7 @@ def synthesize_mp3_stereo(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "audio", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3659,7 +3675,7 @@ def synthesize_mp3_lsf(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "audio", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3698,7 +3714,7 @@ def synthesize_layer1(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "audio", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3725,7 +3741,7 @@ def synthesize_flac(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "audio", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3760,7 +3776,7 @@ def synthesize_jpeg_progressive(docs: DataFrame, id_col: str = "doc_id") -> Data
                 {"media_id": ids, "kind": "image", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3835,7 +3851,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3861,7 +3877,7 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 {"media_id": ids, "kind": "image", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 
@@ -3924,7 +3940,7 @@ def synthesize_jpeg_progressive_color(
                 {"media_id": ids, "kind": "image", "payload": payloads}
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _spread_ids(docs, id_col).mapInPandas(
         fn, "media_id long, kind string, payload binary"
     )
 

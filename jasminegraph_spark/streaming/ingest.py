@@ -194,18 +194,135 @@ def new_triangle_delta(old_edges: DataFrame, new_edges: DataFrame) -> int:
     new_c = canonical_undirected(new_edges)
     old_c = canonical_undirected(old_edges).exceptAll(new_c)
     union_c = old_c.unionAll(new_c)
+    return _delta_from_canonical(union_c, new_c, broadcast_new=False)
+
+
+def _delta_from_canonical(
+    union_c: DataFrame,
+    new_c: DataFrame,
+    broadcast_new: bool,
+    state_rows: int | None = None,
+) -> int:
+    """Wedge-count core shared by :func:`new_triangle_delta` and the
+    tracker's cached-state fast path. ``union_c`` is the canonical
+    (a<b, distinct) edge set of the union graph, ``new_c`` the canonical
+    batch. The batch's endpoint sets restrict the adjacency via
+    semi-joins BEFORE the (endpoint, z) equi-joins — wedges can only
+    hang off a new edge's endpoints, so this never changes the result
+    but keeps the accumulated state out of every shuffle: with
+    ``broadcast_new`` (small batch vs big state, the streaming steady
+    state) the state is map-scanned exactly twice and only
+    O(Σ deg(new endpoints)) rows reach the exchanges."""
+    hint = F.broadcast if broadcast_new else (lambda df: df)
     # adjacency of the union graph, both directions
     adj = union_c.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         union_c.select(F.col("b").alias("u"), F.col("a").alias("v"))
     )
-    # for each new edge (a,b): common neighbors z — two equi-joins keyed on
-    # (endpoint, z) so the second hash join uses both keys (no neighbor
-    # cross-product)
-    nbr_a = adj.select(F.col("u").alias("a"), F.col("v").alias("z"))
-    nbr_b = adj.select(F.col("u").alias("b"), F.col("v").alias("z"))
+    nodes = (
+        new_c.select(F.col("a").alias("u"))
+        .unionAll(new_c.select(F.col("b").alias("u")))
+        .distinct()
+    )
+    # adjacency restricted to new-edge endpoints: one map-only pass over
+    # the state under the broadcast hint; everything downstream works on
+    # O(Σ deg(new endpoints)) rows
+    adj_s = adj.join(hint(nodes), "u", "semi")
+    # min-degree orientation (the batch counter's skew armor,
+    # graph_algs._degree_ordered): enumerate each new edge's wedges from
+    # its LOWER-degree endpoint, probe the other — fan-out is
+    # Σ min(deg(a), deg(b)) instead of Σ deg(a). Degrees aggregate
+    # map-side before the (tiny, ≤ 2·|new| rows) shuffle.
+    deg = adj_s.groupBy("u").agg(F.count("*").alias("deg"))
+    oriented = (
+        new_c.join(hint(deg.select(F.col("u").alias("a"),
+                                   F.col("deg").alias("deg_a"))), "a")
+        .join(hint(deg.select(F.col("u").alias("b"),
+                              F.col("deg").alias("deg_b"))), "b")
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | ((F.col("deg_a") == F.col("deg_b"))
+                   & (F.col("a") <= F.col("b"))),
+                F.struct(F.col("a").alias("p"), F.col("b").alias("q")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("p"), F.col("a").alias("q"))
+            )
+            .alias("e")
+        )
+        .select("e.p", "e.q")
+    )
+    # common neighbors z — two equi-joins, the second keyed on (q, z) so
+    # the hash join uses both keys (no neighbor cross-product). The
+    # probe side carries the wedge candidates (Σ min-deg rows, the
+    # biggest intermediate here); when the caller knows the state is
+    # broadcast-sized, hint the ADJACENCY onto the hash side so the
+    # candidates never hit an exchange — at real scale (state_rows
+    # unknown or large) this falls back to the shuffled hash join.
+    nbr_p = adj_s.select(F.col("u").alias("p"), F.col("v").alias("z"))
+    nbr_q = adj_s.select(F.col("u").alias("q"), F.col("v").alias("z"))
+    if state_rows is not None and state_rows <= 3_000_000:
+        nbr_q = F.broadcast(nbr_q)
     tri = (
-        new_c.join(nbr_a, "a")
-        .join(nbr_b, ["b", "z"])
+        hint(oriented).join(nbr_p, "p")
+        .join(nbr_q, ["q", "z"])
+        .select(
+            F.least("p", "q", "z").alias("t1"),
+            F.expr("array_sort(array(p, q, z))[1]").alias("t2"),
+            F.greatest("p", "q", "z").alias("t3"),
+        )
+        .distinct()
+    )
+    return tri.count()
+
+
+def _neighbor_arrays(union_c: DataFrame) -> DataFrame:
+    """Per-node sorted-set neighbor arrays ``(u, zs)`` of a canonical
+    edge set — the adjacency-list representation the tracker's delta
+    intersects per new edge. One groupBy shuffle to build (cold start /
+    tests); warm batches maintain it incrementally in process_batch."""
+    adj = union_c.select(F.col("a").alias("u"), F.col("b").alias("z")).unionAll(
+        union_c.select(F.col("b").alias("u"), F.col("a").alias("z"))
+    )
+    return adj.groupBy("u").agg(
+        F.array_distinct(F.collect_list("z")).alias("zs")
+    )
+
+
+def _delta_from_arrays(
+    nbrs: DataFrame, new_c: DataFrame, broadcast_new: bool
+) -> int:
+    """Tracker fast path: triangles containing ≥1 new edge, via
+    ``array_intersect(N(a), N(b))`` per new edge against the cached
+    union-graph neighbor arrays. No wedge candidates are ever
+    materialized or shuffled — per-edge work is a hash set intersection
+    (O(deg(a)+deg(b))), and only the ACTUAL triangle hits reach the
+    dedup exchange (multi-new-edge triangles collapse via the canonical
+    triple distinct). The arrays are first semi-restricted to the
+    batch's endpoints (map-only when the batch broadcasts), so the hash
+    joins move O(|new| + touched arrays) rows — never the whole state.
+    Broadcasting the array table itself measures SLOWER even when it
+    fits (driver collect of the packed adjacency dominates), so the
+    lookups stay shuffled hash joins at every size. Caveat for extreme
+    hubs: a node's array is its full neighborhood; degree-skewed graphs
+    at cluster scale should prefer _delta_from_canonical's shuffled
+    wedge join (the generic path), which AQE skew-splits."""
+    hint = F.broadcast if broadcast_new else (lambda df: df)
+    nodes = (
+        new_c.select(F.col("a").alias("u"))
+        .unionAll(new_c.select(F.col("b").alias("u")))
+        .distinct()
+    )
+    touched = nbrs.join(hint(nodes), "u", "semi")
+    na = touched.select(F.col("u").alias("a"), F.col("zs").alias("za"))
+    nb = touched.select(F.col("u").alias("b"), F.col("zs").alias("zb"))
+    tri = (
+        new_c.join(na, "a")
+        .join(nb, "b")
+        .select(
+            "a", "b",
+            F.explode(F.array_intersect("za", "zb")).alias("z"),
+        )
         .select(
             F.least("a", "b", "z").alias("t1"),
             F.expr("array_sort(array(a, b, z))[1]").alias("t2"),
@@ -266,15 +383,35 @@ class StreamingTriangleCounter:
     pointed at existing state resumes the exact total, and partial
     state (edges without a matching aggregate) raises instead of
     silently returning delta-sums. Local-fs JSON here; at cluster scale
-    the same two files live on the shared FS next to the edge parquet."""
+    the same two files live on the shared FS next to the edge parquet.
+
+    Warm batches run against CACHED per-node neighbor arrays (r11,
+    VERDICT r10 #4): the state parquet is read + canonicalized into
+    ``(u, zs)`` adjacency lists once per process lifetime, then
+    maintained incrementally — per batch the batch's own (tiny)
+    adjacency lists are full-outer-merged in with a set-union per
+    touched node, a map-heavy plan with no full-state exchange; the
+    delta is then one ``array_intersect`` per new edge
+    (_delta_from_arrays) that never materializes wedge candidates.
+    The durable parquet append stays the source of truth; the cache is
+    rebuilt from it on restart (the cold-start recount doubles as the
+    integrity check)."""
+
+    # Above this many batch rows the broadcast hints are dropped and
+    # Catalyst/AQE pick the join strategy (a huge batch should not be
+    # forced driver-side).
+    BROADCAST_BATCH_ROWS = 2_000_000
 
     def __init__(self, spark: SparkSession, state_path: str):
+        from jasminegraph_spark.cache import checkpoint
+
         self.spark = spark
         self.state_path = state_path
         self._agg_path = os.path.join(state_path, "_aggregate.json")
         self._has_state = os.path.isdir(state_path) and any(
             not f.startswith(("_", ".")) for f in os.listdir(state_path)
         )
+        self._nbrs: DataFrame | None = None  # cached (u, zs) adjacency lists
         if self._has_state:
             # cold start pays the one full-state recount — it doubles as
             # the partial-state integrity check (_load_aggregate verifies
@@ -282,11 +419,18 @@ class StreamingTriangleCounter:
             agg = _load_aggregate(spark, state_path, self._agg_path)
             self.total = agg["total"]
             self._n_rows = agg["n_edge_rows"]
+            self._nbrs = checkpoint(
+                _neighbor_arrays(
+                    canonical_undirected(spark.read.parquet(state_path))
+                )
+            )
         else:
             self.total = 0
             self._n_rows = 0
 
     def process_batch(self, batch_edges: DataFrame, batch_id: int = 0) -> int:
+        from jasminegraph_spark.cache import checkpoint
+
         # pin the batch before acting on it twice: the stamp's count and
         # the parquet append MUST see identical rows, and a
         # non-deterministic batch expression (rand, a changing view)
@@ -295,20 +439,41 @@ class StreamingTriangleCounter:
         batch_edges = batch_edges.select("src", "dst").localCheckpoint(eager=True)
         # r8 (r7 verdict #7): the durability stamp's row count is
         # maintained INCREMENTALLY (+= batch rows) instead of recounting
-        # the full edge state after every append — per-batch IO is now
-        # one full-state read (the delta's `old` adjacency, inherent to
-        # incremental counting) plus O(batch), so 100× streaming state
-        # no longer turns the stamp into a per-batch full scan. The
-        # cold-start recount in _load_aggregate remains the integrity
-        # check that catches any drift.
+        # the full edge state after every append — per-batch work is the
+        # array-merge + per-new-edge intersections plus O(batch), so
+        # 100× streaming state no longer turns the stamp into a
+        # per-batch full scan. The cold-start recount in _load_aggregate
+        # remains the integrity check that catches any drift.
         n_batch = batch_edges.count()
-        if self._has_state:
-            old = self.spark.read.parquet(self.state_path)
-            delta = new_triangle_delta(old, batch_edges)
-        else:
-            delta = new_triangle_delta(
-                batch_edges.limit(0), batch_edges
+        bcast_new = n_batch <= self.BROADCAST_BATCH_ROWS
+        new_c = checkpoint(canonical_undirected(batch_edges))
+        batch_nbrs = _neighbor_arrays(new_c)  # O(batch) groupBy
+        if self._nbrs is not None:
+            # merge per touched node; arrays stay exact sets
+            # (array_distinct), so replayed edges never bloat them.
+            # Untouched nodes pass through map-side — the only shuffle
+            # input is the batch's own array table.
+            merged = (
+                self._nbrs.join(
+                    batch_nbrs.withColumnRenamed("zs", "zs_new"), "u", "full"
+                )
+                .select(
+                    "u",
+                    F.when(F.col("zs").isNull(), F.col("zs_new"))
+                    .when(F.col("zs_new").isNull(), F.col("zs"))
+                    .otherwise(
+                        F.array_distinct(F.concat("zs", "zs_new"))
+                    )
+                    .alias("zs"),
+                )
             )
+        else:
+            merged = batch_nbrs
+        prev = self._nbrs
+        self._nbrs = checkpoint(merged)
+        if prev is not None:
+            prev.unpersist()
+        delta = _delta_from_arrays(self._nbrs, new_c, bcast_new)
         self.total += delta
         batch_edges.write.mode("append").parquet(self.state_path)
         self._has_state = True
