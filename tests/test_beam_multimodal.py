@@ -1082,6 +1082,50 @@ def test_mp3_huffman_spectrum_roundtrip_injected_tables():
         register_mp3_tables(None)
 
 
+def test_codec_descope_gates_r11():
+    """r11 (VERDICT r10 #1 — the formal codec-seam cap): every variant
+    DESCOPED in SCALE.md §Codec descope must raise its named
+    NotImplementedError. Covered here: JPEG arithmetic sequential
+    (SOF9), the differential/hierarchical SOF family (SOF5), 12-bit
+    sample precision, and LSF intensity stereo combined with mixed
+    blocks; Layer II, Layer I intensity, MPEG-2 Layer I, SOF10, and
+    16-bit quant tables have standing gates in their own tests. The
+    production path for all of these is the documented native-decoder
+    seam (_decode_one's import-try swap), not more pure-Python LoC."""
+    import pytest as _pt
+
+    from jasminegraph_spark.pipeline.multimodal import (
+        _decode_jpeg,
+        _mp3_read_scalefactors_lsf,
+        encode_jpeg_gray,
+    )
+
+    base = encode_jpeg_gray(8, 8, bytes(64))
+    sof = base.find(b"\xff\xc0")
+    for marker, label in ((0xC9, "arithmetic sequential SOF9"),
+                          (0xC5, "differential/hierarchical SOF5")):
+        b = bytearray(base)
+        b[sof + 1] = marker
+        with _pt.raises(NotImplementedError,
+                        match=f"SOF marker 0x{marker:02x}.*not supported"):
+            _decode_jpeg(bytes(b))
+
+    deep = bytearray(base)
+    deep[sof + 4] = 12  # 12-bit sample precision
+    with _pt.raises(NotImplementedError, match="only 8-bit"):
+        _decode_jpeg(bytes(deep))
+
+    class SI:  # LSF granule: short blocks + mixed flag, intensity channel
+        block_type = [2]
+        mixed_block = [1]
+        scalefac_compress = [0]
+        preflag = [0]
+
+    with _pt.raises(NotImplementedError,
+                    match="LSF intensity stereo with MIXED blocks"):
+        _mp3_read_scalefactors_lsf(None, SI(), 0, intensity=True)
+
+
 def test_count1_catch_scoped_to_reader_end_of_data():
     """r11 (ADVICE): the count1 quad loop's discard-and-rewind catch is
     scoped to the bit reader's own _EndOfData signal. A plain IndexError
