@@ -56,11 +56,24 @@ def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
 
 
 def _read(spark, sf_dir, name):
-    if name == "events":
-        from jasminegraph_spark.session import read_events
+    """Table read + scan-parallelism guard (r11): the local testdata
+    parquet files carry a SINGLE row group each, so a plain scan — and
+    every map-side stage above it (codec synth, n-gram explode, regex
+    passes, partial aggregation) — runs as ONE task regardless of
+    maxPartitionBytes (a row group is the atomic split unit; measured
+    2-4x on the text-pipeline rows). When the scan yields fewer
+    partitions than the session parallelism, insert a round-robin
+    repartition: Catalyst still pushes filters and column pruning
+    BELOW the exchange into the scan (verified via explain), so only
+    the pruned columns shuffle once. At cluster scale inputs arrive in
+    many splits and this is a no-op (memoized per table)."""
+    from jasminegraph_spark.session import read_events, spread_scan
 
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = read_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spread_scan(df, key=(name, sf_dir))
 
 
 def _g(spark, sf_dir):

@@ -208,7 +208,12 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
         if not hit.is_cached:  # re-arm after a spark.catalog.clearCache()
             hit.persist()
         return hit
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    from jasminegraph_spark.session import spread_scan
+
+    li = spread_scan(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        key=("lineitem", sf_dir),
+    ).select("l_orderkey", "l_partkey")
     # one groupBy shuffle + in-array pair expansion beats the self-join:
     # the join shuffles lineitem twice and feeds ALL n² ordered pairs to
     # distinct; collect_set dedups per order map-side and the slice()
@@ -239,7 +244,12 @@ def co_order_weighted_edges(spark: SparkSession, sf_dir: str):
     One pair-explosion + one groupBy (count = multiplicity); the pair
     space is the same as co_order_edges, so the same scale notes apply.
     Not memoized: only the weighted-SSSP query reads it, exactly once."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey")
+    from jasminegraph_spark.session import spread_scan
+
+    li = spread_scan(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        key=("lineitem", sf_dir),
+    ).select("l_orderkey", "l_partkey")
     g = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     pairs = g.select(
         F.explode(

@@ -58,6 +58,29 @@ TPCH_TABLES = (
 )
 
 
+_SPREAD_MEMO: dict = {}
+
+
+def spread_scan(df, key=None):
+    """Scan-parallelism guard (r11): the local testdata parquet files
+    carry a SINGLE row group each, so a plain scan — and every map-side
+    stage above it (explodes, regex passes, partial aggregation) — runs
+    as ONE task regardless of maxPartitionBytes (the row group is the
+    atomic split unit). When the scan yields fewer partitions than the
+    session parallelism, insert a round-robin repartition; Catalyst
+    still pushes filters and column pruning below the exchange into the
+    scan. At cluster scale inputs arrive in many splits and this is a
+    no-op (decision memoized under ``key`` when given)."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    spread = _SPREAD_MEMO.get(key) if key is not None else None
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < par
+        if key is not None:
+            _SPREAD_MEMO[key] = spread
+    return df.repartition(par) if spread else df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
     """Load the driver-provided parquet tables as DataFrames.
 
@@ -66,9 +89,12 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     directory without change.
     """
     return {
-        name: read_events(spark, sf_dir)
-        if name == "events"
-        else spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        name: spread_scan(
+            read_events(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(f"{sf_dir}/{name}.parquet"),
+            key=(name, sf_dir),
+        )
         for name in names
     }
 
