@@ -61,19 +61,26 @@ def _read(spark, sf_dir, name):
     every map-side stage above it (codec synth, n-gram explode, regex
     passes, partial aggregation) — runs as ONE task regardless of
     maxPartitionBytes (a row group is the atomic split unit; measured
-    2-4x on the text-pipeline rows). When the scan yields fewer
-    partitions than the session parallelism, insert a round-robin
-    repartition: Catalyst still pushes filters and column pruning
-    BELOW the exchange into the scan (verified via explain), so only
-    the pruned columns shuffle once. At cluster scale inputs arrive in
-    many splits and this is a no-op (memoized per table)."""
-    from jasminegraph_spark.session import read_events, spread_scan
+    2-4x on the text-pipeline rows). For the row-wise-heavy tables
+    (session.SPREAD_TABLES) a round-robin repartition spreads the scan:
+    Catalyst still pushes filters and column pruning BELOW the exchange
+    into the scan (verified via explain), so only the pruned columns
+    shuffle once. Cheap relational scans skip it — the exchange costs
+    more than the single-core map work it parallelizes. At cluster
+    scale inputs arrive in many splits and it is a no-op (memoized)."""
+    from jasminegraph_spark.session import (
+        SPREAD_TABLES,
+        read_events,
+        spread_scan,
+    )
 
     if name == "events":
         df = read_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return spread_scan(df, key=(name, sf_dir))
+    if name in SPREAD_TABLES:
+        df = spread_scan(df, key=(name, sf_dir))
+    return df
 
 
 def _g(spark, sf_dir):

@@ -81,6 +81,14 @@ def spread_scan(df, key=None):
     return df.repartition(par) if spread else df
 
 
+# Tables whose downstream work is row-wise heavy (text pipelines, codec
+# fixtures, vector math) — the scan spread pays for itself there. Cheap
+# relational scans skip it: the exchange costs more than the single-core
+# map work it parallelizes (measured r11: rel_events_hourly 0.25→0.55 s
+# under a blanket spread vs pl_bigram_logprob 5.9→1.7 s with it).
+SPREAD_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_TABLES) -> dict:
     """Load the driver-provided parquet tables as DataFrames.
 
@@ -88,15 +96,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TPCH_
     the scan for free; at cluster scale the same call reads a partitioned
     directory without change.
     """
-    return {
-        name: spread_scan(
+    out = {}
+    for name in names:
+        df = (
             read_events(spark, sf_dir)
             if name == "events"
-            else spark.read.parquet(f"{sf_dir}/{name}.parquet"),
-            key=(name, sf_dir),
+            else spark.read.parquet(f"{sf_dir}/{name}.parquet")
         )
-        for name in names
-    }
+        if name in SPREAD_TABLES:
+            df = spread_scan(df, key=(name, sf_dir))
+        out[name] = df
+    return out
 
 
 def read_events(spark: SparkSession, sf_dir: str):
