@@ -352,7 +352,12 @@ def _delta_from_arrays(
     return tri.count()
 
 
-def _load_aggregate(spark: SparkSession, edge_path: str, agg_path: str):
+def _load_aggregate(
+    spark: SparkSession,
+    edge_path: str,
+    agg_path: str,
+    edges_df: DataFrame | None = None,
+):
     """Restart-durability guard shared by the streaming trackers: given
     an existing edge-state parquet, load the persisted running aggregate
     and verify it corresponds to EXACTLY the edges on disk (the
@@ -370,7 +375,9 @@ def _load_aggregate(spark: SparkSession, edge_path: str, agg_path: str):
         )
     with open(agg_path) as f:
         agg = json.load(f)
-    n_disk = spark.read.parquet(edge_path).count()
+    if edges_df is None:
+        edges_df = spark.read.parquet(edge_path)
+    n_disk = edges_df.count()
     if agg["n_edge_rows"] != n_disk:
         raise ValueError(
             f"partial streaming state: aggregate at {agg_path} was computed "
@@ -432,16 +439,18 @@ class StreamingTriangleCounter:
         )
         self._nbrs: DataFrame | None = None  # cached (u, zs) adjacency lists
         if self._has_state:
-            # cold start pays the one full-state recount — it doubles as
+            # cold start pays the one full-state read — its recount is
             # the partial-state integrity check (_load_aggregate verifies
-            # the persisted n_edge_rows against the parquet on disk)
-            agg = _load_aggregate(spark, state_path, self._agg_path)
+            # the persisted n_edge_rows against the parquet on disk) and
+            # the SAME frame rebuilds the neighbor-array cache
+            state_df = spark.read.parquet(state_path)
+            agg = _load_aggregate(
+                spark, state_path, self._agg_path, edges_df=state_df
+            )
             self.total = agg["total"]
             self._n_rows = agg["n_edge_rows"]
             self._nbrs = checkpoint(
-                _neighbor_arrays(
-                    canonical_undirected(spark.read.parquet(state_path))
-                )
+                _neighbor_arrays(canonical_undirected(state_df))
             )
         else:
             self.total = 0

@@ -772,13 +772,13 @@ def test_community_partition_balance_guard_power_law(spark):
 
 
 def test_streaming_tracker_stamp_does_not_rescan_state(spark, tmp_path):
-    """r8 (VERDICT r7 #7): the durability stamp's row count is maintained
-    incrementally, so a WARM process_batch reads the accumulated edge
-    parquet exactly ONCE (the triangle delta's `old` adjacency — inherent
-    to incremental counting), not twice. IO assertion: count
-    DataFrameReader.parquet() calls that touch the state path during a
-    warm batch. The cold-start recount (integrity check) still happens —
-    asserted separately on rebuild."""
+    """r8 (VERDICT r7 #7), tightened in r11: a WARM process_batch reads
+    the accumulated edge parquet ZERO times — the r11 rework keeps the
+    state as cached neighbor arrays maintained incrementally, so even
+    the delta's `old` adjacency read is gone (r8 allowed exactly one).
+    IO assertion: count DataFrameReader.parquet() calls that touch the
+    state path during a warm batch. The cold-start rebuild pays exactly
+    ONE read, shared by the integrity recount and the array rebuild."""
     from pyspark.sql.readwriter import DataFrameReader
 
     from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
@@ -798,8 +798,9 @@ def test_streaming_tracker_stamp_does_not_rescan_state(spark, tmp_path):
     DataFrameReader.parquet = counting
     try:
         c.process_batch(spark.createDataFrame(edges[9:], ["src", "dst"]), 1)
-        assert len(reads) == 1, reads  # delta's old frame only, no stamp rescan
-        # cold start: rebuild pays exactly one recount (the integrity check)
+        assert len(reads) == 0, reads  # cached-array state: no state IO warm
+        # cold start: rebuild pays exactly one read (integrity recount +
+        # neighbor-array rebuild share the frame)
         reads.clear()
         c2 = StreamingTriangleCounter(spark, sp)
         assert len(reads) == 1, reads
