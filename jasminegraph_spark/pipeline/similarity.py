@@ -229,36 +229,45 @@ def semantic_dedup(
         .filter(F.col("rn") == 1)
         .select("vec_id", "cell", F.round("cent_cos", 6).alias("cent_cos"), "qv")
     )
-    a = assign.select(
-        F.col("vec_id").alias("a"), "cell", F.col("cent_cos").alias("ca"),
-        F.col("qv").alias("va"),
-    )
-    b = assign.select(
-        F.col("vec_id").alias("b"), "cell", F.col("cent_cos").alias("cb"),
-        F.col("qv").alias("vb"),
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("a") != F.col("b"))
-        .withColumn(
-            "cos", F.round(_dot("va", "vb") / (_norm("va") * _norm("vb")), 6)
+    # Within-cell quadratic stage as ONE vectorized gram matrix per cell
+    # (r11): the former pair equi-join evaluated interpreted
+    # higher-order-function expressions (zip_with + aggregate are not
+    # whole-stage-codegen'd) per pair — Σ|cell|² interpreted dots
+    # dominated the row. applyInPandas gets each cell as an Arrow batch
+    # and numpy computes the full cosine matrix in one BLAS call; cells
+    # are independent, so parallelism is per-cell — exactly SemDeDup's
+    # own scale shape (cell count grows with the corpus, cell size stays
+    # bounded). round-6 absorbs the float reassociation exactly as it
+    # does for the DuckDB oracle's own summation order.
+    import numpy as np
+    import pandas as pd
+
+    thr = float(threshold)
+
+    def _cell_dominance(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0.0] = 1.0
+        g = np.round((x / nrm[:, None]) @ (x / nrm[:, None]).T, 6)
+        ca = pdf["cent_cos"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        near = g >= thr
+        np.fill_diagonal(near, False)
+        outranked = (ca[None, :] < ca[:, None]) | (
+            (ca[None, :] == ca[:, None]) & (ids[None, :] < ids[:, None])
         )
-        .filter(F.col("cos") >= threshold)
-        .filter(
-            (F.col("cb") < F.col("ca"))
-            | ((F.col("cb") == F.col("ca")) & (F.col("b") < F.col("a")))
+        dropped = (near & outranked).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"].to_numpy(),
+                "cent_cos": ca,
+                "keep": ~dropped,
+            }
         )
-        .select(F.col("a").alias("vec_id"))
-        .distinct()
-        .withColumn("dropped", F.lit(True))
-    )
-    return (
-        assign.select("vec_id", "cell", "cent_cos")
-        .join(dropped, "vec_id", "left")
-        .select(
-            "vec_id", "cell", "cent_cos",
-            F.coalesce(~F.col("dropped"), F.lit(True)).alias("keep"),
-        )
+
+    return assign.groupBy("cell").applyInPandas(
+        _cell_dominance, "vec_id long, cell long, cent_cos double, keep boolean"
     )
 
 
