@@ -8834,68 +8834,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r11 sweep order (VERDICT r10 ask #2, recomputed from all ten
-    # CORRECTNESS_r*.json latest-green rounds): no new rows this round
-    # (codec seam capped), so the window is pure rotation — the 14 rows
-    # whose latest green driver row is r06 (their r06 sweep order),
-    # then all 49 r07 rows in their r07 sweep order. 14 + 36 = 50 fills
-    # the ~50-row driver window; the remaining 13 r07 rows queue
-    # directly behind it as the r12 window head. After this sweep the
-    # registry evidence floor lifts to r07. Audit: recompute latest-
-    # green per query from CORRECTNESS_r*.json each round.
-    # --- latest green driver row r06 (14) ---
-    "pl_language_id",
-    "pl_quality_scores",
-    "pl_doc_fingerprint",
-    "pl_bpe_token_count",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_q6_forecast_revenue",
-    "rel_q2_min_cost_supplier",
-    "rel_q7_nation_volume",
-    "rel_events_hourly",
-    "rel_events_sessionize",
-    "rel_events_topk_users",
-    "rel_running_balance",
-    "rel_rollup_pricing",
-    # --- latest green driver row r07, in r07 sweep order (49; the
-    # first 36 complete the window, the last 13 head the r12 queue) ---
-    "pl_jpeg_decode",
-    "pl_flac_decode",
-    "pl_jpeg_progressive",
-    "src_hash_partition",
-    "an_sage_sampled",
-    "cy_graph_integrity",
-    "cy_aggregate",
-    "cy_cartesian_product",
-    "cy_intersect",
-    "cy_order_by_limit",
-    "cy_skip_limit",
-    "cy_union",
-    "rel_events_zscore",
-    "rel_pivot_events",
-    "cy_all_node_scan",
-    "cy_node_scan_by_label",
-    "cy_multi_label_scan",
-    "cy_node_by_id_seek",
-    "cy_undirected_rel_type_scan",
-    "cy_directed_rel_type_scan",
-    "cy_expand_two_hop",
-    "cy_expand_undirected_unique",
-    "cy_filter_coerce",
-    "cy_projection_missing_prop",
-    "cy_distinct_labels",
-    "cypher_aggregate_group",
-    "cypher_cartesian_patterns",
-    "cypher_undirected_unique",
-    "cypher_in_order_skip_limit",
-    "cypher_label_scan_project",
-    "cypher_filter_expand",
-    "cypher_with_agg_having",
-    "cypher_string_preds",
-    "cypher_case_expression",
-    "cypher_arithmetic",
-    "cypher_optional_match",
+    # r12 sweep order (VERDICT r11 ask #1, recomputed from all eleven
+    # CORRECTNESS_r*.json latest-green rounds): pure rotation again — the
+    # 13 rows whose latest green driver row is r07 (their r07 sweep
+    # order), then the 37 oldest r08 rows in their r08 sweep order.
+    # 13 + 37 = 50 fills the driver window; the remaining 13 r08 rows
+    # (pl_dataset_card ... pl_split_leakage) queue directly behind it as
+    # the r13 window head. After this sweep the registry evidence floor
+    # lifts to r08. (pl_ngram_jaccard's r01 row is a retired name — the
+    # query was replaced by pl_ngram_jaccard_capped, latest green r08.)
+    # Audit: recompute latest-green per query from CORRECTNESS_r*.json
+    # each round.
+    # --- latest green driver row r07 (13) ---
     "cypher_unwind",
     "cypher_varlength_path",
     "cypher_exists_patterns",
@@ -8909,6 +8859,59 @@ _PRIORITY = [
     "an_k_core",
     "an_link_prediction",
     "an_link_prediction_embedding",
+    # --- latest green driver row r08, in r08 sweep order (first 37) ---
+    "pl_mp3_decode",
+    "src_ldg_partition",
+    "src_fennel_partition",
+    "st_restart_replay",
+    "an_coloring",
+    "an_semantic_beam_search",
+    "an_shortest_paths",
+    "pl_dedup_corpus",
+    "pl_embed_ivf_ann",
+    "pl_embed_text",
+    "pl_embedding_near_dup",
+    "pl_ivf_ann_nprobe",
+    "pl_kg_triples",
+    "pl_lsh_verified_dedup",
+    "pl_simhash_near_dup",
+    "pl_stratified_sample",
+    "an_closeness_centrality",
+    "an_coarsen",
+    "an_core_numbers",
+    "an_eccentricity_sample",
+    "an_feature_smoothing",
+    "an_graph_diff",
+    "an_hits",
+    "an_k_truss",
+    "an_local_clustering",
+    "an_modularity",
+    "an_personalized_pagerank",
+    "an_random_walks",
+    "an_rmat_degree_dist",
+    "an_square_count",
+    "an_walk_pmi",
+    "an_wcc_alternating",
+    "an_weighted_pagerank",
+    "an_weighted_shortest_paths",
+    "cypher_reduce",
+    "pl_bm25_topk",
+    "pl_chunk_documents",
+    # --- remaining 13 r08 rows: past the ~50-row window this round; they
+    # run first in r13 ---
+    "pl_dataset_card",
+    "pl_embedding_hygiene",
+    "pl_graphrag_retrieve",
+    "pl_hash_split",
+    "pl_hybrid_rrf",
+    "pl_knn_classify",
+    "pl_line_dedup",
+    "pl_ngram_jaccard_capped",
+    "pl_pack_sequences",
+    "pl_quality_filter_chain",
+    "pl_sampled_quantiles",
+    "pl_skew_report",
+    "pl_split_leakage",
 ]
 
 
