@@ -15,8 +15,11 @@ the HOT pair-scoring cosine is an Arrow-vectorized Pandas UDF (r11):
 Spark's higher-order functions are interpreted, not whole-stage-codegen'd,
 so per-candidate-pair zip_with+aggregate dots dominated every ANN/dedup
 row — one numpy einsum per Arrow batch replaces them at identical
-round-6 values (NaN for zero norms, matching the 0/0 expression result).
-Scores are rounded to 6 digits so rank boundaries are portable.
+round-6 values (NULL for zero norms / null / ragged rows on both the UDF
+and the try_divide expression path — degenerate vectors are never near
+anything). Scores are rounded to 6 digits so rank boundaries are
+portable; the UDF rounds HALF_UP on the shortest decimal representation
+(:func:`_round6_half_up`), bit-identical to Spark's round().
 """
 
 from __future__ import annotations
@@ -34,21 +37,83 @@ def _as_double(col: str):
 _COS6_UDF = None  # built lazily: pandas_udf needs an active session
 
 
+def _round6_half_up(c: np.ndarray) -> np.ndarray:
+    """round(x, 6) matching Spark's Round expression EXACTLY: HALF_UP on
+    the shortest decimal representation of the double
+    (``BigDecimal.valueOf(d).setScale(6, HALF_UP)``). ``np.round`` is
+    round-half-even on the binary value — it agrees everywhere except
+    when the scaled value sits within ~1 ulp of a .5 boundary, so the
+    fast vectorized path runs everywhere and only those boundary
+    elements take the exact decimal-string path (``repr`` of a Python
+    float is the same shortest round-trip decimal as
+    ``Double.toString``). NaN/inf pass through untouched."""
+    out = np.round(c, 6)
+    with np.errstate(invalid="ignore"):
+        scaled = c * 1e6
+        frac = np.abs(scaled - np.trunc(scaled))
+        risky = np.isfinite(c) & (np.abs(frac - 0.5) < 1e-6)
+    if risky.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        quantum = Decimal("0.000001")
+        out[risky] = [
+            float(Decimal(repr(float(v))).quantize(quantum, rounding=ROUND_HALF_UP))
+            for v in np.atleast_1d(c[risky])
+        ]
+    return out
+
+
 def _cos6(a: str, b: str):
-    """round(cos(a, b), 6) for the quadratic pair-scoring stages."""
+    """round(cos(a, b), 6) for the quadratic pair-scoring stages.
+
+    Degenerate inputs yield NULL, never an exception and never NaN: a
+    null vector, a length-mismatched pair, or a zero-norm vector on
+    either side produces a null cosine (one bad row must not fail the
+    whole Arrow batch, and Spark orders NaN LARGEST so a NaN here would
+    make a zero vector a near-duplicate of everything — null instead
+    fails every ``>= threshold`` filter and sorts last under
+    ``desc``, i.e. degenerate vectors are never near anything)."""
     global _COS6_UDF
     if _COS6_UDF is None:
 
         def _cos6_batch(x_s: pd.Series, y_s: pd.Series) -> pd.Series:
-            if len(x_s) == 0:
+            n = len(x_s)
+            if n == 0:
                 return pd.Series([], dtype="float64")
-            x = np.stack(x_s.to_numpy()).astype(np.float64)
-            y = np.stack(y_s.to_numpy()).astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c = np.einsum("ij,ij->i", x, y) / (
-                    np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-                )
-            return pd.Series(np.round(c, 6))
+            xv = x_s.to_numpy()
+            yv = y_s.to_numpy()
+            ok = np.fromiter(
+                (
+                    a is not None and b is not None and len(a) == len(b) and len(a) > 0
+                    for a, b in zip(xv, yv)
+                ),
+                dtype=bool,
+                count=n,
+            )
+            out = np.full(n, np.nan)
+            if ok.any():
+                dims = {len(a) for a in xv[ok]}
+                if len(dims) == 1:
+                    x = np.stack(xv[ok]).astype(np.float64)
+                    y = np.stack(yv[ok]).astype(np.float64)
+                    denom = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = np.einsum("ij,ij->i", x, y) / denom
+                    c[denom == 0.0] = np.nan  # zero-norm → null downstream
+                else:
+                    # mixed dimensionalities across rows (pathological
+                    # corpus): per-row BLAS, no stacking
+                    c = np.full(int(ok.sum()), np.nan)
+                    for i, (a, b) in enumerate(zip(xv[ok], yv[ok])):
+                        av = np.asarray(a, dtype=np.float64)
+                        bv = np.asarray(b, dtype=np.float64)
+                        d = np.linalg.norm(av) * np.linalg.norm(bv)
+                        if d > 0.0:
+                            c[i] = float(av @ bv) / d
+                out[ok] = _round6_half_up(c)
+            res = pd.Series(out, dtype="Float64")
+            res[np.isnan(out)] = pd.NA  # NaN only arises from degenerate rows
+            return res
 
         _COS6_UDF = F.pandas_udf(_cos6_batch, "double")
     return _COS6_UDF(F.col(a), F.col(b))
@@ -60,6 +125,14 @@ def _dot(a: str, b: str):
 
 def _norm(col: str):
     return F.sqrt(F.expr(f"aggregate(transform({col}, x -> x * x), cast(0 as double), (acc, v) -> acc + v)"))
+
+
+def _cos_expr(a: str, b: str):
+    """Pure-expression cosine with the same degenerate semantics as
+    :func:`_cos6`: a zero-norm side yields NULL (``try_divide``), never
+    a NaN and never an ANSI DIVIDE_BY_ZERO error — degenerate vectors
+    fail every ``>= threshold`` filter and sort last under ``desc``."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -91,7 +164,7 @@ def cosine_topk(
             # expression, not _cos6: few queries → few pairs; the Arrow
             # round-trip costs more than the interpreted fold here (A/B
             # r11: 0.34 s expr vs 0.65 s UDF at sf0.1)
-            F.round(_dot("qv", "cv") / (_norm("qv") * _norm("cv")), 6).alias(
+            F.round(_cos_expr("qv", "cv"), 6).alias(
                 "cosine"
             ),
         )
@@ -240,7 +313,10 @@ def semantic_dedup(
     threshold outranks it (strictly lower centroid-cosine, or equal and
     lower id) — a one-pass dominance rule, no transitive closure, so the
     whole verdict is a deterministic pure function of the corpus and is
-    SQL-replayable. Returns (vec_id, cell, cent_cos, keep).
+    SQL-replayable. Returns (vec_id, cell, cent_cos, keep). Zero-norm or
+    null embeddings are directionless: they are never near-duplicates of
+    anything, never drop a neighbor, and always come back keep=True
+    (see the kernel comment below — this is deliberate and tested).
 
     Scale shape (the paper runs this at LAION-5B): the quadratic work is
     confined WITHIN cells — Σ|cell|², never corpus² — and n_cells grows
@@ -256,7 +332,7 @@ def semantic_dedup(
         "vec_id",
         "cell",
         "qv",
-        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("cent_cos"),
+        _cos_expr("qv", "cv").alias("cent_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("cell"))
     assign = (
@@ -280,10 +356,27 @@ def semantic_dedup(
     thr = float(threshold)
 
     def _cell_dominance(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+        # Degenerate-vector semantics (deliberate, tested): a null/empty
+        # or zero-norm embedding has no direction, so it is NEVER a near
+        # duplicate of anything and never drops a neighbor — its keep is
+        # always True. (The pre-r11 pure-expression path gave such rows
+        # NaN cosine, which Spark orders LARGEST, silently making a zero
+        # vector a duplicate of every cell-mate; the zero-substitution
+        # here is the intended behavior, and its NaN cent_cos from the
+        # assignment stage compares False below, so it neither outranks
+        # nor is outranked.)
+        qv = pdf["qv"].to_numpy()
+        valid = np.fromiter(
+            (v is not None and len(v) > 0 for v in qv), dtype=bool, count=len(qv)
+        )
+        dim = max((len(v) for v in qv[valid]), default=0)
+        x = np.zeros((len(qv), dim))
+        for i, v in enumerate(qv):
+            if valid[i] and len(v) == dim:
+                x[i] = np.asarray(v, dtype=np.float64)
         nrm = np.linalg.norm(x, axis=1)
-        nrm[nrm == 0.0] = 1.0
-        g = np.round((x / nrm[:, None]) @ (x / nrm[:, None]).T, 6)
+        nrm[nrm == 0.0] = 1.0  # zero rows stay all-zero → cosine 0, never near
+        g = _round6_half_up((x / nrm[:, None]) @ (x / nrm[:, None]).T)
         ca = pdf["cent_cos"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
         near = g >= thr
@@ -323,7 +416,7 @@ def _assign_cells(corpus: DataFrame, cents: DataFrame) -> DataFrame:
     scored = corpus.join(F.broadcast(cents)).select(
         "vec_id",
         "cell",
-        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        _cos_expr("qv", "cv").alias("sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     return (
@@ -426,7 +519,7 @@ def ivf_ann(
     qraw = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv"))
     qscored = qraw.join(F.broadcast(cents)).select(
         "query_id", "qv", "cell",
-        (_dot("qv", "cv") / (_norm("qv") * _norm("cv"))).alias("sim"),
+        _cos_expr("qv", "cv").alias("sim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
     qs = (

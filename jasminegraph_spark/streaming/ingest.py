@@ -220,7 +220,6 @@ def _delta_from_canonical(
     union_c: DataFrame,
     new_c: DataFrame,
     broadcast_new: bool,
-    state_rows: int | None = None,
 ) -> int:
     """Wedge-count core shared by :func:`new_triangle_delta` and the
     tracker's cached-state fast path. ``union_c`` is the canonical
@@ -274,14 +273,13 @@ def _delta_from_canonical(
     # common neighbors z — two equi-joins, the second keyed on (q, z) so
     # the hash join uses both keys (no neighbor cross-product). The
     # probe side carries the wedge candidates (Σ min-deg rows, the
-    # biggest intermediate here); when the caller knows the state is
-    # broadcast-sized, hint the ADJACENCY onto the hash side so the
-    # candidates never hit an exchange — at real scale (state_rows
-    # unknown or large) this falls back to the shuffled hash join.
+    # biggest intermediate here); the adjacency sides stay shuffled hash
+    # joins at every size — AQE promotes them to broadcast when the
+    # restricted adjacency is measured small at runtime, which is a
+    # byte-based decision (a row-count heuristic here could force an
+    # oversized broadcast on wide-degree graphs).
     nbr_p = adj_s.select(F.col("u").alias("p"), F.col("v").alias("z"))
     nbr_q = adj_s.select(F.col("u").alias("q"), F.col("v").alias("z"))
-    if state_rows is not None and state_rows <= 3_000_000:
-        nbr_q = F.broadcast(nbr_q)
     tri = (
         hint(oriented).join(nbr_p, "p")
         .join(nbr_q, ["q", "z"])
@@ -296,10 +294,13 @@ def _delta_from_canonical(
 
 
 def _neighbor_arrays(union_c: DataFrame) -> DataFrame:
-    """Per-node sorted-set neighbor arrays ``(u, zs)`` of a canonical
+    """Per-node UNORDERED distinct neighbor arrays ``(u, zs)`` of a canonical
     edge set — the adjacency-list representation the tracker's delta
-    intersects per new edge. One groupBy shuffle to build (cold start /
-    tests); warm batches maintain it incrementally in process_batch."""
+    intersects per new edge. Element order inside ``zs`` is whatever
+    ``collect_list`` produced (nondeterministic) — consumers must treat
+    the arrays as sets (``array_intersect`` does); do not assume
+    sortedness. One groupBy shuffle to build (cold start / tests); warm
+    batches maintain it incrementally in process_batch."""
     adj = union_c.select(F.col("a").alias("u"), F.col("b").alias("z")).unionAll(
         union_c.select(F.col("b").alias("u"), F.col("a").alias("z"))
     )

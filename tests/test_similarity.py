@@ -471,3 +471,87 @@ def test_semantic_dedup_quadratic_confined_to_cells(spark):
     assert "CartesianProduct" not in plan
     # centroids broadcast for assignment; the dup pair join keys on cell
     assert "BroadcastExchange" in plan
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """_round6_half_up must equal Spark's round(x, 6) — HALF_UP on the
+    SHORTEST decimal representation — including the boundary values
+    where numpy's round-half-even on the binary double disagrees
+    (ADVICE r11: a 7th significant digit that is an exact 5 can flip
+    >= threshold filters and top-k rank boundaries between the UDF
+    paths and the expression path / SQL oracles)."""
+    import numpy as np
+
+    from jasminegraph_spark.pipeline.similarity import _round6_half_up
+
+    vals = [
+        0.1234565,  # shortest repr ends in 5 → HALF_UP rounds AWAY
+        0.1234575,  # half-even would also round up here; HALF_UP agrees
+        -0.1234565,  # negative: HALF_UP rounds away from zero? (check vs Spark)
+        0.9999995,
+        -0.9999995,
+        0.0000005,
+        0.2822225,
+        0.5605,  # numpy's own docs example of binary-repr surprise
+        0.0,
+        1.0,
+        -1.0,
+        0.123456789,
+        0.987654321,
+        -0.3333333,
+    ] + [((i * 2654435761) % 2000001 - 1000000) / 1000000.0 * 0.9999997 for i in range(50)]
+    got = _round6_half_up(np.array(vals, dtype=np.float64))
+    exprs = ", ".join(
+        f"round(cast({v!r} as double), 6)" for v in vals
+    )
+    want = list(spark.sql(f"SELECT {exprs}").collect()[0])
+    assert len(got) == len(want)
+    for v, g, w in zip(vals, got, want):
+        assert g == w, f"mismatch at {v!r}: got {g!r}, spark {w!r}"
+
+
+def test_cos6_degenerate_rows_yield_null(spark):
+    """One bad row must not fail the Arrow batch (ADVICE r11): a null
+    vector, a length-mismatched pair, or a zero-norm vector produces a
+    NULL cosine (not NaN — Spark orders NaN largest, which would make a
+    zero vector a near-duplicate of everything)."""
+    from jasminegraph_spark.pipeline.similarity import _cos6
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),  # good: cosine 1
+            (2, None, [1.0, 0.0]),  # null side
+            (3, [1.0, 0.0, 0.0], [1.0, 0.0]),  # ragged pair
+            (4, [0.0, 0.0], [1.0, 0.0]),  # zero-norm side
+            (5, [0.6, 0.8], [0.6, 0.8]),  # good: cosine 1
+        ],
+        "id long, qv array<double>, cv array<double>",
+    )
+    rows = {r["id"]: r["c"] for r in df.select("id", _cos6("qv", "cv").alias("c")).collect()}
+    assert rows[1] == 1.0 and rows[5] == 1.0
+    assert rows[2] is None and rows[3] is None and rows[4] is None
+    # degenerate rows fail every >= threshold filter (never near)
+    kept = df.select("id", _cos6("qv", "cv").alias("c")).filter(F.col("c") >= 0.5)
+    assert {r["id"] for r in kept.collect()} == {1, 5}
+
+
+def test_semantic_dedup_zero_norm_kept_and_inert(spark):
+    """Deliberate zero-norm semantics (ADVICE r11): a zero vector is
+    directionless — never a near-duplicate of anything, never drops a
+    neighbor, always keep=True — and its presence leaves every other
+    verdict unchanged."""
+    from jasminegraph_spark.pipeline import semantic_dedup
+
+    base = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (10, [0.9, 0.1]),
+        (11, [0.88, 0.16]),
+        (20, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(base, ["vec_id", "embedding"])
+    before = {r["vec_id"]: r["keep"] for r in semantic_dedup(emb, threshold=0.98, n_cells=2).collect()}
+    with_zero = spark.createDataFrame(base + [(30, [0.0, 0.0])], ["vec_id", "embedding"])
+    after = {r["vec_id"]: r["keep"] for r in semantic_dedup(with_zero, threshold=0.98, n_cells=2).collect()}
+    assert after.pop(30) is True
+    assert after == before
