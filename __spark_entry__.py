@@ -55,7 +55,7 @@ def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
     return out
 
 
-def _read(spark, sf_dir, name):
+def _read(spark, sf_dir, name, spread: bool | None = None):
     """Table read + scan-parallelism guard (r11): the local testdata
     parquet files carry a SINGLE row group each, so a plain scan — and
     every map-side stage above it (codec synth, n-gram explode, regex
@@ -64,10 +64,21 @@ def _read(spark, sf_dir, name):
     2-4x on the text-pipeline rows). For the row-wise-heavy tables
     (session.SPREAD_TABLES) a round-robin repartition spreads the scan:
     Catalyst still pushes filters and column pruning BELOW the exchange
-    into the scan (verified via explain), so only the pruned columns
-    shuffle once. Cheap relational scans skip it — the exchange costs
-    more than the single-core map work it parallelizes. At cluster
-    scale inputs arrive in many splits and it is a no-op (memoized)."""
+    into the scan (tests/test_plans.py asserts PushedFilters + pruned
+    ReadSchema below the exchange), so only the pruned columns shuffle
+    once. Cheap relational scans skip it — the exchange costs more than
+    the single-core map work it parallelizes. At cluster scale inputs
+    arrive in many splits and it is a no-op (memoized).
+
+    ``spread=False`` opts a QUERY out of its table's default (r12,
+    VERDICT r11 ask #6): queries whose per-row work is trivially cheap
+    (one hash, one window pack, bounded retrieval lists) pay more for
+    the exchange than the parallelism buys — measured at sf0.1:
+    pl_exact_dedup 0.54→0.27 s, pl_pack_sequences 0.85→0.56 s,
+    pl_unigram_logprob 1.51→0.89 s, pl_graphrag_retrieve 3.52→2.15 s
+    unspread, while the shingle/encode-heavy rows keep the spread
+    (pl_bigram_logprob 8.98→2.38 s, pl_minhash_lsh 8.10→1.67 s WITH
+    it)."""
     from jasminegraph_spark.session import (
         SPREAD_TABLES,
         read_events,
@@ -78,7 +89,9 @@ def _read(spark, sf_dir, name):
         df = read_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in SPREAD_TABLES:
+    if spread is None:
+        spread = name in SPREAD_TABLES
+    if spread:
         df = spread_scan(df, key=(name, sf_dir))
     return df
 
@@ -1860,9 +1873,13 @@ def st_incremental_triangles(spark, sf_dir):
 
     from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
 
+    # pin the stamped edge set ONCE per run (r12, VERDICT r11 ask #3):
+    # each of the 4 batch filters below otherwise re-reads the whole
+    # co-order pipeline when the session cache was cleared between bench
+    # runs — one materialization, then four cheap block scans
     e = co_order_edges(spark, sf_dir).withColumn(
         "_h", F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1)
-    )
+    ).localCheckpoint(eager=True)
     state = tempfile.mkdtemp(prefix="jgs_strian_")
     rows = []
     try:
@@ -1900,9 +1917,10 @@ def st_restart_replay(spark, sf_dir):
 
     from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
 
+    # pinned once per run — same rationale as st_incremental_triangles
     e = co_order_edges(spark, sf_dir).withColumn(
         "_h", F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1)
-    )
+    ).localCheckpoint(eager=True)
     state = tempfile.mkdtemp(prefix="jgs_replay_")
     rows = []
     try:
@@ -2700,7 +2718,9 @@ def pl_unigram_logprob(spark, sf_dir):
     the frequency table broadcasts at scale. Every in-corpus token is in
     the vocab here (vocab << vocab_max), so the OOV floor path is
     exercised in pytest instead."""
-    docs = _read(spark, sf_dir, "documents")
+    # spread=False: one tokenize + two partial aggs — the exchange costs
+    # more than it parallelizes (1.51 vs 0.89 s at sf0.1, _read docstring)
+    docs = _read(spark, sf_dir, "documents", spread=False)
     out = pl.unigram_logprob(docs)
     return out.select(
         "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
@@ -2988,7 +3008,12 @@ def pl_graphrag_retrieve(spark, sf_dir):
     partial-agg groupBy pipelines."""
     from pyspark.sql.window import Window as _W
 
-    docs = _read(spark, sf_dir, "documents")
+    # spread=False on documents (r12, VERDICT r11 ask #6): both corpus
+    # passes here are single explode + partial-agg pipelines feeding
+    # bounded retrieval lists — the spread exchanges of the text column
+    # cost more than they parallelize (3.52 vs 2.15 s at sf0.1, _read
+    # docstring); embeddings keeps its table default.
+    docs = _read(spark, sf_dir, "documents", spread=False)
     emb = _read(spark, sf_dir, "embeddings")
     lex = pl.bm25_topk(docs, ["merge", "stream", "window"], k=50).withColumn(
         "rank",
@@ -3355,7 +3380,9 @@ def pl_skew_report(spark, sf_dir):
     """,
 )
 def pl_exact_dedup(spark, sf_dir):
-    return pl.exact_dedup(_read(spark, sf_dir, "documents"))
+    # spread=False: one md5 per row is cheaper than the spread exchange
+    # (0.54 vs 0.27 s at sf0.1, _read docstring)
+    return pl.exact_dedup(_read(spark, sf_dir, "documents", spread=False))
 
 
 @_q(
@@ -6978,7 +7005,11 @@ def pl_pack_sequences(spark, sf_dir):
     docs into 512-token packs within (lang, md5-shard) partitions —
     16 bounded window partitions per lang, never one global sort. Reports
     per-lang pack counts and mean fill ratio."""
-    return pl.packing_stats(_read(spark, sf_dir, "documents"), token_budget=512)
+    # spread=False: pure-JVM window pack, exchange-dominated when spread
+    # (0.85 vs 0.56 s at sf0.1, _read docstring)
+    return pl.packing_stats(
+        _read(spark, sf_dir, "documents", spread=False), token_budget=512
+    )
 
 
 @_q(

@@ -522,3 +522,46 @@ def test_bigram_logprob_preaggregates_per_doc(q):
     ]
     # partial + final pair for the pre-aggregation
     assert len(agg_lines) >= 2, plan[:4000]
+
+
+def test_spread_scan_keeps_pushdown_below_the_exchange(spark, sf_dir):
+    """r12 (VERDICT r11 ask #4a): the scan-spread exchange must not cost
+    pushdown — a filtered, projected read of `documents` through
+    load_tables shows the predicate in PushedFilters and a pruned
+    ReadSchema on the parquet Scan BELOW the round-robin Exchange."""
+    from pyspark.sql import functions as F
+
+    from jasminegraph_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, names=("documents",))["documents"]
+    out = docs.filter(F.col("lang") == "en").select("doc_id", "n_chars")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_at = plan.find("Scan parquet")
+    assert scan_at != -1
+    # the filter reached the scan...
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ...with only the referenced columns read (text never leaves disk)
+    import re
+
+    read_schema = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in read_schema.split(",") if c}
+    assert cols == {"doc_id", "lang", "n_chars"}
+    # and the spread exchange sits ABOVE the scan (single-row-group local
+    # files spread; at cluster scale spread_scan is a no-op — next test)
+    rr_at = plan.find("Exchange roundrobin")
+    if rr_at != -1:  # only present when the local file needed spreading
+        assert rr_at < scan_at  # toString prints parents first
+
+
+def test_spread_scan_noop_when_already_parallel(spark):
+    """r12 (VERDICT r11 ask #4b): spread_scan must return the SAME
+    DataFrame object (no exchange) when the input already has at least
+    session-parallelism partitions — the cluster-scale shape, where
+    inputs arrive in many splits."""
+    from jasminegraph_spark.session import spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000).repartition(par)
+    assert spread_scan(wide) is wide
+    wider = spark.range(0, 10_000).repartition(par + 3)
+    assert spread_scan(wider) is wider
