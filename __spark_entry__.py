@@ -632,7 +632,11 @@ def _pagerank_oracle(iterations: int = 5, alpha: float = 0.85) -> str:
 def an_pagerank(spark, sf_dir):
     """`pgrnk` (JasmineGraphInstanceService.cpp:1650-1816), 5 fixed
     iterations, α=0.85, symmetrized co-order graph."""
-    ranks = an.pagerank(co_order_edges(spark, sf_dir), alpha=0.85, iterations=5, undirected=True)
+    # dedup_edges=False: co_order_edges is already a<b distinct (r12)
+    ranks = an.pagerank(
+        co_order_edges(spark, sf_dir), alpha=0.85, iterations=5,
+        undirected=True, dedup_edges=False,
+    )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
@@ -645,7 +649,10 @@ def an_pagerank(spark, sf_dir):
 )
 def an_top_k_pagerank(spark, sf_dir):
     """`top_k_page_rank` (JasmineGraphInstanceService.cpp:2593-2653)."""
-    ranks = an.pagerank(co_order_edges(spark, sf_dir), alpha=0.85, iterations=5, undirected=True)
+    ranks = an.pagerank(
+        co_order_edges(spark, sf_dir), alpha=0.85, iterations=5,
+        undirected=True, dedup_edges=False,
+    )
     ranks = ranks.select("node", F.round("rank", 6).alias("rank"))
     return ranks.orderBy(F.desc("rank"), F.asc("node")).limit(10)
 
@@ -686,12 +693,15 @@ def an_weighted_pagerank(spark, sf_dir):
     the co-order graph weighted by 1/n_shared_orders — strongly
     co-ordered parts pull more rank. Oracle unrolls the weighted
     recurrence."""
+    # dedup_edges=False: the weighted projection has one row per
+    # canonical pair already — no parallel edges to weight-sum (r12)
     ranks = an.pagerank(
         co_order_weighted_edges(spark, sf_dir),
         alpha=0.85,
         iterations=5,
         undirected=True,
         weight_col="weight",
+        dedup_edges=False,
     )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
@@ -743,7 +753,8 @@ def an_personalized_pagerank(spark, sf_dir):
     nodes with no walk mass are dropped so the result is the reachable
     neighborhood, not |V| rows of zeros."""
     ranks = an.personalized_pagerank(
-        co_order_edges(spark, sf_dir), [1, 2, 3], alpha=0.85, iterations=5, undirected=True
+        co_order_edges(spark, sf_dir), [1, 2, 3], alpha=0.85,
+        iterations=5, undirected=True, dedup_edges=False,
     )
     ranks = ranks.select("node", F.round("rank", 6).alias("rank"))
     return ranks.filter(F.col("rank") > 0)
