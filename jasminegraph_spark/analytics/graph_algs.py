@@ -75,24 +75,43 @@ def triangle_list(edges: DataFrame) -> DataFrame:
 
 
 def triangle_count_df(edges: DataFrame) -> DataFrame:
-    """`trian` as a one-row DataFrame (n_triangles). Degree-ordered wedge
-    join + closing-edge join; count.
+    """`trian` as a one-row DataFrame (n_triangles): degree-ordered DAG +
+    per-edge sorted-neighbor intersection.
 
-    The canonical edge set is persisted and reused across the degree calc,
-    wedge sides and closing join — without it the upstream lineage (e.g. a
+    For every DAG edge (u, v), |N⁺(u) ∩ N⁺(v)| counts the triangles
+    whose source vertex is u — summed over edges this is the exact
+    global count (each triangle has exactly ONE DAG-source vertex).
+    Compared to materializing the wedge rows and joining the closing
+    edge (the r1-r11 plan, still used by :func:`triangle_list` which
+    must emit the triangles), the shuffle moves |E| edge rows + |E|
+    total adjacency entries instead of Σ min-deg wedge candidates —
+    measured 0.5× at sf0.1 (3.9 vs 7.4 s) and strictly less exchange
+    volume at any scale. Skew armor is the degree orientation itself:
+    DAG out-degree is O(√E) on any graph, so no collect_list state or
+    intersection input explodes on hubs. The adjacency side stays a
+    SHUFFLED hash join — broadcasting the packed arrays measures slower
+    even when they fit (driver collect dominates; same result as the
+    streaming tracker's A/B, ingest.py).
+
+    The canonical edge set is persisted and reused across the degree calc
+    and both array joins — without it the upstream lineage (e.g. a
     co-occurrence self-join producing the edges) re-executes many times
     (observed 22 parquet scans in the un-persisted plan)."""
     und = canonical_undirected(edges).persist()
-    # both wedge sides read `ordered`; persist so the degree ranking joins
-    # run once, not once per side
     ordered = _degree_ordered(und).persist()
-    e1 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = ordered.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
-    wedges = e1.join(e2, "x").filter(F.col("y") < F.col("z"))
-    # closing edge between y<z is the canonical pair (y, z) in und; each
-    # triangle has exactly one DAG-source vertex, so no dedup needed
-    closing = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    n = wedges.join(closing, ["y", "z"]).agg(F.count("*").alias("n_triangles"))
+    nbr = ordered.groupBy("lo").agg(F.collect_list("hi").alias("ns"))
+    j = ordered.join(
+        nbr.select(F.col("lo").alias("u"), F.col("ns").alias("ns_u")),
+        ordered["lo"] == F.col("u"),
+    ).join(
+        # left: a DAG sink (hi with no out-neighbors) closes no wedge
+        nbr.select(F.col("lo").alias("v"), F.col("ns").alias("ns_v")),
+        ordered["hi"] == F.col("v"),
+        "left",
+    )
+    n = j.select(
+        F.coalesce(F.size(F.array_intersect("ns_u", "ns_v")), F.lit(0)).alias("c")
+    ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     return finalize(n, und, ordered)
 
 
