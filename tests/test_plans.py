@@ -89,7 +89,7 @@ def test_topk_uses_limit_pushdown(q):
 
 def test_triangle_result_is_checkpointed_and_caches_released(spark, sf_dir):
     """The canonical edge set persists ONLY during the triangle job (it
-    feeds the degree calc, both wedge sides and the closing join — 22
+    feeds the degree calc and both adjacency-array joins — dozens of
     re-executed lineitem self-joins without it); finalize() then
     materializes the one-row result and releases the intermediates, so
     repeated engine analytics calls don't pin executor storage."""
