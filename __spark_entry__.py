@@ -1884,13 +1884,14 @@ def st_incremental_triangles(spark, sf_dir):
 
     from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
 
-    # pin the stamped edge set ONCE per run (r12, VERDICT r11 ask #3):
+    # cache the stamped edge set ONCE per run (r12, VERDICT r11 ask #3):
     # each of the 4 batch filters below otherwise re-reads the whole
     # co-order pipeline when the session cache was cleared between bench
-    # runs — one materialization, then four cheap block scans
+    # runs — one lazy materialization, four cheap block scans, released
+    # in the finally
     e = co_order_edges(spark, sf_dir).withColumn(
         "_h", F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1)
-    ).localCheckpoint(eager=True)
+    ).persist()
     state = tempfile.mkdtemp(prefix="jgs_strian_")
     rows = []
     try:
@@ -1906,6 +1907,7 @@ def st_incremental_triangles(spark, sf_dir):
             total = ctr.process_batch(e.filter(cond).select("src", "dst"), batch_no)
             rows.append((batch_no, int(total)))
     finally:
+        e.unpersist()  # release the per-run edge cache (r12 review)
         shutil.rmtree(state, ignore_errors=True)
     return spark.createDataFrame(rows, "batch_no int, running_triangles long")
 
@@ -1928,10 +1930,10 @@ def st_restart_replay(spark, sf_dir):
 
     from jasminegraph_spark.streaming.ingest import StreamingTriangleCounter
 
-    # pinned once per run — same rationale as st_incremental_triangles
+    # cached once per run — same rationale as st_incremental_triangles
     e = co_order_edges(spark, sf_dir).withColumn(
         "_h", F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 1)
-    ).localCheckpoint(eager=True)
+    ).persist()
     state = tempfile.mkdtemp(prefix="jgs_replay_")
     rows = []
     try:
@@ -1950,6 +1952,7 @@ def st_restart_replay(spark, sf_dir):
             total = ctr.process_batch(e.filter(cond).select("src", "dst"), batch_no)
             rows.append((batch_no, int(total)))
     finally:
+        e.unpersist()  # release the per-run edge cache (r12 review)
         shutil.rmtree(state, ignore_errors=True)
     return spark.createDataFrame(rows, "batch_no int, running_triangles long")
 

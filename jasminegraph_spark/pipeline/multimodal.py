@@ -3881,6 +3881,16 @@ def _decode_native(payload: bytes) -> tuple[int, int, bytes] | None:
     if payload[:8] == PNG_SIG or payload[:2] == b"\xff\xd8":
         return _pil_luma(payload)
     if payload[:4] == b"fLaC":
+        # byte-parity with the pure fold holds only for 8/16-bit sources
+        # (soundfile's int16 read right-shifts 24-bit samples BEFORE our
+        # upper-byte fold, so bits 16-23 would land where the pure path
+        # keeps bits 8-15) — deeper streams stay on the pure decoder.
+        # STREAMINFO is always the first metadata block; bps lives at
+        # bits 36-40 of its packed tail (offset 8+10 into the stream).
+        if len(payload) > 21:
+            bps = (((payload[20] & 0x01) << 4) | (payload[21] >> 4)) + 1
+            if bps not in (8, 16):
+                return None
         return _sf_samples(payload)
     return None
 

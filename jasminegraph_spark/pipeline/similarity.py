@@ -369,7 +369,15 @@ def semantic_dedup(
         valid = np.fromiter(
             (v is not None and len(v) > 0 for v in qv), dtype=bool, count=len(qv)
         )
-        dim = max((len(v) for v in qv[valid]), default=0)
+        # the cell's working dimensionality is the MAJORITY length: a
+        # single off-dimension outlier is degenerate (zeroed → inert,
+        # keep=True) and must not flip the whole cell's dedup off, which
+        # a max() here would (one longer row would zero every row of the
+        # majority length)
+        from collections import Counter
+
+        length_counts = Counter(len(v) for v in qv[valid])
+        dim = length_counts.most_common(1)[0][0] if length_counts else 0
         x = np.zeros((len(qv), dim))
         for i, v in enumerate(qv):
             if valid[i] and len(v) == dim:

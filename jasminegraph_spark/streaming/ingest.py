@@ -450,11 +450,16 @@ class StreamingTriangleCounter:
             )
             self.total = agg["total"]
             self._n_rows = agg["n_edge_rows"]
-            # lazy: the first warm batch's delta materializes the rebuilt
-            # arrays in the same job as its own merge (r12 job-count cut)
-            self._nbrs = checkpoint(
-                _neighbor_arrays(canonical_undirected(state_df)), eager=False
-            )
+            # lazy localCheckpoint — NOT cache.checkpoint: the durable
+            # state here is the edge PARQUET (an executor loss restarts
+            # cold from it), and reliable Dataset.checkpoint would
+            # re-execute the whole plan a second time at materialization
+            # just to write files nothing needs. The first warm batch's
+            # delta materializes the rebuilt arrays inside its own job
+            # (r12 job-count cut).
+            self._nbrs = _neighbor_arrays(
+                canonical_undirected(state_df)
+            ).localCheckpoint(eager=False)
         else:
             self.total = 0
             self._n_rows = 0
@@ -478,14 +483,18 @@ class StreamingTriangleCounter:
         # remains the integrity check that catches any drift.
         n_batch = batch_edges.count()
         bcast_new = n_batch <= self.BROADCAST_BATCH_ROWS
-        # LAZY checkpoints (r12, VERDICT r11 ask #3 — cut per-batch
-        # action count): new_c and the merged state are checkpointed
-        # WITHOUT an eager materializing job; the delta count below is
-        # the single action that computes canonicalization, the
+        # LAZY localCheckpoints (r12, VERDICT r11 ask #3 — cut per-batch
+        # action count): new_c and the merged state are pinned WITHOUT
+        # an eager materializing job; the delta count below is the
+        # single action that computes canonicalization, the
         # neighbor-array merge, and the per-edge intersections as ONE
         # Spark job (RDD identity makes the multiply-referenced frames
-        # compute once inside it). Was 3 jobs per batch.
-        new_c = checkpoint(canonical_undirected(batch_edges), eager=False)
+        # compute once inside it). Was 3 jobs per batch. Deliberately
+        # NOT cache.checkpoint: the tracker's durable state is the edge
+        # parquet (cold start rebuilds from it), and reliable
+        # Dataset.checkpoint would re-execute each plan a second time
+        # at materialization just to write files nothing reads.
+        new_c = canonical_undirected(batch_edges).localCheckpoint(eager=False)
         batch_nbrs = _neighbor_arrays(new_c)  # O(batch) groupBy
         if self._nbrs is not None:
             # merge per touched node; arrays stay exact sets
@@ -509,7 +518,7 @@ class StreamingTriangleCounter:
         else:
             merged = batch_nbrs
         prev = self._nbrs
-        self._nbrs = checkpoint(merged, eager=False)
+        self._nbrs = merged.localCheckpoint(eager=False)
         delta = _delta_from_arrays(self._nbrs, new_c, bcast_new)
         self.total += delta
         # only AFTER the delta's action has pinned the merged blocks:

@@ -3168,3 +3168,40 @@ def test_native_decode_parity_flac():
     stereo = [mono, [((i * 53) % 3001) - 1500 for i in range(600)]]
     payload2 = mm.encode_flac(stereo, sample_rate=8000, bps=16, block_size=256)
     assert mm._decode_native(payload2) == mm._decode_flac(payload2)
+
+
+def test_native_flac_dispatch_guards_bit_depth(monkeypatch):
+    """r12 review: soundfile's int16 read right-shifts deeper-than-16-bit
+    samples BEFORE the upper-byte fold, so byte parity with the pure
+    decoder holds only for 8/16-bit FLAC — _decode_native must parse
+    STREAMINFO's bps and send deeper streams to the pure path (return
+    None), while 8/16-bit streams dispatch natively."""
+    from jasminegraph_spark.pipeline import multimodal as mm
+
+    sentinel = (1, 1, b"\x2a")
+
+    class _FakeSf:
+        @staticmethod
+        def read(fp, dtype=None, always_2d=None):
+            raise AssertionError("guard must decide before any read")
+
+    monkeypatch.setattr(mm, "_NATIVE_LIBS", {"soundfile": _FakeSf})
+    monkeypatch.setattr(mm, "_sf_samples", lambda payload: sentinel)
+
+    mono = [((i * 37) % 200) - 100 for i in range(300)]
+    for bps in (8, 16):
+        payload = mm.encode_flac(mono, sample_rate=8000, bps=bps, block_size=128)
+        # sanity: the guard parses the same bps the encoder wrote
+        parsed = (((payload[20] & 0x01) << 4) | (payload[21] >> 4)) + 1
+        assert parsed == bps
+        assert mm._decode_native(payload) == sentinel, f"bps={bps}"
+    # deeper stream: rewrite STREAMINFO's bps-1 field (bits 23-27 of the
+    # packed tail at offset 18) in a real 16-bit stream's header
+    for deep in (20, 24):
+        b = bytearray(mm.encode_flac(mono, sample_rate=8000, bps=16, block_size=128))
+        code = deep - 1
+        b[20] = (b[20] & 0xFE) | (code >> 4)
+        b[21] = (b[21] & 0x0F) | ((code & 0x0F) << 4)
+        parsed = (((b[20] & 0x01) << 4) | (b[21] >> 4)) + 1
+        assert parsed == deep
+        assert mm._decode_native(bytes(b)) is None, f"bps={deep}"
