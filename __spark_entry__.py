@@ -8879,71 +8879,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r12 sweep order (VERDICT r11 ask #1, recomputed from all eleven
+    # r13 sweep order (VERDICT r12 ask #1, recomputed from all twelve
     # CORRECTNESS_r*.json latest-green rounds): pure rotation again — the
-    # 13 rows whose latest green driver row is r07 (their r07 sweep
-    # order), then the 37 oldest r08 rows in their r08 sweep order.
-    # 13 + 37 = 50 fills the driver window; the remaining 13 r08 rows
-    # (pl_dataset_card ... pl_split_leakage) queue directly behind it as
-    # the r13 window head. After this sweep the registry evidence floor
-    # lifts to r08. (pl_ngram_jaccard's r01 row is a retired name — the
-    # query was replaced by pl_ngram_jaccard_capped, latest green r08.)
+    # 13 rows whose latest green driver row is r08 (their r08 sweep
+    # order), then the 37 oldest r09 rows in their r09 sweep order.
+    # 13 + 37 = 50 fills the driver window; the remaining 13 r09 rows
+    # (rel_cohort_retention ... rel_q22_dormant_customers) queue directly
+    # behind it as the r14 window head. After this sweep the registry
+    # evidence floor lifts to r09. (pl_ngram_jaccard's r01 row is a
+    # retired name — the query was replaced by pl_ngram_jaccard_capped.)
     # Audit: recompute latest-green per query from CORRECTNESS_r*.json
     # each round.
-    # --- latest green driver row r07 (13) ---
-    "cypher_unwind",
-    "cypher_varlength_path",
-    "cypher_exists_patterns",
-    "cypher_list_comprehension",
-    "cypher_list_predicates",
-    "cypher_named_path_length",
-    "cypher_distinct_null_checks",
-    "cypher_type_function",
-    "cypher_call_procedure",
-    "an_connected_components",
-    "an_k_core",
-    "an_link_prediction",
-    "an_link_prediction_embedding",
-    # --- latest green driver row r08, in r08 sweep order (first 37) ---
-    "pl_mp3_decode",
-    "src_ldg_partition",
-    "src_fennel_partition",
-    "st_restart_replay",
-    "an_coloring",
-    "an_semantic_beam_search",
-    "an_shortest_paths",
-    "pl_dedup_corpus",
-    "pl_embed_ivf_ann",
-    "pl_embed_text",
-    "pl_embedding_near_dup",
-    "pl_ivf_ann_nprobe",
-    "pl_kg_triples",
-    "pl_lsh_verified_dedup",
-    "pl_simhash_near_dup",
-    "pl_stratified_sample",
-    "an_closeness_centrality",
-    "an_coarsen",
-    "an_core_numbers",
-    "an_eccentricity_sample",
-    "an_feature_smoothing",
-    "an_graph_diff",
-    "an_hits",
-    "an_k_truss",
-    "an_local_clustering",
-    "an_modularity",
-    "an_personalized_pagerank",
-    "an_random_walks",
-    "an_rmat_degree_dist",
-    "an_square_count",
-    "an_walk_pmi",
-    "an_wcc_alternating",
-    "an_weighted_pagerank",
-    "an_weighted_shortest_paths",
-    "cypher_reduce",
-    "pl_bm25_topk",
-    "pl_chunk_documents",
-    # --- remaining 13 r08 rows: past the ~50-row window this round; they
-    # run first in r13 ---
+    # --- latest green driver row r08 (13) ---
     "pl_dataset_card",
     "pl_embedding_hygiene",
     "pl_graphrag_retrieve",
@@ -8957,6 +8904,59 @@ _PRIORITY = [
     "pl_sampled_quantiles",
     "pl_skew_report",
     "pl_split_leakage",
+    # --- latest green driver row r09, in r09 sweep order (first 37) ---
+    "pl_temperature_mixture",
+    "pl_unigram_logprob",
+    "pl_vocab_coverage",
+    "rel_asof_last_purchase",
+    "rel_cdc_apply",
+    "rel_event_funnel",
+    "rel_events_rollup_multires",
+    "rel_interval_join_busy_hours",
+    "rel_json_props_extract",
+    "rel_scd2_user_state",
+    "src_zorder_roundtrip",
+    "st_stream_stream_join",
+    "st_streaming_dedup",
+    "an_betweenness_sampled",
+    "an_clustering_coefficient",
+    "an_degree_assortativity",
+    "an_harmonic_centrality",
+    "an_label_propagation",
+    "an_link_prediction_federated",
+    "an_link_prediction_trained",
+    "an_msf",
+    "an_sage_embeddings",
+    "cypher_scalar_functions",
+    "cypher_shortest_path",
+    "cypher_union_text",
+    "pl_bpe_merges",
+    "pl_decontaminate",
+    "pl_gopher_rules",
+    "pl_kmv_distinct",
+    "pl_multimodal_compose",
+    "pl_multimodal_decode",
+    "pl_pca_invariants",
+    "pl_pii_redact",
+    "pl_repetition_scores",
+    "pl_sq_ann",
+    "pl_tfidf_keywords",
+    "pl_weighted_sample",
+    # --- remaining 13 r09 rows: past the ~50-row window this round; they
+    # run first in r14 ---
+    "rel_cohort_retention",
+    "rel_q11_important_parts",
+    "rel_q12_late_by_priority",
+    "rel_q13_customer_distribution",
+    "rel_q14_promo_revenue_share",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_part_counts",
+    "rel_q17_small_quantity_revenue",
+    "rel_q18_large_volume_customer",
+    "rel_q19_disjunctive_predicates",
+    "rel_q20_dominant_suppliers",
+    "rel_q21_waiting_supplier",
+    "rel_q22_dormant_customers",
 ]
 
 
