@@ -112,8 +112,15 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
         ordered["hi"] == F.col("v"),
         "left",
     )
+    # ns_v is NULL on DAG-sink edges (the left join above); coalesce it
+    # to an empty array BEFORE the intersection so the count is 0
+    # independent of spark.sql.legacy.sizeOfNull (with that conf set,
+    # size(NULL) is -1 — not NULL — and an outer coalesce never fires,
+    # subtracting 1 per sink edge; ADVICE r12)
     n = j.select(
-        F.coalesce(F.size(F.array_intersect("ns_u", "ns_v")), F.lit(0)).alias("c")
+        F.size(
+            F.array_intersect("ns_u", F.coalesce("ns_v", F.array()))
+        ).alias("c")
     ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
     return finalize(n, und, ordered, nbr)
 
@@ -179,7 +186,15 @@ def pagerank(
             e = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         if dedup_edges:
             e = e.distinct().persist()
-            caches.append(e)
+        else:
+            # persisted for the same reason as the weighted branch: e
+            # materializes at least twice below (out_deg + contrib_base).
+            # Today's callers ride the memoized co_order_edges cache so
+            # this is nearly free, but any other caller of the public
+            # kwarg would re-execute the full upstream edge pipeline
+            # per reference without it (ADVICE r12)
+            e = e.persist()
+        caches.append(e)
     else:
         # weighted pgrnk: mass splits ∝ edge weight instead of 1/out_deg.
         # Parallel edges COMBINE by weight sum (groupBy, not distinct —

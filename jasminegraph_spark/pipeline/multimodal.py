@@ -3863,6 +3863,46 @@ def _sf_samples(payload: bytes) -> tuple[int, int, bytes] | None:
         return None
 
 
+def _jpeg_native_ok(payload: bytes) -> bool:
+    """Header-only screen for the JPEG dispatch (same role as the PNG
+    IHDR / FLAC bps guards): True only when the frame is one the pure
+    decoders accept — SOF0/SOF2, 8-bit precision, 1 or 3 components,
+    8-bit quantization tables. Everything else (extended/lossless/
+    arithmetic SOFn, CMYK 4-component, 12-bit, Pq=1 DQT) stays on the
+    pure path so the authoritative NotImplementedError fires instead of
+    PIL silently decoding with its own non-contract conversions. Scans
+    marker segments only; stops at SOS."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return False
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        size = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + size]
+        pos += size
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                if body[i] >> 4 != 0:  # Pq=1: 16-bit table
+                    return False
+                i += 65
+        elif marker in (0xC0, 0xC2):  # baseline / progressive
+            # body = precision(1) height(2) width(2) ncomp(1) ...
+            if len(body) < 6 or body[0] != 8 or body[5] not in (1, 3):
+                return False
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            return False  # SOFn the pure path rejects by name
+        elif marker == 0xDA:
+            break
+    return True
+
+
 def _decode_native(payload: bytes) -> tuple[int, int, bytes] | None:
     """PRODUCTION fast path (VERDICT r11 ask #2): when a native codec
     library is importable, the known compressed containers dispatch to
@@ -3878,7 +3918,30 @@ def _decode_native(payload: bytes) -> tuple[int, int, bytes] | None:
     the sandbox's cost, not the design's (SCALE.md §Codec descope)."""
     if payload is None or not _native_libs():
         return None
-    if payload[:8] == PNG_SIG or payload[:2] == b"\xff\xd8":
+    if payload[:8] == PNG_SIG:
+        # mirror the FLAC bps guard: PIL would happily decode the PNG
+        # variants _decode_png deliberately rejects (16-bit via a
+        # clipping I;16→RGB conversion, Adam7 via real de-interlacing),
+        # silently producing non-contract luma that differs per
+        # environment instead of the authoritative NotImplementedError.
+        # IHDR is mandatory-first (chunk header at 8, payload at 16):
+        # depth at [24], color at [25], compression/filter at [26]/[27],
+        # interlace at [28] — only the exact set the pure decoder
+        # accepts takes the fast path.
+        if len(payload) < 29 or payload[12:16] != b"IHDR":
+            return None
+        if (
+            payload[24] != 8
+            or payload[25] not in (0, 2, 3, 4, 6)
+            or payload[26]
+            or payload[27]
+            or payload[28]
+        ):
+            return None
+        return _pil_luma(payload)
+    if payload[:2] == b"\xff\xd8":
+        if not _jpeg_native_ok(payload):
+            return None
         return _pil_luma(payload)
     if payload[:4] == b"fLaC":
         # byte-parity with the pure fold holds only for 8/16-bit sources

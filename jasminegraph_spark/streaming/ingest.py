@@ -326,7 +326,19 @@ def _delta_from_arrays(
     lookups stay shuffled hash joins at every size. Caveat for extreme
     hubs: a node's array is its full neighborhood; degree-skewed graphs
     at cluster scale should prefer _delta_from_canonical's shuffled
-    wedge join (the generic path), which AQE skew-splits."""
+    wedge join (the generic path), which AQE skew-splits.
+
+    INVARIANT the caller's unpersist ordering depends on (ADVICE r12):
+    the returned count SCANS EVERY PARTITION of ``nbrs``. The semi-join
+    restricts which rows flow downstream, but its probe side still reads
+    the full array table, so when ``nbrs`` is a lazy localCheckpoint the
+    count materializes every checkpoint block — that is what makes it
+    safe for the tracker to unpersist the previous state generation
+    right after this returns. Do NOT push partition pruning or any
+    source-level restriction of ``nbrs`` below the checkpoint here:
+    partitions skipped by the action would lazily recompute later,
+    through lineage whose parent blocks the caller has already
+    dropped."""
     hint = F.broadcast if broadcast_new else (lambda df: df)
     nodes = (
         new_c.select(F.col("a").alias("u"))
@@ -523,7 +535,10 @@ class StreamingTriangleCounter:
         self.total += delta
         # only AFTER the delta's action has pinned the merged blocks:
         # unpersisting the previous generation before materialization
-        # would force a recompute through its (truncated) lineage
+        # would force a recompute through its (truncated) lineage.
+        # _delta_from_arrays guarantees its count scans every partition
+        # of self._nbrs (docstring invariant) — that full scan IS the
+        # materialization this ordering relies on
         if prev is not None:
             prev.unpersist()
         batch_edges.write.mode("append").parquet(self.state_path)

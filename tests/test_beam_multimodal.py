@@ -3205,3 +3205,82 @@ def test_native_flac_dispatch_guards_bit_depth(monkeypatch):
         parsed = (((b[20] & 0x01) << 4) | (b[21] >> 4)) + 1
         assert parsed == deep
         assert mm._decode_native(bytes(b)) is None, f"bps={deep}"
+
+
+def test_native_png_dispatch_guards_ihdr(monkeypatch):
+    """ADVICE r12: the PNG dispatch needs the same pre-read screen as the
+    FLAC bps guard — with PIL present, a 16-bit or Adam7-interlaced PNG
+    (which _decode_png deliberately rejects) must NOT be silently decoded
+    via PIL's clipping conversions; _decode_native parses IHDR and sends
+    anything outside the pure decoder's accepted set (depth 8, color type
+    in {0,2,3,4,6}, no compression/filter/interlace variants) to the pure
+    path (return None)."""
+    from jasminegraph_spark.pipeline import multimodal as mm
+
+    sentinel = (1, 1, b"\x2a")
+
+    class _FakeImage:
+        @staticmethod
+        def open(fp):
+            raise AssertionError("guard must decide before any decode")
+
+    monkeypatch.setattr(mm, "_NATIVE_LIBS", {"Image": _FakeImage})
+    monkeypatch.setattr(mm, "_pil_luma", lambda payload: sentinel)
+
+    w, h = 5, 4
+    good = mm.encode_png(w, h, bytes(range(w * h)), channels=1)
+    # IHDR layout behind the 8-byte sig + 8-byte chunk header:
+    # depth at [24], color at [25], comp [26], filt [27], interlace [28]
+    assert good[12:16] == b"IHDR" and good[24] == 8 and good[28] == 0
+    assert mm._decode_native(good) == sentinel
+
+    for offset, value in ((24, 16), (25, 5), (26, 1), (27, 1), (28, 1)):
+        b = bytearray(good)
+        b[offset] = value
+        assert mm._decode_native(bytes(b)) is None, f"IHDR[{offset}]={value}"
+    # truncated / IHDR-less streams also stay off the native path
+    assert mm._decode_native(good[:20]) is None
+
+
+def test_native_jpeg_dispatch_guards_sof(monkeypatch):
+    """ADVICE r12 (JPEG analog of the PNG IHDR guard): with PIL present,
+    only frames the pure decoders accept — SOF0/SOF2, precision 8, 1 or 3
+    components, 8-bit DQT — take the native path. Extended/lossless/
+    arithmetic SOFn, 4-component, 12-bit, and Pq=1 streams return None so
+    the authoritative NotImplementedError fires from the pure path."""
+    from jasminegraph_spark.pipeline import multimodal as mm
+
+    sentinel = (1, 1, b"\x2a")
+
+    class _FakeImage:
+        @staticmethod
+        def open(fp):
+            raise AssertionError("guard must decide before any decode")
+
+    monkeypatch.setattr(mm, "_NATIVE_LIBS", {"Image": _FakeImage})
+    monkeypatch.setattr(mm, "_pil_luma", lambda payload: sentinel)
+
+    good = mm.encode_jpeg_gray(8, 8, bytes([100]) * 64)
+    assert mm._decode_native(good) == sentinel
+
+    def _seg_off(payload, marker):
+        pos = 2
+        while pos + 4 <= len(payload):
+            m = payload[pos + 1]
+            if m == marker:
+                return pos
+            pos += 2 + int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        raise AssertionError(f"marker {marker:#x} not found")
+
+    sof = _seg_off(good, 0xC0)
+    for mutate, label in (
+        (lambda b: b.__setitem__(sof + 1, 0xC1), "SOF1 extended"),
+        (lambda b: b.__setitem__(sof + 1, 0xC3), "SOF3 lossless"),
+        (lambda b: b.__setitem__(sof + 1, 0xCA), "SOF10 arithmetic"),
+        (lambda b: b.__setitem__(sof + 4, 12), "12-bit precision"),
+        (lambda b: b.__setitem__(sof + 9, 4), "4 components"),
+        (lambda b: b.__setitem__(_seg_off(b, 0xDB) + 4, 0x10), "Pq=1 DQT"),
+    ):
+        b = bytearray(good)
+        mutate(b)
+        assert mm._decode_native(bytes(b)) is None, label

@@ -665,3 +665,29 @@ def test_node2vec_corpus_multi_walk(spark):
             exp_pairs[(a, b)] = exp_pairs.get((a, b), 0) + 1
     got = {(r["a"], r["b"]): r["n_cooc"] for r in pmi}
     assert got == exp_pairs
+
+
+def test_triangle_count_conf_independent_of_legacy_size_of_null(spark):
+    """ADVICE r12: size(array_intersect(...)) on a DAG-sink edge's NULL
+    neighbor array must count 0 regardless of session conf. With ANSI off
+    and spark.sql.legacy.sizeOfNull=true, size(NULL) is -1 (not NULL), so
+    an outer coalesce never fires and every sink edge would subtract one
+    triangle; the plan coalesces the array itself to empty BEFORE the
+    intersection, making the count conf-independent."""
+    from jasminegraph_spark.analytics import triangle_count
+
+    ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+        # triangle {1,2,3} plus a pendant sink edge 3->4 (NULL ns_v row)
+        e = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+        )
+        assert triangle_count(e) == 1
+    finally:
+        spark.conf.unset("spark.sql.legacy.sizeOfNull")
+        if ansi is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
