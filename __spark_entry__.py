@@ -4851,10 +4851,14 @@ def an_connected_components(spark, sf_dir):
     """Weakly connected components (hash-min propagation) on the co-order
     graph. Oracle = the same recurrence unrolled for the same 20-round
     budget (early break only happens at the fixpoint, where extra SQL
-    rounds are identity)."""
+    rounds are identity). The co-order projection is already an a<b
+    distinct edge set, so the redundant re-canonicalization shuffle is
+    skipped (assume_canonical, r13)."""
     from jasminegraph_spark.analytics import connected_components
 
-    return connected_components(co_order_edges(spark, sf_dir), max_iterations=20)
+    return connected_components(
+        co_order_edges(spark, sf_dir), max_iterations=20, assume_canonical=True
+    )
 
 
 @_q("an_wcc_alternating", _cc_oracle(20))

@@ -27,14 +27,28 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 20,
     broadcast_threshold: int = 10_000_000,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Weakly connected components via hash-min propagation.
     Returns (node, component) with component = min node id reachable.
+
+    ``assume_canonical=True`` (r13) asserts the caller's edge set is
+    already an a<b distinct self-loop-free projection (true for
+    co_order_edges and any canonical_undirected output) and skips the
+    redundant |E|-row least/greatest + distinct shuffle and its persist —
+    the labels are invariant under edge direction and duplication anyway;
+    the skip only avoids re-deriving what the caller already guarantees.
     """
-    und = canonical_undirected(edges).persist()
+    if assume_canonical:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        caches = []
+    else:
+        und = canonical_undirected(edges).persist()
+        caches = [und]
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
     ).persist()
+    caches.append(adj)
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -64,13 +78,18 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
             )
-            .transform(checkpoint)
+            # LAZY checkpoint + the convergence count as the materializing
+            # action = ONE Spark job per round instead of two (r13, same
+            # fusion as the streaming tracker): the filter-count scans
+            # every partition, so all checkpoint blocks are pinned before
+            # the next round (or the broadcast collect) reads them
+            .transform(lambda df: checkpoint(df, eager=False))
         )
         changed = cand.filter(F.col("component") != F.col("old")).count()
         labels = cand.select("node", "component")
         if changed == 0:
             break
-    return finalize(labels, und, adj)
+    return finalize(labels, *caches)
 
 
 def connected_components_alternating(
@@ -129,7 +148,9 @@ def connected_components_alternating(
             .unionAll(dmins.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .transform(checkpoint)
+            # lazy: the signature aggregate below scans every partition
+            # and doubles as the materializing action (one job per round)
+            .transform(lambda df: checkpoint(df, eager=False))
         )
         row = small.agg(
             F.count("*").alias("n"),

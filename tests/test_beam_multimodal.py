@@ -3284,3 +3284,49 @@ def test_native_jpeg_dispatch_guards_sof(monkeypatch):
         b = bytearray(good)
         mutate(b)
         assert mm._decode_native(bytes(b)) is None, label
+
+
+def test_mp3_stays_on_pure_path(monkeypatch):
+    """VERDICT r12 ask #4 (decision: no MPEG-audio native dispatch).
+    ISO/IEC 11172-4 conformance is an RMS error bound, not bit-exactness,
+    so a native MP3 decode would produce environment-dependent bytes under
+    the value-hash contract — _decode_native must never claim an MP3
+    stream, even with a (fake) soundfile present. SCALE.md §Codec descope
+    records the decision."""
+    from jasminegraph_spark.pipeline import multimodal as mm
+
+    class _FakeSf:
+        @staticmethod
+        def read(fp, dtype=None, always_2d=None):
+            raise AssertionError("MP3 must not reach a native decoder")
+
+    monkeypatch.setattr(mm, "_NATIVE_LIBS", {"soundfile": _FakeSf})
+    payload = mm.encode_mp3(3)
+    assert payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    assert mm._decode_native(payload) is None
+    # the pure decoder remains the authoritative path end-to-end
+    n, ch, data = mm._decode_one(payload, kind="audio")
+    assert set(data) == {128}  # digital silence folds to exactly 128
+
+
+def test_mp3_silence_native_agreement():
+    """Skipped-if-absent evidence row for the no-dispatch decision: on the
+    driver's silence fixtures every conformant decoder emits exact-zero
+    samples (all DSP stages are linear, so zero spectra stay zero), hence
+    the upper-byte+128 fold is all-128 on the pure AND native paths. Frame
+    COUNTS may legitimately differ (gapless/decoder-delay handling varies
+    by library) — exactly why the dispatch stays off for nonzero audio —
+    so only the sample VALUES are compared."""
+    sf = pytest.importorskip("soundfile")
+
+    from jasminegraph_spark.pipeline import multimodal as mm
+
+    payload = mm.encode_mp3(4, fs_index=0, bitrate_index=9)
+    n, ch, pure = mm._decode_mp3(payload)
+    assert set(pure) == {128}
+    native = mm._sf_samples(payload)
+    if native is None:
+        pytest.skip("libsndfile build lacks MP3 support")
+    n2, ch2, data2 = native
+    assert ch2 == ch
+    assert set(data2) <= {128}
