@@ -569,6 +569,10 @@ def weighted_shortest_paths(
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("distance").alias("distance"))
+            # eager on purpose: the count-fusion that won the CC A/B
+            # measured NO win here (3/4 interleaved pairs slower, r13) —
+            # the distance table is tiny, so the fused-away job was
+            # already cheap and the lazy path just adds variance
             .transform(checkpoint)
         )
         n_rows = dist.count()
