@@ -4871,7 +4871,9 @@ def an_wcc_alternating(spark, sf_dir):
     graph's diameter is far under both round budgets)."""
     from jasminegraph_spark.analytics import connected_components_alternating
 
-    return connected_components_alternating(co_order_edges(spark, sf_dir))
+    return connected_components_alternating(
+        co_order_edges(spark, sf_dir), assume_canonical=True
+    )
 
 
 def _msf_oracle(iterations: int = 20) -> str:

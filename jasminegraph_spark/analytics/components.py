@@ -95,6 +95,7 @@ def connected_components(
 def connected_components_alternating(
     edges: DataFrame,
     max_iterations: int = 25,
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Weakly connected components via the alternating large-star /
     small-star algorithm (Kiveris et al., "Connected Components in
@@ -114,12 +115,19 @@ def connected_components_alternating(
     hash-sum signature) on the frame the round already materialized — no
     set-difference job. The fixpoint is a star forest: every edge points
     directly at its component minimum.
+
+    ``assume_canonical`` as in :func:`connected_components` — the first
+    round's checkpoint of the already-canonical set is also skipped (the
+    round reads it once per star pass off the caller's cache).
     """
-    cur = (
-        canonical_undirected(edges)
-        .select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .transform(checkpoint)
-    )
+    if assume_canonical:
+        cur = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    else:
+        cur = (
+            canonical_undirected(edges)
+            .select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .transform(checkpoint)
+        )
     prev_sig = None
     for _ in range(max_iterations):
         # -- large-star: every neighbor bigger than u links to u's min

@@ -3883,6 +3883,8 @@ def _jpeg_native_ok(payload: bytes) -> bool:
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue
         size = struct.unpack_from(">H", payload, pos)[0]
+        if size < 2:  # malformed length would never advance pos
+            return False
         body = payload[pos + 2 : pos + size]
         pos += size
         if marker == 0xDB:
