@@ -345,6 +345,15 @@ def node_embeddings(edges: DataFrame) -> DataFrame:
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
     )
+    return _node_embeddings_from_adj(adj)
+
+
+def _node_embeddings_from_adj(adj: DataFrame) -> DataFrame:
+    """node_embeddings core over an already-built symmetric (v, w)
+    adjacency — sage_embeddings passes its persisted adjacency here so
+    the h⁰ features don't re-derive canonical+union from the raw edges a
+    second time per call (r13; one redundant |E|-row distinct shuffle
+    and 2|E|-row union eliminated)."""
     deg = adj.groupBy("v").agg(F.count("*").alias("deg"))
     nbr = (
         adj.join(deg.select(F.col("v").alias("w"), F.col("deg").alias("wd")), "w")
@@ -426,8 +435,10 @@ def sage_embeddings(
     # loop re-executes the whole prefix per reference and per layer —
     # persisting adj and each generation is a measured 3× at sf0.1
     # (13-14 s → 4.3 s for the sampled 2-layer encoder); finalize()
-    # releases every generation once the result is checkpoint-pinned
-    cur = node_embeddings(edges).persist()
+    # releases every generation once the result is checkpoint-pinned.
+    # h⁰ reuses the persisted adjacency (r13): node_embeddings(edges)
+    # would rebuild canonical+union from the raw edges a second time
+    cur = _node_embeddings_from_adj(adj).persist()
     caches = [und, adj, cur]
     for k in range(1, layers + 1):
         feats = [c for c in cur.columns if c != "v"]

@@ -691,3 +691,26 @@ def test_triangle_count_conf_independent_of_legacy_size_of_null(spark):
             spark.conf.unset("spark.sql.ansi.enabled")
         else:
             spark.conf.set("spark.sql.ansi.enabled", ansi)
+
+
+def test_assume_canonical_matches_default_on_canonical_input(spark):
+    """r13: the assume_canonical fast path must produce identical labels
+    to the default path whenever its contract holds (a<b distinct
+    self-loop-free edges) — for both CC variants. The skip only elides
+    the re-derivation shuffle, never the semantics."""
+    from jasminegraph_spark.analytics import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (6, 7), (7, 8), (10, 11)],
+        "src long, dst long",
+    )
+    for fn in (connected_components, connected_components_alternating):
+        base = {(r["node"], r["component"]) for r in fn(e).collect()}
+        lean = {
+            (r["node"], r["component"])
+            for r in fn(e, assume_canonical=True).collect()
+        }
+        assert lean == base, fn.__name__
