@@ -47,6 +47,20 @@ def connected_components(
         caches = [und]
     adj = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
         und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # pre-partition the persisted adjacency by the key every round re-uses
+    # (r13, guide §2.4): under the broadcast-label regime each round's only
+    # |E|-sized exchange was the groupBy(u) neighbor-min aggregation —
+    # partitioning adj by u once makes it exchange-free every round (the
+    # alias u → node carries through the select). Past the broadcast
+    # threshold the per-round join on v shuffles adj instead, so partition
+    # by the join key v. The key choice probes 2|E| (nodes ≤ adjacency
+    # rows, so 2|E| under the threshold proves the broadcast regime); a
+    # graph with >threshold/2 edges but <threshold nodes merely keeps its
+    # per-round aggregation exchange — a narrow, perf-only window.
+    n_adj_rows = und.count() * 2
+    adj = adj.repartition(
+        "u" if n_adj_rows <= broadcast_threshold else "v"
     ).persist()
     caches.append(adj)
     labels = adj.select(F.col("u").alias("node")).distinct().withColumn(
@@ -55,7 +69,10 @@ def connected_components(
     # the label table is |V| rows vs |E| adjacency rows: broadcast it while
     # it fits so the persisted adjacency is never re-shuffled per round
     # (same guard as pagerank; past the threshold fall back to a
-    # co-partitioned shuffle join)
+    # co-partitioned shuffle join). This count also materializes the
+    # adjacency cache NOW: an un-materialized cache hides its partitioning
+    # behind an unresolved AdaptiveSparkPlan, and every round planned
+    # against it would re-insert the exchange the repartition removes.
     n_nodes = labels.count()
     brd = (lambda df: F.broadcast(df)) if n_nodes <= broadcast_threshold else (lambda df: df)
     for i in range(max_iterations):

@@ -233,9 +233,29 @@ def pagerank(
         nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().persist()
         caches.append(nodes)
         n_total = nodes.count()
-    # contribution edges carry out_deg along; persisted once, reused each iter
-    contrib_base = e.join(out_deg, "src").persist()
+    # contribution edges carry out_deg along; persisted once, reused each
+    # iter. Pre-partition by the key every iteration re-uses (r13, guide
+    # §2.4 "share one exchange"): under the broadcast-rank regime each
+    # iteration's only exchange is the groupBy(dst); hash-partitioning the
+    # persisted frame by dst once makes that aggregation exchange-free
+    # every round (ProjectExec's alias-aware partitioning carries dst →
+    # node through the select). Past the broadcast threshold the
+    # per-iteration join shuffles instead, so partition by the JOIN key
+    # (src) and the ranks side alone re-shuffles per round. One setup
+    # exchange traded for one exchange per iteration at any scale.
+    contrib_base = (
+        e.join(out_deg, "src")
+        .repartition("dst" if n_total <= broadcast_threshold else "src")
+        .persist()
+    )
     caches.append(contrib_base)
+    # materialize NOW: an un-materialized cache wraps an AdaptiveSparkPlan
+    # whose final partitioning is unknown at planning time, so every
+    # iteration planned against it would re-insert the ENSURE_REQUIREMENTS
+    # exchange this repartition exists to remove (measured: 1 exchange per
+    # iteration planned lazily, 0 once the cache is live). One cheap count
+    # over the persisted inputs buys exchange-free aggregation each round.
+    contrib_base.count()
     if sources is not None:
         # restart mass concentrated on the seeds (each gets 1/|S|); a
         # seed absent from the vertex set simply contributes no mass
@@ -283,8 +303,11 @@ def pagerank(
                     + F.lit(alpha) * F.coalesce("mass", F.lit(0.0))
                 ).alias("rank"),
             )
-        if (i + 1) % 5 == 0:
-            # truncate lineage so the plan doesn't grow unboundedly
+        if (i + 1) % 5 == 0 and (i + 1) < iterations:
+            # truncate lineage so the plan doesn't grow unboundedly; the
+            # final iteration skips it (r13) — finalize() checkpoints the
+            # result anyway, so a loop-end checkpoint would materialize
+            # the same ranks twice back to back
             ranks = ranks.transform(checkpoint)
     # final ranks are checkpointed; the edge/degree caches are released so
     # repeated engine calls don't pin storage

@@ -427,9 +427,18 @@ def sage_embeddings(
             # the inner join would silently return an empty embedding frame
             raise ValueError(f"every fan-out must be >= 1, got {sample}")
     und = canonical_undirected(edges).persist()
+    # pre-partition the persisted adjacency by v (r13, guide §2.4): every
+    # layer's sampling window (partitionBy v), neighbor-mean groupBy(v)
+    # and concat join (on v) re-use that one partitioning, so the
+    # per-layer exchanges over the 2|E| adjacency disappear while the
+    # feature table rides a broadcast. The count below materializes the
+    # cache — an un-materialized cache hides its partitioning behind an
+    # unresolved AdaptiveSparkPlan and the layer plans would re-insert
+    # the exchanges this removes.
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
-    ).persist()
+    ).repartition("v").persist()
+    adj.count()
     # each layer references the running feature table TWICE (the neighbor
     # aggregate's input and the concat join's left side), so an uncached
     # loop re-executes the whole prefix per reference and per layer —
