@@ -348,9 +348,17 @@ def _delta_from_arrays(
     touched = nbrs.join(hint(nodes), "u", "semi")
     na = touched.select(F.col("u").alias("a"), F.col("zs").alias("za"))
     nb = touched.select(F.col("u").alias("b"), F.col("zs").alias("zb"))
+    # r13 probe shape: the batch side carries the broadcast hint into BOTH
+    # array lookups, so each is a map pass over the touched arrays (build
+    # the tiny batch, probe the arrays in place), and each neighbor array
+    # then crosses exactly ONE exchange — the (a, b) pair join of the two
+    # sides. The previous left-deep chain (new_c ⋈ na ⋈ nb) shipped the
+    # za-laden intermediate through a second full exchange. Past
+    # BROADCAST_BATCH_ROWS the hints drop and AQE picks the strategies.
+    side_a = hint(new_c).join(na, "a")
+    side_b = hint(new_c).join(nb, "b").select("a", "b", "zb")
     tri = (
-        new_c.join(na, "a")
-        .join(nb, "b")
+        side_a.join(side_b, ["a", "b"])
         .select(
             "a", "b",
             F.explode(F.array_intersect("za", "zb")).alias("z"),
