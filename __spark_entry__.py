@@ -5155,8 +5155,12 @@ def an_weighted_shortest_paths(spark, sf_dir):
     recurrence."""
     from jasminegraph_spark.analytics import weighted_shortest_paths
 
+    # dedup_edges=False: the weighted co-order projection is already an
+    # a<b distinct pair set (one row per pair), so the min-groupBy over
+    # the symmetrized union is an identity — skipped (r13)
     d = weighted_shortest_paths(
-        co_order_weighted_edges(spark, sf_dir), 1, iterations=4, undirected=True
+        co_order_weighted_edges(spark, sf_dir), 1, iterations=4, undirected=True,
+        dedup_edges=False,
     )
     return d.select("node", F.round("distance", 6).alias("distance"))
 
@@ -6646,7 +6650,13 @@ def pl_png_decode(spark, sf_dir):
     decoded = decode_media(synthesize_png(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6692,7 +6702,13 @@ def pl_jpeg_decode(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6729,7 +6745,13 @@ def pl_flac_decode(spark, sf_dir):
     decoded = decode_media(synthesize_flac(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6767,7 +6789,13 @@ def pl_mp3_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6811,7 +6839,13 @@ def pl_mp3_stereo_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3_stereo(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6857,7 +6891,13 @@ def pl_mp3_lsf_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3_lsf(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6901,7 +6941,13 @@ def pl_layer1_decode(spark, sf_dir):
     decoded = decode_media(synthesize_layer1(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6946,7 +6992,13 @@ def pl_jpeg_progressive(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg_progressive(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -6996,7 +7048,13 @@ def pl_jpeg_progressive_color(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg_progressive_color(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-    ).orderBy("media_id")
+        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # sort — orderBy's range-partitioner sampling otherwise
+        # re-executes the whole synth+decode pipeline a second time just
+        # to pick bounds (the sort's child is map-only above the id
+        # spread, so sampling can reuse no shuffle output); measured ~2x
+        # on every media-decode row
+    ).localCheckpoint(eager=False).orderBy("media_id")
 
 
 @_q(
@@ -7764,6 +7822,12 @@ def _arrival_prefix_edges(spark, sf_dir, limit=_GREEDY_PREFIX_EDGES):
         .withColumn("h", F.md5(F.concat_ws("|", "src", "dst")))
         .orderBy("h")
         .limit(limit)
+        # pin the tiny prefix (r13): _greedy's sequential-size guard runs
+        # a probe count over this frame before the real pass, and without
+        # the pin each action pays the full TakeOrdered (md5 over every
+        # co-order edge) again. Lazy localCheckpoint = the probe is the
+        # materializing action, the greedy pass reads the pinned rows.
+        .localCheckpoint(eager=False)
     )
 
 

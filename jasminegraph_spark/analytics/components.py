@@ -542,6 +542,7 @@ def weighted_shortest_paths(
     iterations: int = 10,
     undirected: bool = True,
     broadcast_threshold: int = 10_000_000,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Single-source WEIGHTED shortest paths, Bellman-Ford style:
 
@@ -568,8 +569,16 @@ def weighted_shortest_paths(
         e = e.unionAll(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
         )
-    # parallel edges: keep the cheapest (min is the only one that can win)
-    e = e.groupBy("src", "dst").agg(F.min("w").alias("w")).persist()
+    if dedup_edges:
+        # parallel edges: keep the cheapest (min is the only one that can win)
+        e = e.groupBy("src", "dst").agg(F.min("w").alias("w"))
+    # ``dedup_edges=False`` (r13) asserts the caller's edge set carries no
+    # duplicate (src, dst) rows — true for any a<b distinct weighted
+    # projection (co_order_weighted_edges), whose symmetrized union cannot
+    # collide either — and skips that |E|-row exchange + min-aggregation
+    # (min over singletons is the identity, so labels are unchanged; the
+    # flag only avoids re-deriving what the caller already guarantees).
+    e = e.persist()
     if e.filter(F.col("w") < 0).limit(1).count() > 0:
         e.unpersist()
         raise ValueError("weighted_shortest_paths requires non-negative weights")

@@ -714,3 +714,27 @@ def test_assume_canonical_matches_default_on_canonical_input(spark):
             for r in fn(e, assume_canonical=True).collect()
         }
         assert lean == base, fn.__name__
+
+
+def test_wsp_dedup_edges_false_matches_default_on_deduped_input(spark):
+    """r13: weighted_shortest_paths(dedup_edges=False) must produce
+    identical distances to the default path whenever its contract holds
+    (no duplicate (src, dst) rows — a<b distinct weighted projections).
+    The skip only elides the identity min-groupBy, never the semantics."""
+    from jasminegraph_spark.analytics import weighted_shortest_paths
+
+    e = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 3, 1.0), (3, 2, 1.0), (2, 4, 1.0), (8, 9, 1.0)],
+        ["src", "dst", "weight"],
+    )
+    base = {
+        (r["node"], r["distance"])
+        for r in weighted_shortest_paths(e, 1, iterations=6).collect()
+    }
+    lean = {
+        (r["node"], r["distance"])
+        for r in weighted_shortest_paths(
+            e, 1, iterations=6, dedup_edges=False
+        ).collect()
+    }
+    assert lean == base
