@@ -5885,7 +5885,13 @@ def an_link_prediction(spark, sf_dir):
     fan-out stays bounded on power-law hubs at scale."""
     from jasminegraph_spark.analytics import link_prediction
 
-    return link_prediction(co_order_edges(spark, sf_dir), top_k=50, min_common=2)
+    # assume_canonical: co_order_edges is already a<b distinct and
+    # session-cached — skip the redundant re-canonicalization exchange
+    # and the duplicate persist of the same 2-column rows (r13)
+    return link_prediction(
+        co_order_edges(spark, sf_dir), top_k=50, min_common=2,
+        assume_canonical=True,
+    )
 
 
 @_q(
@@ -7236,7 +7242,10 @@ def pl_c4_rules(spark, sf_dir):
             F.lit("\nthis page uses javascript for everything okay."),
         ).otherwise(F.lit("")),
     )
-    return c4_rules(docs.select("doc_id", t2.alias("text"))).orderBy("doc_id")
+    out = c4_rules(docs.select("doc_id", t2.alias("text")))
+    # pin before the sort (r13): the child is a map-only regex pass, so the
+    # range-partitioner sampling would execute it twice
+    return out.localCheckpoint(eager=False).orderBy("doc_id")
 
 
 @_q(
@@ -7846,7 +7855,9 @@ def src_ldg_partition(spark, sf_dir):
     from jasminegraph_spark.streaming import ldg_partition
 
     prefix = _arrival_prefix_edges(spark, sf_dir)
-    return ldg_partition(prefix, 4, arrival_col="h").orderBy("node")
+    out = ldg_partition(prefix, 4, arrival_col="h")
+    # pin before the sort (r13): range-sampling would re-run the greedy pass
+    return out.localCheckpoint(eager=False).orderBy("node")
 
 
 @_q(
@@ -7868,7 +7879,9 @@ def src_fennel_partition(spark, sf_dir):
     from jasminegraph_spark.streaming import fennel_partition
 
     prefix = _arrival_prefix_edges(spark, sf_dir)
-    return fennel_partition(prefix, 4, arrival_col="h").orderBy("node")
+    out = fennel_partition(prefix, 4, arrival_col="h")
+    # pin before the sort (r13): range-sampling would re-run the greedy pass
+    return out.localCheckpoint(eager=False).orderBy("node")
 
 
 @_q(

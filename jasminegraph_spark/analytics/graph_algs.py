@@ -27,10 +27,19 @@ from pyspark.sql import functions as F
 from jasminegraph_spark.cache import checkpoint, finalize
 
 
-def canonical_undirected(edges: DataFrame) -> DataFrame:
+def canonical_undirected(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """Distinct undirected edges as ordered pairs (a < b); drops self-loops.
     The canonical first step of triangle counting (reference merges local +
-    central + duplicate adjacency first, Triangles.cpp:33-118)."""
+    central + duplicate adjacency first, Triangles.cpp:33-118).
+
+    ``assume_canonical=True`` (r13) asserts the input is ALREADY an a<b
+    distinct self-loop-free edge set (true for co_order_edges and any
+    output of this function) and skips the redundant |E|-row
+    least/greatest + distinct exchange — a pure rename. Operators expose
+    the same flag and forward it here; the skip never changes semantics,
+    it only avoids re-deriving what the caller guarantees."""
+    if assume_canonical:
+        return edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     a = F.least("src", "dst").alias("a")
     b = F.greatest("src", "dst").alias("b")
     return edges.select(a, b).filter(F.col("a") != F.col("b")).distinct()

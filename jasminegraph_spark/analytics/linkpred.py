@@ -273,6 +273,7 @@ def link_prediction(
     min_common: int = 2,
     max_center_degree: int | str | None = "auto",
     strategy: str = "auto",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Top-``top_k`` predicted links (a < b, not currently adjacent) ranked
     by Jaccard overlap of neighborhoods; ties broken on (a, b).
@@ -285,11 +286,21 @@ def link_prediction(
     shuffle), "wedge" (pure DataFrame self-join), or "auto" (spgemm while
     the edge set fits the replication budget). Both produce identical
     rows.
+
+    ``assume_canonical=True`` (r13, same contract as connected_components):
+    the caller's edge set is already a<b distinct and self-loop-free AND
+    caller-cached, so the redundant canonicalization exchange and the
+    duplicate persist of the same rows are both skipped.
     """
-    und = canonical_undirected(edges).persist()
+    if assume_canonical:
+        und = canonical_undirected(edges, assume_canonical=True)
+        caches = ()
+    else:
+        und = canonical_undirected(edges).persist()
+        caches = (und,)
     if strategy == "spgemm" or (strategy == "auto" and und.count() <= SPGEMM_EDGE_LIMIT):
         return _finalize_spgemm(
-            _spgemm_topk(und, top_k, min_common, max_center_degree, "jaccard"), und
+            _spgemm_topk(und, top_k, min_common, max_center_degree, "jaccard"), *caches
         )
     adj = und.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         und.select(F.col("b").alias("v"), F.col("a").alias("w"))
@@ -328,7 +339,7 @@ def link_prediction(
         )
     )
     top = scored.orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b")).limit(top_k)
-    return finalize(top, und, deg)
+    return finalize(top, *caches, deg)
 
 
 def node_embeddings(edges: DataFrame) -> DataFrame:
