@@ -438,8 +438,10 @@ def an_degree_dist_in(spark, sf_dir):
 def an_triangle_count(spark, sf_dir):
     """`trian` — exact triangle count (Triangles.cpp:28-118 +
     TriangleCountExecutor.cpp master aggregation, collapsed into one
-    degree-ordered join job)."""
-    return an.triangle_count_df(co_order_edges(spark, sf_dir))
+    degree-ordered join job). assume_canonical: co_order_edges is already
+    a<b distinct and session-cached — skip the redundant
+    re-canonicalization exchange and duplicate persist (r13)."""
+    return an.triangle_count_df(co_order_edges(spark, sf_dir), assume_canonical=True)
 
 
 @_q(
@@ -4576,7 +4578,9 @@ def an_sage_embeddings(spark, sf_dir):
     the rounding margin)."""
     from jasminegraph_spark.analytics import sage_embeddings
 
-    emb = sage_embeddings(co_order_edges(spark, sf_dir), layers=2)
+    emb = sage_embeddings(
+        co_order_edges(spark, sf_dir), layers=2, assume_canonical=True
+    )
     num = [c for c in emb.columns if c != "v"]
     return (
         emb.filter(F.col("v") <= 200)
@@ -4669,7 +4673,8 @@ def an_sage_sampled(spark, sf_dir):
     from jasminegraph_spark.analytics import sage_embeddings
 
     emb = sage_embeddings(
-        co_order_edges(spark, sf_dir), layers=2, sample=[10, 5], hash_fn="md5"
+        co_order_edges(spark, sf_dir), layers=2, sample=[10, 5], hash_fn="md5",
+        assume_canonical=True,
     )
     num = [c for c in emb.columns if c != "v"]
     return (

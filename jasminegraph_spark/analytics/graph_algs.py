@@ -83,7 +83,7 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     return finalize(tri, und)
 
 
-def triangle_count_df(edges: DataFrame) -> DataFrame:
+def triangle_count_df(edges: DataFrame, assume_canonical: bool = False) -> DataFrame:
     """`trian` as a one-row DataFrame (n_triangles): degree-ordered DAG +
     per-edge sorted-neighbor intersection.
 
@@ -105,8 +105,18 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
     The canonical edge set is persisted and reused across the degree calc
     and both array joins — without it the upstream lineage (e.g. a
     co-occurrence self-join producing the edges) re-executes many times
-    (observed 22 parquet scans in the un-persisted plan)."""
-    und = canonical_undirected(edges).persist()
+    (observed 22 parquet scans in the un-persisted plan).
+
+    ``assume_canonical=True`` (r13, same contract as connected_components):
+    the caller's edge set is already a<b distinct, self-loop-free AND
+    caller-cached, so the redundant least/greatest + distinct exchange and
+    the duplicate persist of the same rows are both skipped."""
+    if assume_canonical:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        caches = []
+    else:
+        und = canonical_undirected(edges).persist()
+        caches = [und]
     ordered = _degree_ordered(und).persist()
     # persisted: both array joins read nbr, and exchange reuse covers
     # only the shuffle — the collect_list aggregation above it would
@@ -131,7 +141,7 @@ def triangle_count_df(edges: DataFrame) -> DataFrame:
             F.array_intersect("ns_u", F.coalesce("ns_v", F.array()))
         ).alias("c")
     ).agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles"))
-    return finalize(n, und, ordered, nbr)
+    return finalize(n, *caches, ordered, nbr)
 
 
 def triangle_count(edges: DataFrame) -> int:

@@ -389,6 +389,7 @@ def sage_embeddings(
     layers: int = 2,
     sample: list | None = None,
     hash_fn: str = "xxhash64",
+    assume_canonical: bool = False,
 ) -> DataFrame:
     """Mean-aggregator GraphSAGE encoder (Hamilton et al., NeurIPS 2017)
     in its deterministic, weight-free form — the closest Spark-native
@@ -437,7 +438,17 @@ def sage_embeddings(
             # r8 (ADVICE r7): fan-out 0 (or negative) empties layer_adj and
             # the inner join would silently return an empty embedding frame
             raise ValueError(f"every fan-out must be >= 1, got {sample}")
-    und = canonical_undirected(edges).persist()
+    # assume_canonical (r13, same contract as connected_components): the
+    # caller's edge set is already a<b distinct, self-loop-free and
+    # caller-cached, so the least/greatest+distinct exchange and the extra
+    # persist of the same rows are skipped; adj below is rebuilt (and
+    # repartitioned) from the cached rows either way.
+    if assume_canonical:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        caches = []
+    else:
+        und = canonical_undirected(edges).persist()
+        caches = [und]
     # pre-partition the persisted adjacency by v (r13, guide §2.4): every
     # layer's sampling window (partitionBy v), neighbor-mean groupBy(v)
     # and concat join (on v) re-use that one partitioning, so the
@@ -459,7 +470,7 @@ def sage_embeddings(
     # h⁰ reuses the persisted adjacency (r13): node_embeddings(edges)
     # would rebuild canonical+union from the raw edges a second time
     cur = _node_embeddings_from_adj(adj).persist()
-    caches = [und, adj, cur]
+    caches += [adj, cur]
     for k in range(1, layers + 1):
         feats = [c for c in cur.columns if c != "v"]
         layer_adj = adj

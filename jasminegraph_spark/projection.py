@@ -205,7 +205,14 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
     hit = _CO_ORDER_MEMO.get(key)
     if hit is not None:
-        if not hit.is_cached:  # re-arm after a spark.catalog.clearCache()
+        # re-arm after a spark.catalog.clearCache(). NOT `hit.is_cached`:
+        # on Spark 4.1 that stays True after clearCache (the Dataset keeps
+        # a stale non-NONE storage level), so the old guard never re-armed
+        # and every post-clearCache consumer recomputed the projection per
+        # action (r13; measured 2.6 s per miss at sf0.1). storageLevel is
+        # live CacheManager state: all-False means the entry is gone.
+        lvl = hit.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
             hit.persist()
         return hit
     from jasminegraph_spark.session import spread_scan

@@ -716,6 +716,32 @@ def test_assume_canonical_matches_default_on_canonical_input(spark):
         assert lean == base, fn.__name__
 
 
+def test_assume_canonical_triangles_and_sage_match_default(spark):
+    """r13: the assume_canonical fast path of triangle_count_df and
+    sage_embeddings must match the default path on canonical input (a<b
+    distinct self-loop-free edges) — the skip only elides the
+    re-canonicalization shuffle, never the semantics."""
+    from jasminegraph_spark.analytics import sage_embeddings, triangle_count_df
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4), (5, 6)],
+        "src long, dst long",
+    )
+    base_t = triangle_count_df(e).first()["n_triangles"]
+    lean_t = triangle_count_df(e, assume_canonical=True).first()["n_triangles"]
+    assert lean_t == base_t == 2
+
+    for kw in ({}, {"sample": [2, 2], "hash_fn": "md5"}):
+        base = {tuple(r) for r in sage_embeddings(e, layers=2, **kw).collect()}
+        lean = {
+            tuple(r)
+            for r in sage_embeddings(
+                e, layers=2, assume_canonical=True, **kw
+            ).collect()
+        }
+        assert lean == base, kw
+
+
 def test_wsp_dedup_edges_false_matches_default_on_deduped_input(spark):
     """r13: weighted_shortest_paths(dedup_edges=False) must produce
     identical distances to the default path whenever its contract holds

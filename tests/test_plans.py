@@ -103,6 +103,24 @@ def test_triangle_result_is_checkpointed_and_caches_released(spark, sf_dir):
     assert "InMemoryTableScan" not in plan
 
 
+def test_co_order_memo_rearms_after_clear_cache(spark, sf_dir):
+    """r13: spark.catalog.clearCache() kills the memoized co-order cache
+    entry, but on Spark 4.1 the Dataset's is_cached stays True — the old
+    re-arm guard never fired and every later consumer recomputed the
+    projection per action. The memo must re-persist (live storageLevel
+    check) so post-clearCache consumer plans read InMemoryTableScan."""
+    from jasminegraph_spark.projection import co_order_edges
+
+    co = co_order_edges(spark, sf_dir)
+    co.count()
+    spark.catalog.clearCache()
+    co2 = co_order_edges(spark, sf_dir)
+    lvl = co2.storageLevel
+    assert lvl.useMemory or lvl.useDisk, "memo did not re-arm its persist"
+    plan = _plan(co2.selectExpr("src as a", "dst as b"))
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
 def test_iterative_algs_release_their_caches(spark):
     """After an analytics call on a non-memoized input, the DataFrame
     cache manager holds nothing: every operator-internal persist was
