@@ -8871,6 +8871,10 @@ def pl_embed_ivf_ann(spark, sf_dir):
     JasmineGraphIncrementalLocalStore.cpp:42-67 → FaissIndex.h:20-53),
     no precomputed embedding column required."""
     emb = pl.embed_text(_read(spark, sf_dir, "documents"), dim=_EMBED_DIM)
+    # pin the embedding pass (r13): ivf_ann references it four times
+    # (centroid seed, cell assignment, corpus side, query side) and the
+    # explode+wide-agg embedding job re-executed per reference
+    emb = emb.localCheckpoint(eager=False)
     queries = emb.filter(F.col("doc_id") < 5)
     return pl.ivf_ann(emb, queries, k=5, n_cells=8, id_col="doc_id", vec_col="embedding")
 

@@ -348,17 +348,17 @@ def _delta_from_arrays(
     touched = nbrs.join(hint(nodes), "u", "semi")
     na = touched.select(F.col("u").alias("a"), F.col("zs").alias("za"))
     nb = touched.select(F.col("u").alias("b"), F.col("zs").alias("zb"))
-    # r13 probe shape: the batch side carries the broadcast hint into BOTH
-    # array lookups, so each is a map pass over the touched arrays (build
-    # the tiny batch, probe the arrays in place), and each neighbor array
-    # then crosses exactly ONE exchange — the (a, b) pair join of the two
-    # sides. The previous left-deep chain (new_c ⋈ na ⋈ nb) shipped the
-    # za-laden intermediate through a second full exchange. Past
-    # BROADCAST_BATCH_ROWS the hints drop and AQE picks the strategies.
-    side_a = hint(new_c).join(na, "a")
-    side_b = hint(new_c).join(nb, "b").select("a", "b", "zb")
+    # Probe shape (r13, re-measured): left-deep chain with the broadcast
+    # hint on the batch side of the FIRST lookup. An alternative
+    # two-map-pass shape — hint(new_c)⋈na and hint(new_c)⋈nb joined on
+    # (a, b) — was tried to keep each array to one exchange, but the pair
+    # join re-exchanges BOTH za and zb; interleaved same-session A/B on
+    # st_restart_replay measured it consistently slower (min 13.4 vs
+    # 12.9 s), so the left-deep chain stands. Past BROADCAST_BATCH_ROWS
+    # the hint drops and AQE picks the strategies.
     tri = (
-        side_a.join(side_b, ["a", "b"])
+        hint(new_c).join(na, "a")
+        .join(nb, "b")
         .select(
             "a", "b",
             F.explode(F.array_intersect("za", "zb")).alias("z"),
