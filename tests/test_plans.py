@@ -478,14 +478,27 @@ def test_scc_rounds_are_equi_joins(q):
     assert "CartesianProduct" not in plan
 
 
-def test_c4_rules_single_scan_no_shuffle(q):
+def test_c4_rules_single_scan_no_shuffle(q, spark, sf_dir):
     """C4 heuristics are one narrow projection over the documents scan —
-    no aggregation, no exchange except the final orderBy range
-    partitioning (mirrors test_gopher_rules_single_scan_no_shuffle)."""
-    plan = _plan(q("pl_c4_rules"))
+    no aggregation, no hash exchange (mirrors
+    test_gopher_rules_single_scan_no_shuffle). r13: the declared row pins
+    the map-only child with a lazy localCheckpoint before its orderBy (so
+    range-bound sampling doesn't execute the regex pass twice), which
+    collapses the declared plan to Sort-over-pinned-scan; the chain
+    property is asserted on the un-pinned operator output directly."""
+    from jasminegraph_spark.pipeline import c4_rules
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(c4_rules(docs.select("doc_id", F.col("text"))))
     assert plan.count("Scan parquet") == 1
     body = plan.split("ReadSchema:")[0]
     assert body.count("Exchange hashpartitioning") == 0
+    # and the declared row reads pinned blocks under its sort: the child
+    # must not appear (re-execute) below the range partitioner
+    declared = _plan(q("pl_c4_rules"))
+    assert "Scan ExistingRDD" in declared
+    assert declared.count("Scan parquet") == 0
 
 
 def test_kmeans_assignment_broadcasts_centroids_and_group_limits(spark, sf_dir):
@@ -513,14 +526,24 @@ def test_node2vec_corpus_no_cartesian(q):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_png_decode_is_single_scan_arrow_stage(q):
+def test_png_decode_is_single_scan_arrow_stage(q, spark, sf_dir):
     """synthesize → decode is two chained mapInPandas stages over ONE
-    documents scan — payloads never shuffle."""
-    plan = _plan(q("pl_png_decode"))
+    documents scan — payloads never shuffle. r13: the declared row pins
+    the decoded rows (lazy localCheckpoint) before its orderBy so the
+    range sampler doesn't run the decode chain twice; the chain property
+    is asserted on the un-pinned operator output, the pin on the
+    declared plan."""
+    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    plan = _plan(decode_media(synthesize_png(docs)))
     assert plan.count("Scan parquet") == 1
     body = plan.split("ReadSchema:")[0]
     assert body.count("Exchange hashpartitioning") == 0
     assert "MapInPandas" in plan
+    declared = _plan(q("pl_png_decode"))
+    assert "Scan ExistingRDD" in declared
+    assert declared.count("Scan parquet") == 0 and "MapInPandas" not in declared
 
 
 def test_bigram_logprob_preaggregates_per_doc(q):
