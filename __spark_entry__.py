@@ -45,6 +45,23 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Lazy single-execution pin for a multiply-referenced / range-sorted
+    child (r13 mechanism, r14 routing — VERDICT r13 #5): truncate lineage
+    so the range partitioner's sampling pass (or the first referencing
+    action) is the ONE materialization and every later reference scans
+    pinned blocks. Routed through cache.checkpoint instead of a bare
+    Dataset.localCheckpoint so that configuring
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` upgrades every pin to a RELIABLE
+    checkpoint into shared storage: at cluster scale a lost executor then
+    re-reads checkpoint files instead of killing the query (localCheckpoint
+    blocks live only on executors and have no recompute path). Default
+    (no checkpoint dir) is byte-identical to the r13 behavior."""
+    from jasminegraph_spark.cache import checkpoint
+
+    return checkpoint(df, eager=False)
+
+
 def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
     """DuckDB expression: first ``digits`` hex chars of ``expr`` as a
     number (Horner on strpos) — mirrors Spark's conv(substring(...),16,10).
@@ -6655,19 +6672,25 @@ def pl_png_decode(spark, sf_dir):
     filter predictor, or CRC layout fails the per-image hash. JPEG/FLAC/
     MP3 remain the documented NotImplementedError seam (they need codec
     libs this environment lacks)."""
+    # r13 pin (see _pin) of the decoded rows before the
+    # sort — orderBy's range-partitioner sampling otherwise
+    # re-executes the whole synth+decode pipeline a second time just
+    # to pick bounds (the sort's child is map-only above the id
+    # spread, so sampling can reuse no shuffle output); measured ~2x
+    # on every media-decode row
+    return _png_decode_prepin(spark, sf_dir).transform(_pin).orderBy("media_id")
+
+
+def _png_decode_prepin(spark, sf_dir):
+    """pl_png_decode's pipeline BEFORE the pin+sort — shared with
+    tests/test_plans.py (ADVICE r13 #4) so the single-scan / no-shuffle
+    chain property is asserted on the very frame the declared query pins,
+    not on a hand-rebuilt twin that could drift."""
     from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_png
 
     docs = _read(spark, sf_dir, "documents").select("doc_id")
     decoded = decode_media(synthesize_png(docs))
-    return decoded.select(
-        "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
-        # sort — orderBy's range-partitioner sampling otherwise
-        # re-executes the whole synth+decode pipeline a second time just
-        # to pick bounds (the sort's child is map-only above the id
-        # spread, so sampling can reuse no shuffle output); measured ~2x
-        # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    return decoded.select("media_id", "width", "height", "n_bytes", "body_sum")
 
 
 @_q(
@@ -6713,13 +6736,13 @@ def pl_jpeg_decode(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -6756,13 +6779,13 @@ def pl_flac_decode(spark, sf_dir):
     decoded = decode_media(synthesize_flac(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -6800,13 +6823,13 @@ def pl_mp3_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -6850,13 +6873,13 @@ def pl_mp3_stereo_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3_stereo(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -6902,13 +6925,13 @@ def pl_mp3_lsf_decode(spark, sf_dir):
     decoded = decode_media(synthesize_mp3_lsf(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -6952,13 +6975,13 @@ def pl_layer1_decode(spark, sf_dir):
     decoded = decode_media(synthesize_layer1(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -7003,13 +7026,13 @@ def pl_jpeg_progressive(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg_progressive(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -7059,13 +7082,13 @@ def pl_jpeg_progressive_color(spark, sf_dir):
     decoded = decode_media(synthesize_jpeg_progressive_color(docs))
     return decoded.select(
         "media_id", "width", "height", "n_bytes", "body_sum"
-        # r13: pin the decoded rows (lazy localCheckpoint) before the
+        # r13 pin (see _pin) of the decoded rows before the
         # sort — orderBy's range-partitioner sampling otherwise
         # re-executes the whole synth+decode pipeline a second time just
         # to pick bounds (the sort's child is map-only above the id
         # spread, so sampling can reuse no shuffle output); measured ~2x
         # on every media-decode row
-    ).localCheckpoint(eager=False).orderBy("media_id")
+    ).transform(_pin).orderBy("media_id")
 
 
 @_q(
@@ -7230,6 +7253,15 @@ def pl_c4_rules(spark, sf_dir):
     line filter (terminal punct + ≥5 words + no 'javascript'), sentence
     floor, and boilerplate page-drops all produce exact integer signals
     both engines hash-match. Zero shuffles; one narrow projection."""
+    # pin before the sort (r13, see _pin): the child is a map-only regex
+    # pass, so the range-partitioner sampling would execute it twice
+    return _c4_rules_prepin(spark, sf_dir).transform(_pin).orderBy("doc_id")
+
+
+def _c4_rules_prepin(spark, sf_dir):
+    """pl_c4_rules' pipeline BEFORE the pin+sort — shared with
+    tests/test_plans.py (ADVICE r13 #4) so the single-scan / no-shuffle
+    chain property is asserted on the very frame the declared query pins."""
     from jasminegraph_spark.pipeline import c4_rules
 
     docs = _read(spark, sf_dir, "documents")
@@ -7247,10 +7279,7 @@ def pl_c4_rules(spark, sf_dir):
             F.lit("\nthis page uses javascript for everything okay."),
         ).otherwise(F.lit("")),
     )
-    out = c4_rules(docs.select("doc_id", t2.alias("text")))
-    # pin before the sort (r13): the child is a map-only regex pass, so the
-    # range-partitioner sampling would execute it twice
-    return out.localCheckpoint(eager=False).orderBy("doc_id")
+    return c4_rules(docs.select("doc_id", t2.alias("text")))
 
 
 @_q(
@@ -7839,9 +7868,9 @@ def _arrival_prefix_edges(spark, sf_dir, limit=_GREEDY_PREFIX_EDGES):
         # pin the tiny prefix (r13): _greedy's sequential-size guard runs
         # a probe count over this frame before the real pass, and without
         # the pin each action pays the full TakeOrdered (md5 over every
-        # co-order edge) again. Lazy localCheckpoint = the probe is the
+        # co-order edge) again. Lazy pin (_pin) = the probe is the
         # materializing action, the greedy pass reads the pinned rows.
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
 
 
@@ -7862,7 +7891,7 @@ def src_ldg_partition(spark, sf_dir):
     prefix = _arrival_prefix_edges(spark, sf_dir)
     out = ldg_partition(prefix, 4, arrival_col="h")
     # pin before the sort (r13): range-sampling would re-run the greedy pass
-    return out.localCheckpoint(eager=False).orderBy("node")
+    return out.transform(_pin).orderBy("node")
 
 
 @_q(
@@ -7886,7 +7915,7 @@ def src_fennel_partition(spark, sf_dir):
     prefix = _arrival_prefix_edges(spark, sf_dir)
     out = fennel_partition(prefix, 4, arrival_col="h")
     # pin before the sort (r13): range-sampling would re-run the greedy pass
-    return out.localCheckpoint(eager=False).orderBy("node")
+    return out.transform(_pin).orderBy("node")
 
 
 @_q(
@@ -8874,7 +8903,7 @@ def pl_embed_ivf_ann(spark, sf_dir):
     # pin the embedding pass (r13): ivf_ann references it four times
     # (centroid seed, cell assignment, corpus side, query side) and the
     # explode+wide-agg embedding job re-executed per reference
-    emb = emb.localCheckpoint(eager=False)
+    emb = emb.transform(_pin)
     queries = emb.filter(F.col("doc_id") < 5)
     return pl.ivf_ann(emb, queries, k=5, n_cells=8, id_col="doc_id", vec_col="embedding")
 
@@ -8971,71 +9000,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # a green driver row yet run FIRST this round (round 1 + round 2 rows
 # together then cover the whole registry).
 _PRIORITY = [
-    # r13 sweep order (VERDICT r12 ask #1, recomputed from all twelve
-    # CORRECTNESS_r*.json latest-green rounds): pure rotation again — the
-    # 13 rows whose latest green driver row is r08 (their r08 sweep
-    # order), then the 37 oldest r09 rows in their r09 sweep order.
-    # 13 + 37 = 50 fills the driver window; the remaining 13 r09 rows
-    # (rel_cohort_retention ... rel_q22_dormant_customers) queue directly
-    # behind it as the r14 window head. After this sweep the registry
-    # evidence floor lifts to r09. (pl_ngram_jaccard's r01 row is a
-    # retired name — the query was replaced by pl_ngram_jaccard_capped.)
-    # Audit: recompute latest-green per query from CORRECTNESS_r*.json
-    # each round.
-    # --- latest green driver row r08 (13) ---
-    "pl_dataset_card",
-    "pl_embedding_hygiene",
-    "pl_graphrag_retrieve",
-    "pl_hash_split",
-    "pl_hybrid_rrf",
-    "pl_knn_classify",
-    "pl_line_dedup",
-    "pl_ngram_jaccard_capped",
-    "pl_pack_sequences",
-    "pl_quality_filter_chain",
-    "pl_sampled_quantiles",
-    "pl_skew_report",
-    "pl_split_leakage",
-    # --- latest green driver row r09, in r09 sweep order (first 37) ---
-    "pl_temperature_mixture",
-    "pl_unigram_logprob",
-    "pl_vocab_coverage",
-    "rel_asof_last_purchase",
-    "rel_cdc_apply",
-    "rel_event_funnel",
-    "rel_events_rollup_multires",
-    "rel_interval_join_busy_hours",
-    "rel_json_props_extract",
-    "rel_scd2_user_state",
-    "src_zorder_roundtrip",
-    "st_stream_stream_join",
-    "st_streaming_dedup",
-    "an_betweenness_sampled",
-    "an_clustering_coefficient",
-    "an_degree_assortativity",
-    "an_harmonic_centrality",
-    "an_label_propagation",
-    "an_link_prediction_federated",
-    "an_link_prediction_trained",
-    "an_msf",
-    "an_sage_embeddings",
-    "cypher_scalar_functions",
-    "cypher_shortest_path",
-    "cypher_union_text",
-    "pl_bpe_merges",
-    "pl_decontaminate",
-    "pl_gopher_rules",
-    "pl_kmv_distinct",
-    "pl_multimodal_compose",
-    "pl_multimodal_decode",
-    "pl_pca_invariants",
-    "pl_pii_redact",
-    "pl_repetition_scores",
-    "pl_sq_ann",
-    "pl_tfidf_keywords",
-    "pl_weighted_sample",
-    # --- remaining 13 r09 rows: past the ~50-row window this round; they
-    # run first in r14 ---
+    # r14 sweep order (VERDICT r12 ask #1 convention, recomputed from all
+    # thirteen CORRECTNESS_r*.json latest-green rounds): pure rotation —
+    # the 13 rows whose latest green driver row is r09 (their r09 sweep
+    # order), then the 37 oldest r10 rows in their r10 sweep order.
+    # 13 + 37 = 50 fills the driver window; the remaining 13 r10 rows
+    # (an_triangle_count ... pl_token_counts) queue directly behind it as
+    # the r15 window head. After this sweep the registry evidence floor
+    # lifts to r10. Audit: recompute latest-green per query from
+    # CORRECTNESS_r*.json each round.
+    # --- latest green driver row r09 (13) ---
     "rel_cohort_retention",
     "rel_q11_important_parts",
     "rel_q12_late_by_priority",
@@ -9049,6 +9023,59 @@ _PRIORITY = [
     "rel_q20_dominant_suppliers",
     "rel_q21_waiting_supplier",
     "rel_q22_dormant_customers",
+    # --- latest green driver row r10, in r10 sweep order (first 37) ---
+    "pl_mp3_stereo_decode",
+    "pl_mp3_lsf_decode",
+    "pl_jpeg_progressive_color",
+    "pl_layer1_decode",
+    "an_scc",
+    "pl_substring_spans",
+    "rel_q10_returned_items",
+    "rel_q4_order_priority",
+    "rel_q8_market_share",
+    "rel_q9_product_profit",
+    "rel_value_percentiles",
+    "src_graphml_roundtrip",
+    "src_jsonl_roundtrip",
+    "st_incremental_triangles",
+    "st_session_window_counts",
+    "st_windowed_event_counts",
+    "an_mis",
+    "an_node2vec_walks",
+    "cypher_pattern_comprehension",
+    "pl_kmv_merge_rollup",
+    "pl_triplet_mining",
+    "src_bucketed_expand",
+    "src_unbucketed_expand",
+    "pl_pca_project2d",
+    "cy_write_roundtrip",
+    "pl_png_decode",
+    "an_node2vec_corpus",
+    "pl_semantic_dedup",
+    "pl_c4_rules",
+    "pl_bpe_encode",
+    "pl_kmeans_refine",
+    "pl_normalize_text",
+    "pl_bigram_logprob",
+    "st_incremental_wcc",
+    "pl_bpe_fertility",
+    "an_pagerank",
+    "pl_minhash_lsh",
+    # --- remaining 13 r10 rows: past the ~50-row window this round; they
+    # run first in r15 ---
+    "an_triangle_count",
+    "an_top_k_pagerank",
+    "rel_q1_pricing_summary",
+    "pl_exact_dedup",
+    "cy_vcnt_ecnt",
+    "an_degree_dist_in",
+    "an_egonet",
+    "pl_minhash_signatures",
+    "pl_simhash",
+    "pl_cosine_topk",
+    "pl_lsh_ann",
+    "pl_ivf_ann",
+    "pl_token_counts",
 ]
 
 

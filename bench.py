@@ -226,10 +226,22 @@ def main() -> None:
         "unit": "sec",
         "queries": {name: round(sec, 2) for name, sec in timings.items()},
         "sf": detail["sf"],
+        # r14 (VERDICT r13 #9, additive key — driver contract unchanged):
+        # budget degradation is visible in the compact line, not only in
+        # BENCH_DETAIL.json. "runs": the configured warm samples per query;
+        # "runs_degraded": ONLY the queries that got fewer (bench.py budget
+        # path) — usually empty, so the line stays within the 2000-char
+        # driver capture. A 1-sample heavy-row number is never mistaken
+        # for a min-of-3 one.
+        "runs": runs,
+        "runs_degraded": {
+            name: n for name, n in runs_used.items() if n < max(1, runs)
+        },
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # hard guarantee: never overflow the capture again
         compact["queries"] = {"total_only": total}
+        compact["runs_degraded"] = {"n_degraded": len(compact["runs_degraded"])}
         compact["note"] = "per-query detail in BENCH_DETAIL.json"
         line = json.dumps(compact, separators=(",", ":"))
     print(line)

@@ -482,15 +482,14 @@ def test_c4_rules_single_scan_no_shuffle(q, spark, sf_dir):
     """C4 heuristics are one narrow projection over the documents scan —
     no aggregation, no hash exchange (mirrors
     test_gopher_rules_single_scan_no_shuffle). r13: the declared row pins
-    the map-only child with a lazy localCheckpoint before its orderBy (so
+    the map-only child with a lazy pin (entry _pin) before its orderBy (so
     range-bound sampling doesn't execute the regex pass twice), which
     collapses the declared plan to Sort-over-pinned-scan; the chain
-    property is asserted on the un-pinned operator output directly."""
-    from jasminegraph_spark.pipeline import c4_rules
-    from pyspark.sql import functions as F
+    property is asserted on the declared query's OWN pre-pin frame
+    (entry _c4_rules_prepin — shared construction, ADVICE r13 #4)."""
+    import __spark_entry__ as entry_mod
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    plan = _plan(c4_rules(docs.select("doc_id", F.col("text"))))
+    plan = _plan(entry_mod._c4_rules_prepin(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     body = plan.split("ReadSchema:")[0]
     assert body.count("Exchange hashpartitioning") == 0
@@ -529,14 +528,14 @@ def test_node2vec_corpus_no_cartesian(q):
 def test_png_decode_is_single_scan_arrow_stage(q, spark, sf_dir):
     """synthesize → decode is two chained mapInPandas stages over ONE
     documents scan — payloads never shuffle. r13: the declared row pins
-    the decoded rows (lazy localCheckpoint) before its orderBy so the
+    the decoded rows (lazy pin, entry _pin) before its orderBy so the
     range sampler doesn't run the decode chain twice; the chain property
-    is asserted on the un-pinned operator output, the pin on the
-    declared plan."""
-    from jasminegraph_spark.pipeline.multimodal import decode_media, synthesize_png
+    is asserted on the declared query's OWN pre-pin frame (entry
+    _png_decode_prepin — shared construction, ADVICE r13 #4), the pin on
+    the declared plan."""
+    import __spark_entry__ as entry_mod
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    plan = _plan(decode_media(synthesize_png(docs)))
+    plan = _plan(entry_mod._png_decode_prepin(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
     body = plan.split("ReadSchema:")[0]
     assert body.count("Exchange hashpartitioning") == 0
