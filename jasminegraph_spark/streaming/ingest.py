@@ -340,10 +340,17 @@ def _delta_from_arrays(
     through lineage whose parent blocks the caller has already
     dropped."""
     hint = F.broadcast if broadcast_new else (lambda df: df)
+    # r14: pin the endpoint set — it feeds BOTH semi-restrictions (na and
+    # nb), and without the pin Catalyst plans the union+distinct subtree
+    # twice (two exchanges + two broadcast builds per batch, seen in the
+    # executed plan). Lazy localCheckpoint: RDD identity makes it compute
+    # once inside the count job; ~|batch endpoints| rows, released with
+    # the frame.
     nodes = (
         new_c.select(F.col("a").alias("u"))
         .unionAll(new_c.select(F.col("b").alias("u")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     touched = nbrs.join(hint(nodes), "u", "semi")
     na = touched.select(F.col("u").alias("a"), F.col("zs").alias("za"))
