@@ -59,6 +59,17 @@ class PropertyGraph:
     edges: DataFrame
     is_directed: bool = True
     name: str = "graph"
+    #: optional schema-level invariant declared by the graph BUILDER
+    #: (r14, guide §2.4/§3): ``{rel_type: (src_labels, dst_labels)}`` with
+    #: each side a tuple of node labels — every edge of ``rel_type`` is
+    #: guaranteed to have its endpoint's label in the declared set (the
+    #: property-graph analogue of a relational FK constraint / Neo4j's
+    #: relationship-type schema). Operators that join a type-filtered edge
+    #: frame against ``nodes`` use it to prune the node-union to the
+    #: declared labels — a pure plan optimization: the id join can only
+    #: ever match those branches, so results are unchanged. ``None`` (the
+    #: default) declares nothing and disables the pruning.
+    rel_endpoint_labels: dict | None = None
 
     def undirected_edges(self) -> DataFrame:
         """Both orientations of every edge — the reference's undirected
@@ -86,6 +97,7 @@ class PropertyGraph:
             edges=self.edges.withColumn("pid", pid("src")),
             is_directed=self.is_directed,
             name=self.name,
+            rel_endpoint_labels=self.rel_endpoint_labels,
         )
 
     def vertex_count(self) -> int:

@@ -75,6 +75,35 @@ def node_by_id_seek(graph: PropertyGraph, node_id: str, var: str = "n") -> DataF
     return graph.nodes.filter(F.col("id") == node_id).select(_node_struct(var))
 
 
+def _schema_labels(
+    graph: PropertyGraph, rel_type: str | None, side: str
+) -> tuple | None:
+    """Labels the graph's schema guarantees for one endpoint of a
+    type-filtered edge (r14, guide §2.4): ``side`` is 'src', 'dst' or
+    'both'. Returns None when the graph declares nothing for the type —
+    callers then join the full node frame as before. Purely a plan
+    optimization: the endpoint id join can only match nodes of the
+    declared labels anyway, so pruning the node union to those labels
+    never changes results."""
+    decl = graph.rel_endpoint_labels
+    if rel_type is None or not decl or rel_type not in decl:
+        return None
+    src_labels, dst_labels = decl[rel_type]
+    if side == "src":
+        return tuple(src_labels)
+    if side == "dst":
+        return tuple(dst_labels)
+    return tuple(dict.fromkeys(tuple(src_labels) + tuple(dst_labels)))
+
+
+def _prune_nodes(nodes: DataFrame, labels: tuple | None) -> DataFrame:
+    if not labels:
+        return nodes
+    if len(labels) == 1:
+        return nodes.filter(F.col("label") == labels[0])
+    return nodes.filter(F.col("label").isin(list(labels)))
+
+
 def relationship_scan(
     graph: PropertyGraph,
     src_var: str = "a",
@@ -102,8 +131,16 @@ def relationship_scan(
             _rel_struct(rel_var), F.col("dst").alias("__from"), F.col("src").alias("__to")
         )
         oriented = oriented.unionByName(rev)
-    n_src = graph.nodes.select(_node_struct(src_var))
-    n_dst = graph.nodes.select(_node_struct(dst_var))
+    # schema-declared endpoint labels prune the node union per side (r14);
+    # an undirected scan's __from/__to can be either endpoint, so both
+    # sides fall back to the union of the two label sets
+    side_from, side_to = ("src", "dst") if directed else ("both", "both")
+    n_src = _prune_nodes(graph.nodes, _schema_labels(graph, rel_type, side_from)).select(
+        _node_struct(src_var)
+    )
+    n_dst = _prune_nodes(graph.nodes, _schema_labels(graph, rel_type, side_to)).select(
+        _node_struct(dst_var)
+    )
     out = (
         oriented.join(n_src, F.col(f"{src_var}.id") == F.col("__from"))
         .join(n_dst, F.col(f"{dst_var}.id") == F.col("__to"))
@@ -162,6 +199,13 @@ def expand_all(
     if to_labels:
         # label filter on the node side of the join — pushes to the scan
         n_to_src = n_to_src.filter(F.col("label").isin(list(to_labels)))
+    else:
+        # no semantic label constraint: prune the node union to the labels
+        # the graph's schema guarantees for this endpoint (r14, guide
+        # §2.4) — 'out' lands on the dst side, 'in' on the src side,
+        # 'both' on either. No-op when the graph declares nothing.
+        side = {"out": "dst", "in": "src", "both": "both"}[direction]
+        n_to_src = _prune_nodes(n_to_src, _schema_labels(graph, rel_type, side))
     n_to = n_to_src.select(_node_struct(to_var))
 
     if optional:

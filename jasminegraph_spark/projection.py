@@ -36,12 +36,23 @@ from jasminegraph_spark.session import load_tables
 
 
 def _pm(**kv) -> "F.Column":
-    """properties map from column expressions, all values cast to string."""
-    pairs = []
+    """properties map from column expressions, all values cast to string.
+
+    Built with CreateMap, not map_from_arrays (r14, guide §6/§2.3):
+    Catalyst's SimplifyExtractValueOps folds GetMapValue(CreateMap(...),
+    literal) down to the underlying column, so every property predicate /
+    projection over this map collapses to the raw relational column — the
+    per-row map construction disappears, unused property columns prune out
+    of the parquet ReadSchema, and null-intolerant predicates regain their
+    IsNotNull parquet pushdown. map_from_arrays is opaque to that rule
+    (verified on Spark 4.1: the same filter keeps the full map build and
+    reads every property column). The materialized map value is identical
+    (same keys, same insertion order, same string casts)."""
+    pairs: list = []
     for k, c in kv.items():
         pairs.append(F.lit(k))
         pairs.append(c.cast("string"))
-    return F.map_from_arrays(F.array(*pairs[::2]), F.array(*pairs[1::2]))
+    return F.create_map(*pairs)
 
 
 def tpch_graph(spark: SparkSession, sf_dir: str, name: str = "tpch") -> PropertyGraph:
@@ -183,7 +194,24 @@ def tpch_graph(spark: SparkSession, sf_dir: str, name: str = "tpch") -> Property
             )
         )
     )
-    return PropertyGraph(nodes=nodes, edges=edges, is_directed=True, name=name)
+    return PropertyGraph(
+        nodes=nodes,
+        edges=edges,
+        is_directed=True,
+        name=name,
+        # schema invariant of THIS projection (see the edge inventory in the
+        # module docstring): each edge type's endpoints come from fixed
+        # tables, so type-filtered expands can prune the 6-way node union
+        # to the declared labels (r14, guide §2.4 — results unchanged, the
+        # id join could only ever match those branches).
+        rel_endpoint_labels={
+            "PLACED": (("Customer",), ("Order",)),
+            "CONTAINS": (("Order",), ("Part",)),
+            "SUPPLIES": (("Supplier",), ("Part",)),
+            "LOCATED_IN": (("Customer", "Supplier"), ("Nation",)),
+            "PART_OF": (("Nation",), ("Region",)),
+        },
+    )
 
 
 _CO_ORDER_MEMO: dict = {}
@@ -215,12 +243,20 @@ def co_order_edges(spark: SparkSession, sf_dir: str):
         if not (lvl.useMemory or lvl.useDisk):
             hit.persist()
         return hit
-    from jasminegraph_spark.session import spread_scan
-
-    li = spread_scan(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-        key=("lineitem", sf_dir),
-    ).select("l_orderkey", "l_partkey")
+    # r14 (guide §2.4/§2.5): repartition by the GROUPBY KEY instead of the
+    # round-robin spread_scan — the keyed exchange is the one the groupBy
+    # needs (reused, zero extra shuffles) and it skips round-robin's hidden
+    # local sort (sortBeforeRepartition). Interleaved A/B at sf0.1:
+    # rebuild 1.94 s (spread) / 1.81 (no spread) / 1.40 (keyed), keyed wins
+    # every sample — and EVERY co-order consumer pays this rebuild once per
+    # bench run. Scale-free: the partition count derives from AQE/session,
+    # and at cluster scale the keyed exchange replaces (not adds to) the
+    # aggregation exchange.
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+    )
     # one groupBy shuffle + in-array pair expansion beats the self-join:
     # the join shuffles lineitem twice and feeds ALL n² ordered pairs to
     # distinct; collect_set dedups per order map-side and the slice()
@@ -251,12 +287,14 @@ def co_order_weighted_edges(spark: SparkSession, sf_dir: str):
     One pair-explosion + one groupBy (count = multiplicity); the pair
     space is the same as co_order_edges, so the same scale notes apply.
     Not memoized: only the weighted-SSSP query reads it, exactly once."""
-    from jasminegraph_spark.session import spread_scan
-
-    li = spread_scan(
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
-        key=("lineitem", sf_dir),
-    ).select("l_orderkey", "l_partkey")
+    # keyed repartition for the same reason as co_order_edges (r14): the
+    # groupBy(l_orderkey) reuses this exchange, round-robin's local sort
+    # is skipped
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+    )
     g = li.groupBy("l_orderkey").agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     pairs = g.select(
         F.explode(
