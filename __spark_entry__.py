@@ -72,7 +72,7 @@ def _hex_to_num_sql(expr: str, digits: int = 12) -> str:
     return out
 
 
-def _read(spark, sf_dir, name, spread: bool | None = None):
+def _read(spark, sf_dir, name, spread: bool | None = None, by: str | None = None):
     """Table read + scan-parallelism guard (r11): the local testdata
     parquet files carry a SINGLE row group each, so a plain scan — and
     every map-side stage above it (codec synth, n-gram explode, regex
@@ -95,7 +95,12 @@ def _read(spark, sf_dir, name, spread: bool | None = None):
     pl_unigram_logprob 1.51→0.89 s, pl_graphrag_retrieve 3.52→2.15 s
     unspread, while the shingle/encode-heavy rows keep the spread
     (pl_bigram_logprob 8.98→2.38 s, pl_minhash_lsh 8.10→1.67 s WITH
-    it)."""
+    it).
+
+    ``by`` (r14, guide §2.4/§2.5): spread by HASH of that column instead
+    of round-robin — for queries whose first wide op groups/dedups on it
+    the spread exchange doubles as the aggregation exchange (see
+    session.spread_scan)."""
     from jasminegraph_spark.session import (
         SPREAD_TABLES,
         read_events,
@@ -109,7 +114,7 @@ def _read(spark, sf_dir, name, spread: bool | None = None):
     if spread is None:
         spread = name in SPREAD_TABLES
     if spread:
-        df = spread_scan(df, key=(name, sf_dir))
+        df = spread_scan(df, key=(name, sf_dir), by=by)
     return df
 
 
@@ -3445,7 +3450,8 @@ def pl_ngram_jaccard_capped(spark, sf_dir):
     variant survives as a test oracle only (tests/test_similarity.py);
     the shipped near-dup surface is pl_lsh_verified_dedup."""
     return pl.ngram_jaccard_pairs(
-        _read(spark, sf_dir, "documents"), k=8, threshold=0.4, max_doc_frequency=32
+        _read(spark, sf_dir, "documents", by="doc_id"), k=8, threshold=0.4,
+        max_doc_frequency=32,
     )
 
 
@@ -3459,7 +3465,9 @@ def _minhash_oracle(num_hashes: int = 16) -> str:
 
 @_q("pl_minhash_signatures", _minhash_oracle(16))
 def pl_minhash_signatures(spark, sf_dir):
-    return pl.minhash_signatures(_read(spark, sf_dir, "documents"), num_hashes=16, k=8)
+    return pl.minhash_signatures(
+        _read(spark, sf_dir, "documents", by="doc_id"), num_hashes=16, k=8
+    )
 
 
 def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
@@ -3484,7 +3492,9 @@ def _lsh_oracle(num_hashes: int = 16, bands: int = 4) -> str:
 
 @_q("pl_minhash_lsh", _lsh_oracle(16, 4))
 def pl_minhash_lsh(spark, sf_dir):
-    return pl.minhash_lsh_candidates(_read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8)
+    return pl.minhash_lsh_candidates(
+        _read(spark, sf_dir, "documents", by="doc_id"), num_hashes=16, bands=4, k=8
+    )
 
 
 _LSH_TAIL = """
@@ -3526,7 +3536,8 @@ def pl_lsh_verified_dedup(spark, sf_dir):
     linear in candidates (contrast pl_ngram_jaccard, the quadratic exact
     oracle kept for verification)."""
     return pl.jaccard_verified_dedup(
-        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8, threshold=0.4
+        _read(spark, sf_dir, "documents", by="doc_id"),
+        num_hashes=16, bands=4, k=8, threshold=0.4,
     )
 
 
@@ -3548,7 +3559,9 @@ def pl_lsh_verified_dedup(spark, sf_dir):
     """,
 )
 def pl_simhash(spark, sf_dir):
-    return pl.simhash_signatures(_read(spark, sf_dir, "documents"), bits=16, k=8)
+    return pl.simhash_signatures(
+        _read(spark, sf_dir, "documents", by="doc_id"), bits=16, k=8
+    )
 
 
 @_q(
@@ -3639,8 +3652,8 @@ def pl_dedup_corpus(spark, sf_dir):
     dup graph — near-dup similarity is not transitive, so chains must
     cluster); returns the surviving documents."""
     return pl.dedup_corpus(
-        _read(spark, sf_dir, "documents"), num_hashes=16, bands=4, k=8,
-        threshold=0.4, cc_rounds=10,
+        _read(spark, sf_dir, "documents", by="doc_id"), num_hashes=16, bands=4,
+        k=8, threshold=0.4, cc_rounds=10,
     ).select("doc_id", "n_chars")
 
 
@@ -3742,7 +3755,8 @@ def pl_simhash_near_dup(spark, sf_dir):
     the deterministic sibling of the probabilistic MinHash/sign-LSH
     candidate generators."""
     return pl.simhash_near_dup(
-        _read(spark, sf_dir, "documents"), bits=16, k=8, bands=4, max_hamming=3
+        _read(spark, sf_dir, "documents", by="doc_id"), bits=16, k=8, bands=4,
+        max_hamming=3,
     )
 
 
@@ -4052,7 +4066,9 @@ def pl_quality_scores(spark, sf_dir):
     """,
 )
 def pl_doc_fingerprint(spark, sf_dir):
-    return pl.doc_fingerprint(_read(spark, sf_dir, "documents"), k=4, shingle_k=8)
+    return pl.doc_fingerprint(
+        _read(spark, sf_dir, "documents", by="doc_id"), k=4, shingle_k=8
+    )
 
 
 @_q(
@@ -4102,7 +4118,7 @@ def pl_semantic_dedup(spark, sf_dir):
     from jasminegraph_spark.pipeline import semantic_dedup
 
     out = semantic_dedup(
-        _read(spark, sf_dir, "embeddings"), threshold=0.3, n_cells=16
+        _read(spark, sf_dir, "embeddings", by="vec_id"), threshold=0.3, n_cells=16
     )
     return out.select(
         "vec_id",
@@ -4145,7 +4161,8 @@ def pl_embedding_near_dup(spark, sf_dir):
     near-dup production threshold (τ≥0.9) fewer, wider bands shrink the
     buckets further — see banded_sign_buckets."""
     return pl.embedding_near_dup(
-        _read(spark, sf_dir, "embeddings"), threshold=0.5, planes_per_band=4, bands=16
+        _read(spark, sf_dir, "embeddings", by="vec_id"),
+        threshold=0.5, planes_per_band=4, bands=16,
     )
 
 

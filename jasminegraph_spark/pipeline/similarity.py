@@ -63,7 +63,7 @@ def _round6_half_up(c: np.ndarray) -> np.ndarray:
     return out
 
 
-def _cos6(a: str, b: str):
+def _cos6(a: str, b: str, nondet: bool = False):
     """round(cos(a, b), 6) for the quadratic pair-scoring stages.
 
     Degenerate inputs yield NULL, never an exception and never NaN: a
@@ -72,7 +72,16 @@ def _cos6(a: str, b: str):
     whole Arrow batch, and Spark orders NaN LARGEST so a NaN here would
     make a zero vector a near-duplicate of everything — null instead
     fails every ``>= threshold`` filter and sorts last under
-    ``desc``, i.e. degenerate vectors are never near anything)."""
+    ``desc``, i.e. degenerate vectors are never near anything).
+
+    ``nondet=True`` (r14, guide §4.4): callers whose OUTPUT column also
+    feeds a filter (``cosine >= threshold``) must pass it — Catalyst
+    pushes the filter below the projection and duplicates the UDF (two
+    ArrowEvalPython nodes; every surviving pair pays the einsum twice).
+    Marking the expression non-deterministic forbids the duplication;
+    the function itself is pure, so results are unchanged. Callers that
+    only window/rank over the column keep the deterministic default
+    (non-determinism would block their own legitimate pushdowns)."""
     global _COS6_UDF
     if _COS6_UDF is None:
 
@@ -116,7 +125,8 @@ def _cos6(a: str, b: str):
             return res
 
         _COS6_UDF = F.pandas_udf(_cos6_batch, "double")
-    return _COS6_UDF(F.col(a), F.col(b))
+    fn = _COS6_UDF.asNondeterministic() if nondet else _COS6_UDF
+    return fn(F.col(a), F.col(b))
 
 
 def _dot(a: str, b: str):
@@ -288,7 +298,9 @@ def embedding_near_dup(
         .select(
             "id_a",
             "id_b",
-            _cos6("qv", "cv").alias("cosine"),
+            # nondet (guide §4.4): the threshold filter below otherwise
+            # duplicates the UDF into two ArrowEvalPython nodes
+            _cos6("qv", "cv", nondet=True).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -61,16 +61,23 @@ TPCH_TABLES = (
 _SPREAD_MEMO: dict = {}
 
 
-def spread_scan(df, key=None):
+def spread_scan(df, key=None, by=None):
     """Scan-parallelism guard (r11): the local testdata parquet files
     carry a SINGLE row group each, so a plain scan — and every map-side
     stage above it (explodes, regex passes, partial aggregation) — runs
     as ONE task regardless of maxPartitionBytes (the row group is the
     atomic split unit). When the scan yields fewer partitions than the
-    session parallelism, insert a round-robin repartition; Catalyst
-    still pushes filters and column pruning below the exchange into the
-    scan. At cluster scale inputs arrive in many splits and this is a
-    no-op (decision memoized under ``key`` when given)."""
+    session parallelism, insert a repartition; Catalyst still pushes
+    filters and column pruning below the exchange into the scan. At
+    cluster scale inputs arrive in many splits and this is a no-op
+    (decision memoized under ``key`` when given).
+
+    ``by`` (r14, guide §2.4/§2.5): spread by HASH of that column instead
+    of round-robin. When the consumer's first wide op groups/dedups on
+    that key, the spread exchange doubles as the aggregation exchange —
+    the downstream ENSURE_REQUIREMENTS exchange disappears and so does
+    round-robin's hidden sortBeforeRepartition local sort. Same
+    spread-or-not decision; only the partitioner changes."""
     spark = df.sparkSession
     par = spark.sparkContext.defaultParallelism
     spread = _SPREAD_MEMO.get(key) if key is not None else None
@@ -78,7 +85,9 @@ def spread_scan(df, key=None):
         spread = df.rdd.getNumPartitions() < par
         if key is not None:
             _SPREAD_MEMO[key] = spread
-    return df.repartition(par) if spread else df
+    if not spread:
+        return df
+    return df.repartition(par, by) if by is not None else df.repartition(par)
 
 
 # Tables whose downstream work is row-wise heavy (text pipelines, codec
