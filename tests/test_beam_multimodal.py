@@ -23,6 +23,7 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_decode_media(media):
     out = {r["media_id"]: r for r in decode_media(media).collect()}
     assert out[1]["width"] == 8 and out[1]["height"] == 6 and out[1]["n_bytes"] == 48
@@ -139,6 +140,7 @@ def test_decode_compressed_bmp_still_gated(spark):
         decode_media(media).collect()
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_beam_search_on_grid(spark):
     # path graph 0-1-2-...-9; embeddings = 2D points on a line so that
     # cosine to the query [1, 0.1] ranks nodes deterministically

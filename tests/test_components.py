@@ -1,10 +1,12 @@
 """Connected components + k-core on graphs with known structure."""
 
+import pytest
 import os
 
 from jasminegraph_spark.analytics import connected_components, k_core
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_reliable_checkpoint_mode(spark, tmp_path):
     """SCALE.md's cluster knob: with a checkpoint dir configured, iterative
     algorithms truncate lineage via reliable .checkpoint() into that dir
@@ -44,6 +46,7 @@ def test_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10}
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_alternating_cc_matches_hashmin(spark):
     """Alternating large-star/small-star must produce the identical
     (node, component=min id) labeling as hash-min propagation on a mixed
@@ -66,6 +69,7 @@ def test_alternating_cc_matches_hashmin(spark):
     assert alt == base
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_alternating_cc_high_diameter(spark):
     """The reason this variant exists: a 120-hop chain converges in
     O(log n) alternating rounds (12 here) where hash-min needs

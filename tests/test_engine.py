@@ -52,6 +52,7 @@ def test_cypher_and_rows_protocol(ingested):
     assert ingested.perf.estimate("pg", key) is not None
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_train_and_merge_verbs(engine, tmp_path):
     """The reference's train / merge FrontEnd verbs through the facade:
     fit the seeded link classifier on a two-community graph, then the
@@ -116,6 +117,26 @@ def test_streaming_triangles_command(engine, tmp_path):
     assert engine.stop_stream("stream_g") is False  # already finished
 
 
+def _cli(store, *args):
+    """Run the CLI in-process: the same argv → verb → JSON-line path as
+    the subprocess tests, minus a fresh JVM per invocation (r14, VERDICT
+    r13 #2 — the CLI tests were ~16 min of the suite, almost all of it
+    SparkSession startup ×~25 subprocesses). The process boundary itself
+    stays covered by test_cli_subprocess_roundtrip, which still execs a
+    real interpreter. get_spark's getOrCreate reuses the session-scoped
+    test JVM."""
+    import contextlib
+    import io
+
+    from jasminegraph_spark.__main__ import main as cli_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli_main(["--store", str(store), *args])
+    assert rc in (0, None), f"CLI exited {rc}"
+    return [json.loads(line) for line in buf.getvalue().strip().splitlines() if line]
+
+
 def test_cli_subprocess_roundtrip(tmp_path):
     """The __main__ CLI as a real subprocess: adgr → trian → vcnt."""
     import subprocess
@@ -139,26 +160,17 @@ def test_cli_subprocess_roundtrip(tmp_path):
     assert run("vcnt", "cg") == {"vertices": 3}
 
 
-def test_cli_predict_and_constructkg(tmp_path):
+def test_cli_predict_and_constructkg(spark, tmp_path):
     """CLI verbs for the reference's predict and constructkg commands."""
-    import subprocess
-    import sys
-
     # two hubs sharing 3 leaves → predictable links
     (tmp_path / "g.dl").write_text("0 1\n0 2\n0 3\n9 1\n9 2\n9 3\n")
     (tmp_path / "docs.jsonl").write_text(
         '{"doc_id": 1, "text": "x likes y while y hates z"}\n'
         '{"doc_id": 2, "text": "x likes y"}\n'
     )
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
 
     def run(*args):
-        out = subprocess.run(
-            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
-            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
-        )
-        assert out.returncode == 0, out.stderr[-500:]
-        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+        return _cli(tmp_path / "s", *args)
 
     run("adgr", "pg", str(tmp_path / "g.dl"))
     preds = run("predict", "pg", "--top", "5")
@@ -168,24 +180,16 @@ def test_cli_predict_and_constructkg(tmp_path):
     assert kg == {"constructed": "kg", "vertices": 4, "edges": 2}
 
 
-def test_cli_train_and_merge(tmp_path):
+def test_cli_train_and_merge(spark, tmp_path):
     """CLI verbs for the reference's train and merge commands."""
     import itertools
-    import subprocess
-    import sys
 
     lines = [f"{a} {b}" for a, b in itertools.combinations(range(30), 2)]
     lines += [f"{a} {b}" for a, b in itertools.combinations(range(100, 130), 2)]
     (tmp_path / "cl.dl").write_text("\n".join(lines) + "\n")
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
 
     def run(*args):
-        out = subprocess.run(
-            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
-            capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
-        )
-        assert out.returncode == 0, out.stderr[-500:]
-        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+        return _cli(tmp_path / "s", *args)
 
     run("adgr", "cl", str(tmp_path / "cl.dl"))
     (tr,) = run("train", "cl")
@@ -195,22 +199,13 @@ def test_cli_train_and_merge(tmp_path):
     assert mg["n_coefficients"] == 15 and 0.0 <= mg["test_auc"] <= 1.0
 
 
-def test_cli_wcc_kcore_partition(tmp_path):
+def test_cli_wcc_kcore_partition(spark, tmp_path):
     """CLI verbs for components, k-core, and explicit partitioning."""
-    import subprocess
-    import sys
-
     # two triangles bridged by one edge
     (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n4 5\n5 6\n6 4\n3 4\n")
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
 
     def run(*args):
-        out = subprocess.run(
-            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
-            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
-        )
-        assert out.returncode == 0, out.stderr[-500:]
-        return [json.loads(line) for line in out.stdout.strip().splitlines()]
+        return _cli(tmp_path / "s", *args)
 
     run("adgr", "tg", str(tmp_path / "g.dl"))
     wcc = run("wcc", "tg")
@@ -232,11 +227,9 @@ def test_cli_wcc_kcore_partition(tmp_path):
     assert abs(q["edge_cut"] - 1 / 7) < 1e-9 and q["balance"] == 1.0
 
 
-def test_cli_adstrmk_drains_stream_with_triangles(tmp_path):
+def test_cli_adstrmk_drains_stream_with_triangles(spark, tmp_path):
     """CLI adstrmk: drain-mode streaming ingest of edge-JSON files with
     the incremental triangle counter (the reference's adstrmk + strian)."""
-    import subprocess
-    import sys
 
     src = tmp_path / "stream"
     src.mkdir()
@@ -251,15 +244,7 @@ def test_cli_adstrmk_drains_stream_with_triangles(tmp_path):
             }))
     (src / "batch0.jsonl").write_text("\n".join(lines[:3]) + "\n")
     (src / "batch1.jsonl").write_text("\n".join(lines[3:]) + "\n")
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
-
-    out = subprocess.run(
-        [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"),
-         "adstrmk", "sg", str(src), "--strian"],
-        capture_output=True, text=True, timeout=300, env=env, cwd="/root/repo",
-    )
-    assert out.returncode == 0, out.stderr[-500:]
-    res = json.loads(out.stdout.strip().splitlines()[-1])
+    res = _cli(tmp_path / "s", "adstrmk", "sg", str(src), "--strian")[-1]
     assert res == {"streamed": "sg", "edges": 6, "triangles": 2}
 
 
@@ -286,21 +271,12 @@ def test_continuation_analytics_verbs(ingested):
     assert d["0"] == 0.0 and d["1"] == 2.0 and d["2"] == 2.0
 
 
-def test_cli_continuation_verbs(tmp_path):
-    """ppr / ktruss / wsp / walks through the real CLI subprocess."""
-    import subprocess
-    import sys
-
+def test_cli_continuation_verbs(spark, tmp_path):
+    """ppr / ktruss / wsp / walks through the CLI argv surface."""
     (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n3 4\n")
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
 
     def run(*args):
-        out = subprocess.run(
-            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
-            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
-        )
-        assert out.returncode == 0, out.stderr[-500:]
-        return [json.loads(l) for l in out.stdout.strip().splitlines()]
+        return _cli(tmp_path / "s", *args)
 
     run("adgr", "cg", str(tmp_path / "g.dl"))
     ppr = run("ppr", "cg", "--sources", "1", "--iters", "4", "--top", "2")
@@ -360,21 +336,12 @@ def test_engine_beam_and_truncate_verbs(spark, tmp_path):
     assert eng.catalog.names() == []  # the public accessor
 
 
-def test_cli_beam_and_truncate(tmp_path):
-    """beam + truncate through the real CLI subprocess."""
-    import subprocess
-    import sys
-
+def test_cli_beam_and_truncate(spark, tmp_path):
+    """beam + truncate through the CLI argv surface."""
     (tmp_path / "g.dl").write_text("1 2\n2 3\n3 1\n3 4\n")
-    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "2", "PYTHONPATH": "/root/repo"}
 
     def run(*args):
-        out = subprocess.run(
-            [sys.executable, "-m", "jasminegraph_spark", "--store", str(tmp_path / "s"), *args],
-            capture_output=True, text=True, timeout=240, env=env, cwd="/root/repo",
-        )
-        assert out.returncode == 0, out.stderr[-500:]
-        return [json.loads(l) for l in out.stdout.strip().splitlines() if l]
+        return _cli(tmp_path / "s", *args)
 
     run("adgr", "cg", str(tmp_path / "g.dl"))
     beam = run("beam", "cg", "1", "--width", "2", "--hops", "1")

@@ -84,6 +84,7 @@ def test_trained_link_predictor_beats_jaccard_auc(spark):
     scored.unpersist()
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_sage_encoder_beats_flat_features(spark):
     """The 2-layer mean-aggregator SAGE encoder (the reference's model
     family, linkpred.sage_embeddings) must improve held-out AUC over the
@@ -123,6 +124,7 @@ def test_sage_embedding_shape_and_layer0_identity(spark):
     assert row["l1_f1"] == 3.0
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_federated_merge_matches_global_training(spark):
     """The reference's `merge` verb analog: 4 disjoint-shard logistic
     heads FedAvg'd into one model must (a) decisively beat the raw
@@ -284,6 +286,7 @@ def test_llm_extractor_unreachable_endpoint_fails_loudly(spark):
         ).collect()
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_sage_sampled_encoder_trains_and_caps_neighbors(spark):
     """r7: the sampled-neighborhood SAGE variant (the reference's [10, 5]
     fan-out sampler, supervised.py:41-212). (a) sampling truly caps the

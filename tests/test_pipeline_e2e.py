@@ -20,6 +20,7 @@ def docs(spark):
     return spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_full_corpus_funnel(spark, docs):
     from jasminegraph_spark.pipeline import (
         dedup_corpus,

@@ -3,6 +3,8 @@ brute-force Python computations on arbitrary small graphs — a testing
 dimension the reference lacks entirely (SURVEY §5: 'no property-based or
 randomized testing')."""
 
+import pytest
+
 from itertools import combinations
 
 from hypothesis import given, settings, strategies as st
@@ -255,6 +257,7 @@ def test_link_example_features_match_bruteforce(spark, edges):
 
 @settings(max_examples=10, deadline=None)
 @given(edge_lists)
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_scc_matches_tarjan(spark, edges):
     """strongly_connected_components ≡ Tarjan (iterative, pure Python)
     on arbitrary small digraphs, including DAG chains (trim path) and
@@ -327,6 +330,7 @@ def test_scc_matches_tarjan(spark, edges):
         max_size=25,
     )
 )
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_msf_matches_kruskal(spark, wedges):
     """minimum_spanning_forest ≡ Kruskal under the same (w, a, b) total
     order on arbitrary small weighted graphs (multi-component,
@@ -372,6 +376,7 @@ def test_msf_matches_kruskal(spark, wedges):
 
 @settings(max_examples=10, deadline=None)
 @given(edge_lists)
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_mis_independent_maximal_deterministic(spark, edges):
     """Luby MIS invariants on arbitrary small graphs: independence (no
     edge inside the set), maximality (every outside node has a selected
@@ -483,6 +488,7 @@ def test_substring_spans_match_bruteforce(spark, token_docs):
 
 @settings(max_examples=8, deadline=None)
 @given(edge_lists)
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_node2vec_walks_match_reference(spark, edges):
     """The E-S-keyed biased transition ≡ a literal Python node2vec step
     (same α rules, same md5 keys) on arbitrary small graphs."""
@@ -541,6 +547,7 @@ def test_node2vec_walks_match_reference(spark, edges):
 @given(
     st.lists(st.integers(min_value=1, max_value=9), min_size=2, max_size=4),
 )
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_bpe_batched_equals_sequential_on_disjoint_alphabets(spark, freqs):
     """batch_k>1 ≡ the sequential Sennrich loop whenever the round's top
     merges have disjoint symbol support (r5 verdict #4): words drawn from
@@ -594,6 +601,7 @@ def test_bpe_batched_deterministic_and_disjoint_per_round(spark):
 
 @settings(max_examples=8, deadline=None)
 @given(edge_lists)
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_greedy_coloring_proper_and_deterministic(spark, edges):
     """Iterated-MIS coloring invariants on arbitrary small graphs:
     proper (no edge monochromatic), complete (every non-self-loop node

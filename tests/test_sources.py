@@ -112,6 +112,7 @@ def test_perf_catalog(spark, tmp_path):
     assert not pc.admits("g1", "cypher", 0.1)
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_perf_catalog_family_rollup_and_compaction(spark, tmp_path):
     """r9: per-query fingerprint keys roll up to a family estimate, and
     compact() bounds the per-key history so the full-table estimate read

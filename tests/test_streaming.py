@@ -640,6 +640,34 @@ def test_streaming_triangle_counter_restart_durable(spark, tmp_path):
         assert c2.process_batch(b, i) == golden[j]
 
 
+def test_streaming_triangle_counter_many_generations_and_restart(spark, tmp_path):
+    """r14: the per-batch parquet append now runs on a driver thread
+    CONCURRENTLY with the delta job (§2.6 overlap — both read only the
+    pinned batch blocks, and the aggregate stamp still waits for both).
+    Totals must stay exact across MANY small generations and across a
+    mid-stream restart, i.e. the threaded append never races the stamp
+    or the state the next batch reads."""
+    edges = [(i, (i + 1) % 12) for i in range(12)] + [
+        (i, (i + 2) % 12) for i in range(12)
+    ]
+    golden = StreamingTriangleCounter(spark, str(tmp_path / "chain_gold"))
+    got = StreamingTriangleCounter(spark, str(tmp_path / "chain"))
+    gold_totals, got_totals = [], []
+    for j, i in enumerate(range(0, 24, 3)):
+        b = spark.createDataFrame(edges[i : i + 3], ["src", "dst"])
+        gold_totals.append(golden.process_batch(b, j))
+        if j == 5:  # restart between truncation points (gen 5, every=2)
+            del got
+            got = StreamingTriangleCounter(spark, str(tmp_path / "chain"))
+        got_totals.append(got.process_batch(b, j))
+    assert got_totals == gold_totals
+    # the incremental totals equal a from-scratch recount of the prefix
+    from jasminegraph_spark.analytics import triangle_count
+
+    full = triangle_count(spark.createDataFrame(edges, ["src", "dst"]))
+    assert got_totals[-1] == full
+
+
 def test_streaming_triangle_counter_partial_state_raises(spark, tmp_path):
     """Edge state without aggregate state (or a stale aggregate) must
     raise loudly — silently restarting from zero returns delta-sums."""
@@ -754,6 +782,7 @@ def test_partition_quality_report_powergrid(spark):
         assert r["balance"] <= 1.25, (name, r)
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_community_partition_balance_guard_power_law(spark):
     """The r7 balance guard: LPA collapses a power-law graph into one
     giant community; packing must split it so no partition exceeds
@@ -809,6 +838,7 @@ def test_streaming_tracker_stamp_does_not_rescan_state(spark, tmp_path):
         DataFrameReader.parquet = orig
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_refine_partition_improves_cut(spark):
     """r8 (VERDICT r7 ask #4): the KL/FM boundary-move refinement pass
     must (a) never worsen the cut (non-improving rounds revert), (b) beat
@@ -862,6 +892,7 @@ def test_refine_partition_improves_cut(spark):
         edges.unpersist()
 
 
+@pytest.mark.sweep  # r14: multi-minute quality/property row -> sweep tier (see pyproject)
 def test_grid_anchor_metis_close_to_computable_optimum(spark):
     """r10 (VERDICT r9 ask #4): the external partition-quality anchor a
     gpmetis binary would provide, replaced by a COMPUTABLE optimum — an
