@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 from jasminegraph_spark.analytics.graph_algs import canonical_undirected
 from jasminegraph_spark.sources.readers import EDGE_WIRE_SCHEMA
 
+# r14 §2.6: overlap the tracker's per-batch parquet append with its delta
+# job (see StreamingTriangleCounter.process_batch). Module flag so the
+# sequential shape stays one toggle away for A/Bs and debugging.
+_OVERLAP_APPEND = True
+
 
 @dataclass
 class StreamRegistry:
@@ -546,7 +551,41 @@ class StreamingTriangleCounter:
             merged = batch_nbrs
         prev = self._nbrs
         self._nbrs = merged.localCheckpoint(eager=False)
-        delta = _delta_from_arrays(self._nbrs, new_c, bcast_new)
+        # r14 (guide §2.6): the durable parquet append and the delta are
+        # INDEPENDENT actions — both read only the pinned batch blocks
+        # (materialized above by the n_batch count), so the append runs
+        # on a driver thread while the (much heavier) delta job executes;
+        # Spark schedules both FIFO and the append's map-only tasks
+        # back-fill the delta's stragglers. Crash semantics are unchanged:
+        # _write_aggregate still happens only after BOTH complete, so a
+        # crash mid-either leaves the same edge-rows/aggregate mismatch
+        # _load_aggregate already raises on. (A/B'd: persist-chaining the
+        # state generations to save the merge's full-state exchange was
+        # measured FLAT and reverted — AQE hides cached/checkpointed
+        # output partitioning on 4.1, eager or lazy, so the exchange
+        # cannot be elided at the DataFrame layer.)
+        if _OVERLAP_APPEND:
+            import threading
+
+            append_err: list = []
+
+            def _append():
+                try:
+                    batch_edges.write.mode("append").parquet(self.state_path)
+                except BaseException as exc:  # surfaced after the delta join
+                    append_err.append(exc)
+
+            appender = threading.Thread(target=_append, name="tracker-append")
+            appender.start()
+            try:
+                delta = _delta_from_arrays(self._nbrs, new_c, bcast_new)
+            finally:
+                appender.join()
+            if append_err:
+                raise append_err[0]
+        else:  # sequential fallback (A/B + single-threaded debugging)
+            delta = _delta_from_arrays(self._nbrs, new_c, bcast_new)
+            batch_edges.write.mode("append").parquet(self.state_path)
         self.total += delta
         # only AFTER the delta's action has pinned the merged blocks:
         # unpersisting the previous generation before materialization
@@ -556,7 +595,6 @@ class StreamingTriangleCounter:
         # materialization this ordering relies on
         if prev is not None:
             prev.unpersist()
-        batch_edges.write.mode("append").parquet(self.state_path)
         self._has_state = True
         self._n_rows += n_batch
         _write_aggregate(
