@@ -274,7 +274,11 @@ def pagerank(
     # exchange this repartition exists to remove (measured: 1 exchange per
     # iteration planned lazily, 0 once the cache is live). One cheap count
     # over the persisted inputs buys exchange-free aggregation each round.
-    contrib_base.count()
+    # r14 (ADVICE r13 #5): with a single iteration there are no repeat
+    # consumers to amortize the setup job — skip it (the one round's
+    # action materializes the cache itself).
+    if iterations > 1:
+        contrib_base.count()
     if sources is not None:
         # restart mass concentrated on the seeds (each gets 1/|S|); a
         # seed absent from the vertex set simply contributes no mass

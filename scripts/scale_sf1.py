@@ -69,7 +69,7 @@ def run(names) -> None:
     for name in names or HEAVY:
         spark.sparkContext.setJobDescription(f"sf1:{name}")
         samples = []
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SCALE_SF1_RUNS", "2"))):
             t0 = time.perf_counter()
             queries[name](spark, OUT).write.mode("overwrite").format("noop").save()
             samples.append(time.perf_counter() - t0)
@@ -81,7 +81,10 @@ def run(names) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "gen":
+    args = sys.argv[1:]
+    if args and args[0] == "gen":
         gen()
     else:
-        run(sys.argv[2:] if len(sys.argv) > 2 and sys.argv[1] == "run" else sys.argv[1:])
+        if args and args[0] == "run":
+            args = args[1:]
+        run(args)
